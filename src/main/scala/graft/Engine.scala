@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local runs use `local[N]` with N shuffle partitions (not the 200
+  * default — wrong for a single JVM). On a real cluster the same
+  * settings scale: AQE coalesces shuffle partitions at runtime, so the
+  * static number only sets an upper bound.
+  */
+object Engine {
+  /** Configs every graft session needs, applied to a builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+    // convert (Tables.events) — Spark has no native ns timestamp type.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
