@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hazard.Windfield
+import graft.sources.Tables
+import graft.tracks.TrackPrep
+
+/** Domain-kernel certification probes: run the REAL hazard/track code
+  * paths (Windfield.statHolland, Windfield.holB, Windfield.geosphere +
+  * withVTrans, TrackPrep.withTimeStep) over the driver's testdata
+  * tables, with the same physics mirrored as DuckDB SQL. This puts the
+  * Holland kernels under the driver's hash-match gate on thousands of
+  * inputs, far beyond the five MATLAB goldens.
+  *
+  * Transcendental outputs are ROUNDed to 6 decimals on both sides
+  * (libm vs JVM may differ in the last ulp).
+  */
+object DomainProbes {
+
+  /** Synthetic track shaped from the events table: each user is a
+    * "storm", events are nodes ordered by time, lat/lon derived from
+    * `value`. (user_id, ts) verified unique at all SFs. */
+  private def syntheticTrack(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id").cast("string").as("storm_id"),
+      lit(0).as("ens_id"),
+      col("ts").as("time"),
+      col("event_id"),
+      (col("value") / 25.0 + 5.0).as("lat"),       // 5..24.6 — PH-ish band
+      (col("value") / 10.0 + 110.0).as("lon"))     // 110..159
+
+  private val trackSqlBase =
+    """SELECT user_id AS storm_id, ts AS time, event_id,
+      |value / 25.0 + 5.0 AS lat, value / 10.0 + 110.0 AS lon
+      |FROM events""".stripMargin
+
+  val probes: Seq[Probe] = Seq(
+
+    // X4: Holland 1980 gradient wind over 10k+ distances ----------------
+    Probe("d01_stat_holland",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // value in (0, 490] → distances 1..1961 km; physics params fixed
+        val dc = col("value") * 4.0 + 1.0
+        ev.withColumn("v_ang", round(Windfield.statHolland(
+            dc, lit(40.665454622610511), lit(1.486076257880692),
+            lit(1010.0), lit(970.8727666672957), lit(14.089110370469488)), 6))
+          .select("event_id", "v_ang")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ROUND(
+             |  SQRT(GREATEST(0.0,
+             |    100.0e0 * 1.486076257880692e0 / 1.15e0
+             |      * POW(40.665454622610511 / (value * 4.0 + 1.0), 1.486076257880692)
+             |      * (1010.0 - 970.8727666672957)
+             |      * EXP(-POW(40.665454622610511 / (value * 4.0 + 1.0), 1.486076257880692))
+             |    + (500.0e0 * (value * 4.0 + 1.0)
+             |       * (2.0e0 * 0.0000729e0 * SIN(RADIANS(ABS(14.089110370469488)))))
+             |      * (500.0e0 * (value * 4.0 + 1.0)
+             |       * (2.0e0 * 0.0000729e0 * SIN(RADIANS(ABS(14.089110370469488)))))))
+             |  - 500.0e0 * (value * 4.0 + 1.0)
+             |    * (2.0e0 * 0.0000729e0 * SIN(RADIANS(ABS(14.089110370469488)))), 6) AS v_ang
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // X3: Holland 2008 b-value with lag-derived pressure series ---------
+    Probe("d02_hol_b",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val ev = Tables.events(s, d)
+          .withColumn("pcen", lit(1010.0) - col("value") / 10.0)
+          .withColumn("prev_pcen", lag("pcen", 1).over(w))
+          .where(col("prev_pcen").isNotNull)
+        ev.withColumn("hol_b", round(Windfield.holB(
+            col("value") / 50.0, lit(1010.0), col("pcen"), col("prev_pcen"),
+            lit(14.0), lit(3.0)), 6))
+          .select("event_id", "hol_b")
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, value, 1010.0 - value / 10.0 AS pcen,
+             |    LAG(1010.0 - value / 10.0) OVER (PARTITION BY user_id ORDER BY ts) AS prev_pcen
+             |  FROM events),
+             |q AS (SELECT event_id, value, pcen, prev_pcen, 1010.0 - pcen AS pdelta
+             |      FROM p WHERE prev_pcen IS NOT NULL)
+             |SELECT event_id, ROUND(LEAST(GREATEST(
+             |  -0.000044 * pdelta * pdelta + 0.01 * pdelta
+             |  + 0.03 * (pcen - prev_pcen) / 3.0 - 0.014 * ABS(14.0)
+             |  + 0.15 * POW(value / 50.0, 0.6 * (1.0 - pdelta / 215))
+             |  + 1.0, 1.0), 2.5), 6) AS hol_b
+             |FROM q ORDER BY event_id""".stripMargin)),
+
+    // X2 + geosphere metric: translational velocity along a track -------
+    Probe("d03_vtrans_geosphere",
+      (s, d) => {
+        val tracks = TrackPrep.withTimeStep(syntheticTrack(s, d))
+        Windfield.withVTrans(tracks, "geosphere")
+          .select(col("event_id"), round(col("v_trans_norm"), 6).as("v_trans"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH t AS ($trackSqlBase),
+              |n AS (
+              |  SELECT event_id, lat, lon,
+              |    LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+              |    COALESCE((FLOOR(EPOCH(time)) - FLOOR(EPOCH(LAG(time) OVER w))) / 3600.0, 0.0) AS tstep
+              |  FROM t WINDOW w AS (PARTITION BY storm_id ORDER BY time)),
+              |h AS (
+              |  SELECT event_id, tstep,
+              |    DEGREES(2 * ASIN(SQRT(
+              |      POW(SIN((RADIANS(lat) - RADIANS(plat)) / 2), 2) +
+              |      COS(RADIANS(plat)) * COS(RADIANS(lat)) *
+              |      POW(SIN((RADIANS(lon) - RADIANS(plon)) / 2), 2)))) * 111.12 AS dist
+              |  FROM n),
+              |v AS (SELECT event_id,
+              |  CASE WHEN tstep > 0 THEN dist * (1.0 / 3.6) / tstep END AS norm FROM h)
+              |SELECT event_id, ROUND(COALESCE(
+              |  CASE WHEN norm > 30 * 0.514444444444444444
+              |       THEN norm * ((30 * 0.514444444444444444) / norm) ELSE norm END, 0.0), 6) AS v_trans
+              |FROM v ORDER BY event_id""".stripMargin)),
+
+    // F14 via the real rmw estimator: pressure → radius -----------------
+    Probe("d04_rmw_estimate",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.withColumn("rmw_km",
+            graft.functions.ScalarFunctions.estimateRmwNm(
+              lit(1010.0) - col("value") / 4.0) * Windfield.NmToKm)
+          .select("event_id", "rmw_km")
+          .orderBy("event_id")
+      },
+      Some({
+        val knots  = graft.functions.ScalarFunctions.RmwKnots
+        val values = graft.functions.ScalarFunctions.RmwValues
+        val hatSum = knots.indices.map { i =>
+          val s0 = if (i > 0) 1.0 / (knots(i) - knots(i - 1)) else 0.0
+          val s1 = if (i + 1 < knots.length) 1.0 / (knots(i + 1) - knots(i)) else 0.0
+          s"(${values(i)}) * GREATEST(0.0, 1.0 - ($s0) * GREATEST(0.0, (${knots(i)}) - (1010.0 - value / 4.0))" +
+            s" - ($s1) * GREATEST(0.0, (1010.0 - value / 4.0) - (${knots(i)})))"
+        }.mkString(" + ")
+        s"SELECT event_id, ($hatSum) * 1.852 AS rmw_km FROM events ORDER BY event_id"
+      })),
+  )
+}

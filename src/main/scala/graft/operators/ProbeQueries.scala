@@ -402,9 +402,11 @@ object ProbeQueries {
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
   )
 
+  def allProbes: Seq[Probe] = probes ++ DomainProbes.probes
+
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
-    probes.map(p => p.name -> p.query).toMap
+    allProbes.map(p => p.name -> p.query).toMap
 
   def oracleMap: Map[String, String] =
-    probes.flatMap(p => p.oracle.map(p.name -> _)).toMap
+    allProbes.flatMap(p => p.oracle.map(p.name -> _)).toMap
 }
