@@ -1,0 +1,109 @@
+package graft.impact
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScalarFunctions
+
+/** X9: the damage regression + post-processing (SURVEY.md §2.10,
+  * reference forecast_process.py:409-547, 884-1237).
+  *
+  * The reference trains an XGBoost regressor (100 trees, depth 8,
+  * eta .05, subsample .8, seed 42) on 19 hazard+vulnerability features.
+  * XGBoost4J is not on this classpath, so the Spark-native equivalent
+  * is MLlib's gradient-boosted trees with the same hyperparameters —
+  * an intentional re-expression, not a numeric port (tree ensembles
+  * differ across implementations; parity is at the pipeline level:
+  * same features, same postprocessing, same aggregation semantics).
+  *
+  * At scale, `transform` is a per-row map over the feature vector —
+  * embarrassingly parallel, no shuffle.
+  */
+object ImpactModel {
+
+  /** The reference's 19 model features (forecast_process.py:447-469). */
+  val FeatureCols: Seq[String] = Seq(
+    "HAZ_rainfall_Total", "HAZ_rainfall_max_6h", "HAZ_rainfall_max_24h",
+    "HAZ_v_max", "HAZ_v_max_3", "HAZ_dis_track_min",
+    "TOP_mean_slope", "TOP_mean_elevation_m", "TOP_ruggedness_stdev",
+    "TOP_mean_ruggedness", "TOP_slope_stdev",
+    "VUL_poverty_perc", "GEN_with_coast", "VUL_Housing_Units",
+    "VUL_StrongRoof_StrongWall", "VUL_StrongRoof_LightWall",
+    "VUL_StrongRoof_SalvageWall", "VUL_LightRoof_StrongWall",
+    "VUL_vulnerable_groups")
+
+  /** J4/J5: assemble the wide feature matrix — hazard rows keyed
+    * (Mun_Code, ens_id) left-joined with the static indicator and
+    * housing dimensions (broadcast; ~1.6k rows each). Missing
+    * indicators are zero-filled like the reference's fillna(0). */
+  def assembleFeatures(hazard: DataFrame, indicators: DataFrame): DataFrame =
+    hazard
+      .join(broadcast(indicators), Seq("Mun_Code"), "left")
+      .na.fill(0.0)
+
+  /** Train the damage regressor. `train` must contain FeatureCols
+    * (or `features` override) + the label column. */
+  def train(train: DataFrame, labelCol: String = "DAM_perc_dmg",
+            features: Seq[String] = FeatureCols): GBTRegressionModel = {
+    val assembled = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+      .transform(train)
+    new GBTRegressor()
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .setMaxIter(100)       // n_estimators=100
+      .setMaxDepth(8)        // max_depth=8
+      .setStepSize(0.05)     // learning_rate=0.05
+      .setSubsamplingRate(0.8)
+      .setSeed(42)
+      .fit(assembled)
+  }
+
+  /** Predict + the reference's postprocessing chain:
+    * clip negatives to 0, cap at 100 (F9); zero damage beyond the
+    * 300 km wind-damage radius (P11, settings.py:188); damaged-house
+    * count (F7); affected population (F6). */
+  def predict(model: GBTRegressionModel, data: DataFrame,
+              features: Seq[String] = FeatureCols,
+              windDamageRadiusKm: Double = 300.0): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+      .transform(data)
+    model.transform(assembled)
+      .withColumn("damage_pct",
+        when(col("HAZ_dis_track_min") > windDamageRadiusKm, 0.0)
+          .otherwise(ScalarFunctions.clip(col("prediction"), 0.0, 100.0)))
+      .withColumn("damage_num",
+        ScalarFunctions.damagedHouses(col("damage_pct"), col("VUL_Housing_Units")))
+      .withColumn("affected_population",
+        ScalarFunctions.affectedPopulation(col("damage_num")))
+      .drop("features", "prediction")
+  }
+
+  /** A4: ensemble summary per municipality — null-skipping mean/min/max
+    * like the reference's nanmean/nanmin/nanmax
+    * (forecast_process.py:986-995). */
+  def ensembleSummary(impact: DataFrame): DataFrame =
+    impact.groupBy("Mun_Code").agg(
+      avg("damage_pct").as("mean_damage_pct"),
+      min("damage_pct").as("min_damage_pct"),
+      max("damage_pct").as("max_damage_pct"),
+      avg("damage_num").as("mean_damage_num"),
+      min("HAZ_dis_track_min").as("min_dist_track"),
+      max("HAZ_v_max").as("max_v_max"),
+      avg(when(col("HAZ_dis_track_min") < 50, 1.0).otherwise(0.0))
+        .as("prob_within_50km"))
+
+  /** J6: per-municipality probability joined back onto member rows —
+    * expressed as a window (no join, no shuffle duplication;
+    * SURVEY.md J6 notes window is preferred). */
+  def withDist50Probability(impact: DataFrame): DataFrame =
+    impact.withColumn("prob_within_50km",
+      avg(when(col("HAZ_dis_track_min") < 50, 1.0).otherwise(0.0))
+        .over(Window.partitionBy("Mun_Code")))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.SpatialJoin
+import graft.impact.Triggers
+import graft.sources.Tables
+
+/** Pipeline-machinery certification probes: run the REAL impact/geo
+  * module code (Triggers.exceedanceTable, Triggers.dedupKeepMax,
+  * SpatialJoin.zonalMean) over testdata shapes, mirrored in DuckDB.
+  */
+object PipelineProbes {
+
+  val probes: Seq[Probe] = Seq(
+
+    // A6 via Triggers.exceedanceTable: full threshold table in one agg
+    Probe("t01_exceedance_table",
+      (s, d) => {
+        val perMember = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ens_id"))
+          .agg(sum("o_totalprice").as("total"))
+        Triggers.exceedanceTable(perMember, "total", Triggers.DrefProbabilities)
+          .select(col("threshold_label"), col("threshold"), col("prob_threshold"),
+            round(col("predicted_probability"), 6).as("predicted_probability"),
+            col("triggered"))
+          .orderBy("threshold_label")
+      },
+      Some("""WITH pm AS (SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY 1),
+             |thr(threshold_label, threshold, prob_threshold) AS (VALUES
+             |  ('80k', 80000.0e0, 0.5e0), ('50k', 50000.0e0, 0.6e0),
+             |  ('10k', 10000.0e0, 0.8e0), ('5k', 5000.0e0, 0.95e0)),
+             |agg AS (
+             |  SELECT threshold_label, threshold, prob_threshold,
+             |    AVG(CASE WHEN total > threshold THEN 1.0e0 ELSE 0.0e0 END) AS p
+             |  FROM pm CROSS JOIN thr GROUP BY 1, 2, 3)
+             |SELECT threshold_label, threshold, prob_threshold,
+             |  ROUND(p, 6) AS predicted_probability, p > prob_threshold AS triggered
+             |FROM agg ORDER BY threshold_label""".stripMargin)),
+
+    // W6 via Triggers.dedupKeepMax with deterministic tie-break --------
+    Probe("t02_dedup_keepmax_module",
+      (s, d) => {
+        val impact = Tables.orders(s, d).select(
+          col("o_custkey").cast("string").as("Mun_Code"),
+          (col("o_orderkey") % 5).cast("int").as("ens_id"),
+          col("o_totalprice").as("damage_pct"),
+          col("o_orderkey"))
+        Triggers.dedupKeepMax(impact, tieBreak = Seq("o_orderkey"))
+          .select("Mun_Code", "ens_id", "damage_pct", "o_orderkey")
+          .orderBy("Mun_Code", "ens_id")
+      },
+      Some("""SELECT Mun_Code, ens_id, damage_pct, o_orderkey FROM (
+             |  SELECT CAST(o_custkey AS VARCHAR) AS Mun_Code,
+             |    CAST(o_orderkey % 5 AS INT) AS ens_id,
+             |    o_totalprice AS damage_pct, o_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY CAST(o_custkey AS VARCHAR), o_orderkey % 5
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY Mun_Code, ens_id""".stripMargin)),
+
+    // A7 via SpatialJoin.zonalMean: join + grouped mean ----------------
+    Probe("t03_zonal_mean",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val raster = ev.select(
+          (col("event_id") % 100).as("centroid_id"),
+          (col("user_id") % 4).as("step"),
+          col("value"))
+        val map = ev.select(
+          (col("event_id") % 100).as("centroid_id"),
+          ((col("event_id") % 100) % 7).cast("string").as("admin_code")).distinct()
+        SpatialJoin.zonalMean(raster, map, Seq("step"))
+          .select(col("admin_code"), col("step"), round(col("zonal_mean"), 6).as("zonal_mean"))
+          .orderBy("admin_code", "step")
+      },
+      Some("""WITH raster AS (
+             |  SELECT event_id % 100 AS centroid_id, user_id % 4 AS step, value FROM events),
+             |map AS (
+             |  SELECT DISTINCT event_id % 100 AS centroid_id,
+             |    CAST((event_id % 100) % 7 AS VARCHAR) AS admin_code FROM events)
+             |SELECT admin_code, step, ROUND(AVG(value), 6) AS zonal_mean
+             |FROM raster JOIN map USING (centroid_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+  )
+}

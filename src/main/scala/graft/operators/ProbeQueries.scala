@@ -402,7 +402,7 @@ object ProbeQueries {
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
   )
 
-  def allProbes: Seq[Probe] = probes ++ DomainProbes.probes
+  def allProbes: Seq[Probe] = probes ++ DomainProbes.probes ++ PipelineProbes.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     allProbes.map(p => p.name -> p.query).toMap
