@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every step is a hash-partitioned groupBy/join on the
+  * dedup key (md5, band hash, shingle) — no cross joins except within
+  * LSH candidate buckets, which is exactly the point of LSH: the
+  * quadratic blowup is confined to same-bucket collisions.
+  *
+  * Hash functions are md5-prefix-derived so the same values can be
+  * recomputed in any engine (for the oracle gate) and on any cluster
+  * (no JVM hashCode dependence).
+  */
+object Dedup {
+
+  /** md5-prefix → non-negative int64 (60 bits). Engine-portable. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact dedup: keep the smallest doc_id per identical text. Returns
+    * (keep_id, dups) per duplicate group plus survivors. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- shingling -------------------------------------------------------
+
+  /** Word n-gram shingles, one row per (id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    docs
+      .withColumn("shingle", explode(
+        when(size(words) < n, array(concat_ws(" ", words)))
+          .otherwise(transform(
+            sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))))))
+      .select(col(idCol), col("shingle"))
+      .distinct()
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** MinHash works in the 31-bit Mersenne-prime field: hashes and
+    * permutation constants stay < 2^31, so aᵢ·h + bᵢ < 2^62 — no long
+    * overflow anywhere, and every value is recomputable in SQL. */
+  val MinhashPrime = 2147483647L   // 2^31 - 1 (Mersenne)
+
+  /** Shingle hash in [0, 2^28): first 7 hex chars of md5. */
+  def md5Long31(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Deterministic permutation constants (aᵢ odd, bᵢ) < p, derived from
+    * md5 of the permutation index — reproducible in any engine. */
+  def permutationConstants(numPerm: Int): Seq[(Long, Long)] = {
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.take(7).map("%02x".format(_)).mkString   // 28 bits
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until numPerm).map(i => ((h(s"graft_minhash_a_$i") % MinhashPrime) | 1L,
+                                 h(s"graft_minhash_b_$i") % MinhashPrime))
+  }
+
+  /** MinHash signatures: one row per id with `minhash` array of
+    * numPerm values: min over shingles of (aᵢ·h + bᵢ) mod p, where
+    * h = md5Long31(shingle). One shuffle (the groupBy on id). */
+  def minhashSignatures(shingleDf: DataFrame, numPerm: Int = 16,
+                        idCol: String = "doc_id"): DataFrame = {
+    val consts = permutationConstants(numPerm)
+    val perms = consts.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"mh_$i")
+    }
+    shingleDf
+      .withColumn("h", md5Long31(col("shingle")))
+      .groupBy(col(idCol))
+      .agg(perms.head, perms.tail: _*)
+      .select(col(idCol), array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("minhash"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPer`
+    * values, hash each band, and emit (band_idx, band_hash, id) bucket
+    * rows. Near-duplicate candidates share a bucket in ≥1 band. */
+  def lshBuckets(signatures: DataFrame, bands: Int, rowsPer: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(bands * rowsPer <= 64, "bands*rowsPer must fit the signature")
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("_", slice(col("minhash"), b * rowsPer + 1, rowsPer))).as("band_hash"))
+    }
+    signatures
+      .withColumn("band", explode(array(bandRows: _*)))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs (a < b) from shared LSH buckets. */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val l = buckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = buckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs,
+    * computed relationally: |A∩B| via a self-join on shingle,
+    * |A∪B| = |A| + |B| − |A∩B|. */
+  def ngramJaccard(shingleDf: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingleDf.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingleDf.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 16-bit SimHash from word-level md5 hashes: bit i of the
+    * fingerprint is the sign of Σ_words (±1 by bit i of h(word)). */
+  def simhash(docs: DataFrame, bits: Int = 16, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .withColumn("h", md5Long(col("word")))
+    val bitSums = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"s_$i")
+    }
+    words.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(i => when(col(s"s_$i") > 0, 1L << i).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs above a similarity
+    * threshold — brute force within LSH sign-bucket candidates is the
+    * scale path (see Similarity.hyperplaneSignature); this is the
+    * exact small-N variant. */
+  def cosineNearDups(embs: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val l = embs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = embs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("sim",
+        dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Certification probes for the training-data extension surface
+  * (text analysis, dedup, similarity) — each runs the REAL operator
+  * module code over `documents`/`embeddings`, mirrored in DuckDB.
+  * Constants (minhash permutations, hyperplane weights) are
+  * md5-derived so both engines compute identical values.
+  */
+object ExtensionProbes {
+
+  private val P = Dedup.MinhashPrime
+
+  // SQL fragment: shingle rows (doc_id, shingle) for word 3-grams,
+  // mirroring Dedup.shingles(n = 3).
+  private val shingleSql =
+    """SELECT DISTINCT doc_id,
+      |  array_to_string(words[g.i:g.i + 2], ' ') AS shingle
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      |      FROM documents) w,
+      |  (SELECT unnest(generate_series(1, 10000)) AS i) g
+      |WHERE g.i <= greatest(1, len(words) - 2)""".stripMargin
+
+  val probes: Seq[Probe] = Seq(
+
+    // TextOps.wsTokenCount + preTokenCount -----------------------------
+    Probe("x01_token_counts",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          TextOps.preTokenCount(col("text")).as("pre_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS pre_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // TextOps.qualityScore ----------------------------------------------
+    Probe("x02_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS DOUBLE) AS len,
+             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS spaces,
+             |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len > 0 THEN alpha / len ELSE 0.0e0 END AS alpha_ratio,
+             |    CASE WHEN len > 0 THEN spaces / len ELSE 0.0e0 END AS space_ratio,
+             |    CASE WHEN len > 0 THEN punct / len ELSE 0.0e0 END AS punct_ratio
+             |  FROM q)
+             |SELECT doc_id, GREATEST(0.0e0, LEAST(1.0e0,
+             |  alpha_ratio * 0.5e0 +
+             |  GREATEST(0.0e0, 1.0e0 - ABS(space_ratio - 1.0e0 / 6.0e0) * 3.0e0) * 0.3e0 +
+             |  (1.0e0 - punct_ratio) * 0.2e0)) AS quality
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // TextOps.languageGuess ---------------------------------------------
+    Probe("x03_language_guess",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.languageGuess(col("text")).as("guess"))
+        .orderBy("doc_id"),
+      Some {
+        val scores = TextOps.StopwordLists.map { case (lang, words) =>
+          lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+        }
+        val caseChain = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
+          val later = scores.drop(i + 1).map(_._2)
+          val greatest = if (later.size == 1) later.head else s"GREATEST(${later.mkString(", ")})"
+          s"WHEN $sc >= $greatest THEN '$lang'"
+        }.mkString(" ")
+        s"""SELECT doc_id, CASE $caseChain ELSE '${TextOps.StopwordLists.last._1}' END AS guess
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // TextOps.fingerprint -----------------------------------------------
+    Probe("x04_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH n AS (
+              |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+              |  FROM documents)
+              |SELECT doc_id, CASE WHEN length(t) = 0 THEN 0
+              |  ELSE list_reduce(
+              |    list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT)),
+              |    (a, b) -> (a * 31 + b) % ${TextOps.FingerprintMod})
+              |  END AS fp
+              |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // Dedup.exactDedup (on docs ∪ shifted copy so duplicates exist) -----
+    Probe("x05_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val copies = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.exactDedup(copies)
+          .select("text_md5", "keep_id", "n_copies")
+          .orderBy("text_md5")
+      },
+      Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM (SELECT doc_id, text FROM documents
+             |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Dedup.shingles + minhashSignatures (8 permutations) ---------------
+    Probe("x06_minhash_signature",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), n = 3)
+        Dedup.minhashSignatures(sh, numPerm = 8)
+          .select(col("doc_id"),
+            element_at(col("minhash"), 1).as("mh0"),
+            element_at(col("minhash"), 8).as("mh7"),
+            aggregate(col("minhash"), lit(0L), (a, x) => a + x).as("mh_sum"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val consts = Dedup.permutationConstants(8)
+        val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN(($a * h + $b) % $P) AS m$i"
+        }.mkString(", ")
+        s"""WITH sh AS ($shingleSql),
+           |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)
+           |SELECT doc_id, m0 AS mh0, m7 AS mh7,
+           |  (m0 + m1 + m2 + m3 + m4 + m5 + m6 + m7) AS mh_sum
+           |FROM sig ORDER BY doc_id""".stripMargin
+      }),
+
+    // Dedup.simhash (16 bits) -------------------------------------------
+    Probe("x07_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d), bits = 16)
+        .orderBy("doc_id"),
+      Some {
+        val sums = (0 until 16).map(i =>
+          s"SUM(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+        val bits = (0 until 16).map(i =>
+          s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           |  FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+           |s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    // Dedup.ngramJaccard over LSH candidate pairs -----------------------
+    Probe("x08_lsh_jaccard_pairs",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), n = 3)
+        val sig = Dedup.minhashSignatures(sh, numPerm = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBuckets(sig, bands = 4, rowsPer = 2))
+        Dedup.ngramJaccard(sh, pairs)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val consts = Dedup.permutationConstants(8)
+        val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN(($a * h + $b) % $P) AS m$i"
+        }.mkString(", ")
+        val bandHash = (0 until 4).map { bIdx =>
+          val cols = (0 until 2).map(r => s"m${bIdx * 2 + r}").mkString(", ")
+          s"SELECT $bIdx AS band_idx, md5(concat_ws('_', $cols)) AS band_hash, doc_id FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH sh AS ($shingleSql),
+           |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |buckets AS ($bandHash),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+           |  WHERE l.doc_id < r.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.id_a
+           |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT p.id_a AS id_a, p.id_b AS id_b,
+           |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+           |        (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+           |FROM pairs p
+           |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+           |JOIN sizes sa ON sa.doc_id = p.id_a
+           |JOIN sizes sb ON sb.doc_id = p.id_b
+           |ORDER BY p.id_a, p.id_b""".stripMargin
+      }),
+
+    // MultimodalOps plumbing: binary column + digest --------------------
+    Probe("x09_multimodal_bytes",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("digest"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Dedup.cosineNearDups (embedding near-duplicates) ------------------
+    Probe("x10_cosine_neardups",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d).where(col("vec_id") < 100)
+        Dedup.cosineNearDups(embs, threshold = 0.2)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |    (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 100 AND b.vec_id < 100
+             |  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |    (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
+  )
+}

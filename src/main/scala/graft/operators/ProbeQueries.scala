@@ -402,7 +402,8 @@ object ProbeQueries {
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
   )
 
-  def allProbes: Seq[Probe] = probes ++ DomainProbes.probes ++ PipelineProbes.probes
+  def allProbes: Seq[Probe] =
+    probes ++ DomainProbes.probes ++ PipelineProbes.probes ++ ExtensionProbes.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     allProbes.map(p => p.name -> p.query).toMap

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - `cosineTopK`: brute-force exact — one broadcast of the query
+  *    vector, one scan, one top-k. The baseline, and correct at any
+  *    scale (the scan parallelizes; top-k is a tiny shuffle).
+  *  - `hyperplaneSignature` + `lshTopK`: random-hyperplane LSH — sign
+  *    bits under deterministic md5-derived pseudo-planes bucket the
+  *    vectors; candidates share a band; rerank exactly within
+  *    candidates. At 100 TB the bucket join replaces the full scan.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k by cosine similarity against one query id. */
+  def cosineTopK(embs: DataFrame, queryId: Long, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val target = embs.where(col(idCol) === queryId).select(col(vecCol).as("q"))
+    embs.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(target))
+      .withColumn("sim", cosine(col(vecCol), col("q")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1):
+    * md5("graft_plane_<i>_<j>") → 24 bits → scaled. Recomputable in
+    * SQL, identical on every executor. */
+  def planeWeight(plane: Column, dim: Column): Column =
+    (conv(substring(md5(concat(lit("graft_plane_"), plane.cast("string"),
+      lit("_"), dim.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 2001L - 1000L).cast("double") / 1000.0
+
+  /** Sign-bit signature under `planes` hyperplanes, as a long bitmask.
+    * Pure column expression: for each plane, dot(v, w_plane) > 0. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    require(planes <= 62)
+    (0 until planes).map { p =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeWeight(lit(p), j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: band the signature, join on
+    * shared (band, value) buckets with the query, rerank candidates
+    * exactly. Returns ≤ k rows (fewer if the buckets miss). */
+  def lshTopK(embs: DataFrame, queryId: Long, k: Int,
+              planes: Int = 16, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0)
+    val rowsPer = planes / bands
+    val mask = (1L << rowsPer) - 1
+    val sig = embs.withColumn("sig", hyperplaneSignature(col(vecCol), planes))
+    val banded = sig.withColumn("band", explode(array(
+      (0 until bands).map(b =>
+        struct(lit(b).as("band_idx"),
+          (shiftright(col("sig"), b * rowsPer).bitwiseAND(mask)).as("band_val"))): _*)))
+      .select(col(idCol), col(vecCol), col("band.band_idx"), col("band.band_val"))
+    val qb = banded.where(col(idCol) === queryId)
+      .select(col("band_idx"), col("band_val"), col(vecCol).as("q"))
+    banded.where(col(idCol) =!= queryId)
+      .join(broadcast(qb), Seq("band_idx", "band_val"))
+      .select(col(idCol), col(vecCol), col("q")).distinct()
+      .withColumn("sim", cosine(col(vecCol), col("q")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs) so they run at
+  * full scan speed over a 100 TB documents table.
+  */
+object TextOps {
+
+  /** Whitespace token count (0 for blank text). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, or
+    * single non-alphanumeric marks (the usual GPT-2-style prelude). */
+  val PreTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def preTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PreTokenPattern), lit(0)))
+
+  /** Heuristic quality score in [0,1]: weighted mix of alphabetic
+    * ratio, space sanity, average word length sanity and
+    * non-punctuation ratio — the length/punct/stopword-ratio family
+    * of filters used by web-scale corpus cleaning. */
+  def qualityScore(text: Column): Column = {
+    val len        = length(text).cast("double")
+    val alpha      = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val spaces     = length(regexp_replace(text, "[^ ]", "")).cast("double")
+    val punct      = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(0.0)
+    val spaceRatio = when(len > 0, spaces / len).otherwise(0.0)
+    val punctRatio = when(len > 0, punct / len).otherwise(0.0)
+    // ideal space ratio ~1/6 (avg word ~5 chars); penalize deviation
+    val spaceSanity = greatest(lit(0.0), lit(1.0) - abs(spaceRatio - 1.0 / 6.0) * 3.0)
+    greatest(lit(0.0), least(lit(1.0),
+      alphaRatio * 0.5 + spaceSanity * 0.3 + (lit(1.0) - punctRatio) * 0.2))
+  }
+
+  /** Stopword hit count for one language's word list. */
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** n-gram/stopword-heuristic language ID over a fixed language set.
+    * Deterministic argmax with fixed tie-break order (en,es,fr,de,zh). */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "dans", "pour", "qui"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  def languageGuess(text: Column): Column = {
+    val scores = StopwordLists.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    // argmax with first-wins tie-break in declared order
+    scores.zipWithIndex.foldRight(lit(StopwordLists.last._1)) {
+      case (((lang, score), i), acc) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        laterScores match {
+          case Nil      => acc
+          case Seq(one) => when(score >= one, lang).otherwise(acc)
+          case many     => when(score >= greatest(many: _*), lang).otherwise(acc)
+        }
+    }
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the ASCII
+    * codepoints of the normalized text (lowercase alphanumerics +
+    * spaces), mod a prime below 2^57 so the accumulator never
+    * overflows long arithmetic. Deterministic and engine-portable. */
+  val FingerprintMod = 72057594037927931L   // prime < 2^56
+  def fingerprint(text: Column): Column = {
+    val normalized = regexp_replace(lower(text), "[^a-z0-9 ]", "")
+    // guard: sequence(1, 0) would generate a DESCENDING [1,0] sequence
+    when(length(normalized) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(normalized)),
+          i => ascii(normalized.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31L + c) % FingerprintMod))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.sources.Tables
+
+class ExtensionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhash similarity approximates jaccard on near-identical docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, n = 3)
+    val sig = Dedup.minhashSignatures(sh, numPerm = 32)
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 32
+    assert(est(1L, 2L) > 0.5)    // near-dups collide on most permutations
+    assert(est(1L, 3L) < 0.2)    // unrelated docs collide on few
+  }
+
+  test("LSH candidate pairs surface the near-dup, jaccard confirms") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z y x w v u t s r q p o n m l k"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, n = 3)
+    val sig = Dedup.minhashSignatures(sh, numPerm = 16)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 8, rowsPer = 2))
+    val jac = Dedup.ngramJaccard(sh, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.contains((1L, 2L)))
+    assert(jac((1L, 2L)) > 0.7)
+  }
+
+  test("simhash: near-dup docs have small hamming distance") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rules rewrite logical plans efficiently every day"),
+      (2L, "spark catalyst optimizer rules rewrite logical plans efficiently every night"),
+      (3L, "bananas oranges apples grapes melons pears plums cherries kiwis mangoes"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, bits = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("lshTopK recall vs exact cosineTopK on the embeddings table") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(embs, queryId = 0, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(embs, queryId = 0, k = 10, planes = 16, bands = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 8 bands of 2 bits: near vectors share ≥1 band with high prob
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low; exact=$exact approx=$approx")
+  }
+
+  test("fingerprint is stable, normalized, and order-sensitive") {
+    val df = Seq(
+      (1L, "Hello World"), (2L, "hello world!"), (3L, "world hello"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))   // case + punctuation normalized away
+    assert(fp(1L) != fp(3L))   // rolling hash is order-sensitive
+  }
+
+  test("language guess picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is in that house for sure"),
+      (2L, "el perro y la casa que en un lugar por los campos"),
+      (3L, "der hund und die katze ist von den leuten mit ein buch"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.languageGuess(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("multimodal: feature extraction plumbing over binary media") {
+    val media = Seq(
+      MultimodalOps.MediaRow(1L, Array.tabulate(256)(_.toByte), "img", 16, 16),
+      MultimodalOps.MediaRow(2L, Array.fill(100)(0.toByte), "img", 10, 10),
+      MultimodalOps.MediaRow(3L, null, "img", 0, 0)).toDS()
+    val feats = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 256)
+    // uniform byte distribution → max entropy (log2(16) = 4 bits)
+    assert(math.abs(feats(1L).byte_entropy - 4.0) < 1e-9)
+    assert(feats(1L).histogram.sum > 0.999 && feats(1L).histogram.length == 16)
+    // constant bytes → zero entropy, all mass in bin 0
+    assert(feats(2L).byte_entropy == 0.0 && feats(2L).histogram(0) == 1.0)
+    assert(feats(3L).n_bytes == 0)
+  }
+
+  test("multimodal: frame sampling slices every Nth frame") {
+    val media = Seq(MultimodalOps.MediaRow(1L, Array.tabulate(100)(_.toByte), "vid", 0, 0)).toDS()
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 10, everyN = 3)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.head.getAs[Array[Byte]]("frame").toSeq == (0 until 10).map(_.toByte))
+  }
+
+  test("cosineNearDups finds the planted near-duplicates") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val dups = Dedup.cosineNearDups(embs, threshold = 0.95)
+    assert(dups.where(col("sim") > 1.0001).count() == 0)
+    val all = dups.collect()
+    all.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+}
