@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.ForecastStream
+import graft.streaming.ForecastStream.{StormObs, StormState}
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("transition function: escalation flags a change, repeat does not") {
+    val s0 = ForecastStream.transition(None,
+      Seq(StormObs("S", ts("2024-01-01 00:00:00"), 1)))
+    assert(s0.get.landfall_code == 1 && s0.get.changed)
+    val s1 = ForecastStream.transition(s0,
+      Seq(StormObs("S", ts("2024-01-01 06:00:00"), 1)))
+    assert(!s1.get.changed)
+    val s2 = ForecastStream.transition(s1,
+      Seq(StormObs("S", ts("2024-01-01 12:00:00"), 2)))
+    assert(s2.get.landfall_code == 2 && s2.get.changed)
+    // empty batch leaves state untouched
+    assert(ForecastStream.transition(s2, Nil) == s2)
+  }
+
+  test("new-cycle file stream picks up landed files exactly once") {
+    val landing = Files.createTempDirectory("graft_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("storm_id", StringType), StructField("cycle", StringType),
+      StructField("lat", DoubleType)))
+
+    Seq(("S1", "2024010100", 14.0), ("S1", "2024010100", 14.5))
+      .toDF("storm_id", "cycle", "lat").write.mode("append").parquet(landing)
+
+    val stream = ForecastStream.trackFileStream(spark, landing, schema)
+      .groupBy("cycle").agg(count(lit(1)).as("n"))
+    val got1 = ForecastStream.runAvailableNow(stream, "cycles1", ckpt, "complete")
+    assert(got1.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("2024010100", 2L)))
+
+    // next cron tick: a new cycle lands; same checkpoint → only new rows flow
+    Seq(("S1", "2024010106", 15.0)).toDF("storm_id", "cycle", "lat")
+      .write.mode("append").parquet(landing)
+    val stream2 = ForecastStream.trackFileStream(spark, landing, schema)
+      .groupBy("cycle").agg(count(lit(1)).as("n"))
+    val got2 = ForecastStream.runAvailableNow(stream2, "cycles2", ckpt, "complete")
+    val m = got2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m == Map("2024010100" -> 2L, "2024010106" -> 1L))
+  }
+
+  test("landfall state stream over a storm lifecycle") {
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    val obs = Seq(
+      StormObs("A", ts("2024-01-01 00:00:00"), 1),
+      StormObs("A", ts("2024-01-01 06:00:00"), 2),
+      StormObs("B", ts("2024-01-01 00:00:00"), 60)).toDS()
+    // batch-drive the same transition the stream uses
+    val states = ForecastStream.landfallStateStream(obs)
+    // mapGroupsWithState on a batch Dataset executes directly
+    val got = states.collect().map(s => s.storm_id -> s.landfall_code).toMap
+    assert(got == Map("A" -> 2, "B" -> 60))
+  }
+
+  test("watermarked tumbling rainfall over a stream of grid cells") {
+    val landing = Files.createTempDirectory("graft_rain").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt3").toString
+    (0 until 12).map(h => (ts(f"2024-01-01 $h%02d:00:00"), 14.0, 122.0, 1.0))
+      .toDF("time", "lat", "lon", "precip").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("time", TimestampType), StructField("lat", DoubleType),
+      StructField("lon", DoubleType), StructField("precip", DoubleType)))
+    val stream = ForecastStream.windowedRainfall(
+      ForecastStream.trackFileStream(spark, landing, schema), hours = 6)
+    val got = ForecastStream.runAvailableNow(stream, "rain_acc", ckpt, "update")
+      .orderBy("time").collect()
+    assert(got.length == 2 && got.forall(_.getAs[Double]("precip") == 6.0))
+  }
+}
