@@ -154,6 +154,8 @@ object ExtensionProbes {
     // Dedup.ngramJaccard over LSH candidate pairs -----------------------
     Probe("x08_lsh_jaccard_pairs",
       (s, d) => {
+        // measured: persisting the shingle subtree is ~1.6x SLOWER than
+        // recomputing it (cache materialization barrier > recompute cost)
         val sh = Dedup.shingles(Tables.documents(s, d), n = 3)
         val sig = Dedup.minhashSignatures(sh, numPerm = 8)
         val pairs = Dedup.lshCandidatePairs(

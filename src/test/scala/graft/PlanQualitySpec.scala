@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProbeQueries
+import graft.sources.Tables
+
+/** Plan-quality gates (SURVEY.md §4): these assert the physical plans
+  * have the shape that survives a 100× scale-up — filters reaching the
+  * parquet scan, column pruning, broadcast joins for dimension tables,
+  * whole-stage codegen over the hot paths. A correctness-green query
+  * with the wrong plan fails here.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def executed(name: String): SparkPlan = {
+    val df = ProbeQueries.queryMap(name)(spark, sfDir)
+    df.queryExecution.executedPlan
+  }
+  private def planString(name: String): String = executed(name).toString
+
+  test("q01: filters are pushed to the parquet scan and columns pruned") {
+    val p = planString("q01_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity"))
+    // scan must not read the full 11-column lineitem schema
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 4, s"scan reads too much: $readSchema")
+  }
+
+  test("q02: dimension join is broadcast, not shuffled") {
+    val p = planString("q02_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04: aggregation is partial (map-side combine) then final") {
+    val p = planString("q04_hash_agg")
+    assert(p.contains("HashAggregate"))
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined)
+  }
+
+  test("q13: densify broadcasts the small dimensions (region x priorities)") {
+    // the orders⋈customer fact join may legitimately shuffle; the
+    // densify cross product and the nation dim must broadcast
+    val p = planString("q13_densify")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q27: cosine top-k broadcasts the query vector and take-ordered-limits") {
+    val p = planString("q27_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("hot probe paths run inside whole-stage codegen") {
+    // codegen stages print as "*(n) Op" in the executed plan string
+    for (name <- Seq("q01_filter_project", "q04_hash_agg", "d01_stat_holland",
+        "q15_haversine", "q16_powerlaw", "q17_piecewise")) {
+      val df = ProbeQueries.queryMap(name)(spark, sfDir)
+      df.collect()   // AQE finalizes (and codegen-stages) the plan on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, s"$name has no codegen span:\n$p")
+    }
+  }
+
+  test("windfield: bbox prune join broadcasts the centroid side") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tracks = graft.tracks.TrackPrep.withTimeStep(Seq(
+      ("S", 1, Timestamp.valueOf("2024-01-01 00:00:00"), 14.0, 125.0),
+      ("S", 1, Timestamp.valueOf("2024-01-01 06:00:00"), 14.5, 124.5))
+      .toDF("storm_id", "ens_id", "time", "lat", "lon"))
+      .withColumn("central_pressure", lit(960.0))
+      .withColumn("environmental_pressure", lit(1010.0))
+      .withColumn("radius_max_wind", lit(40.0))
+    val cents = graft.hazard.CentroidGrid.generate(spark, 122, 12, 126, 16, 0.5)
+    val plan = graft.hazard.Windfield.compute(tracks, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    // the equi-join back to nodes must not be a cartesian product
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("tumbling window agg keeps partial aggregation before the shuffle") {
+    val p = planString("q20_tumbling")
+    assert(p.contains("HashAggregate") && "partial_max".r.findFirstIn(p).isDefined)
+  }
+}
