@@ -85,6 +85,20 @@ object ImpactModel {
       .drop("features", "prediction")
   }
 
+  /** J8 + F8: training-set preparation — join the housing-growth
+    * correction factors by the year parsed off the typhoon name
+    * (forecast_process.py:439-445: `substr(typhoon, -4)`), then apply
+    * the label-hygiene rule (vmax>25 → dmg/growth; vmax<25 → 0;
+    * else null). */
+  def prepareTraining(training: DataFrame, growthFactors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    training
+      .withColumn("year", substring(col("typhoon"), -4, 4))
+      .join(bc(growthFactors), Seq("year"), "left")
+      .withColumn("DAM_perc_dmg",
+        ScalarFunctions.setZeros(col("HAZ_v_max"), col("DAM_perc_dmg_raw"), col("growth_factor")))
+  }
+
   /** A4: ensemble summary per municipality — null-skipping mean/min/max
     * like the reference's nanmean/nanmin/nanmax
     * (forecast_process.py:986-995). */
