@@ -120,6 +120,72 @@ object DomainProbes {
               |       THEN norm * ((30 * 0.514444444444444444) / norm) ELSE norm END, 0.0), 6) AS v_trans
               |FROM v ORDER BY event_id""".stripMargin)),
 
+    // F5: the real category binning functions ---------------------------
+    Probe("d05_categories",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.select(col("event_id"),
+            graft.functions.ScalarFunctions.pagasaCategory(col("value")).as("pagasa"),
+            graft.functions.ScalarFunctions.saffirSimpson(col("value") / 5.0).as("saffir"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN value < 62 THEN 'TD' WHEN value < 88 THEN 'TS'
+             |       WHEN value < 117 THEN 'STS' WHEN value < 185 THEN 'TY'
+             |       ELSE 'STY' END AS pagasa,
+             |  CASE WHEN value / 5.0 < 18 THEN -1 WHEN value / 5.0 < 33 THEN 0
+             |       WHEN value / 5.0 < 43 THEN 1 WHEN value / 5.0 < 50 THEN 2
+             |       WHEN value / 5.0 < 59 THEN 3 WHEN value / 5.0 < 71 THEN 4
+             |       ELSE 5 END AS saffir
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // F2/F3: equirect metric with heaviside antimeridian wrap -----------
+    Probe("d06_equirect_vtan",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // lon2 spans ±190° to exercise the wrap branch
+        val (dist, vLat, vLon) = Windfield.equirect(
+          col("value") / 50.0, lit(0.0), col("value") / 25.0,
+          col("value") - 190.0)
+        ev.select(col("event_id"), round(dist, 6).as("dist_km"),
+            round(vLat, 6).as("v_lat"), round(vLon, 6).as("v_lon"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, value / 50.0 AS lat1, 0.0e0 AS lon1,
+             |    value / 25.0 AS lat2, value - 190.0 AS lon2 FROM events),
+             |w AS (
+             |  SELECT event_id, lat1, lat2,
+             |    (lon2 - lon1)
+             |      - ((CASE WHEN (lon2 - lon1) - 180 > 0 THEN 1.0e0
+             |               WHEN (lon2 - lon1) - 180 = 0 THEN 0.5e0 ELSE 0.0e0 END)
+             |       - (CASE WHEN -(lon2 - lon1) - 180 > 0 THEN 1.0e0
+             |               WHEN -(lon2 - lon1) - 180 = 0 THEN 0.5e0 ELSE 0.0e0 END)) * 360.0
+             |      AS dlon
+             |  FROM p),
+             |v AS (
+             |  SELECT event_id,
+             |    (lat2 - lat1) * 111.12 AS v_lat,
+             |    dlon * COS(RADIANS(lat1)) * 111.12 AS v_lon
+             |  FROM w)
+             |SELECT event_id, ROUND(SQRT(v_lat * v_lat + v_lon * v_lon), 6) AS dist_km,
+             |  ROUND(v_lat, 6) AS v_lat, ROUND(v_lon, 6) AS v_lon
+             |FROM v ORDER BY event_id""".stripMargin)),
+
+    // F3: longitude normalization into [center-180, center+180) ---------
+    Probe("d07_normalize_lon",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.select(col("event_id"),
+            graft.functions.GeoFunctions.normalizeLon(
+              col("value") * 3.0 - 400.0, lit(120.0)).as("lon_n"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  ((((value * 3.0 - 400.0) - 120.0 + 180.0) % 360.0 + 360.0) % 360.0)
+             |    - 180.0 + 120.0 AS lon_n
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // F14 via the real rmw estimator: pressure → radius -----------------
     Probe("d04_rmw_estimate",
       (s, d) => {
