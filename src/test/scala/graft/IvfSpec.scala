@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.sources.Tables
+
+class IvfSpec extends SparkTestBase {
+
+  test("IVF build assigns every vector to exactly one of nlist cells") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val (_, assigned) = IvfIndex.build(embs, nlist = 4)
+    assert(assigned.count() == embs.count())
+    val cells = assigned.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(0, 1, 2, 3)) && cells.size >= 2)
+  }
+
+  test("IVF top-k recall vs exact brute force") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val (model, assigned) = IvfIndex.build(embs, nlist = 4)
+    val cached = assigned.cache()
+    val exact = Similarity.cosineTopK(embs, queryId = 0, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = IvfIndex.topK(model, cached, queryId = 0, k = 10, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall; exact=$exact approx=$approx")
+    // full probe (nprobe = nlist) must equal exact
+    val full = IvfIndex.topK(model, cached, queryId = 0, k = 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+    cached.unpersist()
+  }
+
+  test("typed Dataset views round-trip the model case classes") {
+    import spark.implicits._
+    val ds = Seq(graft.model.CentroidCell(1L, 14.0, 122.0)).toDS()
+    assert(ds.filter(_.lat > 10).count() == 1)
+    val wind = graft.hazard.CentroidGrid.generate(spark, 122, 13, 123, 14, 0.5)
+      .as[graft.model.CentroidCell]
+    assert(wind.collect().forall(c => c.lat >= 13 && c.lat <= 14))
+  }
+}
