@@ -191,11 +191,15 @@ object Windfield {
 
     // X1: a centroid is reachable if within the 5.5° box of ANY node of
     // the track; then ALL nodes of that track pair with it (the
-    // reference computes distances node × reachable-centroid).
+    // reference computes distances node × reachable-centroid). The
+    // longitudinal test uses the wrap-safe difference — equivalent to
+    // the reference's normalize-both-around-mid-lon trick
+    // (trop_cyclone.py:560-563) without the extra pass.
+    val lonDiff = ((col("c_lon") - col("lon") + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
     val reachable = nodes
       .join(broadcast(cent),
         col("c_lat") > col("lat") - MaxDistDeg && col("c_lat") < col("lat") + MaxDistDeg &&
-        col("c_lon") > col("lon") - MaxDistDeg && col("c_lon") < col("lon") + MaxDistDeg)
+        lonDiff > -MaxDistDeg && lonDiff < MaxDistDeg)
       .select("storm_id", "ens_id", "centroid_id", "c_lat", "c_lon")
       .distinct()
 

@@ -162,7 +162,8 @@ object WindfieldProbe {
            |  SELECT DISTINCT storm_id, ens_id, centroid_id, c_lat, c_lon
            |  FROM nodes JOIN cent
            |    ON c_lat > lat - 5.5 AND c_lat < lat + 5.5
-           |   AND c_lon > lon - 5.5 AND c_lon < lon + 5.5),
+           |   AND ((c_lon - lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 > -5.5
+           |   AND ((c_lon - lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 < 5.5),
            |pairs AS (
            |  SELECT n.*, r.centroid_id, r.c_lat, r.c_lon,
            |    $distC AS d_centr, $vlatC AS vt_lat, $vlonC AS vt_lon

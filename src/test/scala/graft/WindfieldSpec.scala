@@ -133,6 +133,18 @@ class WindfieldSpec extends SparkTestBase {
     assert(got == Set(0L))
   }
 
+  test("X1 pruning is antimeridian-safe: centroids across 180° are reachable") {
+    import spark.implicits._
+    val tracks = trackDf(Seq(
+      (14.0, 179.0, "2024-01-01 00:00:00"), (14.2, 179.8, "2024-01-01 01:00:00")))
+    // one centroid just across the dateline (−178° ≙ 182°), one far away
+    val cents = Seq((0L, 14.5, -178.0), (1L, 14.5, -150.0))
+      .toDF("centroid_id", "lat", "lon")
+    val got = Windfield.compute(tracks, cents).select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L))
+  }
+
   private def trackDf(rows: Seq[(Double, Double, String)]) = {
     val base = rows.map { case (la, lo, t) =>
       ("TEST", 1, Timestamp.valueOf(t), la, lo) }
