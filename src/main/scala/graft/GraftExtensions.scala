@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/** SparkSessionExtensions wiring: the engine's domain functions as
+  * first-class SQL functions, composed from NATIVE Catalyst
+  * expressions (Sin/Cos/Pow/CaseWhen/...), so
+  * `spark.sql("SELECT haversine_km(...)")` plans exactly like the
+  * DataFrame helpers — whole-stage codegen, constant folding, no UDF.
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.GraftExtensions, or
+  * `GraftExtensions.register(spark)` on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name),
+        (exprs: Seq[Expression]) => checked(name, arity, builder, exprs)))
+    }
+}
+
+object GraftExtensions {
+
+  private def checked(name: String, arity: Int,
+                      builder: Seq[Expression] => Expression,
+                      exprs: Seq[Expression]): Expression = {
+    require(exprs.length == arity,
+      s"$name expects $arity arguments, got ${exprs.length}")
+    builder(exprs)
+  }
+
+  private def d(v: Double): Expression = Literal(v)
+  private def plus(es: Expression*): Expression = es.reduceLeft(Add(_, _))
+  private def times(es: Expression*): Expression = es.reduceLeft(Multiply(_, _))
+
+  /** Great-circle km — same formula as GeoFunctions.haversineKm. */
+  private def haversine(lat1: Expression, lon1: Expression,
+                        lat2: Expression, lon2: Expression): Expression = {
+    val dLat = Divide(ToRadians(Subtract(lat2, lat1)), d(2))
+    val dLon = Divide(ToRadians(Subtract(lon2, lon1)), d(2))
+    val a = plus(
+      Pow(Sin(dLat), d(2)),
+      times(Cos(ToRadians(lat1)), Cos(ToRadians(lat2)), Pow(Sin(dLon), d(2))))
+    Multiply(d(2 * GeoFunctionsRadius), Asin(Sqrt(a)))
+  }
+  private val GeoFunctionsRadius = graft.functions.GeoFunctions.EarthRadiusKm
+
+  private def caseWhen(branches: Seq[(Expression, Expression)],
+                       otherwise: Expression): Expression =
+    CaseWhen(branches, Some(otherwise))
+
+  /** (name, arity, catalyst builder). */
+  val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+
+    ("haversine_km", 4, { case Seq(a, b, c, e) => haversine(a, b, c, e) }),
+
+    ("flat_earth_km", 4, { case Seq(lat1, lon1, lat2, lon2) =>
+      Multiply(Sqrt(plus(
+        Pow(Subtract(lat2, lat1), d(2)), Pow(Subtract(lon2, lon1), d(2)))), d(111.0)) }),
+
+    ("normalize_lon", 2, { case Seq(lon, center) =>
+      // ((lon - center + 180) % 360 + 360) % 360 - 180 + center
+      Add(Subtract(Remainder(Add(Remainder(
+        Add(Subtract(lon, center), d(180)), d(360)), d(360)), d(360)), d(180)), center) }),
+
+    ("pagasa_category", 1, { case Seq(kph) =>
+      caseWhen(Seq(
+        LessThan(kph, d(62)) -> Literal("TD"),
+        LessThan(kph, d(88)) -> Literal("TS"),
+        LessThan(kph, d(117)) -> Literal("STS"),
+        LessThan(kph, d(185)) -> Literal("TY")), Literal("STY")) }),
+
+    ("saffir_simpson", 1, { case Seq(ms) =>
+      caseWhen(Seq(
+        LessThan(ms, d(18)) -> Literal(-1),
+        LessThan(ms, d(33)) -> Literal(0),
+        LessThan(ms, d(43)) -> Literal(1),
+        LessThan(ms, d(50)) -> Literal(2),
+        LessThan(ms, d(59)) -> Literal(3),
+        LessThan(ms, d(71)) -> Literal(4)), Literal(5)) }),
+
+    ("estimate_rmw_nm", 1, { case Seq(pcen) =>
+      val knots  = graft.functions.ScalarFunctions.RmwKnots
+      val values = graft.functions.ScalarFunctions.RmwValues
+      knots.indices.map[Expression] { i =>
+        val s0 = if (i > 0) 1.0 / (knots(i) - knots(i - 1)) else 0.0
+        val s1 = if (i + 1 < knots.length) 1.0 / (knots(i + 1) - knots(i)) else 0.0
+        Multiply(d(values(i)), Greatest(Seq(d(0.0),
+          Subtract(Subtract(d(1.0),
+            Multiply(d(s0), Greatest(Seq(d(0.0), Subtract(d(knots(i)), pcen))))),
+            Multiply(d(s1), Greatest(Seq(d(0.0), Subtract(pcen, d(knots(i))))))))))
+      }.reduceLeft(Add(_, _)) }),
+
+    ("affected_population", 1, { case Seq(x) =>
+      caseWhen(Seq(
+        IsNull(x) -> Literal.create(null, LongType),
+        LessThan(x, d(1)) -> Literal(0L)),
+        Cast(Floor(Multiply(Exp(d(6.80943612231606)),
+          Pow(x, d(0.46982114400549513)))), LongType)) }),
+
+    ("holland_b", 6, { case Seq(v, penv, pcen, prev, lat, tstep) =>
+      val pd = Subtract(penv, pcen)
+      val holXX = Multiply(d(0.6), Subtract(d(1.0), Divide(pd, d(215))))
+      val raw = plus(
+        times(d(-4.4e-5), pd, pd),
+        Multiply(d(0.01), pd),
+        Divide(Multiply(d(0.03), Subtract(pcen, prev)), tstep),
+        UnaryMinus(Multiply(d(0.014), Abs(lat))),
+        Multiply(d(0.15), Pow(v, holXX)),
+        d(1.0))
+      Least(Seq(Greatest(Seq(raw, d(1.0))), d(2.5))) }),
+
+    ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
+      val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))
+      val rCor = times(d(500.0), dist, fCor)
+      val rMaxNorm = Pow(Divide(rmax, dist), b)
+      val term = plus(
+        times(Divide(Multiply(d(100.0), b), d(1.15)), rMaxNorm,
+          Subtract(penv, pcen), Exp(UnaryMinus(rMaxNorm))),
+        Multiply(rCor, rCor))
+      Subtract(Sqrt(Greatest(Seq(d(0.0), term))), rCor) }),
+  )
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, arity, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => checked(name, arity, builder, exprs), "scala_udf")
+    }
+}
