@@ -56,6 +56,34 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** LSH-bucketed near-duplicate PAIRS: vectors sharing any signature
+    * band are candidates; exact cosine rerank keeps pairs above the
+    * threshold. The all-pairs twin of `lshTopK` — at scale the
+    * quadratic work is confined to same-bucket collisions. */
+  def lshNearDupPairs(embs: DataFrame, threshold: Double,
+                      planes: Int = 16, bands: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0)
+    val rowsPer = planes / bands
+    val mask = (1L << rowsPer) - 1
+    val sig = embs.withColumn("sig", hyperplaneSignature(col(vecCol), planes))
+    val banded = sig.withColumn("band", explode(array(
+      (0 until bands).map(b =>
+        struct(lit(b).as("band_idx"),
+          (shiftright(col("sig"), b * rowsPer).bitwiseAND(mask)).as("band_val"))): _*)))
+      .select(col(idCol), col(vecCol), col("band.band_idx"), col("band.band_val"))
+    val l = banded.select(col("band_idx"), col("band_val"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = banded.select(col("band_idx"), col("band_val"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb").distinct()
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: band the signature, join on
     * shared (band, value) buckets with the query, rerank candidates
     * exactly. Returns ≤ k rows (fewer if the buckets miss). */

@@ -107,6 +107,21 @@ object TrackSources {
         lit(1010.0).as("environmental_pressure"),
         lit("W - North West Pacific").as("basin"))
 
+  /** W10: latest forecast cycle selection — max cycle id then semi-join
+    * (tc_tracks_forecast.py:147-150 sorts remote dirs desc, takes
+    * first). */
+  def latestCycle(files: DataFrame, cycleCol: String = "cycle"): DataFrame = {
+    val latest = files.agg(max(col(cycleCol)).as(cycleCol))
+    files.join(latest, Seq(cycleCol), "left_semi")
+  }
+
+  /** S2 completion: absolute timestamps from the forecast base time +
+    * per-step hour offsets (the BUFR 004024 descriptor). */
+  def withAbsoluteTime(parsed: DataFrame, forecastTime: java.sql.Timestamp): DataFrame =
+    parsed.withColumn("time",
+      timestamp_seconds(unix_timestamp(lit(forecastTime)) +
+        (col("time_offset_h") * 3600).cast("long")))
+
   /** P1/P2/P7 ingest filters (forecast_process.py:182,197-213,291):
     * basin, numeric-name exclusion, 'None' → null coercion quirk. */
   def cleanTracks(tracks: DataFrame): DataFrame =

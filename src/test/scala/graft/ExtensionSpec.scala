@@ -107,6 +107,32 @@ class ExtensionSpec extends SparkTestBase {
     assert(frames.head.getAs[Array[Byte]]("frame").toSeq == (0 until 10).map(_.toByte))
   }
 
+  test("lshNearDupPairs agrees with brute force above the threshold") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val exact = Dedup.cosineNearDups(embs, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(embs, threshold = 0.9, planes = 16, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a subset of exact (no false positives after rerank)
+    assert(lsh.subsetOf(exact))
+    // and with 8 bands of 2 bits, recall on >=0.9 pairs is high
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("W10 latest cycle + S2 absolute time") {
+    import graft.sources.TrackSources
+    val files = Seq(("2024010100", "a"), ("2024010106", "b"), ("2024010106", "c"))
+      .toDF("cycle", "f")
+    val got = TrackSources.latestCycle(files).select("f").collect().map(_.getString(0)).toSet
+    assert(got == Set("b", "c"))
+    val parsed = Seq((1, 6.0)).toDF("x", "time_offset_h")
+    val t = TrackSources.withAbsoluteTime(parsed,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      .select("time").collect().head.getTimestamp(0)
+    assert(t == java.sql.Timestamp.valueOf("2024-01-01 06:00:00"))
+  }
+
   test("cosineNearDups finds the planted near-duplicates") {
     val embs = Tables.embeddings(spark, sfDir)
     val dups = Dedup.cosineNearDups(embs, threshold = 0.95)
