@@ -94,6 +94,24 @@ object TrackPrep {
       .withColumn("bearing_deg", bearingDeg(col("lat"), col("lon"), nLat, nLon))
   }
 
+  /** P3: HRES vs ensemble split (forecast_process.py:296-297,517 —
+    * `is_ensemble` is a STRING 'False'/'TRUE', a reference quirk
+    * preserved at ingest). */
+  def hresOnly(tracks: DataFrame): DataFrame =
+    tracks.where(col("is_ensemble") === "False")
+  def ensembleOnly(tracks: DataFrame): DataFrame =
+    tracks.where(col("is_ensemble") =!= "False")
+
+  /** S7: active-event feed filter — keep TC events whose point falls in
+    * the monitoring box (Check_for_active_typhoon.py:7-52). */
+  def activeEventsInBox(events: DataFrame,
+                        minLat: Double = 5, maxLat: Double = 21,
+                        minLon: Double = 115, maxLon: Double = 135): DataFrame =
+    events
+      .where(col("event_type") === "TC")
+      .where(col("lat") > minLat && col("lat") < maxLat &&
+             col("lon") > minLon && col("lon") < maxLon)
+
   /** P1: keep storms whose track enters the Philippine Area of
     * Responsibility box, HRES (is_ensemble false) members deciding.
     * Reference: forecast_process.py:197-213 (minlat<21 ∧ maxlat>5 ∧
