@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // one trivial action first so JVM/codegen warmup is not billed to
     // whichever query happens to run first
     spark.read.parquet(s"$sfDir/nation.parquet").count()

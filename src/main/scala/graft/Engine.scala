@@ -28,6 +28,7 @@ object Engine {
         .config("spark.sql.shuffle.partitions", cores.toString)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     spark
   }
 }

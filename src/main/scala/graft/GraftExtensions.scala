@@ -119,6 +119,9 @@ object GraftExtensions {
         d(1.0))
       Least(Seq(Greatest(Seq(raw, d(1.0))), d(2.5))) }),
 
+    ("graft_dot_product", 2, { case Seq(a, b) =>
+      graft.expressions.DotProduct(a, b) }),
+
     ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
       val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))
       val rCor = times(d(500.0), dist, fCor)

@@ -162,9 +162,7 @@ object Dedup {
     * exact small-N variant. */
   def cosineNearDups(embs: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dot = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = Similarity.dot _
     val l = embs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = embs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     l.join(r, col("id_a") < col("id_b"))

@@ -382,9 +382,7 @@ object ProbeQueries {
     Probe("q27_cosine_topk",
       (s, d) => { val t = T(s, d)
         val target = t.embs.where(col("vec_id") === 0).select(col("embedding").as("q"))
-        val dot  = (a: Column, b: Column) => aggregate(
-          zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+        val dot = Similarity.dot _
         t.embs.where(col("vec_id") =!= 0).crossJoin(broadcast(target))
           .withColumn("sim", round(
             dot(col("embedding"), col("q")) /

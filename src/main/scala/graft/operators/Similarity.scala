@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column = aggregate(
+  /** Left-to-right accumulated Σ aᵢ·bᵢ as a native codegen'd Catalyst
+    * expression (graft.expressions.DotProduct) — measured much faster
+    * than the interpreted `aggregate(zip_with(...))` HOF form, with
+    * identical accumulation order/semantics. */
+  def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dotProduct(a, b)
+
+  /** The HOF formulation, kept for sessions without GraftExtensions
+    * registration and as the semantic reference for `dot`. */
+  def dotHof(a: Column, b: Column): Column = aggregate(
     zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
     lit(0.0), (acc, x) => acc + x)
 
