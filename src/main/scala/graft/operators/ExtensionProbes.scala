@@ -113,7 +113,8 @@ object ExtensionProbes {
     // Dedup.shingles + minhashSignatures (8 permutations) ---------------
     Probe("x06_minhash_signature",
       (s, d) => {
-        val sh = Dedup.shingles(Tables.documents(s, d), n = 3)
+        // signatures only → distinct not needed (min is dup-invariant)
+        val sh = Dedup.shingles(Tables.documents(s, d), n = 3, dedupe = false)
         Dedup.minhashSignatures(sh, numPerm = 8)
           .select(col("doc_id"),
             element_at(col("minhash"), 1).as("mh0"),
