@@ -402,7 +402,7 @@ object ProbeQueries {
 
   def allProbes: Seq[Probe] =
     probes ++ DomainProbes.probes ++ PipelineProbes.probes ++
-      ExtensionProbes.probes ++ WindfieldProbe.probes
+      ExtensionProbes.probes ++ WindfieldProbe.probes ++ LandfallProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     allProbes.map(p => p.name -> p.query).toMap
