@@ -76,6 +76,20 @@ object ForecastStream {
       .agg(sum("precip").as("precip"))
       .select(col("window.start").as("time"), col("lat"), col("lon"), col("precip"))
 
+  /** foreachBatch driver: each micro-batch (one landed forecast cycle)
+    * flows through the SAME batch pipeline code (§2.11's recompute-the-
+    * world semantics) — the streaming engine contributes exactly-once
+    * file tracking and restart recovery via the checkpoint. */
+  def runCyclePipeline(stream: DataFrame, checkpoint: String)
+                      (process: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => process(batch, id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion against the current
     * backlog (Trigger.AvailableNow) into an in-memory table; returns
     * the collected result. Test/driver harness for the above. */

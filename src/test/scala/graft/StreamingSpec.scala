@@ -67,6 +67,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Map("A" -> 2, "B" -> 60))
   }
 
+  test("foreachBatch cycle pipeline: batch code drives each landed cycle exactly once") {
+    val landing = Files.createTempDirectory("graft_cycles").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_fb").toString
+    val schema = StructType(Seq(
+      StructField("storm_id", StringType), StructField("pcode", StringType),
+      StructField("dmg", DoubleType)))
+    Seq(("S1", "PH001", 5.0), ("S1", "PH002", 7.0))
+      .toDF("storm_id", "pcode", "dmg").write.mode("append").parquet(landing)
+
+    var payloads = Vector.empty[String]
+    val stream = ForecastStream.trackFileStream(spark, landing, schema)
+    ForecastStream.runCyclePipeline(stream, ckpt) { (batch, _) =>
+      // the same BATCH payload-assembly code runs per cycle
+      val values = batch.select(col("pcode").as("placeCode"), col("dmg").as("amount"))
+      payloads ++= graft.publish.Payloads
+        .exposureLayer(values, "houses_affected", "24-hour", "S1")
+        .collect().map(_.getString(0))
+    }
+    assert(payloads.length == 1 && payloads.head.contains("PH002"))
+
+    // second run, same checkpoint, no new files → no new batch work
+    val before = payloads.length
+    ForecastStream.runCyclePipeline(
+      ForecastStream.trackFileStream(spark, landing, schema), ckpt) { (batch, _) =>
+      if (!batch.isEmpty) payloads :+= "unexpected"
+    }
+    assert(payloads.length == before)
+  }
+
   test("watermarked tumbling rainfall over a stream of grid cells") {
     val landing = Files.createTempDirectory("graft_rain").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
