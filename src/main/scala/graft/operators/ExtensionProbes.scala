@@ -213,6 +213,7 @@ object ExtensionProbes {
     // Dedup.cosineNearDups (embedding near-duplicates) ------------------
     Probe("x10_cosine_neardups",
       (s, d) => {
+        graft.GraftExtensions.register(s)   // graft_dot_product resolution
         val embs = Tables.embeddings(s, d).where(col("vec_id") < 100)
         Dedup.cosineNearDups(embs, threshold = 0.2)
           .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
