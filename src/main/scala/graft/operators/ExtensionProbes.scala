@@ -156,9 +156,12 @@ object ExtensionProbes {
     Probe("x08_lsh_jaccard_pairs",
       (s, d) => {
         // measured: persisting the shingle subtree is ~1.6x SLOWER than
-        // recomputing it (cache materialization barrier > recompute cost)
+        // recomputing it (cache materialization barrier > recompute cost).
+        // Signatures skip the distinct (min is dup-invariant); Jaccard
+        // set sizes keep it.
         val sh = Dedup.shingles(Tables.documents(s, d), n = 3)
-        val sig = Dedup.minhashSignatures(sh, numPerm = 8)
+        val sig = Dedup.minhashSignatures(
+          Dedup.shingles(Tables.documents(s, d), n = 3, dedupe = false), numPerm = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBuckets(sig, bands = 4, rowsPer = 2))
         Dedup.ngramJaccard(sh, pairs)
@@ -209,6 +212,21 @@ object ExtensionProbes {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus statistics (per-source breakdown for curation dashboards) --
+    Probe("x11_corpus_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_chars").as("total_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+             |SUM(n_chars) AS total_chars, MIN(n_chars) AS min_chars,
+             |MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Dedup.cosineNearDups (embedding near-duplicates) ------------------
     Probe("x10_cosine_neardups",

@@ -93,4 +93,17 @@ class PublishSpec extends SparkTestBase {
     val hb = Payloads.noEventLayer(pcodes, "houses_affected").collect().head.getString(0)
     assert(hb.contains("\"amount\":0.0") && !hb.contains("eventName\":"))
   }
+
+  test("mock scenario path drives canned payloads through the real sink") {
+    import graft.publish.MockScenario
+    val dir = java.nio.file.Files.createTempDirectory("graft_mock")
+    java.nio.file.Files.writeString(dir.resolve("exposure.json"),
+      """{"countryCodeISO3":"PHL","eventName":"mock-trigger"}""")
+    java.nio.file.Files.writeString(dir.resolve("track.json"),
+      """{"countryCodeISO3":"PHL","trackpointDetails":[]}""")
+    var posted = Vector.empty[String]
+    MockScenario.run(spark, dir.toString, posted :+= _)
+    assert(posted.length == 2)
+    assert(posted.exists(_.contains("mock-trigger")))
+  }
 }
