@@ -59,10 +59,21 @@ object BenchWindfield {
         .count()
     }
 
+    // full production query: windfield → per-municipality max-wind +
+    // min flat-earth track distance, ~1650 synthetic municipalities
+    val centroidAdmin = centroids.select(
+      col("centroid_id"),
+      concat(lit("M"), (col("centroid_id") % 1650)).as("admin_code"))
+    val (nMuni, tMunicipal) = timed {
+      Forecast.municipalHazard(resampled, centroids, centroidAdmin).count()
+    }
+
     println(s"""{"metric":"windfield_operational","members":$members,""" +
       s""""nodes":$nNodes,"centroids":47241,"pair_rows":$nPairs,""" +
-      s""""intensity_rows":$inten,"resample_sec":${f"$tResample%.2f"},""" +
-      s""""windfield_sec":${f"$tCompute%.2f"},"intensity_sec":${f"$tIntensity%.2f"}}""")
+      s""""intensity_rows":$inten,"municipal_rows":$nMuni,""" +
+      s""""resample_sec":${f"$tResample%.2f"},""" +
+      s""""windfield_sec":${f"$tCompute%.2f"},"intensity_sec":${f"$tIntensity%.2f"},""" +
+      s""""municipal_sec":${f"$tMunicipal%.2f"}}""")
     spark.stop()
   }
 }
