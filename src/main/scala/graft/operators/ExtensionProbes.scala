@@ -213,6 +213,36 @@ object ExtensionProbes {
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TextOps.winnowingFingerprints (MOSS rolling-hash dedup) -----------
+    Probe("x12_winnowing",
+      (s, d) => {
+        TextOps.winnowingFingerprints(Tables.documents(s, d), k = 8, w = 4)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"),
+            sum("fp").as("fp_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, g.i AS i,
+             |    ('0x' || substr(md5(substr(t, g.i, 8)), 1, 7))::BIGINT AS h,
+             |    length(t) - 7 AS n_grams
+             |  FROM n, (SELECT unnest(generate_series(1, 100000)) AS i) g
+             |  WHERE g.i <= length(t) - 7),
+             |wins AS (
+             |  SELECT doc_id, i, h, n_grams,
+             |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             |  FROM grams),
+             |sel AS (
+             |  SELECT DISTINCT doc_id,
+             |    CASE WHEN n_grams < 4 THEN h ELSE wmin END AS fp
+             |  FROM wins WHERE i <= n_grams - 3 OR n_grams < 4)
+             |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, SUM(fp) AS fp_sum
+             |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Corpus statistics (per-source breakdown for curation dashboards) --
     Probe("x11_corpus_stats",
       (s, d) => Tables.documents(s, d)

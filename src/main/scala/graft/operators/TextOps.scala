@@ -72,6 +72,44 @@ object TextOps {
     * spaces), mod a prime below 2^57 so the accumulator never
     * overflows long arithmetic. Deterministic and engine-portable. */
   val FingerprintMod = 72057594037927931L   // prime < 2^56
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm) as a RELATIONAL operator: hash every character k-gram
+    * of the normalized text (explode), keep the minimum hash of each
+    * window of `w` consecutive k-grams (window function), distinct.
+    * Any shared substring of length >= k+w-1 yields a shared
+    * fingerprint — the rolling-hash primitive for partial-overlap
+    * dedup. One row per (id, fingerprint).
+    *
+    * Deliberately row-based, not nested array expressions: an
+    * array-of-arrays formulation re-evaluates the gram hashes per
+    * window position (interpreted HOFs have no common-subexpression
+    * elimination) and blows up quadratically.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normalized = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+    val grams = docs
+      .withColumn("__t", normalized)
+      .withColumn("__n", length(col("__t")) - (k - 1))
+      .where(col("__n") >= 1)
+      .withColumn("i", explode(sequence(lit(1), col("__n"))))
+      .withColumn("h",
+        conv(substring(md5(col("__t").substr(col("i"), lit(k))), 1, 7), 16, 10)
+          .cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min("h").over(win))
+      // full windows only — unless the doc has fewer than w grams, in
+      // which case every gram hash is a fingerprint
+      .where(col("i") <= col("__n") - (w - 1) || col("__n") < w)
+      .withColumn("fp", when(col("__n") < w, col("h")).otherwise(col("wmin")))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
   def fingerprint(text: Column): Column = {
     val normalized = regexp_replace(lower(text), "[^a-z0-9 ]", "")
     // guard: sequence(1, 0) would generate a DESCENDING [1,0] sequence

@@ -140,4 +140,21 @@ class ExtensionSpec extends SparkTestBase {
     val all = dups.collect()
     all.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX entirely different words here " + base),  // shares a long substring
+      (3L, "zzz qqq completely unrelated material vvv www yyy xxx uuu ttt sss"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprints(docs, k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)   // guarantee holds
+    assert((fps(1L) intersect fps(3L)).isEmpty)    // unrelated docs disjoint
+    // short-text branch: fewer than w grams still fingerprints
+    val short = Seq((9L, "abcdefghij")).toDF("doc_id", "text")   // 3 grams < w
+    assert(TextOps.winnowingFingerprints(short, k = 8, w = 4).count() == 3)
+  }
 }
