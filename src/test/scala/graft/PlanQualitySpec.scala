@@ -87,4 +87,17 @@ class PlanQualitySpec extends SparkTestBase {
     val p = planString("q20_tumbling")
     assert(p.contains("HashAggregate") && "partial_max".r.findFirstIn(p).isDefined)
   }
+
+  test("partition pruning: partitioned parquet scans only matching partitions") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"no partition filter pushed:\n$p")
+  }
 }
