@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup-at-scale benchmark: 1M synthetic documents (deterministic
+  * word salad from md5-derived vocabulary, ~2% planted near-dups)
+  * through exact dedup and the full MinHash → LSH → candidate-pair
+  * pipeline. Prints one JSON line with stage timings.
+  */
+object BenchDedup {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic corpus: 40 words per doc from a 10k vocabulary;
+    // every 50th doc is a near-copy of its predecessor (one word off)
+    val base = spark.range(nDocs)
+      .withColumn("seed", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"),
+            (conv(substring(md5(concat(col("seed").cast("string"), lit("_"),
+              i.cast("string"))), 1, 6), 16, 10).cast("long") % 10000).cast("string")))))
+      .withColumn("text",
+        when(col("id") % 50 === 1, concat(col("text"), lit(" extraword"))).otherwise(col("text")))
+      .select(col("id").as("doc_id"), col("text"))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = base.cache()
+    val n = docs.count()
+
+    val (nExact, tExact) = timed {
+      Dedup.exactDedup(docs).where(col("n_copies") > 1).count()
+    }
+    val (nPairs, tLsh) = timed {
+      val sig = Dedup.minhashSignatures(
+        Dedup.shingles(docs, n = 3, dedupe = false), numPerm = 16)
+      Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 4)).count()
+    }
+    println(s"""{"metric":"dedup_scale","docs":$n,""" +
+      s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
+      s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"}}""")
+    spark.stop()
+  }
+}
