@@ -135,6 +135,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup DECISION: collapse near-duplicate pairs into groups via
+    * connected components (GraphX) and keep the smallest id per group.
+    * Returns (id, group_id, keep) for every id in `allIds` — singletons
+    * keep themselves. Deterministic (GraphX CC labels components with
+    * their minimum vertex id). */
+  def nearDupGroups(pairs: DataFrame, allIds: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val vertices = allIds.select(col(idCol).cast("long")).as[Long].rdd.map((_, ()))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+    val groups = cc.toDF(idCol, "group_id")
+    groups.withColumn("keep", col(idCol) === col("group_id"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 16-bit SimHash from word-level md5 hashes: bit i of the

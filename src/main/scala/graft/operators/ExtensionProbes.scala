@@ -243,6 +243,36 @@ object ExtensionProbes {
              |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, SUM(fp) AS fp_sum
              |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sessionize: gap-based session assignment + summary ----------------
+    Probe("x13_sessionize",
+      (s, d) => {
+        val sessions = Sessionize.assign(Tables.events(s, d), gapMinutes = 30)
+        Sessionize.summarize(sessions)
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("session_start"), col("duration_sec"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    LAG(ts) OVER w AS prev_ts
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |b AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL THEN 1
+             |         WHEN FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev_ts)) > 1800 THEN 1
+             |         ELSE 0 END AS boundary
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    user_id || '_' || CAST(SUM(boundary) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+             |  FROM b)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS session_start,
+             |  FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS duration_sec
+             |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_start""".stripMargin)),
+
     // Corpus statistics (per-source breakdown for curation dashboards) --
     Probe("x11_corpus_stats",
       (s, d) => Tables.documents(s, d)

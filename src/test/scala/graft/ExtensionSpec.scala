@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.MultimodalOps
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
 class ExtensionSpec extends SparkTestBase {
@@ -156,5 +156,32 @@ class ExtensionSpec extends SparkTestBase {
     // short-text branch: fewer than w grams still fingerprints
     val short = Seq((9L, "abcdefghij")).toDF("doc_id", "text")   // 3 grams < w
     assert(TextOps.winnowingFingerprints(short, k = 8, w = 4).count() == 3)
+  }
+
+  test("near-dup groups: connected components collapse chains, keep min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = Dedup.nearDupGroups(pairs, all)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (1L, true) && got(2L) == (1L, false) && got(3L) == (1L, false))
+    assert(got(10L) == (10L, true) && got(11L) == (10L, false))
+    assert(got(99L) == (99L, true))   // singleton keeps itself
+  }
+
+  test("sessionize: gap splits sessions, summary aggregates") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 12:00:00"), 3L),   // > 30 min gap
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val sess = Sessionize.assign(ev, gapMinutes = 30)
+    val ids = sess.orderBy("event_id").collect().map(_.getAs[String]("session_id"))
+    assert(ids.toSeq == Seq("1_1", "1_1", "1_2", "2_1"))
+    val summ = Sessionize.summarize(sess).orderBy("user_id", "session_id").collect()
+    assert(summ.length == 3)
+    assert(summ.head.getAs[Long]("n_events") == 2)
+    assert(summ.head.getAs[Long]("duration_sec") == 600)
   }
 }
