@@ -14,6 +14,7 @@ import graft.tracks.TrackPrep
   */
 object BenchWindfield {
   def main(args: Array[String]): Unit = {
+    val metric = args.headOption.getOrElse("geosphere")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,11 +52,11 @@ object BenchWindfield {
     val nNodes = resampled.count()
 
     val centroids = CentroidGrid.philippines(spark)
-    val (wf, tPlan) = timed(Windfield.compute(resampled, centroids, "geosphere"))
+    val (wf, tPlan) = timed(Windfield.compute(resampled, centroids, metric))
     val (nPairs, tCompute) = timed(wf.count())
 
     val (inten, tIntensity) = timed {
-      Windfield.intensity(Windfield.compute(resampled, centroids, "geosphere"))
+      Windfield.intensity(Windfield.compute(resampled, centroids, metric))
         .count()
     }
 
@@ -68,7 +69,7 @@ object BenchWindfield {
       Forecast.municipalHazard(resampled, centroids, centroidAdmin).count()
     }
 
-    println(s"""{"metric":"windfield_operational","members":$members,""" +
+    println(s"""{"metric":"windfield_operational","distance_metric":"$metric","members":$members,""" +
       s""""nodes":$nNodes,"centroids":47241,"pair_rows":$nPairs,""" +
       s""""intensity_rows":$inten,"municipal_rows":$nMuni,""" +
       s""""resample_sec":${f"$tResample%.2f"},""" +
