@@ -32,11 +32,14 @@ object TrackSources {
     StructField("basin", StringType)))
 
   /** BUFR descriptor codes used by the reference
-    * (tc_tracks_forecast.py:197-210). */
+    * (tc_tracks_forecast.py:261-290, 380-391: 001025 storm id,
+    * 001091 ensemble number, 001092 ensemble type, 008005
+    * significance). */
   val DescriptorToField: Map[String, String] = Map(
     "005002" -> "lat", "006002" -> "lon",
     "010051" -> "central_pressure", "011012" -> "max_sustained_wind",
     "004024" -> "time_offset_h", "001027" -> "name",
+    "001025" -> "storm_sid", "001092" -> "ens_type",
     "001091" -> "ens_id", "008005" -> "meaning_sgn")
 
   /** S2: reconstruct track rows from a decoded BUFR flat render.
@@ -55,25 +58,28 @@ object TrackSources {
     // time-offset line (004024)
     val wSub = Window.partitionBy("file", "subset_f").orderBy("line_no")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withStep = withState
-      // storm name is subset-level metadata appearing before the first
-      // timestep — forward-fill it rather than pivoting it
-      .withColumn("name_f",
-        last(when(col("code") === "001027", col("value")), ignoreNulls = true).over(wSub))
-      .withColumn("step_idx",
+    // storm name / sid / ensemble type are subset-level metadata
+    // appearing before the first timestep — forward-fill, don't pivot
+    val metaCodes = Seq("001027" -> "name_f", "001025" -> "sid_f", "001092" -> "etype_f")
+    val withStep = metaCodes.foldLeft(withState) { case (df, (code, colName)) =>
+      df.withColumn(colName,
+        last(when(col("code") === code, col("value")), ignoreNulls = true).over(wSub))
+    }.withColumn("step_idx",
         sum(when(col("code") === "004024", 1).otherwise(0)).over(wSub))
-    val stepCodes = DescriptorToField.keys.toSeq.filterNot(_ == "001027").sorted
+    val stepCodes = DescriptorToField.keys.toSeq
+      .filterNot(Seq("001027", "001025", "001092").contains).sorted
     withStep
       .where(col("code").isin(stepCodes: _*))
-      // name_f is constant within a subset by the time any step line
-      // appears, so it can ride along as a grouping key
-      .groupBy("file", "subset_f", "name_f", "step_idx")
+      // metadata columns are constant within a subset by the time any
+      // step line appears, so they ride along as grouping keys
+      .groupBy("file", "subset_f", "name_f", "sid_f", "etype_f", "step_idx")
       .pivot("code", stepCodes)
       .agg(first("value"))
       .where(col("004024").isNotNull)   // only groups anchored at a timestep
       .select(
         col("file"), col("subset_f").as("ens_id_raw"), col("step_idx"),
-        col("name_f").as("name"),
+        col("name_f").as("name"), col("sid_f").as("storm_sid"),
+        col("etype_f").as("ens_type"),
         col("005002").cast("double").as("lat"),
         col("006002").cast("double").as("lon"),
         col("010051").cast("double").as("central_pressure"),

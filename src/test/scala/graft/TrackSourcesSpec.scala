@@ -16,15 +16,16 @@ class TrackSourcesSpec extends SparkTestBase {
       // (file, line_no, subset, code, value)
       ("f1", 1, "1", null, null),
       ("f1", 2, null, "001027", "HAGIBIS"),
-      ("f1", 3, null, "004024", "0"),
-      ("f1", 4, null, "005002", "14.1"), ("f1", 5, null, "006002", "125.0"),
-      ("f1", 6, null, "010051", "96000"), ("f1", 7, null, "011012", "45.5"),
-      ("f1", 8, null, "004024", "6"),
-      ("f1", 9, null, "005002", "14.6"), ("f1", 10, null, "006002", "124.3"),
-      ("f1", 11, "2", null, null),
-      ("f1", 12, null, "001027", "HAGIBIS"),
-      ("f1", 13, null, "004024", "0"),
-      ("f1", 14, null, "005002", "13.9"), ("f1", 15, null, "006002", "125.2"))
+      ("f1", 25, null, "001025", "09W"),
+      ("f1", 30, null, "004024", "0"),
+      ("f1", 40, null, "005002", "14.1"), ("f1", 50, null, "006002", "125.0"),
+      ("f1", 60, null, "010051", "96000"), ("f1", 70, null, "011012", "45.5"),
+      ("f1", 80, null, "004024", "6"),
+      ("f1", 90, null, "005002", "14.6"), ("f1", 100, null, "006002", "124.3"),
+      ("f1", 110, "2", null, null),
+      ("f1", 120, null, "001027", "HAGIBIS"),
+      ("f1", 130, null, "004024", "0"),
+      ("f1", 140, null, "005002", "13.9"), ("f1", 150, null, "006002", "125.2"))
       .toDF("file", "line_no", "subset", "code", "value")
     val got = TrackSources.parseBufrLines(lines).cache()
     assert(got.count() == 3)
@@ -32,6 +33,7 @@ class TrackSourcesSpec extends SparkTestBase {
     assert(s1t0.getAs[Double]("lat") == 14.1)
     assert(s1t0.getAs[Double]("central_pressure") == 96000.0)
     assert(s1t0.getAs[String]("name") == "HAGIBIS")
+    assert(s1t0.getAs[String]("storm_sid") == "09W")
     val s1t1 = got.where($"ens_id_raw" === "1" && $"step_idx" === 2).collect().head
     assert(s1t1.getAs[Double]("lon") == 124.3)
     val s2 = got.where($"ens_id_raw" === "2").collect().head
