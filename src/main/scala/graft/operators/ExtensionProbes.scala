@@ -273,6 +273,32 @@ object ExtensionProbes {
              |  FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS duration_sec
              |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_start""".stripMargin)),
 
+    // TfIdf.topKeywords: corpus-weighted keyword extraction -------------
+    Probe("x14_tfidf_keywords",
+      (s, d) => {
+        TfIdf.topKeywords(Tables.documents(s, d), k = 3)
+          .select(col("doc_id"), col("rank"), col("word"),
+            round(col("score"), 6).as("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, word, COUNT(*) AS tf FROM words
+             |  WHERE word <> '' GROUP BY 1, 2),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |idf AS (
+             |  SELECT word, LN((CAST(n_docs AS DOUBLE) + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+             |  FROM tf, n GROUP BY word, n_docs),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.word, tf.tf * idf.idf AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |                       ORDER BY tf.tf * idf.idf DESC, tf.word) AS rank
+             |  FROM tf JOIN idf USING (word))
+             |SELECT doc_id, rank, word, ROUND(score, 6) AS score
+             |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // Corpus statistics (per-source breakdown for curation dashboards) --
     Probe("x11_corpus_stats",
       (s, d) => Tables.documents(s, d)
