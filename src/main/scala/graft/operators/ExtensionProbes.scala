@@ -299,6 +299,20 @@ object ExtensionProbes {
              |SELECT doc_id, rank, word, ROUND(score, 6) AS score
              |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // TextOps.normalizeText: canonical cleanup ---------------------------
+    Probe("x15_normalize_text",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.normalizeText(col("text")).as("norm"),
+          md5(TextOps.normalizeText(col("text"))).as("norm_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  lower(trim(regexp_replace(regexp_replace(text,
+             |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm,
+             |  md5(lower(trim(regexp_replace(regexp_replace(text,
+             |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')))) AS norm_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Corpus statistics (per-source breakdown for curation dashboards) --
     Probe("x11_corpus_stats",
       (s, d) => Tables.documents(s, d)

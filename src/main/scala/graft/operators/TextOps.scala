@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Canonical text normalization for dedup/cleaning pipelines:
+    * strip control characters, collapse runs of whitespace to single
+    * spaces, trim, lowercase. Idempotent. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " ")))
+
   /** Whitespace token count (0 for blank text). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)

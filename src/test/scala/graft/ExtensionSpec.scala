@@ -184,4 +184,32 @@ class ExtensionSpec extends SparkTestBase {
     assert(summ.head.getAs[Long]("n_events") == 2)
     assert(summ.head.getAs[Long]("duration_sec") == 600)
   }
+
+  test("normalizeText: idempotent cleanup of controls and whitespace runs") {
+    val df = Seq((1L, "  Hello\tWORLD\n\n  again ")).toDF("doc_id", "text")
+    val once = df.select(TextOps.normalizeText($"text").as("n"))
+      .collect().head.getString(0)
+    assert(once == "hello world again")
+    val twice = df.select(TextOps.normalizeText(TextOps.normalizeText($"text")).as("n"))
+      .collect().head.getString(0)
+    assert(twice == once)
+  }
+
+  test("sampling: deterministic hash sample is stable and ~fraction sized") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sampling.deterministicSample(docs, 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)   // no RNG: same rows every run
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.45, s"fraction $frac")
+    // stratified decile sampling keeps only requested deciles
+    val strat = Sampling.stratifiedByDecile(
+      docs.withColumn("q", $"n_chars".cast("double")), "q",
+      Map(10 -> 1.0), tieBreak = "doc_id")
+    assert(strat.count() > 0)
+    assert(strat.select("decile").distinct().collect().map(_.getInt(0)).toSet == Set(10))
+  }
 }
