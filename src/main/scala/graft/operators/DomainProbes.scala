@@ -186,6 +186,46 @@ object DomainProbes {
              |    - 180.0 + 120.0 AS lon_n
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // W3 via TrackPrep.interpolateLinear: pandas-parity interpolation ---
+    Probe("d08_interpolate",
+      (s, d) => {
+        val series = Tables.events(s, d).select(
+          col("user_id").cast("string").as("storm_id"),
+          lit(0).as("ens_id"),
+          col("ts").as("time"),
+          col("event_id"),
+          when(!col("event_type").isin("view", "click"), col("value")).as("v"))
+        TrackPrep.interpolateLinear(series, Seq("v"))
+          .select("event_id", "v")
+          .orderBy("event_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS storm_id, ts AS time, event_id,
+             |    CASE WHEN event_type NOT IN ('view', 'click') THEN value END AS v
+             |  FROM events),
+             |obs AS (
+             |  SELECT *,
+             |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+             |      OVER wprev AS v0,
+             |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN FLOOR(EPOCH(time)) END IGNORE NULLS)
+             |      OVER wprev AS t0,
+             |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+             |      OVER wnext AS v1,
+             |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN FLOOR(EPOCH(time)) END IGNORE NULLS)
+             |      OVER wnext AS t1
+             |  FROM base
+             |  WINDOW wprev AS (PARTITION BY storm_id ORDER BY time
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         wnext AS (PARTITION BY storm_id ORDER BY time
+             |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_id,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN v0 IS NULL THEN NULL
+             |       WHEN v1 IS NULL THEN v0
+             |       ELSE v0 + (v1 - v0) * (FLOOR(EPOCH(time)) - t0) / (t1 - t0)
+             |  END AS v
+             |FROM obs ORDER BY event_id""".stripMargin)),
+
     // F14 via the real rmw estimator: pressure → radius -----------------
     Probe("d04_rmw_estimate",
       (s, d) => {
