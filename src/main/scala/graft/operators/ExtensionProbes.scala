@@ -240,7 +240,8 @@ object ExtensionProbes {
              |  SELECT DISTINCT doc_id,
              |    CASE WHEN n_grams < 4 THEN h ELSE wmin END AS fp
              |  FROM wins WHERE i <= n_grams - 3 OR n_grams < 4)
-             |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, SUM(fp) AS fp_sum
+             |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min,
+             |  CAST(SUM(fp) AS BIGINT) AS fp_sum
              |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Sessionize: gap-based session assignment + summary ----------------
@@ -270,7 +271,7 @@ object ExtensionProbes {
              |  FROM b)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |  MIN(ts) AS session_start,
-             |  FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS duration_sec
+             |  CAST(FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS duration_sec
              |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_start""".stripMargin)),
 
     // TfIdf.topKeywords: corpus-weighted keyword extraction -------------
@@ -324,7 +325,7 @@ object ExtensionProbes {
           max("n_chars").as("max_chars"))
         .orderBy("source"),
       Some("""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-             |SUM(n_chars) AS total_chars, MIN(n_chars) AS min_chars,
+             |CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(n_chars) AS min_chars,
              |MAX(n_chars) AS max_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 

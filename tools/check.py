@@ -22,6 +22,11 @@ def canon(df):
 def eq(a, b):
     if a is None and b is None:
         return True
+    # The driver hashes typed values: an int64 149174 and a float64
+    # 149174.0 do NOT match (DuckDB SUM(BIGINT)->HUGEINT->float64 trap),
+    # so a numeric-kind mismatch is a failure even when == holds.
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
