@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions wiring: the engine's domain functions as
   * first-class SQL functions, composed from NATIVE Catalyst
@@ -39,6 +39,11 @@ object GraftExtensions {
   }
 
   private def d(v: Double): Expression = Literal(v)
+  private def litInt(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, _: IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int parameter, got $other")
+  }
   private def plus(es: Expression*): Expression = es.reduceLeft(Add(_, _))
   private def times(es: Expression*): Expression = es.reduceLeft(Multiply(_, _))
 
@@ -121,6 +126,17 @@ object GraftExtensions {
 
     ("graft_dot_product", 2, { case Seq(a, b) =>
       graft.expressions.DotProduct(a, b) }),
+
+    // One-pass text-dedup kernels (graft.expressions.MinHashOps). The
+    // int parameters must be literals: they pick generated-code
+    // constants, not per-row values.
+    ("minhash_signature", 3, { case Seq(t, n, p) =>
+      graft.expressions.MinHashSignature(t, litInt("minhash_signature", n),
+        litInt("minhash_signature", p)) }),
+    ("shingle_hashes", 2, { case Seq(t, n) =>
+      graft.expressions.ShingleHashes(t, litInt("shingle_hashes", n)) }),
+    ("sorted_intersect_count", 2, { case Seq(a, b) =>
+      graft.expressions.SortedIntersectCount(a, b) }),
 
     ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
       val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))

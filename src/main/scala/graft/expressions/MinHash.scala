@@ -1,0 +1,223 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash / shingle kernels as native codegen'd Catalyst
+  * expressions.
+  *
+  * The relational formulation (explode word n-grams → md5 → groupBy id
+  * with numPerm MIN aggregates; `operators.Dedup.shingles/
+  * minhashSignatures`) is the semantic reference and what the DuckDB
+  * oracle mirrors. These expressions compute the SAME values in a
+  * single pass over each document — no shingle-row explosion, no
+  * shuffle: signature extraction becomes a map-only scan, which is the
+  * plan you want when the documents table is 100 TB (the only shuffle
+  * left in MinHash+LSH dedup is the tiny band-bucket join).
+  *
+  * Value contract (must stay bit-identical to the relational path):
+  *  - words  = split(trim(text), "\\s+")  — trim removes ' ' only
+  *    (Spark semantics), split keeps trailing empties (limit -1);
+  *  - shingles = word n-grams joined by single spaces; a document with
+  *    fewer than n words contributes ONE shingle = all words joined;
+  *  - shingle hash h = first 7 hex chars of md5(shingle) = top 28 bits
+  *    of the digest (`Dedup.md5Long31`);
+  *  - signature(i) = min over shingles of (aᵢ·h + bᵢ) mod (2³¹−1) with
+  *    md5-derived constants (`MinHashOps.permutationConstants`);
+  *  - set hashes (for Jaccard) = top 60 bits of md5(shingle)
+  *    (`Dedup.md5Long`, 15 hex chars), distinct, ascending.
+  */
+object MinHashOps {
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+
+  private val Ws = Pattern.compile("\\s+")
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Deterministic (aᵢ odd, bᵢ), md5-derived — engine-portable; same
+    * derivation as the round-1 relational path. */
+  def permutationConstants(numPerm: Int): Array[(Long, Long)] = {
+    def h(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+      val hex = d.take(7).map("%02x".format(_)).mkString // 28 bits
+      java.lang.Long.parseLong(hex, 16)
+    }
+    Array.tabulate(numPerm)(i => ((h(s"graft_minhash_a_$i") % MinhashPrime) | 1L,
+                                   h(s"graft_minhash_b_$i") % MinhashPrime))
+  }
+
+  private val MaxPerm = 64
+  private lazy val constA: Array[Long] = permutationConstants(MaxPerm).map(_._1)
+  private lazy val constB: Array[Long] = permutationConstants(MaxPerm).map(_._2)
+
+  /** Spark `trim`: strips leading/trailing 0x20 ONLY (not \t\n\r). */
+  private def trimSpaces(s: String): String = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi)
+  }
+
+  /** Words of trim(text) split on \s+ with limit -1, pre-encoded. */
+  private def wordBytes(text: UTF8String): Array[Array[Byte]] =
+    Ws.split(trimSpaces(text.toString), -1).map(_.getBytes(UTF_8))
+
+  private def digestShingle(md: MessageDigest, words: Array[Array[Byte]],
+                            from: Int, until: Int): Array[Byte] = {
+    md.reset()
+    var j = from
+    while (j < until) {
+      if (j > from) md.update(' '.toByte)
+      md.update(words(j))
+      j += 1
+    }
+    md.digest()
+  }
+
+  /** Top 28 bits of an md5 digest = first 7 hex chars as a long. */
+  private def top28(d: Array[Byte]): Long =
+    (((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4))
+
+  /** Top 60 bits of an md5 digest = first 15 hex chars as a long. */
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** MinHash signature of `text` under the first `numPerm` md5-derived
+    * permutations, word n-gram shingles. */
+  def signature(text: UTF8String, n: Int, numPerm: Int): ArrayData = {
+    val words = wordBytes(text)
+    val md = digests.get()
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val nShingles = if (words.length < n) 1 else words.length - n + 1
+    val span = math.min(n, words.length)
+    var i = 0
+    while (i < nShingles) {
+      val until = if (words.length < n) words.length else i + span
+      val h = top28(digestShingle(md, words, i, until))
+      var p = 0
+      while (p < numPerm) {
+        val v = (constA(p) * h + constB(p)) % MinhashPrime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct 60-bit shingle hashes, ascending — the document's
+    * shingle SET, for exact Jaccard over candidate pairs. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = wordBytes(text)
+    val md = digests.get()
+    val nShingles = if (words.length < n) 1 else words.length - n + 1
+    val span = math.min(n, words.length)
+    val hs = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      val until = if (words.length < n) words.length else i + span
+      hs(i) = top60(digestShingle(md, words, i, until))
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) { // in-place dedup of the sorted array
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** |A ∩ B| for two ascending-sorted long arrays (two-pointer merge). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var c = 0L
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+private[expressions] trait TextKernelExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${child.dataType.simpleString}")
+}
+
+/** minhash_signature(text, n, numPerm) → array<long>[numPerm]. */
+case class MinHashSignature(child: Expression, n: Int, numPerm: Int)
+    extends TextKernelExpr {
+  require(n >= 1 && numPerm >= 1 && numPerm <= 64)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.signature(input.asInstanceOf[UTF8String], n, numPerm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashOps$$.MODULE$$.signature($c, $n, $numPerm)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** shingle_hashes(text, n) → sorted distinct array<long> (60-bit). */
+case class ShingleHashes(child: Expression, n: Int) extends TextKernelExpr {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashOps$$.MODULE$$.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** sorted_intersect_count(a, b) over ascending long arrays → long. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    MinHashOps.sortedIntersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.MinHashOps$$.MODULE$$.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -63,16 +63,8 @@ object Dedup {
 
   /** Deterministic permutation constants (aᵢ odd, bᵢ) < p, derived from
     * md5 of the permutation index — reproducible in any engine. */
-  def permutationConstants(numPerm: Int): Seq[(Long, Long)] = {
-    def h(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      val hex = d.take(7).map("%02x".format(_)).mkString   // 28 bits
-      java.lang.Long.parseLong(hex, 16)
-    }
-    (0 until numPerm).map(i => ((h(s"graft_minhash_a_$i") % MinhashPrime) | 1L,
-                                 h(s"graft_minhash_b_$i") % MinhashPrime))
-  }
+  def permutationConstants(numPerm: Int): Seq[(Long, Long)] =
+    graft.expressions.MinHashOps.permutationConstants(numPerm).toSeq
 
   /** MinHash signatures: one row per id with `minhash` array of
     * numPerm values: min over shingles of (aᵢ·h + bᵢ) mod p, where
@@ -88,6 +80,43 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(perms.head, perms.tail: _*)
       .select(col(idCol), array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("minhash"))
+  }
+
+  /** One-pass signatures: same values as `minhashSignatures ∘ shingles`
+    * but computed per document by a single codegen'd expression
+    * (graft.expressions.MinHashSignature) — a map-only scan with NO
+    * shingle explosion and NO shuffle. This is the scale path: at
+    * 100 TB the only shuffle left in MinHash+LSH dedup is the band
+    * bucket join. Requires `GraftExtensions.register`. */
+  def minhashSignaturesOnePass(docs: DataFrame, n: Int = 3, numPerm: Int = 16,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      call_function("minhash_signature", col(textCol), lit(n), lit(numPerm))
+        .as("minhash"))
+
+  /** One-pass shingle SETS as sorted distinct 60-bit md5 hashes —
+    * the per-document Jaccard operand, kept as one array row instead
+    * of an exploded row per shingle. */
+  def shingleHashSets(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      call_function("shingle_hashes", col(textCol), lit(n)).as("sh_hashes"))
+
+  /** Exact n-gram Jaccard for candidate pairs from the one-pass
+    * shingle-hash sets: |A∩B| by sorted-array merge, |A∪B| by sizes.
+    * Two equi-joins of the (small) pair list against the per-doc set
+    * table — no exploded-shingle shuffle. 60-bit hashes make a
+    * string-set vs hash-set count divergence ~1e-15 per document. */
+  def ngramJaccardFromSets(shingleSets: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val a = shingleSets.select(col(idCol).as("id_a"), col("sh_hashes").as("ha"))
+    val b = shingleSets.select(col(idCol).as("id_b"), col("sh_hashes").as("hb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("n_inter", call_function("sorted_intersect_count", col("ha"), col("hb")))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("n_inter")))
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPer`

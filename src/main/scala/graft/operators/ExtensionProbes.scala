@@ -113,9 +113,11 @@ object ExtensionProbes {
     // Dedup.shingles + minhashSignatures (8 permutations) ---------------
     Probe("x06_minhash_signature",
       (s, d) => {
-        // signatures only → distinct not needed (min is dup-invariant)
-        val sh = Dedup.shingles(Tables.documents(s, d), n = 3, dedupe = false)
-        Dedup.minhashSignatures(sh, numPerm = 8)
+        // one-pass codegen kernel: map-only, no shingle explode, no
+        // shuffle — same values as the relational reference path
+        // (DedupSpec asserts the equivalence).
+        graft.GraftExtensions.register(s)
+        Dedup.minhashSignaturesOnePass(Tables.documents(s, d), n = 3, numPerm = 8)
           .select(col("doc_id"),
             element_at(col("minhash"), 1).as("mh0"),
             element_at(col("minhash"), 8).as("mh7"),
@@ -155,16 +157,16 @@ object ExtensionProbes {
     // Dedup.ngramJaccard over LSH candidate pairs -----------------------
     Probe("x08_lsh_jaccard_pairs",
       (s, d) => {
-        // measured: persisting the shingle subtree is ~1.6x SLOWER than
-        // recomputing it (cache materialization barrier > recompute cost).
-        // Signatures skip the distinct (min is dup-invariant); Jaccard
-        // set sizes keep it.
-        val sh = Dedup.shingles(Tables.documents(s, d), n = 3)
-        val sig = Dedup.minhashSignatures(
-          Dedup.shingles(Tables.documents(s, d), n = 3, dedupe = false), numPerm = 8)
+        // full one-pass LSH dedup plan: signatures and shingle sets are
+        // per-document scans (no exploded-shingle shuffle); the only
+        // shuffles are the band-bucket self-join and the candidate-pair
+        // joins — both proportional to candidates, not corpus size.
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val sig = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBuckets(sig, bands = 4, rowsPer = 2))
-        Dedup.ngramJaccard(sh, pairs)
+        Dedup.ngramJaccardFromSets(Dedup.shingleHashSets(docs, n = 3), pairs)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },

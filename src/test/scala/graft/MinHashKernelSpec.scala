@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The one-pass codegen kernels (expressions.MinHashOps) must be
+  * bit-identical to the relational reference path they replace — the
+  * DuckDB oracle mirrors the relational formulation, so any divergence
+  * here is a gate failure at the next scale factor.
+  */
+class MinHashKernelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).limit(200).cache()
+
+  test("one-pass minhash signatures == relational signatures (real corpus)") {
+    val rel = Dedup.minhashSignatures(
+      Dedup.shingles(docs, n = 3, dedupe = false), numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fast = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.keySet == rel.keySet)
+    fast.foreach { case (id, sig) => assert(sig == rel(id), s"doc $id") }
+  }
+
+  test("one-pass kernels handle edge cases like the relational path") {
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "one two"),
+      (5L, "one two three"), (6L, "  padded   words  here  "),
+      (7L, "tab\tseparated words go here"), (8L, "dup dup dup dup dup"))
+      .toDF("doc_id", "text")
+    val rel = Dedup.minhashSignatures(
+      Dedup.shingles(edge, n = 3, dedupe = false), numPerm = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fast = Dedup.minhashSignaturesOnePass(edge, n = 3, numPerm = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == rel)
+  }
+
+  test("shingle-hash sets are sorted, distinct, and sized like the string sets") {
+    val sizes = Dedup.shingles(docs, n = 3).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sets = Dedup.shingleHashSets(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sets.keySet == sizes.keySet)
+    sets.foreach { case (id, hs) =>
+      assert(hs.length == sizes(id), s"doc $id distinct count")
+      assert(hs == hs.sorted && hs.distinct.length == hs.length, s"doc $id order")
+    }
+  }
+
+  test("jaccard from hash sets == jaccard from exploded shingle strings") {
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(
+      Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8),
+      bands = 4, rowsPer = 2))
+    val rel = Dedup.ngramJaccard(Dedup.shingles(docs, n = 3), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fast = Dedup.ngramJaccardFromSets(Dedup.shingleHashSets(docs, n = 3), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast == rel)
+  }
+
+  test("one-pass signature plan is a map-only scan (no shuffle)") {
+    val plan = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+}
