@@ -137,6 +137,9 @@ object GraftExtensions {
       graft.expressions.ShingleHashes(t, litInt("shingle_hashes", n)) }),
     ("sorted_intersect_count", 2, { case Seq(a, b) =>
       graft.expressions.SortedIntersectCount(a, b) }),
+    ("winnowing_fps", 3, { case Seq(t, k, w) =>
+      graft.expressions.WinnowingFps(t, litInt("winnowing_fps", k),
+        litInt("winnowing_fps", w)) }),
 
     ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
       val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))

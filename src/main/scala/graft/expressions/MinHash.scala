@@ -146,6 +146,61 @@ object MinHashOps {
     new GenericArrayData(if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken) in one pass:
+    * normalize to lowercase [a-z0-9 ] (ASCII by construction), hash
+    * every char k-gram (top 28 bits of md5), keep the min of each
+    * window of w consecutive gram hashes (all gram hashes when the
+    * doc has fewer than w grams), distinct, ascending. Returns an
+    * EMPTY array when the normalized text has no k-gram — callers
+    * filter those docs like the relational form's `__n >= 1` guard.
+    * Bit-identical to `TextOps.winnowingFingerprints`. */
+  def winnowingFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val lowered = text.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var ci = 0
+    while (ci < lowered.length) {
+      val c = lowered.charAt(ci)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') sb.append(c)
+      ci += 1
+    }
+    val n = sb.length - (k - 1)
+    if (n < 1) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = new Array[Byte](sb.length)
+    var bi = 0
+    while (bi < sb.length) { bytes(bi) = sb.charAt(bi).toByte; bi += 1 }
+    val md = digests.get()
+    val gh = new Array[Long](n)
+    var g = 0
+    while (g < n) {
+      md.reset()
+      md.update(bytes, g, k)
+      gh(g) = top28(md.digest())
+      g += 1
+    }
+    val fps =
+      if (n < w) gh
+      else {
+        val out = new Array[Long](n - w + 1)
+        var i = 0
+        while (i <= n - w) {
+          var m = gh(i)
+          var j = i + 1
+          while (j < i + w) { if (gh(j) < m) m = gh(j); j += 1 }
+          out(i) = m
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(fps)
+    var wp = 0
+    var rp = 0
+    while (rp < fps.length) {
+      if (wp == 0 || fps(rp) != fps(wp - 1)) { fps(wp) = fps(rp); wp += 1 }
+      rp += 1
+    }
+    new GenericArrayData(if (wp == fps.length) fps else java.util.Arrays.copyOf(fps, wp))
+  }
+
   /** |A ∩ B| for two ascending-sorted long arrays (two-pointer merge). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     var i = 0
@@ -195,6 +250,19 @@ case class ShingleHashes(child: Expression, n: Int) extends TextKernelExpr {
     defineCodeGen(ctx, ev, c =>
       s"graft.expressions.MinHashOps$$.MODULE$$.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** winnowing_fps(text, k, w) → sorted distinct array<long> (28-bit). */
+case class WinnowingFps(child: Expression, k: Int, w: Int) extends TextKernelExpr {
+  require(k >= 1 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.winnowingFps(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashOps$$.MODULE$$.winnowingFps($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFps =
     copy(child = newChild)
 }
 

@@ -218,10 +218,15 @@ object ExtensionProbes {
     // TextOps.winnowingFingerprints (MOSS rolling-hash dedup) -----------
     Probe("x12_winnowing",
       (s, d) => {
-        TextOps.winnowingFingerprints(Tables.documents(s, d), k = 8, w = 4)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"),
-            sum("fp").as("fp_sum"))
+        // one-pass codegen kernel (map-only, no k-gram explode);
+        // MinHashKernelSpec asserts equivalence with the relational
+        // winnowingFingerprints reference.
+        graft.GraftExtensions.register(s)
+        TextOps.winnowingFingerprintSets(Tables.documents(s, d), k = 8, w = 4)
+          .select(col("doc_id"),
+            size(col("fps")).cast("long").as("n_fp"),
+            element_at(col("fps"), 1).as("fp_min"),
+            aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
           .orderBy("doc_id")
       },
       Some("""WITH n AS (

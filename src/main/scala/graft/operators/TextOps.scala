@@ -118,6 +118,18 @@ object TextOps {
       .distinct()
   }
 
+  /** One-pass winnowing: same fingerprint SET as
+    * `winnowingFingerprints` but computed per document by a single
+    * codegen'd expression (graft.expressions.WinnowingFps) — map-only,
+    * no k-gram explosion, no shuffle. Rows with no k-gram are dropped,
+    * matching the relational form. Requires GraftExtensions. */
+  def winnowingFingerprintSets(docs: DataFrame, k: Int = 8, w: Int = 4,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        call_function("winnowing_fps", col(textCol), lit(k), lit(w)).as("fps"))
+      .where(size(col("fps")) > 0)
+
   def fingerprint(text: Column): Column = {
     val normalized = regexp_replace(lower(text), "[^a-z0-9 ]", "")
     // guard: sequence(1, 0) would generate a DESCENDING [1,0] sequence

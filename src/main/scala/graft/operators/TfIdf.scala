@@ -23,16 +23,25 @@ object TfIdf {
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
 
-  /** (word, idf) with smoothed inverse document frequency. */
+  /** (word, idf) with smoothed inverse document frequency. `tf` rows
+    * are (id, word)-unique by construction, so df is a plain COUNT —
+    * no countDistinct expansion pass. */
   def inverseDocFrequencies(tf: DataFrame, nDocs: Long,
                             idCol: String = "doc_id"): DataFrame =
     tf.groupBy("word")
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))) + 1.0)
 
   /** Top-k keywords per document by tf·idf (deterministic tie-break on
-    * the word). */
+    * the word).
+    *
+    * The corpus size is a separate eager `count()` — parquet answers
+    * it from row-group metadata (aggregate pushdown), and inlining it
+    * as a literal keeps the idf subtree a plain two-stage aggregate.
+    * (Measured: threading N through a broadcast single-row aggregate
+    * serializes the plan into extra blocking stages and is slower.)
+    */
   def topKeywords(docs: DataFrame, k: Int, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)

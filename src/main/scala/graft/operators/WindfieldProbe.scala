@@ -76,14 +76,23 @@ object WindfieldProbe {
   val probes: Seq[Probe] = Seq(
     Probe("w01_windfield_e2e",
       (s, d) => {
+        // Dedup-to-one-row-per-second rephrased on the SAME partition
+        // key every downstream window uses (storm_id, ens_id): lag of
+        // the floor-second over (sec, event_id) order picks min
+        // event_id per second exactly like the rn=1 form, but the
+        // whole node-prep chain now runs off ONE hash exchange.
         val base = Tables.events(s, d).where(col("user_id") < 10)
-        val dedup = base.withColumn("rn", row_number().over(
-            Window.partitionBy(col("user_id"), unix_timestamp(col("ts")))
-              .orderBy("event_id")))
-          .where(col("rn") === 1)
+          .select(col("user_id").cast("string").as("storm_id"),
+            lit(0).as("ens_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val bySec = Window.partitionBy("storm_id", "ens_id")
+          .orderBy("sec", "event_id")
+        val dedup = base
+          .withColumn("prev_sec", lag("sec", 1).over(bySec))
+          .where(col("prev_sec").isNull || col("prev_sec") =!= col("sec"))
         val tracks = TrackPrep.withTimeStep(dedup.select(
-          col("user_id").cast("string").as("storm_id"),
-          lit(0).as("ens_id"),
+          col("storm_id"),
+          col("ens_id"),
           col("ts").as("time"),
           (col("value") / 25.0 + 5.0).as("lat"),
           (col("value") / 10.0 + 110.0).as("lon"),

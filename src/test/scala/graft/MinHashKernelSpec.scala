@@ -62,6 +62,22 @@ class MinHashKernelSpec extends SparkTestBase {
     assert(fast == rel)
   }
 
+  test("one-pass winnowing sets == relational winnowing fingerprints") {
+    import graft.operators.TextOps
+    val edge = Seq(
+      (900100L, ""), (900101L, "short"), (900102L, "exactly8"), (900103L, "nine char"),
+      (900104L, "UPPER and Mixed CASE with 123 numbers!"),
+      (900105L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(edge)
+    val rel = TextOps.winnowingFingerprints(corpus, k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = TextOps.winnowingFingerprintSets(corpus, k = 8, w = 4)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == rel)
+  }
+
   test("one-pass signature plan is a map-only scan (no shuffle)") {
     val plan = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
       .queryExecution.executedPlan.toString
