@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source adapters for CLIMADA's own file formats, built on the
+  * from-scratch `Hdf5File` reader — no native HDF5/NetCDF library.
+  *
+  *  - `readMatCentroids`: MATLAB 7.3 centroid files
+  *    (`Centroids.read_mat`, src/climada/hazard/centroids/centr.py:424-468);
+  *  - `readIbtracsNetcdf`: CLIMADA-written NetCDF-4 track files
+  *    (SURVEY.md §2.1 S9) with CF "units since epoch" time decode;
+  *  - `readProcessedIbtracsCsv`: the processed-IBTrACS CSV track format
+  *    (`TCTracks.read_processed_ibtracs_csv`,
+  *    src/climada/hazard/tc_tracks.py:1467-1527) including the
+  *    missing-pressure statistical estimate (`_estimate_pressure`,
+  *    tc_tracks.py:1635-1670).
+  */
+object ClimadaSources {
+
+  /** (centroid_id, lat, lon) from a MATLAB 7.3 centroids file;
+    * centroid_id is the 0-based array index (the reference addresses
+    * centroids positionally). */
+  def readMatCentroids(spark: SparkSession, path: String): DataFrame = {
+    val f = Hdf5File.open(path)
+    val root = if (f.list("/").contains("centroids")) "/centroids"
+               else "/hazard" // DEF_VAR_MAT field_names fallback
+    val lat = f.readDoubles(s"$root/lat")
+    val lon = f.readDoubles(s"$root/lon")
+    require(lat.length == lon.length, "lat/lon length mismatch")
+    import spark.implicits._
+    lat.indices.map(i => (i.toLong, lat(i), lon(i)))
+      .toDF("centroid_id", "lat", "lon")
+  }
+
+  /** CF time decode: "<unit> since <epoch>" → epoch micros. */
+  private[sources] def cfTimeToMicros(values: Array[Double], units: String): Array[Long] = {
+    val Pattern = """(\w+) since (\d{4}-\d{2}-\d{2})[T ]?(\d{2}:\d{2}:\d{2})?.*""".r
+    val (unitMicros, epoch) = units match {
+      case Pattern(u, date, time) =>
+        val mult = u.toLowerCase match {
+          case "days" | "day" => 86400e6
+          case "hours" | "hour" => 3600e6
+          case "minutes" | "minute" => 60e6
+          case "seconds" | "second" => 1e6
+          case other => throw new IllegalArgumentException(s"unknown CF time unit: $other")
+        }
+        val t = Option(time).getOrElse("00:00:00")
+        val inst = java.time.Instant.parse(s"${date}T${t}Z")
+        (mult, inst.getEpochSecond * 1000000L)
+      case other => throw new IllegalArgumentException(s"unparseable CF units: $other")
+    }
+    values.map(v => epoch + (v * unitMicros).round)
+  }
+
+  /** One CLIMADA-written NetCDF-4 track file → tracks DataFrame with
+    * the standard column contract. `storm_id` defaults to the file
+    * stem; `ens_id` 0. */
+  def readIbtracsNetcdf(spark: SparkSession, path: String,
+                        stormId: String = null, ensId: Int = 0): DataFrame = {
+    val f = Hdf5File.open(path)
+    val sid = Option(stormId).getOrElse(
+      path.split("/").last.stripSuffix(".nc"))
+    val timeRaw = f.readDoubles("/time")
+    val units = f.attributes("/time").getOrElse("units",
+      sys.error("time has no CF units attribute")).asInstanceOf[String]
+    val micros = cfTimeToMicros(timeRaw, units)
+    def v(name: String): Array[Double] =
+      if (f.list("/").contains(name)) f.readDoubles(s"/$name")
+      else Array.fill(timeRaw.length)(Double.NaN)
+    val (lat, lon) = (v("lat"), v("lon"))
+    val (pcen, penv) = (v("central_pressure"), v("environmental_pressure"))
+    val (rmw, vmax, tstep) = (v("radius_max_wind"), v("max_sustained_wind"), v("time_step"))
+    val rows = micros.indices.map { i =>
+      org.apache.spark.sql.Row(sid, ensId,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros(i), 1000000L),
+          Math.floorMod(micros(i), 1000000L) * 1000L)),
+        lat(i), lon(i), pcen(i), penv(i), rmw(i), vmax(i), tstep(i))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("storm_id", StringType), StructField("ens_id", IntegerType),
+        StructField("time", TimestampType), StructField("lat", DoubleType),
+        StructField("lon", DoubleType), StructField("central_pressure", DoubleType),
+        StructField("environmental_pressure", DoubleType),
+        StructField("radius_max_wind", DoubleType),
+        StructField("max_sustained_wind", DoubleType),
+        StructField("time_step", DoubleType))))
+  }
+
+  /** Processed-IBTrACS CSV → tracks DataFrame. Mirrors
+    * `_read_ibtracs_csv_single` exactly: isotime is YYYYMMDDHH, vmax
+    * stays in knots, and if ANY pcen is <= 0 every node's pressure is
+    * replaced by the statistical estimate (the reference's
+    * all-or-nothing rule, tc_tracks.py:1495-1500). */
+  def readProcessedIbtracsCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+      .select(
+        col("ibtracsID").as("storm_id"),
+        lit(0).as("ens_id"),
+        to_timestamp(format_string("%010.0f", col("isotime").cast("double")),
+          "yyyyMMddHH").as("time"),
+        col("cgps_lat").cast("double").as("lat"),
+        col("cgps_lon").cast("double").as("lon"),
+        col("pcen").cast("double").as("central_pressure"),
+        col("penv").cast("double").as("environmental_pressure"),
+        col("rmax").cast("double").as("radius_max_wind"),
+        col("vmax").cast("double").as("max_sustained_wind"),
+        col("tint").cast("double").as("time_step"))
+    val anyBad = min(col("central_pressure"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("storm_id", "ens_id"))
+    val estimated =
+      lit(1026.3401) + lit(-0.05504) * col("lat") + lit(-0.03536) * col("lon") +
+        lit(-0.7357) * col("max_sustained_wind")
+    raw.withColumn("central_pressure",
+      when(anyBad <= 0,
+        when(estimated <= 0, lit(Double.NaN)).otherwise(estimated))
+        .otherwise(col("central_pressure")))
+  }
+}
