@@ -10,15 +10,25 @@ import org.apache.spark.sql.SparkSession
   * static number only sets an upper bound.
   */
 object Engine {
-  /** Configs every graft session needs, applied to a builder. */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    // testdata events.parquet stores TIMESTAMP(NANOS); read as long and
-    // convert (Tables.events) — Spark has no native ns timestamp type.
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
+  /** Configs every graft session needs, applied to a builder.
+    * `SPARK_GRAFT_CONF="k=v;k2=v2"` appends ad-hoc overrides — a
+    * tuning knob for experiments without code edits. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val configured = b
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+      // convert (Tables.events) — Spark has no native ns timestamp type.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(configured) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        acc.config(k, v)
+      }
+  }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = configure(

@@ -226,6 +226,92 @@ object DomainProbes {
              |  END AS v
              |FROM obs ORDER BY event_id""".stripMargin)),
 
+    // W4 via tracks.EqualTimestep: 30-min resample, quadratic lat/lon ---
+    // 3-node tracks exercise the order-min(2,n-2) dispatch's quadratic
+    // path (SQL-expressible as the Lagrange parabola) plus the linear
+    // data-var path and pandas' start-of-day grid anchoring; the cubic
+    // path is certified by ClimadaParitySpec's CLIMADA goldens.
+    Probe("d09_equal_timestep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySec = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val deduped = Tables.events(s, d)
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("prev_sec", lag("sec", 1).over(bySec))
+          .where(col("prev_sec").isNull || col("prev_sec") =!= col("sec"))
+        val first3 = deduped
+          .withColumn("rn", row_number().over(bySec))
+          .where(col("rn") <= 3)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .where(col("n") === 3)
+        val tracks = first3.select(
+          col("user_id").cast("string").as("storm_id"),
+          lit(0).as("ens_id"),
+          timestamp_seconds(col("sec")).as("time"),
+          (col("value") / 25.0 + 5.0).as("lat"),
+          (col("value") / 10.0 + 110.0).as("lon"),
+          (lit(1010.0) - col("value") / 10.0).as("central_pressure"),
+          lit(1010.0).as("environmental_pressure"),
+          lit(0.0).as("radius_max_wind"),
+          (col("value") / 5.0).as("max_sustained_wind"),
+          lit(0.0).as("time_step"))
+        graft.tracks.EqualTimestep(tracks, stepH = 0.5).toDF()
+          .select(col("storm_id"), col("time"), col("lat"), col("lon"),
+            col("central_pressure").as("pcen"))
+          .orderBy("storm_id", "time")
+      },
+      Some {
+        def quad(y0: String, y1: String, y2: String) =
+          s"""$y0 * (x - x1) * (x - x2) / ((0.0e0 - x1) * (0.0e0 - x2))
+             | + $y1 * (x - 0.0e0) * (x - x2) / ((x1 - 0.0e0) * (x1 - x2))
+             | + $y2 * (x - 0.0e0) * (x - x1) / ((x2 - 0.0e0) * (x2 - x1))""".stripMargin
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+           |  FROM events),
+           |dd AS (
+           |  SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+           |  FROM e),
+           |n0 AS (
+           |  SELECT user_id, sec, value,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn
+           |  FROM dd WHERE prev_sec IS NULL OR prev_sec <> sec),
+           |tracks AS (
+           |  SELECT user_id,
+           |    MAX(CASE WHEN rn = 1 THEN sec END) AS s0,
+           |    MAX(CASE WHEN rn = 2 THEN sec END) AS s1,
+           |    MAX(CASE WHEN rn = 3 THEN sec END) AS s2,
+           |    MAX(CASE WHEN rn = 1 THEN value END) AS v0,
+           |    MAX(CASE WHEN rn = 2 THEN value END) AS v1,
+           |    MAX(CASE WHEN rn = 3 THEN value END) AS v2
+           |  FROM n0 WHERE rn <= 3 GROUP BY 1 HAVING COUNT(*) = 3),
+           |grid AS (
+           |  SELECT *,
+           |    (s0 - s0 % 86400) + ((s0 - (s0 - s0 % 86400)) + 1799) // 1800 * 1800 AS t_first
+           |  FROM tracks),
+           |pts AS (
+           |  SELECT g.*, g.t_first + 1800 * k.k AS t
+           |  FROM grid g, LATERAL (
+           |    SELECT UNNEST(generate_series(0, CAST((g.s2 - g.t_first) // 1800 AS BIGINT))) AS k) k
+           |  WHERE g.t_first + 1800 * k.k <= g.s2),
+           |xv AS (
+           |  SELECT user_id, t,
+           |    CAST((t - s0) * 1000 AS DOUBLE) / 3600000.0e0 AS x,
+           |    CAST((s1 - s0) * 1000 AS DOUBLE) / 3600000.0e0 AS x1,
+           |    CAST((s2 - s0) * 1000 AS DOUBLE) / 3600000.0e0 AS x2,
+           |    v0 / 25.0e0 + 5.0e0 AS la0, v1 / 25.0e0 + 5.0e0 AS la1, v2 / 25.0e0 + 5.0e0 AS la2,
+           |    v0 / 10.0e0 + 110.0e0 AS lo0, v1 / 10.0e0 + 110.0e0 AS lo1, v2 / 10.0e0 + 110.0e0 AS lo2,
+           |    1010.0e0 - v0 / 10.0e0 AS p0, 1010.0e0 - v1 / 10.0e0 AS p1, 1010.0e0 - v2 / 10.0e0 AS p2
+           |  FROM pts)
+           |SELECT CAST(user_id AS VARCHAR) AS storm_id,
+           |  make_timestamp(t * 1000000) AS time,
+           |  ${quad("la0", "la1", "la2")} AS lat,
+           |  ${quad("lo0", "lo1", "lo2")} AS lon,
+           |  CASE WHEN x = 0.0e0 THEN p0 WHEN x = x1 THEN p1 WHEN x = x2 THEN p2
+           |       WHEN x < x1 THEN p0 + (p1 - p0) * (x - 0.0e0) / (x1 - 0.0e0)
+           |       ELSE p1 + (p2 - p1) * (x - x1) / (x2 - x1) END AS pcen
+           |FROM xv ORDER BY storm_id, t""".stripMargin
+      }),
+
     // F14 via the real rmw estimator: pressure → radius -----------------
     Probe("d04_rmw_estimate",
       (s, d) => {

@@ -35,7 +35,7 @@ object ClimadaSources {
   }
 
   /** CF time decode: "<unit> since <epoch>" → epoch micros. */
-  private[sources] def cfTimeToMicros(values: Array[Double], units: String): Array[Long] = {
+  def cfTimeToMicros(values: Array[Double], units: String): Array[Long] = {
     val Pattern = """(\w+) since (\d{4}-\d{2}-\d{2})[T ]?(\d{2}:\d{2}:\d{2})?.*""".r
     val (unitMicros, epoch) = units match {
       case Pattern(u, date, time) =>
