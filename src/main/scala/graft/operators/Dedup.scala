@@ -164,6 +164,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Train/eval CONTAMINATION check — the benchmark-leakage scan every
+    * training-data pipeline needs: all (eval doc, train doc) pairs
+    * sharing at least `minOverlap` word n-gram shingles. Built on the
+    * one-pass shingle-hash sets: explode each side to (hash, id) rows
+    * and equi-join on the 60-bit hash — the join is keyed by shingle
+    * hash, so at 100 TB it is an ordinary shuffle join whose skew is
+    * bounded by stopword-like shingles (prune those upstream with a
+    * df-threshold if needed). Requires GraftExtensions. */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 3,
+                    minOverlap: Long = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val th = shingleHashSets(train, n, idCol, textCol)
+      .select(col(idCol).as("train_id"), explode(col("sh_hashes")).as("h"))
+    val eh = shingleHashSets(eval, n, idCol, textCol)
+      .select(col(idCol).as("eval_id"), explode(col("sh_hashes")).as("h"))
+    eh.join(th, Seq("h"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
+
   /** Dedup DECISION: collapse near-duplicate pairs into groups via
     * connected components (GraphX) and keep the smallest id per group.
     * Returns (id, group_id, keep) for every id in `allIds` — singletons

@@ -336,6 +336,56 @@ object ExtensionProbes {
              |MAX(n_chars) AS max_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dedup.contamination: train/eval shingle-overlap leakage scan ------
+    Probe("x16_contamination",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        Dedup.contamination(train, eval, n = 3, minOverlap = 3)
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH sh AS ($shingleSql),
+              |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1)
+              |SELECT eval_id, train_id, COUNT(*) AS n_shared
+              |FROM ev JOIN tr USING (shingle)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+              |ORDER BY eval_id, train_id""".stripMargin)),
+
+    // Sketch error contract: approx quantile within 2% of exact ---------
+    // (sketches differ per engine, so the CERTIFIED value is the exact
+    // quantile plus the engine-portable error-bound boolean)
+    Probe("x17_approx_quantile_bound",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("exact_median"),
+          expr("percentile_approx(value, 0.5, 10000)").as("approx"))
+        .select(col("event_type"), col("exact_median"),
+          (abs(col("approx") - col("exact_median")) <=
+            col("exact_median") * 0.02).as("within_bound"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS exact_median,
+             |  ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+             |    <= quantile_cont(value, 0.5) * 0.02 AS within_bound
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sketch error contract: HyperLogLog distinct within 15% ------------
+    Probe("x18_hll_bound",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.15).as("within_bound"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             |  ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+             |    <= COUNT(DISTINCT user_id) * 0.15 AS within_bound
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Dedup.cosineNearDups (embedding near-duplicates) ------------------
     Probe("x10_cosine_neardups",
       (s, d) => {

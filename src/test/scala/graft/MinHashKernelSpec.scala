@@ -78,6 +78,23 @@ class MinHashKernelSpec extends SparkTestBase {
     assert(fast == rel)
   }
 
+  test("contamination finds planted train→eval leakage, skips clean docs") {
+    val passage = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val train = Seq(
+      (1L, s"training document with $passage embedded in the middle of text"),
+      (2L, "an unrelated training document about catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval prompt copied: $passage and some extra words"),
+      (11L, "a completely clean eval document about volcano monitoring systems"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, eval, n = 3, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hits.contains((10L, 1L)), s"planted leak missed: $hits")
+    assert(hits((10L, 1L)) >= 8) // the shared passage has >= 8 3-gram shingles
+    assert(!hits.keys.exists(_._1 == 11L), "clean doc flagged")
+  }
+
   test("one-pass signature plan is a map-only scan (no shuffle)") {
     val plan = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
       .queryExecution.executedPlan.toString
