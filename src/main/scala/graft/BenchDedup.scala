@@ -47,9 +47,16 @@ object BenchDedup {
         Dedup.shingles(docs, n = 3, dedupe = false), numPerm = 16)
       Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 4)).count()
     }
+    GraftExtensions.register(spark)
+    val (nPairs2, tOnePass) = timed {
+      val sig = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 16)
+      Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 4)).count()
+    }
+    require(nPairs2 == nPairs, s"one-pass pair count $nPairs2 != relational $nPairs")
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
-      s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"}}""")
+      s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
+      s""""minhash_lsh_onepass_sec":${f"$tOnePass%.2f"}}""")
     spark.stop()
   }
 }
