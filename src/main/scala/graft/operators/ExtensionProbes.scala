@@ -386,6 +386,35 @@ object ExtensionProbes {
              |    <= COUNT(DISTINCT user_id) * 0.15 AS within_bound
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // AsOfJoin: most recent prior 'view' for each 'purchase' -----------
+    // (union + window ffill on the Spark side vs DuckDB's native
+    // ASOF JOIN — two independent formulations of the same semantics)
+    Probe("x19_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        // one view per (user, ts): keep max event_id so the window
+        // ffill's last-wins and ASOF's single-match agree
+        val views = ev.where(col("event_type") === "view")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("view_event_id"), max("value").as("view_value"))
+        AsOfJoin.asOf(purchases, views, keyCol = "user_id", timeCol = "ts",
+            payloadCols = Seq("view_event_id", "view_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH purchases AS (
+             |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+             |views AS (
+             |  SELECT user_id, ts, MAX(event_id) AS view_event_id, MAX(value) AS view_value
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT p.user_id, p.ts, p.event_id,
+             |  v.view_event_id AS asof_view_event_id,
+             |  v.view_value AS asof_view_value
+             |FROM purchases p ASOF LEFT JOIN views v
+             |  ON p.user_id = v.user_id AND v.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Dedup.cosineNearDups (embedding near-duplicates) ------------------
     Probe("x10_cosine_neardups",
       (s, d) => {
