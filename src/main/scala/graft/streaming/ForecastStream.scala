@@ -68,6 +68,21 @@ object ForecastStream {
 
   /** Watermarked tumbling rainfall accumulation (§2.11 "Windows"):
     * the streaming twin of Rainfall.accumulate. */
+  /** Streaming ingestion dedup for a documents stream: drop rows whose
+    * content hash was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keys the state store by the md5
+    * and EVICTS entries older than the watermark — bounded state, the
+    * streaming twin of `Dedup.exactDedup` (batch recompute-the-world).
+    * At 100 TB/day ingest the state is one 16-byte hash per document
+    * within the horizon, hash-partitioned across executors. */
+  def dedupDocumentStream(docs: DataFrame, delay: String = "10 minutes",
+                          timeCol: String = "ts",
+                          textCol: String = "text"): DataFrame =
+    docs.withColumn("text_md5", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(timeCol, delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   def windowedRainfall(cube: DataFrame, hours: Int,
                        watermark: String = "12 hours"): DataFrame =
     cube

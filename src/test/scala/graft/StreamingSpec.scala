@@ -96,6 +96,30 @@ class StreamingSpec extends SparkTestBase {
     assert(payloads.length == before)
   }
 
+  test("streaming dedup drops in-watermark duplicate documents, keeps state bounded") {
+    val landing = Files.createTempDirectory("graft_docs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt4").toString
+    Seq(
+      (ts("2024-01-01 00:00:00"), 1L, "alpha document text"),
+      (ts("2024-01-01 00:01:00"), 2L, "beta document text"),
+      (ts("2024-01-01 00:02:00"), 3L, "alpha document text"), // dup of 1
+      (ts("2024-01-01 00:03:00"), 4L, "gamma document text"),
+      (ts("2024-01-01 00:04:00"), 5L, "beta document text"))  // dup of 2
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val deduped = ForecastStream.dedupDocumentStream(
+      ForecastStream.trackFileStream(spark, landing, schema))
+    // exactly one survivor per distinct text; WHICH of the duplicate
+    // rows survives within a microbatch is row-order-dependent
+    val got = ForecastStream.runAvailableNow(deduped, "doc_dedup", ckpt, "append")
+      .select("text").collect().map(_.getString(0))
+    assert(got.length == 3)
+    assert(got.toSet ==
+      Set("alpha document text", "beta document text", "gamma document text"))
+  }
+
   test("watermarked tumbling rainfall over a stream of grid cells") {
     val landing = Files.createTempDirectory("graft_rain").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
