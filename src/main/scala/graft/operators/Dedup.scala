@@ -203,6 +203,46 @@ object Dedup {
     groups.withColumn("keep", col(idCol) === col("group_id"))
   }
 
+  /** DataFrame-native connected components — the scale path for
+    * near-dup group resolution. Alternating label propagation: each
+    * round every vertex takes the minimum label in its closed
+    * neighborhood, iterated until a fixpoint. Labels converge to the
+    * component's minimum id (same contract as the GraphX variant),
+    * in O(component diameter) rounds — LSH near-dup components are
+    * shallow (stars/cliques), so this terminates in a handful of
+    * rounds. Runs on DataFrames end to end: AQE handles skewed
+    * high-degree buckets, no RDD serde, `localCheckpoint` truncates
+    * the growing lineage each round.
+    *
+    * Returns (idCol, group_id, keep) for every id in `allIds`. */
+  def nearDupGroupsDF(pairs: DataFrame, allIds: DataFrame,
+                      idCol: String = "doc_id", maxRounds: Int = 50): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = allIds.select(col(idCol).cast("long").as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_label").as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    labels.select(col("id").as(idCol), col("label").as("group_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 16-bit SimHash from word-level md5 hashes: bit i of the

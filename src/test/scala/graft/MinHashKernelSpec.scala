@@ -95,6 +95,23 @@ class MinHashKernelSpec extends SparkTestBase {
     assert(!hits.keys.exists(_._1 == 11L), "clean doc flagged")
   }
 
+  test("DataFrame-native connected components == GraphX on real LSH pairs + chains") {
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(
+        Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8),
+        bands = 4, rowsPer = 2))
+      // add a 5-node chain to exercise multi-round propagation
+      .unionByName(Seq((900001L, 900002L), (900002L, 900003L),
+        (900003L, 900004L), (900004L, 900005L)).toDF("id_a", "id_b"))
+    val ids = docs.select("doc_id")
+      .unionByName((900001L to 900005L).toDF("doc_id"))
+    val viaGraphX = Dedup.nearDupGroups(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDF = Dedup.nearDupGroupsDF(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDF == viaGraphX)
+    assert(viaDF(900005L) == 900001L) // chain collapsed to min id
+  }
+
   test("one-pass signature plan is a map-only scan (no shuffle)") {
     val plan = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
       .queryExecution.executedPlan.toString
