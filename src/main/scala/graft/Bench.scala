@@ -29,6 +29,10 @@ object Bench {
         .orderBy("v").count()
       tiny.as[(Long, Double)].groupByKey(_._1)
         .flatMapGroups((_, it) => it.map(_._2)).count()
+      tiny.select(explode(split(lit("a b c"), " ")).as("w"), col("k"))
+        .groupBy("k", "w").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(Window.partitionBy("k").orderBy(col("c").desc)))
+        .where(col("r") <= 2).count()
     }
     // deterministic (sorted) execution order → stable round-over-round
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -48,7 +48,14 @@ object TfIdf {
     val idf = inverseDocFrequencies(tf, docs.count(), idCol)
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(idf.select("word", "idf")), "word")
+    // no broadcast hint on the idf side: a hinted BROADCAST of a
+    // COMPUTED subtree forces the whole tf→df aggregation through the
+    // driver's broadcast-exchange thread ahead of the main stages
+    // (measured ~4s of serial first-run work at sf0.1); AQE converts
+    // the shuffle join to broadcast at runtime when the word dim is
+    // small, and keeps the shuffle when it isn't — which is also the
+    // right call when the vocabulary is web-scale.
+    tf.join(idf.select("word", "idf"), "word")
       .withColumn("score", col("tf") * col("idf"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
