@@ -415,6 +415,48 @@ object ExtensionProbes {
              |  ON p.user_id = v.user_id AND v.ts <= p.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // TextOps.redactPii over synthesized PII (corpus has none) ----------
+    Probe("x20_redact_pii",
+      (s, d) => {
+        val withPii = Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com via http://site.example/p/"), col("doc_id"),
+            lit(" ref "), (col("doc_id") * 1234567 + 76543210).cast("string")))
+        withPii.select(col("doc_id"),
+            TextOps.redactPii(col("aug")).as("redacted"),
+            md5(TextOps.redactPii(col("aug"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text || ' contact u' || doc_id ||
+             |    '@example.com via http://site.example/p/' || doc_id ||
+             |    ' ref ' || CAST(doc_id * 1234567 + 76543210 AS VARCHAR) AS aug
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(aug,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+             |  FROM a)
+             |SELECT doc_id, redacted, md5(redacted) AS redacted_md5
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Sampling.quantileBandFilter: per-source outlier trim --------------
+    Probe("x21_quantile_band",
+      (s, d) => Sampling.quantileBandFilter(
+          Tables.documents(s, d), "n_chars", "source", 0.1, 0.9)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("q_lo"), col("q_hi"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT source, quantile_cont(n_chars, 0.1) AS q_lo,
+             |    quantile_cont(n_chars, 0.9) AS q_hi
+             |  FROM documents GROUP BY 1)
+             |SELECT doc_id, source, n_chars, q_lo, q_hi
+             |FROM documents JOIN b USING (source)
+             |WHERE n_chars >= q_lo AND n_chars <= q_hi
+             |ORDER BY doc_id""".stripMargin)),
+
     // Dedup.cosineNearDups (embedding near-duplicates) ------------------
     Probe("x10_cosine_neardups",
       (s, d) => {

@@ -25,6 +25,20 @@ object Sampling {
     bucketed.stat.sampleBy("decile", fr, seed)
   }
 
+  /** Keep rows whose metric lies inside the per-group quantile band
+    * [lo, hi] — the outlier-trimming filter of corpus curation ("drop
+    * the shortest 10% and longest 10% per source"). Exact percentiles
+    * via one grouped aggregation joined back; at scale the bounds
+    * table is group-cardinality-sized and broadcasts. */
+  def quantileBandFilter(df: DataFrame, metricCol: String, groupCol: String,
+                         lo: Double, hi: Double): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($metricCol, $lo)").as("q_lo"),
+      expr(s"percentile($metricCol, $hi)").as("q_hi"))
+    df.join(bounds, Seq(groupCol))
+      .where(col(metricCol) >= col("q_lo") && col(metricCol) <= col("q_hi"))
+  }
+
   /** Keep ~fraction of rows, decided by an md5 hash of the id —
     * deterministic on any engine/cluster, no RNG. */
   def deterministicSample(df: DataFrame, fraction: Double,

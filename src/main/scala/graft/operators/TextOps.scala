@@ -130,6 +130,20 @@ object TextOps {
         call_function("winnowing_fps", col(textCol), lit(k), lit(w)).as("fps"))
       .where(size(col("fps")) > 0)
 
+  /** PII-style redaction for corpus cleaning: emails, URLs and long
+    * digit runs (7+, phone/ID-shaped) become fixed placeholder
+    * tokens. Patterns are restricted to syntax with identical
+    * semantics in Java regex and RE2 (no backreferences, no
+    * lookaround) so the operator is engine-portable; application
+    * order is part of the contract (emails before digit runs, so an
+    * address's digits don't get double-rewritten). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{7,}", "<NUM>")
+  }
+
   def fingerprint(text: Column): Column = {
     val normalized = regexp_replace(lower(text), "[^a-z0-9 ]", "")
     // guard: sequence(1, 0) would generate a DESCENDING [1,0] sequence
