@@ -91,6 +91,71 @@ object ClimadaSources {
         StructField("time_step", DoubleType))))
   }
 
+  /** ECMWF ensemble TC track BUFR file → tracks DataFrame, decoded
+    * from the BINARY message by the from-scratch `Bufr` decoder (the
+    * reference round-trips through pybufrkit's text render instead;
+    * `TrackSources.parseBufrLines` covers that surface). Mirrors the
+    * reference's assembly (tc_tracks_forecast.py:265-329): one track
+    * per subset, the analysis block dropped, storm-centre (008005=1)
+    * positions, pressure in mb, env pressure defaulted to 1010, time
+    * from the section-1 forecast time plus the 004024 hour offsets.
+    * Steps where the member has no data (missing lat) are dropped. */
+  def readEcmwfBufr(spark: SparkSession, path: String): DataFrame = {
+    val msg = Bufr.decode(path)
+    val forecastMicros = java.time.Instant.parse(
+      f"${msg.year}%04d-${msg.month}%02d-${msg.day}%02d" +
+        f"T${msg.hour}%02d:${msg.minute}%02d:00Z").getEpochSecond * 1000000L
+    val rows = msg.subsets.flatMap { subset =>
+      def str(d: Int) = subset.find(_.descriptor == d).flatMap(_.str).getOrElse("")
+      def num(d: Int) = subset.find(_.descriptor == d).flatMap(_.num)
+      val sid = str(1025).trim
+      val name = str(1027).trim
+      val member = num(1091).map(_.toInt).getOrElse(0)
+      val isEns = num(1092).forall(_ != 0.0) // missing type → ensemble
+      // walk blocks: significance state + step boundaries at 004024
+      var sig = -1
+      var step = -1 // -1 = analysis block
+      val steps = scala.collection.mutable.ArrayBuffer[
+        (Double, Option[Double], Option[Double], Option[Double], Option[Double])]()
+      subset.foreach { v =>
+        v.descriptor match {
+          case 8005 => sig = v.num.map(_.toInt).getOrElse(-1)
+          case 4024 => v.num.foreach { h =>
+            steps += ((h, None, None, None, None)); step += 1
+          }
+          case 5002 if sig == 1 && step >= 0 =>
+            steps(step) = steps(step).copy(_2 = v.num)
+          case 6002 if sig == 1 && step >= 0 =>
+            steps(step) = steps(step).copy(_3 = v.num)
+          case 10051 if step >= 0 =>
+            steps(step) = steps(step).copy(_4 = v.num.map(_ / 100.0))
+          case 11012 if step >= 0 =>
+            steps(step) = steps(step).copy(_5 = v.num)
+          case _ =>
+        }
+      }
+      steps.collect { case (h, Some(lat), Some(lon), pcen, wind) =>
+        org.apache.spark.sql.Row(sid, name, member, isEns,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            forecastMicros / 1000000L + (h * 3600).toLong)),
+          lat, lon,
+          pcen.getOrElse(Double.NaN), 1010.0, Double.NaN,
+          wind.getOrElse(Double.NaN), h)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("storm_id", StringType), StructField("name", StringType),
+        StructField("ens_id", IntegerType), StructField("is_ensemble", BooleanType),
+        StructField("time", TimestampType), StructField("lat", DoubleType),
+        StructField("lon", DoubleType), StructField("central_pressure", DoubleType),
+        StructField("environmental_pressure", DoubleType),
+        StructField("radius_max_wind", DoubleType),
+        StructField("max_sustained_wind", DoubleType),
+        StructField("time_offset_h", DoubleType))))
+  }
+
   /** Processed-IBTrACS CSV → tracks DataFrame. Mirrors
     * `_read_ibtracs_csv_single` exactly: isotime is YYYYMMDDHH, vmax
     * stays in knots, and if ANY pcen is <= 0 every node's pressure is
