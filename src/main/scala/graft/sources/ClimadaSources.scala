@@ -115,32 +115,39 @@ object ClimadaSources {
       // walk blocks: significance state + step boundaries at 004024
       var sig = -1
       var step = -1 // -1 = analysis block
-      val steps = scala.collection.mutable.ArrayBuffer[
-        (Double, Option[Double], Option[Double], Option[Double], Option[Double])]()
+      case class Step(h: Double, var lat: Option[Double] = None,
+                      var lon: Option[Double] = None, var latM: Option[Double] = None,
+                      var lonM: Option[Double] = None, var pcen: Option[Double] = None,
+                      var wind: Option[Double] = None)
+      val steps = scala.collection.mutable.ArrayBuffer[Step]()
       subset.foreach { v =>
         v.descriptor match {
           case 8005 => sig = v.num.map(_.toInt).getOrElse(-1)
-          case 4024 => v.num.foreach { h =>
-            steps += ((h, None, None, None, None)); step += 1
-          }
-          case 5002 if sig == 1 && step >= 0 =>
-            steps(step) = steps(step).copy(_2 = v.num)
-          case 6002 if sig == 1 && step >= 0 =>
-            steps(step) = steps(step).copy(_3 = v.num)
-          case 10051 if step >= 0 =>
-            steps(step) = steps(step).copy(_4 = v.num.map(_ / 100.0))
-          case 11012 if step >= 0 =>
-            steps(step) = steps(step).copy(_5 = v.num)
+          case 4024 => v.num.foreach { h => steps += Step(h); step += 1 }
+          case 5002 if sig == 1 && step >= 0 => steps(step).lat = v.num
+          case 6002 if sig == 1 && step >= 0 => steps(step).lon = v.num
+          case 5002 if sig == 3 && step >= 0 => steps(step).latM = v.num
+          case 6002 if sig == 3 && step >= 0 => steps(step).lonM = v.num
+          case 10051 if step >= 0 => steps(step).pcen = v.num.map(_ / 100.0)
+          case 11012 if step >= 0 => steps(step).wind = v.num
           case _ =>
         }
       }
-      steps.collect { case (h, Some(lat), Some(lon), pcen, wind) =>
+      steps.collect { case s if s.lat.isDefined && s.lon.isDefined =>
+        // max_radius: flat-earth deg×111 distance from storm centre to
+        // the max-wind location — the reference's own derivation
+        // (tc_tracks_forecast.py `max_radius`), quirk preserved
+        val maxRadiusKm = (s.latM, s.lonM) match {
+          case (Some(lm), Some(om)) =>
+            math.sqrt(math.pow(s.lat.get - lm, 2) + math.pow(s.lon.get - om, 2)) * 111.0
+          case _ => Double.NaN
+        }
         org.apache.spark.sql.Row(sid, name, member, isEns,
           java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-            forecastMicros / 1000000L + (h * 3600).toLong)),
-          lat, lon,
-          pcen.getOrElse(Double.NaN), 1010.0, Double.NaN,
-          wind.getOrElse(Double.NaN), h)
+            forecastMicros / 1000000L + (s.h * 3600).toLong)),
+          s.lat.get, s.lon.get,
+          s.pcen.getOrElse(Double.NaN), 1010.0, Double.NaN,
+          s.wind.getOrElse(Double.NaN), maxRadiusKm, s.h)
       }
     }
     spark.createDataFrame(
@@ -153,6 +160,7 @@ object ClimadaSources {
         StructField("environmental_pressure", DoubleType),
         StructField("radius_max_wind", DoubleType),
         StructField("max_sustained_wind", DoubleType),
+        StructField("max_radius_km", DoubleType),
         StructField("time_offset_h", DoubleType))))
   }
 

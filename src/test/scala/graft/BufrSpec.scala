@@ -98,5 +98,9 @@ class BufrSpec extends AnyFunSuite {
     assert(byEns(true) == eps2.count() - byEns(false))
     // member 1 dies after 12h: analysis + 2 live steps → 2 rows
     assert(eps2.where(org.apache.spark.sql.functions.col("ens_id") === 1).count() == 2)
+    // max_radius from centre↔max-wind-location flat-earth distance:
+    // det step 1: centre (-26.7, 72.8), max wind at (-26.6, 73.6)
+    val mr = rows.head.getAs[Double]("max_radius_km")
+    assert(math.abs(mr - math.sqrt(0.1 * 0.1 + 0.8 * 0.8) * 111.0) < 1e-9)
   }
 }
