@@ -88,6 +88,33 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("HashAggregate") && "partial_max".r.findFirstIn(p).isDefined)
   }
 
+  test("x16 contamination plan: hash equi-join on the shingle hash, no product join") {
+    val p = planString("x16_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must join on the hash key:\n$p")
+  }
+
+  test("x06 one-pass minhash plan: single stage, no exchange, codegen'd") {
+    val p = planString("x06_minhash_signature")
+    // the signature subtree itself is map-only; the probe's global sort
+    // is the only exchange allowed (AQE hides codegen markers before an
+    // action, so assert structure, not WholeStageCodegen spans)
+    assert(!p.contains("HashAggregate"), s"one-pass minhash must not aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"only the sort may exchange:\n$p")
+  }
+
+  test("x21 quantile band plan: one grouped aggregate joined back, no window") {
+    val p = planString("x21_quantile_band")
+    assert(!p.contains("Window"), s"band filter must not window over full data:\n$p")
+    assert(p.contains("percentile"))
+  }
+
+  test("x19 as-of plan: single window pass, no range/product join") {
+    val p = planString("x19_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
   test("partition pruning: partitioned parquet scans only matching partitions") {
     import graft.sources.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
