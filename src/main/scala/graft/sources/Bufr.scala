@@ -172,7 +172,12 @@ object Bufr {
         Value(code, None, None)
       else {
         val v = (raw + e.ref) / math.pow(10, e.scale)
-        if (code == 31001) lastReplicationFactor = raw.toInt
+        if (code == 31001) {
+          // an all-ones factor is "missing", never a literal count of 255
+          require(raw != missing(e.width),
+            "missing (all-ones) delayed replication factor 031001")
+          lastReplicationFactor = raw.toInt
+        }
         Value(code, Some(v), None)
       }
 
@@ -216,6 +221,8 @@ object Bufr {
             }
             if (code == 31001) {
               require(raws.distinct.size == 1, "varying delayed replication across subsets")
+              require(raws.head != missing(e.width),
+                "missing (all-ones) delayed replication factor 031001")
               lastReplicationFactor = raws.head.toInt
             }
             cols += raws.map(r => decodeValue(code, e, r))

@@ -191,9 +191,17 @@ object ClimadaSources {
     val estimated =
       lit(1026.3401) + lit(-0.05504) * col("lat") + lit(-0.03536) * col("lon") +
         lit(-0.7357) * col("max_sustained_wind")
+    // _estimate_pressure's validity mask (tc_tracks.py:1660-1669): the estimate
+    // only applies where vmax > 0 and lat/lon are not the -999/NaN sentinels;
+    // unestimable nodes stay <= 0 and collapse to NaN in the final np.where.
+    val vmaxOk = col("max_sustained_wind").isNotNull &&
+      !isnan(col("max_sustained_wind")) && col("max_sustained_wind") > 0
+    val latOk = col("lat").isNotNull && !isnan(col("lat")) && col("lat") > -999
+    val lonOk = col("lon").isNotNull && !isnan(col("lon")) && col("lon") > -999
     raw.withColumn("central_pressure",
       when(anyBad <= 0,
-        when(estimated <= 0, lit(Double.NaN)).otherwise(estimated))
+        when(vmaxOk && latOk && lonOk && estimated > 0, estimated)
+          .otherwise(lit(Double.NaN)))
         .otherwise(col("central_pressure")))
   }
 }

@@ -341,7 +341,10 @@ final class Hdf5File(data: Array[Byte]) {
             j += 1
           }
           out
-        case 3 => bytes // fletcher32: checksum trailer is past the data we use
+        case 3 => // fletcher32: strip the 4-byte checksum trailer so downstream
+          // filters (e.g. shuffle without deflate) see only payload bytes
+          if (bytes.length < 4) sys.error("fletcher32 chunk shorter than checksum")
+          else java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 4)
         case other => sys.error(s"unsupported HDF5 filter id $other")
       }
     }

@@ -23,9 +23,21 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop entries owned by stopped sessions so their analyzed plans and
+    * file indexes don't outlive the session. Caveat (documented): within
+    * a live session a cached path is never re-scanned — call
+    * `invalidate()` after rewriting files under a cached directory. */
+  private def evictStopped(): Unit =
+    cache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+
+  /** Forget all cached plans (e.g. after files changed on disk). */
+  def invalidate(): Unit = cache.clear()
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evictStopped()
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")

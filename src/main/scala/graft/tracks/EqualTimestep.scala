@@ -41,7 +41,13 @@ object EqualTimestep {
     // pandas origin='start_day': grid anchored at midnight (UTC) of the
     // first node's day; first emitted point is the first grid point >= t0
     val anchor = t0 - Math.floorMod(t0, 86400000L)
-    val stepMs = (stepH * MsPerHour).toLong
+    // round, don't truncate: (1.0/3)*3600000 = 1199999.99... must land on
+    // the 1200000 ms pandas grid. Supported steps are the ms-representable
+    // ones; anything else would silently drift off the resample grid.
+    val stepMsExact = stepH * MsPerHour
+    val stepMs = Math.round(stepMsExact)
+    require(stepMs > 0 && math.abs(stepMsExact - stepMs) < 1e-3,
+      s"time_step_h=$stepH is not representable on a millisecond grid")
     val first = anchor + ((t0 - anchor) + stepMs - 1) / stepMs * stepMs
     val grid = Iterator.iterate(first)(_ + stepMs).takeWhile(_ <= tn).toArray
 
