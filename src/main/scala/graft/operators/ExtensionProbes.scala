@@ -476,5 +476,132 @@ object ExtensionProbes {
              |    (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
              |     SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Similarity.lshTopK: the APPROXIMATE ANN scale path, certified
+    // end-to-end — the md5-derived hyperplane signatures, banding,
+    // bucket join, and exact rerank are all mirrored op-for-op in SQL,
+    // so the hash compare certifies the approximate result itself, and
+    // both engines independently compute the recall@10-vs-exact bound.
+    Probe("x22_lsh_topk",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val approx = Similarity.lshTopK(embs, queryId = 7, k = 10,
+          planes = 16, bands = 8, dim = Some(64))
+        val exact = Similarity.cosineTopK(embs, queryId = 7, k = 10)
+        val ok = approx.select("vec_id")
+          .join(exact.select("vec_id"), "vec_id")
+          .agg((count(lit(1)) >= 8).as("recall_ok"))
+        approx.select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .crossJoin(broadcast(ok))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT p, j,
+             |    CAST((CAST('0x' || substring(md5('graft_plane_' || CAST(p AS VARCHAR)
+             |      || '_' || CAST(j AS VARCHAR)), 1, 6) AS BIGINT) % 2001 - 1000)
+             |      AS DOUBLE) / 1000.0 AS wt
+             |  FROM range(16) t1(p) CROSS JOIN range(64) t2(j)),
+             |wl AS (SELECT p, list(wt ORDER BY j) AS wvec FROM w GROUP BY p),
+             |sig AS (
+             |  SELECT e.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], wl.wvec) > 0
+             |         THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+             |  FROM embeddings e CROSS JOIN wl GROUP BY e.vec_id),
+             |banded AS (
+             |  SELECT s.vec_id, b.band_idx, (s.sig >> (b.band_idx * 2)) & 3 AS band_val
+             |  FROM sig s CROSS JOIN
+             |    (SELECT CAST(band_idx AS INT) AS band_idx FROM range(8) t(band_idx)) b),
+             |qb AS (SELECT band_idx, band_val FROM banded WHERE vec_id = 7),
+             |cand AS (
+             |  SELECT DISTINCT b.vec_id FROM banded b JOIN qb USING (band_idx, band_val)
+             |  WHERE b.vec_id <> 7),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+             |approx AS (
+             |  SELECT c.vec_id,
+             |    list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS sim
+             |  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |exact AS (
+             |  SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7
+             |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC, vec_id
+             |  LIMIT 10),
+             |rec AS (SELECT (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)) >= 8
+             |        AS recall_ok)
+             |SELECT a.vec_id, ROUND(a.sim, 6) AS sim, rec.recall_ok
+             |FROM approx a CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // IvfIndex.topKDeterministic: the IVF query machinery (cell ranking,
+    // nprobe pruning, exact rerank) certified end-to-end under a
+    // deterministic hash+mean quantizer both engines can build — md5
+    // init cells, one Lloyd mean step with round-6 centroids, round-6
+    // argmin assignment. nprobe=6 of nlist=8 is a real prune (a quarter
+    // of the data skipped) and still clears the recall@10 >= 0.8 bound.
+    Probe("x23_ivf_topk",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val approx = IvfIndex.topKDeterministic(embs, queryId = 7, k = 10,
+          nlist = 8, nprobe = 6)
+        val exact = Similarity.cosineTopK(embs, queryId = 7, k = 10)
+        val ok = approx.select("vec_id")
+          .join(exact.select("vec_id"), "vec_id")
+          .agg((count(lit(1)) >= 8).as("recall_ok"))
+        approx.select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .crossJoin(broadcast(ok))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM dims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, embedding, cell FROM (
+             |    SELECT i.vec_id, i.embedding, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+             |probecells AS (
+             |  SELECT cell FROM (
+             |    SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+             |      ROUND(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+             |        - 2 * list_dot_product(q.qv::DOUBLE[], c.c)
+             |        + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM cent c CROSS JOIN q) WHERE rn <= 6),
+             |approx AS (
+             |  SELECT a.vec_id,
+             |    list_dot_product(a.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS sim
+             |  FROM assigned a JOIN probecells USING (cell) CROSS JOIN q
+             |  WHERE a.vec_id <> 7
+             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |exact AS (
+             |  SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7
+             |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC, vec_id
+             |  LIMIT 10),
+             |rec AS (SELECT (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)) >= 8
+             |        AS recall_ok)
+             |SELECT a.vec_id, ROUND(a.sim, 6) AS sim, rec.recall_ok
+             |FROM approx a CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
   )
 }

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
@@ -33,6 +34,80 @@ object IvfIndex {
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("cell"))
     (model, assigned)
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic quantizer path: md5-hash init cells → one Lloyd mean
+  // step (centroids rounded to 6 decimals so partial-agg sum orders
+  // can't flip them) → argmin re-assignment. Every step is a plain
+  // relational plan, so an independent SQL engine can mirror the whole
+  // index build and certify the IVF query machinery (cell ranking,
+  // nprobe pruning, exact rerank) end-to-end — the KMeans quantizer
+  // above keeps the same query path but trades mirrorability for
+  // better cells.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic data-independent initial cells: md5(vec_id) % nlist. */
+  def hashCells(embs: DataFrame, nlist: Int,
+                idCol: String = "vec_id"): DataFrame =
+    embs.withColumn("cell0",
+      conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+        .cast("long") % nlist)
+
+  /** One Lloyd step: per-cell per-dimension mean, rounded to 6
+    * decimals. Output (cell, centroid: array<double>). */
+  def meanCentroids(withCells: DataFrame, cellCol: String = "cell0",
+                    vecCol: String = "embedding"): DataFrame =
+    withCells
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("j", "x")))
+      .groupBy("cell", "j")
+      .agg(round(avg(col("x").cast("double")), 6).as("cx"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cx")))),
+        s => s("cx")).as("centroid"))
+
+  /** Squared euclidean distance via three dot products, rounded to 6
+    * decimals so cross-engine float-order noise can't flip an argmin
+    * (exact ties then break on the smaller cell id). */
+  private def sqDist(v: Column, c: Column): Column =
+    round(Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, c) +
+      Similarity.dot(c, c), 6)
+
+  /** Assign every vector to its nearest centroid. */
+  def assign(embs: DataFrame, centroids: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("dist").asc, col("cell").asc)
+    embs.crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDist(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** IVF top-k with the deterministic quantizer, fully DataFrame-native:
+    * rank cells by centroid distance to the query, keep nprobe, exact
+    * cosine rerank inside them. Same query semantics as `topK`. */
+  def topKDeterministic(embs: DataFrame, queryId: Long, k: Int,
+                        nlist: Int, nprobe: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cents = meanCentroids(hashCells(embs, nlist, idCol), "cell0", vecCol)
+    val assigned = assign(embs, cents, idCol, vecCol)
+    val q = embs.where(col(idCol) === queryId).select(col(vecCol).as("q"))
+    // nlist rows: the single-partition window is the point (tiny side)
+    val cellRank = Window.orderBy(col("qdist").asc, col("cell").asc)
+    val probeCells = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", sqDist(col("q"), col("centroid")))
+      .withColumn("rn", row_number().over(cellRank))
+      .where(col("rn") <= nprobe)
+      .select("cell")
+    assigned.join(broadcast(probeCells), "cell")
+      .where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Similarity.cosine(col(vecCol), col("q")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Approximate top-k by cosine for one query id: probe the nprobe

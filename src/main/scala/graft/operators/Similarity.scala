@@ -65,17 +65,46 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Driver-side twin of `planeWeight`: the same md5 derivation
+    * evaluated in Scala, so a known-dimension dataset can bake the
+    * weights into the plan as literals (see
+    * `hyperplaneSignatureFixed`). */
+  def planeWeightValue(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft_plane_${p}_${j}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2001L) - 1000L)
+      .toDouble / 1000.0
+  }
+
+  /** `hyperplaneSignature` for a known embedding dimension: plane
+    * weights become literal arrays and each plane dot runs through the
+    * codegen'd DotProduct kernel instead of the interpreted HOF fold —
+    * same left-to-right accumulation, same bits, ~10x cheaper per row.
+    * This is the signature path the 100 TB scan wants (the map-only
+    * stage is pure whole-stage codegen). */
+  def hyperplaneSignatureFixed(vec: Column, planes: Int, dim: Int): Column = {
+    require(planes <= 62)
+    (0 until planes).map { p =>
+      val w = array((0 until dim).map(j => lit(planeWeightValue(p, j))): _*)
+      when(dot(vec, w) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
   /** LSH-bucketed near-duplicate PAIRS: vectors sharing any signature
     * band are candidates; exact cosine rerank keeps pairs above the
     * threshold. The all-pairs twin of `lshTopK` — at scale the
     * quadratic work is confined to same-bucket collisions. */
   def lshNearDupPairs(embs: DataFrame, threshold: Double,
                       planes: Int = 16, bands: Int = 4,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      dim: Option[Int] = None): DataFrame = {
     require(planes % bands == 0)
     val rowsPer = planes / bands
     val mask = (1L << rowsPer) - 1
-    val sig = embs.withColumn("sig", hyperplaneSignature(col(vecCol), planes))
+    val sigExpr = dim.map(hyperplaneSignatureFixed(col(vecCol), planes, _))
+      .getOrElse(hyperplaneSignature(col(vecCol), planes))
+    val sig = embs.withColumn("sig", sigExpr)
     val banded = sig.withColumn("band", explode(array(
       (0 until bands).map(b =>
         struct(lit(b).as("band_idx"),
@@ -98,11 +127,14 @@ object Similarity {
     * exactly. Returns ≤ k rows (fewer if the buckets miss). */
   def lshTopK(embs: DataFrame, queryId: Long, k: Int,
               planes: Int = 16, bands: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Option[Int] = None): DataFrame = {
     require(planes % bands == 0)
     val rowsPer = planes / bands
     val mask = (1L << rowsPer) - 1
-    val sig = embs.withColumn("sig", hyperplaneSignature(col(vecCol), planes))
+    val sigExpr = dim.map(hyperplaneSignatureFixed(col(vecCol), planes, _))
+      .getOrElse(hyperplaneSignature(col(vecCol), planes))
+    val sig = embs.withColumn("sig", sigExpr)
     val banded = sig.withColumn("band", explode(array(
       (0 until bands).map(b =>
         struct(lit(b).as("band_idx"),

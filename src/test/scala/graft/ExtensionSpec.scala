@@ -62,6 +62,23 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low; exact=$exact approx=$approx")
   }
 
+  test("fixed-dim codegen signature equals the HOF hyperplane signature") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir).limit(200)
+    val both = embs.select(
+        Similarity.hyperplaneSignature(col("embedding"), planes = 16).as("hof"),
+        Similarity.hyperplaneSignatureFixed(col("embedding"), planes = 16,
+          dim = 64).as("fixed"))
+    assert(both.where(col("hof") =!= col("fixed")).count() === 0)
+  }
+
+  test("planeWeightValue mirrors the SQL md5 derivation") {
+    GraftExtensions.register(spark)
+    val sqlW = spark.range(1).select(
+      Similarity.planeWeight(lit(3), lit(17)).as("w")).head().getDouble(0)
+    assert(Similarity.planeWeightValue(3, 17) === sqlW)
+  }
+
   test("fingerprint is stable, normalized, and order-sensitive") {
     val df = Seq(
       (1L, "Hello World"), (2L, "hello world!"), (3L, "world hello"))

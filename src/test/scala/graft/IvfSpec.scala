@@ -32,6 +32,23 @@ class IvfSpec extends SparkTestBase {
     cached.unpersist()
   }
 
+  test("deterministic IVF: full probe equals exact, partial probe prunes") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(embs, queryId = 0, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // probing every cell must recover the exact answer
+    val full = IvfIndex.topKDeterministic(embs, queryId = 0, k = 10,
+        nlist = 8, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+    // assignment is a partition: every vector lands in exactly one cell
+    val cents = IvfIndex.meanCentroids(IvfIndex.hashCells(embs, nlist = 8))
+    val assigned = IvfIndex.assign(embs, cents)
+    assert(assigned.count() == embs.count())
+    assert(assigned.select("vec_id").distinct().count() == embs.count())
+  }
+
   test("typed Dataset views round-trip the model case classes") {
     import spark.implicits._
     val ds = Seq(graft.model.CentroidCell(1L, 14.0, 122.0)).toDS()
