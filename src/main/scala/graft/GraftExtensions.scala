@@ -140,6 +140,8 @@ object GraftExtensions {
     ("winnowing_fps", 3, { case Seq(t, k, w) =>
       graft.expressions.WinnowingFps(t, litInt("winnowing_fps", k),
         litInt("winnowing_fps", w)) }),
+    ("word_counts", 1, { case Seq(t) =>
+      graft.expressions.WordCounts(t) }),
 
     ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
       val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))

@@ -1,0 +1,66 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass per-document term frequencies.
+  *
+  * tf(doc, word) only needs that document's text, so it is a per-row
+  * computation, not an aggregation: `word_counts(text)` returns the
+  * `map<word, count>` of lowercased whitespace tokens in ONE pass over
+  * the string. Exploding the map yields exactly the distinct
+  * (doc, word, tf) rows that the explode→groupBy(doc, word) formulation
+  * produces only after a full shuffle of the token stream — i.e. this
+  * kernel deletes the biggest exchange in TF-IDF (reference analogue:
+  * the token-frequency pass in Ecmwf text products is N/A — this is an
+  * LLM-pipeline extension operator).
+  *
+  * Token semantics mirror `split(trim(lower(text)), "\\s+")` with empty
+  * tokens dropped: UTF8String.toLowerCase (same kernel the `lower`
+  * expression uses), java.util.regex `\s+` (same engine `split` uses).
+  */
+object WordCountOps {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def wordCounts(text: UTF8String): MapData = {
+    val parts = ws.split(text.toLowerCase.toString)
+    val m = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < parts.length) {
+      val w = parts(i)
+      if (w.nonEmpty) {
+        val prev = m.get(w)
+        m.put(w, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val n = m.size
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
+/** word_counts(text) → map<string,bigint> of lowercased \s+-tokens. */
+case class WordCounts(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WordCountOps.wordCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.WordCountOps$$.MODULE$$.wordCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordCounts =
+    copy(child = newChild)
+}

@@ -284,6 +284,7 @@ object ExtensionProbes {
     // TfIdf.topKeywords: corpus-weighted keyword extraction -------------
     Probe("x14_tfidf_keywords",
       (s, d) => {
+        graft.GraftExtensions.register(s)   // word_counts kernel
         TfIdf.topKeywords(Tables.documents(s, d), k = 3)
           .select(col("doc_id"), col("rank"), col("word"),
             round(col("score"), 6).as("score"))

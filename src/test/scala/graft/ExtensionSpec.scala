@@ -62,6 +62,19 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low; exact=$exact approx=$approx")
   }
 
+  test("word_counts kernel tf equals the explode+groupBy formulation") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val kernel = graft.operators.TfIdf.termFrequencies(docs)
+    val classic = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    assert(kernel.count() === classic.count())
+    assert(kernel.except(classic).count() === 0)
+    assert(classic.except(kernel).count() === 0)
+  }
+
   test("fixed-dim codegen signature equals the HOF hyperplane signature") {
     GraftExtensions.register(spark)
     val embs = Tables.embeddings(spark, sfDir).limit(200)
