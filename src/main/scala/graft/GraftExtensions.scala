@@ -142,6 +142,10 @@ object GraftExtensions {
         litInt("winnowing_fps", w)) }),
     ("word_counts", 1, { case Seq(t) =>
       graft.expressions.WordCounts(t) }),
+    // xgb_score(features, path-literal): scores the reference's
+    // operational xgboost artifact (parsed from its RDS) in codegen.
+    ("xgb_score", 2, { case Seq(f, Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.XgbScore(f, p.toString) }),
 
     ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
       val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))

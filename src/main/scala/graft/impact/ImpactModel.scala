@@ -11,16 +11,24 @@ import graft.functions.ScalarFunctions
 /** X9: the damage regression + post-processing (SURVEY.md §2.10,
   * reference forecast_process.py:409-547, 884-1237).
   *
-  * The reference trains an XGBoost regressor (100 trees, depth 8,
-  * eta .05, subsample .8, seed 42) on 19 hazard+vulnerability features.
-  * XGBoost4J is not on this classpath, so the Spark-native equivalent
-  * is MLlib's gradient-boosted trees with the same hyperparameters —
-  * an intentional re-expression, not a numeric port (tree ensembles
-  * differ across implementations; parity is at the pipeline level:
-  * same features, same postprocessing, same aggregation semantics).
+  * Two scoring paths:
   *
-  * At scale, `transform` is a per-row map over the feature vector —
-  * embarrassingly parallel, no shuffle.
+  *  - TRAIN-HERE: the Python reference retrains per run
+  *    (forecast_process.py:491-512 — 100 trees, depth 8, eta .05,
+  *    subsample .8, seed 42). XGBoost4J is not on this classpath, so
+  *    the Spark-native equivalent trains MLlib gradient-boosted trees
+  *    with the same hyperparameters — a re-expression, not a numeric
+  *    port (tree ensembles differ across implementations).
+  *  - EXACT ARTIFACT: the R reference scores a saved model
+  *    (run_model_V2.R:53,160-165). [[XgbBooster]] loads that very RDS
+  *    through the from-scratch R-serialization reader and
+  *    `xgb_score(features, path)` reproduces its predictions exactly
+  *    (same trees, float32 split compares, double leaf accumulation) —
+  *    oracle-certified against an independent SQL tree walk (probe
+  *    x24_xgb_reference_model).
+  *
+  * At scale, scoring either way is a per-row map over the feature
+  * vector — embarrassingly parallel, no shuffle.
   */
 object ImpactModel {
 
