@@ -169,6 +169,35 @@ object ClimadaSources {
     * stays in knots, and if ANY pcen is <= 0 every node's pressure is
     * replaced by the statistical estimate (the reference's
     * all-or-nothing rule, tc_tracks.py:1495-1500). */
+  /** S3/S4 head: GRIB2 fields as a long DataFrame, decoded on the
+    * executors — `binaryFile` ships each (possibly bz2-wrapped) file
+    * whole to one task and the from-scratch decoder flat-maps it to
+    * (file, msg_idx, parameter, member, lead, point, lat, lon, value)
+    * rows. NWP archives are many files of a few MB, so the file is the
+    * natural parallel unit at any corpus size; downstream cube math
+    * (`Rainfall.ensembleMedian` etc.) is ordinary relational Spark.
+    * Unstructured grids (ICON template 3.101) carry NaN lat/lon —
+    * their coordinates live in an external grid file by design. */
+  def readGrib2(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        Grib2.read(Grib2.decompress(bytes)).iterator.zipWithIndex.flatMap {
+          case (m, mi) =>
+            val grid = m.grid
+            m.values.iterator.zipWithIndex.map { case (v, i) =>
+              val (lat, lon) = grid.map(_.latLon(i))
+                .getOrElse((Double.NaN, Double.NaN))
+              (path, mi, m.paramCategory, m.paramNumber, m.ensembleMember,
+                m.forecastTime, i, lat, lon, v)
+            }
+        }
+      }
+      .toDF("path", "msg_idx", "param_category", "param_number", "member",
+        "forecast_time", "point_idx", "lat", "lon", "value")
+  }
+
   def readProcessedIbtracsCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
       .option("header", "true")
