@@ -118,8 +118,18 @@ object ClimadaSources {
       case class Step(h: Double, var lat: Option[Double] = None,
                       var lon: Option[Double] = None, var latM: Option[Double] = None,
                       var lonM: Option[Double] = None, var pcen: Option[Double] = None,
-                      var wind: Option[Double] = None)
+                      var wind: Option[Double] = None,
+                      radii: Array[Array[Double]] = Array.fill(3, 4)(Double.NaN))
       val steps = scala.collection.mutable.ArrayBuffer[Step]()
+      // wind-radii walk state: the template nests, per step,
+      // 019003 (threshold 18/26/33 m/s) → 4 × [005021 bearing-start,
+      // 005021 bearing-end, 019004 radius]; quadrants are named by the
+      // start bearing (0=NE, 90=SE, 180=SW, 270=NW).
+      var radThreshold = -1
+      val bearings = scala.collection.mutable.ArrayBuffer[Double]()
+      def thresholdIdx(ms: Double): Int =
+        if (ms == 18.0) 0 else if (ms == 26.0) 1 else if (ms == 33.0) 2 else -1
+      def quadIdx(bearing: Double): Int = ((bearing / 90.0).toInt % 4 + 4) % 4
       subset.foreach { v =>
         v.descriptor match {
           case 8005 => sig = v.num.map(_.toInt).getOrElse(-1)
@@ -130,6 +140,15 @@ object ClimadaSources {
           case 6002 if sig == 3 && step >= 0 => steps(step).lonM = v.num
           case 10051 if step >= 0 => steps(step).pcen = v.num.map(_ / 100.0)
           case 11012 if step >= 0 => steps(step).wind = v.num
+          case 19003 =>
+            radThreshold = v.num.map(thresholdIdx).getOrElse(-1)
+            bearings.clear()
+          case 5021 => v.num.foreach(bearings += _)
+          case 19004 if step >= 0 && radThreshold >= 0 && bearings.nonEmpty =>
+            v.num.foreach { m => // metres → km
+              steps(step).radii(radThreshold)(quadIdx(bearings.head)) = m / 1000.0
+            }
+            bearings.clear()
           case _ =>
         }
       }
@@ -142,14 +161,24 @@ object ClimadaSources {
             math.sqrt(math.pow(s.lat.get - lm, 2) + math.pow(s.lon.get - om, 2)) * 111.0
           case _ => Double.NaN
         }
+        val r = s.radii
         org.apache.spark.sql.Row(sid, name, member, isEns,
           java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
             forecastMicros / 1000000L + (s.h * 3600).toLong)),
           s.lat.get, s.lon.get,
           s.pcen.getOrElse(Double.NaN), 1010.0, Double.NaN,
-          s.wind.getOrElse(Double.NaN), maxRadiusKm, s.h)
+          s.wind.getOrElse(Double.NaN), maxRadiusKm, s.h,
+          r(0)(0), r(0)(1), r(0)(2), r(0)(3),
+          r(1)(0), r(1)(1), r(1)(2), r(1)(3),
+          r(2)(0), r(2)(1), r(2)(2), r(2)(3))
       }
     }
+    // per-quadrant wind radii: thresholds 18/26/33 m/s are the
+    // operational 34/50/64 kn surfaces; quadrant = start bearing
+    val radiiCols = for {
+      kt <- Seq("34", "50", "64")
+      q <- Seq("ne", "se", "sw", "nw")
+    } yield StructField(s"radius_${kt}kt_${q}_km", DoubleType)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
       StructType(Seq(
@@ -161,14 +190,9 @@ object ClimadaSources {
         StructField("radius_max_wind", DoubleType),
         StructField("max_sustained_wind", DoubleType),
         StructField("max_radius_km", DoubleType),
-        StructField("time_offset_h", DoubleType))))
+        StructField("time_offset_h", DoubleType)) ++ radiiCols))
   }
 
-  /** Processed-IBTrACS CSV → tracks DataFrame. Mirrors
-    * `_read_ibtracs_csv_single` exactly: isotime is YYYYMMDDHH, vmax
-    * stays in knots, and if ANY pcen is <= 0 every node's pressure is
-    * replaced by the statistical estimate (the reference's
-    * all-or-nothing rule, tc_tracks.py:1495-1500). */
   /** S3/S4 head: GRIB2 fields as a long DataFrame, decoded on the
     * executors — `binaryFile` ships each (possibly bz2-wrapped) file
     * whole to one task and the from-scratch decoder flat-maps it to
@@ -198,6 +222,11 @@ object ClimadaSources {
         "forecast_time", "point_idx", "lat", "lon", "value")
   }
 
+  /** Processed-IBTrACS CSV → tracks DataFrame. Mirrors
+    * `_read_ibtracs_csv_single` exactly: isotime is YYYYMMDDHH, vmax
+    * stays in knots, and if ANY pcen is <= 0 every node's pressure is
+    * replaced by the statistical estimate (the reference's
+    * all-or-nothing rule, tc_tracks.py:1495-1500). */
   def readProcessedIbtracsCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read
       .option("header", "true")

@@ -102,5 +102,15 @@ class BufrSpec extends AnyFunSuite {
     // det step 1: centre (-26.7, 72.8), max wind at (-26.6, 73.6)
     val mr = rows.head.getAs[Double]("max_radius_km")
     assert(math.abs(mr - math.sqrt(0.1 * 0.1 + 0.8 * 0.8) * 111.0) < 1e-9)
+    // per-quadrant wind radii surfaced from the 019003/005021/019004
+    // template walk: HEROLD's det message encodes 0 m for every
+    // quadrant at all three thresholds (present, not missing)
+    val radiiCols = for {
+      kt <- Seq("34", "50", "64"); q <- Seq("ne", "se", "sw", "nw")
+    } yield s"radius_${kt}kt_${q}_km"
+    radiiCols.foreach { c =>
+      assert(rows.forall(_.getAs[Double](c) == 0.0), s"$c should be 0.0")
+    }
+    assert(det2.columns.count(_.startsWith("radius_")) == 13) // 12 + rmw
   }
 }
