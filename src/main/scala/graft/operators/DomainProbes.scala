@@ -333,5 +333,132 @@ object DomainProbes {
         }.mkString(" + ")
         s"SELECT event_id, ($hatSum) * 1.852 AS rmw_km FROM events ORDER BY event_id"
       })),
+
+    // X7: the full Willoughby sectioned profile under the oracle gate —
+    // parameters 10a-c, eq-3 target, the Newton-Raphson ξ solve
+    // (mirrored as a recursive CTE running the same iteration:
+    // xi₀ = 0.5, eps 1e-3, ≤100 steps), transition ring, dual-exp
+    // outer profile, inflow angle and forward-speed add-back. ξ and
+    // everything downstream are certified at round-6 plus the
+    // convergence-contract boolean; the sub-ulp libm differences the
+    // NR contraction leaves behind are ~1e-12.
+    Probe("d10_willoughby_profile",
+      (s, d) => {
+        import graft.hazard.Willoughby
+        val ev = Tables.events(s, d).select(
+          col("event_id"),
+          (col("value") * 4.0 + 1.0).as("dist_km"),
+          (lit(20.0) + col("value") / 10.0).as("vmax_gl"),
+          (lit(5.0) + col("value") / 20.0).as("lat"),
+          lit(3.0).as("spd_u"), lit(4.0).as("spd_v"),
+          (col("value") * 0.7).as("bearing_deg"))
+        Willoughby.surfaceWind(ev)
+          .select(col("event_id"),
+            round(col("w_rmax"), 6).as("rmax"),
+            round(Willoughby.eq3Right(col("w_n"), col("w_a"), col("w_x1"),
+              col("w_rmax")), 6).as("eq3"),
+            round(col("w_xi"), 6).as("xi"),
+            col("w_xi").isNotNull.as("converged"),
+            when(col("w_xi").isNotNull, round(col("wind_sfc"), 6)).as("wind_sfc"),
+            when(col("w_xi").isNotNull, round(col("gust"), 6)).as("gust"))
+          .orderBy("event_id")
+      },
+      Some({
+        // DuckDB forbids the recursive self-reference inside a
+        // subquery, so the Newton step xi' = xi - f/deriv is inlined
+        // wherever the next iterate appears.
+        val xin = "(xi - f / (630.0e0*POW(xi,8.0e0) - 2520.0e0*POW(xi,7.0e0)" +
+          " + 3780.0e0*POW(xi,6.0e0) - 2520.0e0*POW(xi,5.0e0)" +
+          " + 630.0e0*POW(xi,4.0e0)))"
+        s"""WITH RECURSIVE base AS (
+           |  SELECT event_id,
+           |    value * 4.0e0 + 1.0e0 AS dist,
+           |    20.0e0 + value / 10.0e0 AS v,
+           |    5.0e0 + value / 20.0e0 AS lat,
+           |    value * 0.7e0 AS bearing
+           |  FROM events),
+             |par AS (
+             |  SELECT *,
+             |    46.4e0 * EXP(-0.0155e0 * v + 0.0169e0 * lat) AS rmax,
+             |    317.1e0 - 2.026e0 * v + 1.915e0 * lat AS x1,
+             |    0.4067e0 + 0.0144e0 * v - 0.0038e0 * lat AS n,
+             |    GREATEST(0.0e0, 0.0696e0 + 0.0049e0 * v - 0.0064e0 * lat) AS a
+             |  FROM base),
+             |tgt AS (
+             |  SELECT *,
+             |    (n * ((1.0e0 - a) * x1 + 25.0e0 * a))
+             |      / ((n * ((1.0e0 - a) * x1 + 25.0e0 * a)) + rmax) AS e
+             |  FROM par),
+             |nr AS (
+             |  SELECT event_id, 1 AS i, 0.5e0 AS xi,
+             |    70.0e0*POW(0.5e0,9.0e0) - 315.0e0*POW(0.5e0,8.0e0)
+             |      + 540.0e0*POW(0.5e0,7.0e0) - 420.0e0*POW(0.5e0,6.0e0)
+             |      + 126.0e0*POW(0.5e0,5.0e0) - e AS f,
+             |    e FROM tgt
+           |  UNION ALL
+           |  SELECT event_id, i + 1, $xin,
+           |    70.0e0*POW($xin,9.0e0) - 315.0e0*POW($xin,8.0e0)
+           |      + 540.0e0*POW($xin,7.0e0) - 420.0e0*POW($xin,6.0e0)
+           |      + 126.0e0*POW($xin,5.0e0) - e,
+           |    e
+           |  FROM nr WHERE ABS(f) > 1e-3 AND i <= 100),
+             |fin AS (
+             |  SELECT event_id, xi, f,
+             |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY i DESC) AS rn
+             |  FROM nr),
+             |fx AS (
+             |  SELECT event_id, CASE WHEN ABS(f) <= 1e-3 THEN xi END AS xi
+             |  FROM fin WHERE rn = 1),
+             |w AS (
+             |  SELECT t.*, fx.xi,
+             |    t.rmax - fx.xi
+             |      * (CASE WHEN t.rmax > 20.0e0 THEN 25.0e0 ELSE 15.0e0 END) AS r1,
+             |    (CASE WHEN t.rmax > 20.0e0 THEN 25.0e0 ELSE 15.0e0 END) AS ring
+             |  FROM tgt t JOIN fx USING (event_id)),
+             |prof AS (
+             |  SELECT *,
+             |    GREATEST(0.0e0, CASE
+             |      WHEN dist < r1 THEN v * POW(dist / rmax, n)
+             |      WHEN dist > r1 + ring THEN
+             |        v * ((1.0e0 - a) * EXP((rmax - dist) / x1)
+             |             + a * EXP((rmax - dist) / 25.0e0))
+             |      ELSE v * POW(dist / rmax, n)
+             |             * (1.0e0 - (126.0e0*POW((dist - r1)/ring, 5.0e0)
+             |               - 420.0e0*POW((dist - r1)/ring, 6.0e0)
+             |               + 540.0e0*POW((dist - r1)/ring, 7.0e0)
+             |               - 315.0e0*POW((dist - r1)/ring, 8.0e0)
+             |               + 70.0e0*POW((dist - r1)/ring, 9.0e0)))
+             |           + v * ((1.0e0 - a) * EXP((rmax - dist) / x1)
+             |               + a * EXP((rmax - dist) / 25.0e0))
+             |             * (126.0e0*POW((dist - r1)/ring, 5.0e0)
+             |               - 420.0e0*POW((dist - r1)/ring, 6.0e0)
+             |               + 540.0e0*POW((dist - r1)/ring, 7.0e0)
+             |               - 315.0e0*POW((dist - r1)/ring, 8.0e0)
+             |               + 70.0e0*POW((dist - r1)/ring, 9.0e0)) END) AS wind_gl,
+             |    (bearing + 90.0e0
+             |      + (((CASE WHEN dist < rmax THEN 10.0e0 + (1.0e0 + dist / rmax)
+             |               WHEN dist < 1.2e0 * rmax THEN
+             |                 20.0e0 + 25.0e0 * (dist / rmax - 1.0e0)
+             |               ELSE 25.0e0 END) + 20.0e0) % 360.0e0)) % 360.0e0 AS swd
+             |  FROM w),
+             |sfc AS (
+             |  SELECT *,
+             |    GREATEST(0.0e0, SQRT(
+             |      (wind_gl * 1.0e0 * COS(RADIANS(swd))
+             |        + ((rmax * dist) / (rmax * rmax + dist * dist)) * 3.0e0)
+             |      * (wind_gl * 1.0e0 * COS(RADIANS(swd))
+             |        + ((rmax * dist) / (rmax * rmax + dist * dist)) * 3.0e0)
+             |      + (wind_gl * 1.0e0 * SIN(RADIANS(swd))
+             |        + ((rmax * dist) / (rmax * rmax + dist * dist)) * 4.0e0)
+             |      * (wind_gl * 1.0e0 * SIN(RADIANS(swd))
+             |        + ((rmax * dist) / (rmax * rmax + dist * dist)) * 4.0e0))) AS wind_sfc
+             |  FROM prof)
+             |SELECT event_id, ROUND(rmax, 6) AS rmax, ROUND(e, 6) AS eq3,
+             |  ROUND(xi, 6) AS xi, xi IS NOT NULL AS converged,
+             |  CASE WHEN xi IS NULL THEN NULL ELSE ROUND(wind_sfc, 6) END AS wind_sfc,
+             |  CASE WHEN xi IS NULL THEN NULL
+             |       ELSE ROUND(wind_sfc * 1.49e0, 6) END AS gust
+             |FROM sfc ORDER BY event_id""".stripMargin
+      })),
   )
 }
