@@ -53,10 +53,25 @@ object BenchDedup {
       Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 4)).count()
     }
     require(nPairs2 == nPairs, s"one-pass pair count $nPairs2 != relational $nPairs")
+
+    // DECISION path at volume: candidate pairs → connected components
+    // (DataFrame label propagation) → one keeper per group. This is
+    // the iterative join loop that could die silently at 100×, so its
+    // rounds AND wall time are first-class bench outputs.
+    val ((nDropped, ccRounds), tCc) = timed {
+      val pairs = {
+        val sig = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 16)
+        Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 4))
+      }
+      val (groups, rounds) = Dedup.nearDupGroupsDFWithRounds(
+        pairs, docs.select("doc_id"))
+      (groups.where(!col("keep")).count(), rounds)
+    }
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
-      s""""minhash_lsh_onepass_sec":${f"$tOnePass%.2f"}}""")
+      s""""minhash_lsh_onepass_sec":${f"$tOnePass%.2f"},""" +
+      s""""cc_dropped_docs":$nDropped,"cc_rounds":$ccRounds,"cc_sec":${f"$tCc%.2f"}}""")
     spark.stop()
   }
 }

@@ -65,16 +65,36 @@ object BenchWindfield {
     val centroidAdmin = centroids.select(
       col("centroid_id"),
       concat(lit("M"), (col("centroid_id") % 1650)).as("admin_code"))
-    val (nMuni, tMunicipal) = timed {
-      Forecast.municipalHazard(resampled, centroids, centroidAdmin).count()
+    val hazard = Forecast.municipalHazard(resampled, centroids, centroidAdmin)
+    val (nMuni, tMunicipal) = timed { hazard.cache(); hazard.count() }
+
+    // trigger/aggregation TAIL at the same operational envelope — the
+    // t01/t02 probe shapes (W6 dedup, per-member totals, exceedance
+    // cross-agg, all four trigger tables + the damage-probability
+    // municipality report) on the 52-member hazard:
+    val (trigRows, tTriggers) = timed {
+      val impact = hazard
+        .withColumn("Mun_Code",
+          concat(lit("PH"), lpad((abs(hash(col("Mun_Code"))) % 17).cast("string"), 2, "0"),
+            substring(col("Mun_Code"), 2, 10)))
+        .withColumn("damage_pct",
+          least(lit(100.0), pow(col("HAZ_v_max"), 2) / lit(50.0)))
+        .withColumn("damage_num", col("damage_pct") * lit(25.0))
+      val rep = Forecast.triggers(impact)
+      val muniReport = graft.impact.DamageProbability.municipalityTable(
+        graft.impact.Triggers.dedupKeepMax(impact), 0.5, 100.0)
+      rep.dref.count() + rep.cerf.count() + rep.start.count() +
+        rep.hi.count() + muniReport.count()
     }
+    hazard.unpersist()
 
     println(s"""{"metric":"windfield_operational","distance_metric":"$metric","members":$members,""" +
       s""""nodes":$nNodes,"centroids":47241,"pair_rows":$nPairs,""" +
       s""""intensity_rows":$inten,"municipal_rows":$nMuni,""" +
       s""""resample_sec":${f"$tResample%.2f"},""" +
       s""""windfield_sec":${f"$tCompute%.2f"},"intensity_sec":${f"$tIntensity%.2f"},""" +
-      s""""municipal_sec":${f"$tMunicipal%.2f"}}""")
+      s""""municipal_sec":${f"$tMunicipal%.2f"},""" +
+      s""""trigger_tail_rows":$trigRows,"trigger_tail_sec":${f"$tTriggers%.2f"}}""")
     spark.stop()
   }
 }

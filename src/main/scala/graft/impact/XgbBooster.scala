@@ -33,6 +33,9 @@ final class XgbBooster(val baseScore: Float, val numFeature: Int,
                        val featureNames: Seq[String]) extends Serializable {
 
   def predict(f: Array[Double]): Double = {
+    require(f.length >= numFeature,
+      s"feature vector has ${f.length} entries; model needs $numFeature " +
+        s"(${featureNames.mkString(", ")})")
     var acc: Double = baseScore.toDouble
     var t = 0
     while (t < trees.length) {

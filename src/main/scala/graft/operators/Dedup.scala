@@ -169,17 +169,37 @@ object Dedup {
     * sharing at least `minOverlap` word n-gram shingles. Built on the
     * one-pass shingle-hash sets: explode each side to (hash, id) rows
     * and equi-join on the 60-bit hash — the join is keyed by shingle
-    * hash, so at 100 TB it is an ordinary shuffle join whose skew is
-    * bounded by stopword-like shingles (prune those upstream with a
-    * df-threshold if needed). Requires GraftExtensions. */
+    * hash, so at 100 TB it is an ordinary shuffle join.
+    *
+    * `maxShingleDf` is the SKEW GUARD: a stopword-like shingle ("of the
+    * and"…) appearing in df train docs and e eval docs contributes
+    * df×e join rows — one hot key can make a single bucket quadratic
+    * over a web-scale corpus. Shingles whose TRAIN-side document
+    * frequency exceeds the cutoff are dropped before the join (they
+    * carry no leakage signal — ubiquitous phrases are not evidence of
+    * contamination), bounding every join key's fan-out at
+    * maxShingleDf×e. The hot set has at most |train shingle rows| /
+    * cutoff members, so it broadcasts; pruning is a broadcast
+    * LEFT ANTI join, no extra shuffle of the big side. Default keeps
+    * every shingle (exact semantics). Requires GraftExtensions. */
   def contamination(train: DataFrame, eval: DataFrame, n: Int = 3,
                     minOverlap: Long = 3, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val th = shingleHashSets(train, n, idCol, textCol)
       .select(col(idCol).as("train_id"), explode(col("sh_hashes")).as("h"))
+    // sh_hashes is distinct per doc, so count(1) per hash = document
+    // frequency on the train side.
+    val thKept =
+      if (maxShingleDf == Long.MaxValue) th
+      else {
+        val hot = th.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select("h")
+        th.join(broadcast(hot), Seq("h"), "left_anti")
+      }
     val eh = shingleHashSets(eval, n, idCol, textCol)
       .select(col(idCol).as("eval_id"), explode(col("sh_hashes")).as("h"))
-    eh.join(th, Seq("h"))
+    eh.join(thKept, Seq("h"))
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minOverlap)
@@ -216,7 +236,15 @@ object Dedup {
     *
     * Returns (idCol, group_id, keep) for every id in `allIds`. */
   def nearDupGroupsDF(pairs: DataFrame, allIds: DataFrame,
-                      idCol: String = "doc_id", maxRounds: Int = 50): DataFrame = {
+                      idCol: String = "doc_id", maxRounds: Int = 50): DataFrame =
+    nearDupGroupsDFWithRounds(pairs, allIds, idCol, maxRounds)._1
+
+  /** As nearDupGroupsDF, additionally reporting how many propagation
+    * rounds ran before the fixpoint — the number to watch at scale,
+    * since each round is a join+groupBy over the edge list. */
+  def nearDupGroupsDFWithRounds(pairs: DataFrame, allIds: DataFrame,
+                                idCol: String = "doc_id",
+                                maxRounds: Int = 50): (DataFrame, Int) = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = allIds.select(col(idCol).cast("long").as("id"))
@@ -239,8 +267,8 @@ object Dedup {
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    labels.select(col("id").as(idCol), col("label").as("group_id"),
-      (col("id") === col("label")).as("keep"))
+    (labels.select(col("id").as(idCol), col("label").as("group_id"),
+      (col("id") === col("label")).as("keep")), round)
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -355,6 +355,31 @@ object ExtensionProbes {
               |GROUP BY 1, 2 HAVING COUNT(*) >= 3
               |ORDER BY eval_id, train_id""".stripMargin)),
 
+    // Dedup.contamination with the df-threshold skew guard: stopword-
+    // like shingles (train-side document frequency > 3 at this SF) are
+    // dropped before the join — the oracle mirrors the prune on the
+    // shingle strings, so the certified output is the PRUNED scan, not
+    // a no-op (at sf0.01 the cutoff excludes the df-4/5 shingles and
+    // several (eval,train) pairs shift or drop vs x16).
+    Probe("x25_contamination_pruned",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        Dedup.contamination(train, eval, n = 3, minOverlap = 3,
+            maxShingleDf = 3L)
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH sh AS ($shingleSql),
+              |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+              |keep AS (SELECT shingle FROM tr GROUP BY 1 HAVING COUNT(*) <= 3),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1)
+              |SELECT eval_id, train_id, COUNT(*) AS n_shared
+              |FROM ev JOIN tr USING (shingle) JOIN keep USING (shingle)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+              |ORDER BY eval_id, train_id""".stripMargin)),
+
     // Sketch error contract: approx quantile within 2% of exact ---------
     // (sketches differ per engine, so the CERTIFIED value is the exact
     // quantile plus the engine-portable error-bound boolean)

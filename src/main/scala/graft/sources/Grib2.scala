@@ -119,32 +119,62 @@ object Grib2 {
       require(in.u8(p + 7) == 2, s"GRIB edition ${in.u8(p + 7)}, expected 2")
       val discipline = in.u8(p + 6)
       val totalLen = in.u64(p + 8)
-      out += decodeMessage(in, p, p + totalLen.toInt, discipline)
+      out ++= decodeMessage(in, p, p + totalLen.toInt, discipline)
       p += totalLen.toInt
     }
     out.result()
   }
 
+  /** Walk sections sequentially: GRIB2 allows sections 2-7 to repeat
+    * within one message (one field per section-7 occurrence, inheriting
+    * the most recent sections 3-6), so a field is emitted at every
+    * section 7 rather than from a last-wins section map. */
   private def decodeMessage(in: In, start: Int, end: Int,
-                            discipline: Int): Message = {
+                            discipline: Int): Seq[Message] = {
+    val out = Seq.newBuilder[Message]
     var q = start + 16
-    val secs = scala.collection.mutable.Map[Int, Int]() // section num -> offset
+    var s3, s4, s5, s6 = -1
+    var prevBitmap: Option[Array[Boolean]] = None
     while (q < end - 4) {
       val slen = in.u32(q).toInt
-      val snum = in.u8(q + 4)
-      secs(snum) = q
+      require(slen > 4, s"corrupt section length $slen at offset $q")
+      in.u8(q + 4) match {
+        case 1 | 2 => // identification / local use — skipped
+        case 3 => s3 = q
+        case 4 => s4 = q
+        case 5 => s5 = q
+        case 6 => s6 = q
+        case 7 =>
+          require(s3 >= 0 && s4 >= 0 && s5 >= 0,
+            "section 7 before sections 3/4/5")
+          val (msg, bm) =
+            decodeField(in, discipline, s3, s4, s5, s6, q, prevBitmap)
+          if (bm.isDefined) prevBitmap = bm
+          out += msg
+        case other =>
+          throw new UnsupportedOperationException(s"GRIB2 section $other")
+      }
       q += slen
     }
     require(in.b(end - 4) == '7' && in.b(end - 3) == '7', "missing 7777 trailer")
+    out.result()
+  }
 
+  /** Decode one field from its governing sections; returns the message
+    * plus the bitmap actually applied (for indicator-254 reuse). */
+  private def decodeField(in: In, discipline: Int, s3: Int, s4: Int,
+                          s5: Int, s6: Int, s7: Int,
+                          prevBitmap: Option[Array[Boolean]])
+      : (Message, Option[Array[Boolean]]) = {
     // section 4: product definition -----------------------------------
-    val s4 = secs(4)
     val tmpl4 = in.u16(s4 + 7)
     val cat = in.u8(s4 + 9)
     val num = in.u8(s4 + 10)
-    // octet 18 (idx 17): time unit; octets 19-22: forecast time
+    // octet 18 (idx 17): time unit; octets 19-22: forecast time —
+    // SIGNED (two's complement): analysis/reanalysis products encode
+    // negative lead times.
     val (timeUnit, fcTime) = tmpl4 match {
-      case 0 | 1 | 8 | 11 => (in.u8(s4 + 17), in.u32(s4 + 18))
+      case 0 | 1 | 8 | 11 => (in.u8(s4 + 17), in.u32(s4 + 18).toInt.toLong)
       case _ => (-1, -1L)
     }
     val member = tmpl4 match {
@@ -153,7 +183,6 @@ object Grib2 {
     }
 
     // section 3: grid definition --------------------------------------
-    val s3 = secs(3)
     val tmpl3 = in.u16(s3 + 12)
     val nPoints = in.u32(s3 + 6).toInt
     val grid = tmpl3 match {
@@ -175,23 +204,26 @@ object Grib2 {
         throw new UnsupportedOperationException(s"grid template 3.$other")
     }
 
-    // section 6: bitmap ------------------------------------------------
-    val bitmap: Option[Array[Boolean]] = secs.get(6).flatMap { s6 =>
-      in.u8(s6 + 5) match {
+    // section 6: bitmap (indicator 254 = reuse the bitmap previously
+    // applied in this message, per the section-6 octet-6 code table) --
+    val bitmap: Option[Array[Boolean]] =
+      if (s6 < 0) None
+      else in.u8(s6 + 5) match {
         case 255 => None
+        case 254 =>
+          require(prevBitmap.isDefined,
+            "bitmap indicator 254 with no previously defined bitmap")
+          prevBitmap
         case 0 =>
           val bits = new Bits(in.b, (s6 + 6).toLong * 8)
           Some(Array.fill(nPoints)(bits.read(1) == 1L))
         case other =>
           throw new UnsupportedOperationException(s"bitmap indicator $other")
       }
-    }
     val nData = bitmap.map(_.count(identity)).getOrElse(nPoints)
 
     // section 5 + 7: data representation + data -----------------------
-    val s5 = secs(5)
     val tmpl5 = in.u16(s5 + 9)
-    val s7 = secs(7)
     val packed = tmpl5 match {
       case 0 => unpackSimple(in, s5, s7, nData)
       case 2 => unpackComplex(in, s5, s7, nData, spatialDiff = false)
@@ -212,8 +244,8 @@ object Grib2 {
         }
         full
     }
-    Message(discipline, cat, num, tmpl4, member, timeUnit, fcTime,
-      tmpl3, grid, values)
+    (Message(discipline, cat, num, tmpl4, member, timeUnit, fcTime,
+      tmpl3, grid, values), bitmap)
   }
 
   /** Template 5.0: Y = (R + X * 2^E) / 10^D with X an nbits unsigned. */
@@ -277,11 +309,15 @@ object Grib2 {
     val groupWidths = Array.fill(ng)(
       refGroupWidth + (if (bitsGroupWidth == 0) 0L else bits.read(bitsGroupWidth)))
     bits.pos = (bits.pos + 7) & ~7L
-    val groupLens = Array.tabulate(ng) { g =>
-      if (g == ng - 1) lastGroupLen
-      else refGroupLen + lenIncrement *
-        (if (bitsGroupLen == 0) 0L else bits.read(bitsGroupLen))
-    }
+    // Data template 7.2/7.3 encodes NG scaled group lengths — including
+    // a placeholder for the last group, whose true length then comes
+    // from template-5.2 octets 43-46. Read (and discard) all NG so the
+    // bit cursor lands on the right byte-align boundary, then override
+    // the last entry (g2clib/wgrib2/eccodes do the same).
+    val groupLens = Array.fill(ng)(
+      refGroupLen + lenIncrement *
+        (if (bitsGroupLen == 0) 0L else bits.read(bitsGroupLen)))
+    groupLens(ng - 1) = lastGroupLen
     bits.pos = (bits.pos + 7) & ~7L
 
     val x = new Array[Long](n)

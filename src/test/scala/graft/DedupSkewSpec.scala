@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The contamination df-threshold skew guard (Dedup.contamination
+  * maxShingleDf): semantics-preserving when the cutoff clears every
+  * train-side document frequency, and hard-bounding per-key join
+  * fan-out when a stopword-like shingle goes hot. */
+class DedupSkewSpec extends SparkTestBase {
+
+  private def split(dir: String) = {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    (docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
+  }
+
+  test("cutoff above max df reproduces the unpruned scan exactly") {
+    val (train, eval) = split(sfDir)
+    val base = Dedup.contamination(train, eval, n = 3, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pruned = Dedup.contamination(train, eval, n = 3, minOverlap = 3,
+        maxShingleDf = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base === pruned)
+    assert(base.nonEmpty)
+  }
+
+  test("hot shingle: fan-out bounded at the cutoff, real overlaps survive") {
+    import spark.implicits._
+    // every train doc shares the stopword shingle "of the and"; docs
+    // 0/1 additionally share 3 real shingles with eval doc 100.
+    val hot = "of the and"
+    val real = "quick brown fox jumps over"  // 3 distinct 3-gram shingles
+    val train = (0L until 40L).map { i =>
+      val body = if (i < 2) real else s"unique$i tokens$i here$i"
+      (i, s"$hot $body")
+    }.toDF("doc_id", "text")
+    val eval = Seq((100L, s"$real tail")).toDF("doc_id", "text")
+
+    // per-shingle-hash fan-out on the train side of the join
+    def fanOut(maxDf: Long): Long = {
+      val th = Dedup.shingleHashSets(train, 3)
+        .select(col("doc_id").as("train_id"), explode(col("sh_hashes")).as("h"))
+      val kept =
+        if (maxDf == Long.MaxValue) th
+        else {
+          val hotH = th.groupBy("h").agg(count(lit(1)).as("df"))
+            .where(col("df") > maxDf).select("h")
+          th.join(broadcast(hotH), Seq("h"), "left_anti")
+        }
+      kept.groupBy("h").count().agg(max("count")).head().getLong(0)
+    }
+    assert(fanOut(Long.MaxValue) === 40L)  // unguarded: hot key fans out to all docs
+    assert(fanOut(5L) <= 5L)               // guarded: every key bounded by cutoff
+
+    // the guarded scan still finds the genuine 4-shingle overlap with
+    // docs 0 and 1 ("quick brown fox","brown fox jumps","fox jumps
+    // over" + for doc 100 "jumps over tail" is eval-only), and the
+    // hot shingle no longer links eval to the other 38 docs.
+    val hits = Dedup.contamination(train, eval, n = 3, minOverlap = 3,
+        maxShingleDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((100L, 0L), (100L, 1L)))
+  }
+}

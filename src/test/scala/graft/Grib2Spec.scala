@@ -106,27 +106,36 @@ class Grib2Spec extends SparkTestBase {
     msg.bytes
   }
 
-  test("template 5.2 complex packing: two groups, ref+width+length blocks") {
-    // values [10,13,11, 5,0,7]: group1 ref 10 width 2, group2 ref 0 width 3
+  test("template 5.2 complex packing: three groups, NG scaled lengths") {
+    // values [10,13,11, 5,0,7, 20,22]: refs 10/0/20, widths 2/3/2,
+    // lengths 3/3/2. Data template 7.2 encodes NG (not NG-1) scaled
+    // group lengths; with NG=3 at 4 bits the list spans 2 bytes after
+    // alignment where an NG-1 reading spans 1 — so a decoder short one
+    // entry starts the packed values a byte early and this fixture
+    // fails loudly. The last scaled entry is a placeholder (9 → would
+    // be length 3+9=12, overflowing n=8) that must be read, discarded,
+    // and replaced by the true length from template-5.2 octets 43-46.
     val t = new Builder
-    t.f32(0f).u16(0).u16(0).u8(4)   // R=0 E=0 D=0, 4 bits per group ref
+    t.f32(0f).u16(0).u16(0).u8(5)   // R=0 E=0 D=0, 5 bits per group ref
       .u8(0)                         // original field type
       .u8(1)                         // group splitting method
       .u8(0)                         // missing value management
       .u32(0).u32(0)                 // missing substitutes
-      .u32(2)                        // NG = 2
+      .u32(3)                        // NG = 3
       .u8(2).u8(3)                   // group width reference 2, 3 bits/width
       .u32(3).u8(1)                  // group length reference 3, increment 1
-      .u32(3)                        // true length of last group
+      .u32(2)                        // true length of last group
       .u8(4)                         // bits per scaled group length
     val w = new BitWriter
-    w.write(10, 4); w.write(0, 4); w.align()   // group references
-    w.write(0, 3); w.write(1, 3); w.align()    // widths - ref = [0, 1]
-    w.write(0, 4); w.align()                   // first group scaled length
-    w.write(0, 2); w.write(3, 2); w.write(1, 2) // group 1 offsets
-    w.write(5, 3); w.write(0, 3); w.write(7, 3) // group 2 offsets
-    val msgs = Grib2.read(message(2, 6, t.bytes, w.bytes))
-    assert(msgs.head.values.toSeq === Seq(10.0, 13.0, 11.0, 5.0, 0.0, 7.0))
+    w.write(10, 5); w.write(0, 5); w.write(20, 5); w.align() // group refs
+    w.write(0, 3); w.write(1, 3); w.write(0, 3); w.align()   // widths - 2
+    w.write(0, 4); w.write(0, 4); w.write(9, 4); w.align()   // NG scaled lens
+    w.write(0, 2); w.write(3, 2); w.write(1, 2)  // group 1 offsets (w=2)
+    w.write(5, 3); w.write(0, 3); w.write(7, 3)  // group 2 offsets (w=3)
+    w.write(0, 2); w.write(2, 2)                 // group 3 offsets (w=2)
+    val msgs = Grib2.read(message(2, 8, t.bytes, w.bytes))
+    assert(msgs.head.values.toSeq ===
+      Seq(10.0, 13.0, 11.0, 5.0, 0.0, 7.0, 20.0, 22.0))
   }
 
   test("template 5.3 spatial differencing order 2 reconstructs the field") {
@@ -148,6 +157,50 @@ class Grib2Spec extends SparkTestBase {
     // group blocks: 0-bit refs/widths/lengths, 0-bit data — all empty
     val msgs = Grib2.read(message(3, 6, t.bytes, w.bytes))
     assert(msgs.head.values.toSeq === Seq(5.0, 7.0, 10.0, 14.0, 19.0, 25.0))
+  }
+
+  test("repeated sections 4-7 decode one field each; forecast time is signed") {
+    // One GRIB2 message carrying TWO fields (sections 4,5,6,7 repeat
+    // after the shared section 3) — the spec allows 2-7 to repeat, one
+    // field per section-7 occurrence. Field 2's forecast time is -6
+    // (two's complement), as analysis products encode negative leads.
+    def section(num: Int, body: Builder => Unit): Array[Byte] = {
+      val b = new Builder
+      body(b)
+      val content = b.bytes
+      val h = new Builder
+      h.u32(content.length + 5).u8(num)
+      h.out.write(content, 0, content.length)
+      h.bytes
+    }
+    def s4(fcTime: Long) = section(4, b => { b.u16(0).u16(0)
+      .u8(2).u8(22).u8(2).u8(0).u8(0).u16(0).u8(0).u8(1).u32(fcTime)
+      .u8(103).u8(0).u32(10).u8(255).u8(0).u32(0) })
+    // simple packing, 3 values, 4 bits each
+    def s5 = section(5, b => { b.u32(3).u16(0)
+      b.f32(0f).u16(0).u16(0).u8(4).u8(0) })
+    def s7(vals: Seq[Int]) = section(7, b => {
+      val w = new BitWriter
+      vals.foreach(v => w.write(v, 4))
+      val d = w.bytes; b.out.write(d, 0, d.length) })
+    val s1 = section(1, b => { b.u16(0).u16(0).u8(0).u8(0).u8(0)
+      .u16(2021).u8(1).u8(28).u8(0).u8(0).u8(0).u8(0).u8(1) })
+    val s3 = section(3, b => { b.u8(0).u32(3).u8(0).u8(0).u16(101) })
+    val s6 = section(6, b => b.u8(255))
+    val body = Array(s1, s3,
+      s4(6), s5, s6, s7(Seq(1, 2, 3)),
+      s4(-6L & 0xFFFFFFFFL), s5, s6, s7(Seq(4, 5, 6))).flatten
+    val msg = new Builder
+    msg.u8('G').u8('R').u8('I').u8('B').u16(0).u8(0).u8(2)
+    msg.u64(16L + body.length + 4)
+    msg.out.write(body, 0, body.length)
+    msg.u8('7').u8('7').u8('7').u8('7')
+    val fields = Grib2.read(msg.bytes)
+    assert(fields.length === 2)
+    assert(fields(0).values.toSeq === Seq(1.0, 2.0, 3.0))
+    assert(fields(1).values.toSeq === Seq(4.0, 5.0, 6.0))
+    assert(fields(0).forecastTime === 6L)
+    assert(fields(1).forecastTime === -6L)
   }
 
   test("readGrib2 DataFrame adapter + ensemble median over both files") {

@@ -32,6 +32,27 @@ class IvfSpec extends SparkTestBase {
     cached.unpersist()
   }
 
+  test("KMeans IVF: mean recall@10 >= 0.8 over 20 queries at nprobe 3/8") {
+    // The production quantizer's cells as EVIDENCE: fixed-seed KMeans
+    // (seed 42), a real prune (3 of 8 cells scanned), recall measured
+    // against exact brute force over 20 query vectors — the same
+    // recall bound the oracle-gated x22/x23 probes enforce for the
+    // deterministic quantizer.
+    val embs = Tables.embeddings(spark, sfDir).cache()
+    val (model, assigned) = IvfIndex.build(embs, nlist = 8, seed = 42)
+    val cached = assigned.cache()
+    val recalls = (0L until 20L).map { q =>
+      val exact = Similarity.cosineTopK(embs, queryId = q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = IvfIndex.topK(model, cached, queryId = q, k = 10, nprobe = 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 $mean; per-query: $recalls")
+    cached.unpersist(); embs.unpersist()
+  }
+
   test("deterministic IVF: full probe equals exact, partial probe prunes") {
     GraftExtensions.register(spark)
     val embs = Tables.embeddings(spark, sfDir)
