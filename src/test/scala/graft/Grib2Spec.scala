@@ -138,6 +138,43 @@ class Grib2Spec extends SparkTestBase {
       Seq(10.0, 13.0, 11.0, 5.0, 0.0, 7.0, 20.0, 22.0))
   }
 
+  test("5.2 round-trip property: random group structures decode to the input") {
+    // encode arbitrary (ref, width, offsets) group structures per the
+    // WMO template text and assert exact decode — exercises width-0
+    // groups, multi-group byte alignment, and the NG-placeholder rule
+    // over shapes no hand-built fixture covers
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 30) {
+      val ng = 1 + rnd.nextInt(6)
+      val groups = (0 until ng).map { _ =>
+        val len = 1 + rnd.nextInt(20)
+        val ref = rnd.nextInt(200)
+        val w = rnd.nextInt(5)
+        val offsets = Seq.fill(len)(if (w == 0) 0 else rnd.nextInt(1 << w))
+        (ref, w, offsets)
+      }
+      val vals = groups.flatMap { case (ref, _, offs) => offs.map(ref + _) }
+      val t = new Builder
+      t.f32(0f).u16(0).u16(0).u8(8)      // R=0 E=0 D=0, 8 bits per ref
+        .u8(0).u8(1).u8(0)
+        .u32(0).u32(0)
+        .u32(ng)
+        .u8(0).u8(3)                      // width ref 0, 3 bits per width
+        .u32(0).u8(1)                     // length ref 0, increment 1
+        .u32(groups.last._3.length)       // true last group length
+        .u8(8)                            // 8 bits per scaled length
+      val w = new BitWriter
+      groups.foreach { case (ref, _, _) => w.write(ref.toLong, 8) }; w.align()
+      groups.foreach { case (_, gw, _) => w.write(gw.toLong, 3) }; w.align()
+      groups.init.foreach { case (_, _, offs) => w.write(offs.length.toLong, 8) }
+      w.write(rnd.nextInt(256).toLong, 8); w.align()  // NG-th placeholder
+      groups.foreach { case (_, gw, offs) =>
+        if (gw > 0) offs.foreach(o => w.write(o.toLong, gw)) }
+      val msgs = Grib2.read(message(2, vals.length, t.bytes, w.bytes))
+      assert(msgs.head.values.toSeq === vals.map(_.toDouble))
+    }
+  }
+
   test("template 5.3 spatial differencing order 2 reconstructs the field") {
     // true field [5,7,10,14,19,25]; 2nd differences all 1, gmin 1
     val t = new Builder

@@ -94,6 +94,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"contamination must join on the hash key:\n$p")
   }
 
+  test("x25 pruned contamination: hot-shingle prune is a broadcast anti-join") {
+    val p = planString("x25_contamination_pruned")
+    // the skew guard must not shuffle the big exploded side a second
+    // time: the hot-hash set broadcasts into a LeftAnti hash join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"df-threshold prune must broadcast the hot set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x06 one-pass minhash plan: single stage, no exchange, codegen'd") {
     val p = planString("x06_minhash_signature")
     // the signature subtree itself is map-only; the probe's global sort
