@@ -123,9 +123,11 @@ object Bench {
       "871,410,798 pair rows, windfield 28.2s; trigger/aggregation tail " +
       "(dedupKeepMax, per-member totals, exceedance cross-agg, " +
       "dref/cerf/start/hi + municipality damage table) 11.4s for 1,674 " +
-      "report rows. BenchDedup 1M docs: one-pass MinHash+LSH pairs 6.8s; " +
+      "report rows. BenchDedup 1M docs: one-pass MinHash+LSH pairs 4.8s; " +
       "connected-components decision (DataFrame label propagation) " +
-      "converged in 2 rounds, 25.7s, collapsing all 19,998 planted " +
+      "converged in 2 rounds, 17.2s (25.7s before folding the " +
+      "convergence check into the checkpointed update - one big join " +
+      "per round instead of two), collapsing all 19,998 planted " +
       "near-dup pairs."
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm":"$warmMode","notes":"$notes","volume_notes":"$volumeNotes"}""")
     spark.stop()

@@ -257,13 +257,15 @@ object Dedup {
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("nbr_label"))
+      // carry the old label through the update so convergence is a
+      // cheap scan of the checkpointed result — not a second
+      // full-size self-join per round
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.where(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
