@@ -25,14 +25,11 @@ object Bench {
     // note below). "off": no per-probe warmup (round-2 behavior).
     val warmMode = sys.env.getOrElse("SPARK_GRAFT_WARM", "inter")
     val diag = sys.env.get("SPARK_GRAFT_DIAG").contains("1")
+    // codegen cache sizing for the 67-probe suite lives in
+    // Engine.configure (static conf, shared with Verify)
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // 66 probes × several codegen stages each ≫ the default bound of
-      // 100 generated-class cache entries; at 100 the suite evicts its
-      // own classes mid-run and probes recompile inside their timing
-      // windows. Static conf, so set before the session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "2000"))
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)

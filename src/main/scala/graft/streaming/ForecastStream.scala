@@ -83,6 +83,30 @@ object ForecastStream {
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming contamination scan: an arriving eval-document stream
+    * checked against the STATIC train-side shingle-hash table — the
+    * incremental twin of `Dedup.contamination` for the "does this new
+    * benchmark leak into our frozen training set?" question. Shape:
+    * per-row shingle hashing (map-only, the one-pass kernel), a
+    * stream-static equi-join on the 60-bit hash (no state store — the
+    * static side is just a table, re-broadcast or shuffled per
+    * micro-batch), then a count aggregation (state = one counter per
+    * surviving (eval, train) pair). Run in update/complete mode.
+    * `trainShingles` must be (train_id, h) — e.g. the exploded
+    * `Dedup.shingleHashSets` output, optionally df-pruned. Requires
+    * GraftExtensions. */
+  def contaminationStream(evalDocs: DataFrame, trainShingles: DataFrame,
+                          n: Int = 3, minOverlap: Long = 3,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    evalDocs
+      .select(col(idCol).as("eval_id"),
+        explode(call_function("shingle_hashes", col(textCol), lit(n))).as("h"))
+      .join(trainShingles, Seq("h"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+
   def windowedRainfall(cube: DataFrame, hours: Int,
                        watermark: String = "12 hours"): DataFrame =
     cube

@@ -120,6 +120,36 @@ class StreamingSpec extends SparkTestBase {
       Set("alpha document text", "beta document text", "gamma document text"))
   }
 
+  test("streaming contamination equals the batch scan on the same docs") {
+    GraftExtensions.register(spark)
+    val landing = Files.createTempDirectory("graft_evaldocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_cont").toString
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (4L, "sphinx of black quartz judge my vow today"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over a fence"),   // shares 3+ shingles w/ 0
+      (3L, "entirely unrelated eval text goes here now"))
+      .toDF("doc_id", "text")
+    evalDocs.write.mode("append").parquet(landing)
+
+    val trainShingles = graft.operators.Dedup.shingleHashSets(train, 3)
+      .select(col("doc_id").as("train_id"), explode(col("sh_hashes")).as("h"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = ForecastStream.contaminationStream(
+      ForecastStream.trackFileStream(spark, landing, schema), trainShingles)
+    val got = ForecastStream.runAvailableNow(stream, "contam", ckpt, "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.operators.Dedup.contamination(train, evalDocs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got.map(t => (t._1, t._2)) === Set((1L, 0L)))
+  }
+
   test("watermarked tumbling rainfall over a stream of grid cells") {
     val landing = Files.createTempDirectory("graft_rain").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
