@@ -110,6 +110,46 @@ object IvfIndex {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // On-disk index: at rest the index IS the partitioning. Vectors are
+  // written partitioned by cell, so the nprobe cell selection of a
+  // query becomes a file-level PARTITION FILTER — a 100 TB corpus at
+  // nlist=1024, nprobe=8 physically reads ~0.8% of the data. The
+  // centroid table (nlist rows) rides alongside and is broadcast at
+  // query time.
+  // ---------------------------------------------------------------------
+
+  /** Persist an index: `<path>/vectors/cell=N/...` + `<path>/centroids`. */
+  def writeIndex(assigned: DataFrame, centroids: DataFrame, path: String): Unit = {
+    assigned.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/vectors")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k against an on-disk index for an explicit query vector: rank
+    * the (tiny) centroid table, turn the nprobe nearest cells into a
+    * partition-pruning filter on the vectors table, exact-rerank the
+    * survivors. */
+  def topKFromIndex(spark: SparkSession, path: String, query: Seq[Double],
+                    k: Int, nprobe: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    val cells = spark.read.parquet(s"$path/centroids")
+      .withColumn("qdist", sqDist(qLit, col("centroid")))
+      .orderBy(col("qdist").asc, col("cell").asc)
+      .limit(nprobe)
+      .select(col("cell").cast("long")).collect().map(_.getLong(0))
+    // literal IN-list on the partition column → PartitionFilters prune
+    // directories before any file is opened
+    val qF = array(query.map(v => lit(v.toFloat)): _*)
+    spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(cells.toSeq: _*))
+      .withColumn("sim", Similarity.cosine(col(vecCol), qF))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k by cosine for one query id: probe the nprobe
     * cells nearest (by euclidean centroid distance) to the query's
     * vector, exact-rerank inside them. */

@@ -154,4 +154,22 @@ object TextOps {
         lit(0L),
         (acc, c) => (acc * 31L + c) % FingerprintMod))
   }
+
+  /** Single-scan curation profile: every per-document curation metric
+    * in ONE map-only projection. At 100 TB the scan is the cost; each
+    * metric above is a pure column expression, so computing them
+    * together is one pass over the data where separate curation jobs
+    * would pay the scan once per metric. Column values are identical
+    * to the individually oracle-certified operators (x01-x04, x20). */
+  def curationProfile(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      wsTokenCount(t).as("ws_tokens"),
+      preTokenCount(t).as("pre_tokens"),
+      qualityScore(t).as("quality"),
+      languageGuess(t).as("lang_guess"),
+      fingerprint(t).as("fp"),
+      redactPii(t).as("text_redacted"))
+  }
 }

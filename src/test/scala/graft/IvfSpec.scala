@@ -70,6 +70,32 @@ class IvfSpec extends SparkTestBase {
     assert(assigned.select("vec_id").distinct().count() == embs.count())
   }
 
+  test("on-disk index: partition-pruned query matches the in-memory path") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir)
+    val cents = IvfIndex.meanCentroids(IvfIndex.hashCells(embs, nlist = 8))
+    val assigned = IvfIndex.assign(embs, cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.writeIndex(assigned, cents, dir)
+
+    val q = embs.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val fromDisk = IvfIndex.topKFromIndex(spark, dir, q, k = 11, nprobe = 6)
+      .where(col("vec_id") =!= 0)   // in-memory path excludes the query id
+      .limit(10)
+    val inMem = IvfIndex.topKDeterministic(embs, queryId = 0, k = 10,
+      nlist = 8, nprobe = 6)
+    assert(fromDisk.select("vec_id").collect().map(_.getLong(0)).toSeq ===
+      inMem.select("vec_id").collect().map(_.getLong(0)).toSeq)
+
+    // the nprobe cell selection must reach the scan as a PARTITION
+    // filter (pruned before file listing), not a post-scan predicate
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && "cell".r.findFirstIn(
+      "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")).isDefined,
+      s"cell IN-list must prune partitions:\n$plan")
+  }
+
   test("typed Dataset views round-trip the model case classes") {
     import spark.implicits._
     val ds = Seq(graft.model.CentroidCell(1L, 14.0, 122.0)).toDS()

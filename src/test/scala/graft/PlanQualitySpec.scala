@@ -103,6 +103,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("curation profile: all metrics in one scan, map-only plan") {
+    val df = graft.operators.TextOps.curationProfile(
+      Tables.documents(spark, sfDir))
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must read documents exactly once:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"profile must be map-only:\n$p")
+    // column values equal the individually certified operators
+    val one = df.where(col("doc_id") === 0).head()
+    val tok = graft.operators.TextOps.wsTokenCount(col("text"))
+    val single = Tables.documents(spark, sfDir).where(col("doc_id") === 0)
+      .select(tok).head().getInt(0)
+    assert(one.getAs[Int]("ws_tokens") === single)
+  }
+
   test("x06 one-pass minhash plan: single stage, no exchange, codegen'd") {
     val p = planString("x06_minhash_signature")
     // the signature subtree itself is map-only; the probe's global sort
