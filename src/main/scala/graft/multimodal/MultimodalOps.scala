@@ -68,6 +68,30 @@ object MultimodalOps {
     }
   }
 
+  /** STUB resize: metadata-driven nearest-neighbor resample of the
+    * payload viewed as a width×height single-channel raster (a real
+    * pipeline would decode first — swapping the pixel source changes
+    * nothing downstream). Rows whose payload doesn't match its
+    * declared geometry pass through null (malformed media is data,
+    * not an exception, at corpus scale). Map-only, no shuffle. */
+  def resizeStub(media: Dataset[MediaRow], outW: Int, outH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(outW > 0 && outH > 0)
+    media.map { r =>
+      val ok = r.media != null && r.width > 0 && r.height > 0 &&
+        r.media.length >= r.width * r.height
+      val resized: Array[Byte] =
+        if (!ok) null
+        else Array.tabulate(outW * outH) { i =>
+          val (y, x) = (i / outW, i % outW)
+          val sy = y * r.height / outH
+          val sx = x * r.width / outW
+          r.media(sy * r.width + sx)
+        }
+      (r.media_id, resized, r.format, outW, outH)
+    }.toDF("media_id", "media", "format", "width", "height")
+  }
+
   /** STUB frame sampling: every Nth fixed-size "frame" of a video
     * payload (a real implementation would seek keyframes). Output one
     * row per sampled frame, preserving partitioning. */

@@ -188,14 +188,29 @@ object Dedup {
                     maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val th = shingleHashSets(train, n, idCol, textCol)
       .select(col(idCol).as("train_id"), explode(col("sh_hashes")).as("h"))
-    // sh_hashes is distinct per doc, so count(1) per hash = document
-    // frequency on the train side.
+    contaminationFromShingles(th, eval, n, minOverlap, idCol, textCol,
+      maxShingleDf)
+  }
+
+  /** Contamination against a PRECOMPUTED train shingle table
+    * (train_id, h) — at 100 TB the train index is built once,
+    * persisted (ideally bucketed by h), and reused across every
+    * benchmark scan instead of re-shingling the corpus per scan. Same
+    * semantics as `contamination`; the streaming twin
+    * (ForecastStream.contaminationStream) takes the same input. */
+  def contaminationFromShingles(trainShingles: DataFrame, eval: DataFrame,
+                                n: Int = 3, minOverlap: Long = 3,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // the shingle table is distinct per (train_id, h), so count(1)
+    // per hash = document frequency on the train side.
     val thKept =
-      if (maxShingleDf == Long.MaxValue) th
+      if (maxShingleDf == Long.MaxValue) trainShingles
       else {
-        val hot = th.groupBy("h").agg(count(lit(1)).as("df"))
+        val hot = trainShingles.groupBy("h").agg(count(lit(1)).as("df"))
           .where(col("df") > maxShingleDf).select("h")
-        th.join(broadcast(hot), Seq("h"), "left_anti")
+        trainShingles.join(broadcast(hot), Seq("h"), "left_anti")
       }
     val eh = shingleHashSets(eval, n, idCol, textCol)
       .select(col(idCol).as("eval_id"), explode(col("sh_hashes")).as("h"))

@@ -380,6 +380,28 @@ object ExtensionProbes {
               |GROUP BY 1, 2 HAVING COUNT(*) >= 3
               |ORDER BY eval_id, train_id""".stripMargin)),
 
+    // RangeJoin.bucketized: interval containment as an equi-join -------
+    // (intervals [k*18, k*18+27) overlap, so points can match 1-2 of
+    // them; the oracle states the same join as a plain theta BETWEEN)
+    Probe("x26_range_join",
+      (s, d) => {
+        val iv = Tables.nation(s, d).select(col("n_nationkey"),
+          (col("n_nationkey") * 18.0).as("lo"),
+          (col("n_nationkey") * 18.0 + 27.0).as("hi"))
+        RangeJoin.bucketized(
+            Tables.events(s, d).select(col("value")), "value",
+            iv, "lo", "hi", width = 20.0)
+          .groupBy("n_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, COUNT(*) AS n,
+             |  ROUND(SUM(value), 6) AS sum_value
+             |FROM nation n JOIN events e
+             |  ON e.value >= n.n_nationkey * 18.0e0
+             | AND e.value <  n.n_nationkey * 18.0e0 + 27.0e0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sketch error contract: approx quantile within 2% of exact ---------
     // (sketches differ per engine, so the CERTIFIED value is the exact
     // quantile plus the engine-portable error-bound boolean)

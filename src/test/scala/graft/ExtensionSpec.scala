@@ -137,6 +137,22 @@ class ExtensionSpec extends SparkTestBase {
     assert(frames.head.getAs[Array[Byte]]("frame").toSeq == (0 until 10).map(_.toByte))
   }
 
+  test("multimodal: metadata-driven resize downsamples and nulls malformed rows") {
+    // 4x4 gradient raster → 2x2 nearest-neighbor picks rows 0/2, cols 0/2
+    val px = Array.tabulate(16)(i => (i * 10).toByte)
+    val media = Seq(
+      MultimodalOps.MediaRow(1L, px, "img", 4, 4),
+      MultimodalOps.MediaRow(2L, Array.fill(3)(0.toByte), "img", 4, 4), // short payload
+      MultimodalOps.MediaRow(3L, null, "img", 4, 4)).toDS()
+    val out = MultimodalOps.resizeStub(media, outW = 2, outH = 2)
+      .orderBy("media_id").collect()
+    assert(out.head.getAs[Array[Byte]]("media").toSeq ===
+      Seq(0, 20, 80, 100).map(_.toByte))
+    assert(out.head.getInt(3) === 2 && out.head.getInt(4) === 2)
+    assert(out(1).getAs[Array[Byte]]("media") == null)
+    assert(out(2).getAs[Array[Byte]]("media") == null)
+  }
+
   test("lshNearDupPairs agrees with brute force above the threshold") {
     val embs = Tables.embeddings(spark, sfDir)
     val exact = Dedup.cosineNearDups(embs, threshold = 0.9)
