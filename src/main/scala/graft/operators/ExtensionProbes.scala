@@ -651,5 +651,84 @@ object ExtensionProbes {
              |        AS recall_ok)
              |SELECT a.vec_id, ROUND(a.sim, 6) AS sim, rec.recall_ok
              |FROM approx a CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // PqIndex: product-quantization ADC shortlist + exact rerank -------
+    // (32 subspaces x 2 dims, 16 cells each, seeded from vectors
+    // 0..15 + one Lloyd step; codebook, codes, distance table and
+    // shortlist all mirrored op-for-op; recall bound vs exact top-10
+    // like x22/x23)
+    Probe("x27_pq_topk",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val approx = PqIndex.adcTopK(embs, queryId = 3, k = 10,
+          shortlist = 60, m = 32, ksub = 16, dim = 64)
+        val exact = Similarity.cosineTopK(embs, queryId = 3, k = 10)
+        val ok = approx.select("vec_id")
+          .join(exact.select("vec_id"), "vec_id")
+          .agg((count(lit(1)) >= 8).as("recall_ok"))
+        approx.select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .crossJoin(broadcast(ok))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id, CAST(FLOOR((j-1) / 2) AS INT) AS subspace,
+             |    (j-1) % 2 AS within, CAST(x AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cb0 AS (
+             |  SELECT subspace, CAST(vec_id AS INT) AS cell, within, x AS cx
+             |  FROM dims WHERE vec_id < 16),
+             |d0 AS (
+             |  SELECT d.vec_id, d.subspace, c.cell,
+             |    ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             |  FROM dims d JOIN cb0 c ON d.subspace = c.subspace AND d.within = c.within
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (
+             |  SELECT vec_id, subspace, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM d0) WHERE rn = 1),
+             |cb AS (
+             |  SELECT d.subspace, a.cell, d.within, ROUND(AVG(d.x), 6) AS cx
+             |  FROM dims d JOIN a0 a ON d.vec_id = a.vec_id AND d.subspace = a.subspace
+             |  GROUP BY 1, 2, 3),
+             |dist AS (
+             |  SELECT d.vec_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS dist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  GROUP BY 1, 2, 3),
+             |codes AS (
+             |  SELECT vec_id, subspace, cell AS code FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+             |qtab AS (
+             |  SELECT d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS qdist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  WHERE d.vec_id = 3 GROUP BY 1, 2),
+             |short AS (
+             |  SELECT c.vec_id, ROUND(SUM(q.qdist), 6) AS adist
+             |  FROM codes c JOIN qtab q ON c.subspace = q.subspace AND c.code = q.cell
+             |  WHERE c.vec_id <> 3 GROUP BY 1
+             |  ORDER BY adist ASC, vec_id ASC LIMIT 60),
+             |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+             |rerank AS (
+             |  SELECT s.vec_id,
+             |    list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS sim
+             |  FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN qv q
+             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |exact AS (
+             |  SELECT e.vec_id FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 3
+             |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC, vec_id
+             |  LIMIT 10),
+             |rec AS (SELECT (SELECT COUNT(*) FROM rerank JOIN exact USING (vec_id)) >= 8
+             |        AS recall_ok)
+             |SELECT r.vec_id, ROUND(r.sim, 6) AS sim, rec.recall_ok
+             |FROM rerank r CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
   )
 }
