@@ -69,7 +69,7 @@ object IvfIndex {
   /** Squared euclidean distance via three dot products, rounded to 6
     * decimals so cross-engine float-order noise can't flip an argmin
     * (exact ties then break on the smaller cell id). */
-  private def sqDist(v: Column, c: Column): Column =
+  private[operators] def sqDist(v: Column, c: Column): Column =
     round(Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, c) +
       Similarity.dot(c, c), 6)
 

@@ -80,6 +80,41 @@ object PqIndex {
       .select(col(idCol), col("subspace"), col("cell").as("code"))
   }
 
+  /** Query-side ADC distance table: (subspace, cell, qdist). */
+  def queryTable(embs: DataFrame, queryId: Long, cb: DataFrame, m: Int,
+                 dim: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val d2 = col("x") - col("cx")
+    dims(embs.where(col(idCol) === queryId), dim / m, idCol, vecCol)
+      .join(broadcast(cb), Seq("subspace", "within"))
+      .groupBy(col("subspace"), col("cell"))
+      .agg(round(sum(d2 * d2), 6).as("qdist"))
+  }
+
+  /** ADC shortlist over (a subset of) the coded corpus: m table
+    * lookups summed per candidate, nearest `shortlist` kept. */
+  def adcShortlist(codes: DataFrame, table: DataFrame, queryId: Long,
+                   shortlist: Int, idCol: String = "vec_id"): DataFrame =
+    codes
+      .join(broadcast(table), codes("subspace") === table("subspace") &&
+        codes("code") === table("cell"))
+      .groupBy(col(idCol))
+      .agg(round(sum("qdist"), 6).as("adist"))
+      .where(col(idCol) =!= queryId)
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(shortlist)
+
+  private def rerank(short: DataFrame, embs: DataFrame, queryId: Long,
+                     k: Int, idCol: String, vecCol: String): DataFrame = {
+    val q = embs.where(col(idCol) === queryId).select(col(vecCol).as("q"))
+    short.join(embs, Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Similarity.cosine(col(vecCol), col("q")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ADC top-k for one query id with exact cosine rerank: build the
     * (subspace, cell) distance table from the query's subvectors, sum
     * m lookups per candidate, shortlist the nearest `shortlist`, then
@@ -90,25 +125,39 @@ object PqIndex {
               vecCol: String = "embedding"): DataFrame = {
     val cb = codebook(embs, m, ksub, dim, idCol, vecCol)
     val codes = encode(embs, cb, m, dim, idCol, vecCol)
-    val d2 = col("x") - col("cx")
-    val table = dims(embs.where(col(idCol) === queryId), dim / m, idCol, vecCol)
-      .join(broadcast(cb), Seq("subspace", "within"))
-      .groupBy(col("subspace"), col("cell"))
-      .agg(round(sum(d2 * d2), 6).as("qdist"))
-    val short = codes
-      .join(broadcast(table), codes("subspace") === table("subspace") &&
-        codes("code") === table("cell"))
-      .groupBy(col(idCol))
-      .agg(round(sum("qdist"), 6).as("adist"))
-      .where(col(idCol) =!= queryId)
-      .orderBy(col("adist").asc, col(idCol).asc)
-      .limit(shortlist)
+    val table = queryTable(embs, queryId, cb, m, dim, idCol, vecCol)
+    rerank(adcShortlist(codes, table, queryId, shortlist, idCol),
+      embs, queryId, k, idCol, vecCol)
+  }
+
+  /** IVF-PQ: the standard two-level layout for web-scale ANN — the IVF
+    * quantizer prunes to the nprobe nearest cells (on disk: partition
+    * pruning, see IvfIndex.writeIndex), then ADC ranks only the codes
+    * of the surviving cells and the exact rerank touches `shortlist`
+    * embeddings. Codebooks and codes come from the FULL corpus (cell
+    * membership must not change code semantics). */
+  def ivfPqTopK(embs: DataFrame, queryId: Long, k: Int,
+                nlist: Int, nprobe: Int, shortlist: Int,
+                m: Int, ksub: Int, dim: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cents = IvfIndex.meanCentroids(
+      IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+    val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
     val q = embs.where(col(idCol) === queryId).select(col(vecCol).as("q"))
-    short.join(embs, Seq(idCol))
-      .crossJoin(broadcast(q))
-      .withColumn("sim", Similarity.cosine(col(vecCol), col("q")))
-      .select(col(idCol), col("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
+    val cellRank = Window.orderBy(col("qdist").asc, col("cell").asc)
+    val probeCells = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", IvfIndex.sqDist(col("q"), col("centroid")))
+      .withColumn("rn", row_number().over(cellRank))
+      .where(col("rn") <= nprobe)
+      .select("cell")
+    val candidates = assigned.join(broadcast(probeCells), "cell")
+      .select(col(idCol))
+    val cb = codebook(embs, m, ksub, dim, idCol, vecCol)
+    val codes = encode(embs, cb, m, dim, idCol, vecCol)
+      .join(candidates, Seq(idCol))
+    val table = queryTable(embs, queryId, cb, m, dim, idCol, vecCol)
+    rerank(adcShortlist(codes, table, queryId, shortlist, idCol),
+      embs, queryId, k, idCol, vecCol)
   }
 }

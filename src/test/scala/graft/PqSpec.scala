@@ -39,6 +39,27 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ: cell pruning composes with ADC, recall holds") {
+    val embs = Tables.embeddings(spark, sfDir)
+    for (q <- Seq(0L, 17L)) {
+      val exact = Similarity.cosineTopK(embs, queryId = q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = PqIndex.ivfPqTopK(embs, queryId = q, k = 10,
+          nlist = 8, nprobe = 6, shortlist = 40, m, ksub, dim)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert((exact intersect got).size >= 7,
+        s"query $q: ivf-pq recall ${(exact intersect got).size}/10")
+    }
+    // full probe + full shortlist degenerates to exact
+    val n = embs.count().toInt
+    val exact5 = Similarity.cosineTopK(embs, queryId = 5, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val full = PqIndex.ivfPqTopK(embs, queryId = 5, k = 10,
+        nlist = 8, nprobe = 8, shortlist = n, m, ksub, dim)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full === exact5)
+  }
+
   test("shortlist = corpus degenerates to the exact ranking") {
     val embs = Tables.embeddings(spark, sfDir)
     val n = embs.count().toInt
