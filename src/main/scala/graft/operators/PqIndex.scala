@@ -54,11 +54,13 @@ object PqIndex {
     val assigned = d.join(broadcast(cb0), Seq("subspace", "within"))
       .groupBy(col(idCol), col("subspace"), col("cell"))
       .agg(round(sum(d2 * d2), 6).as("dist"))
-    val w = Window.partitionBy(idCol, "subspace")
-      .orderBy(col("dist").asc, col("cell").asc)
-    val cells = assigned.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("subspace"), col("cell"))
+    // argmin as min(struct(dist, cell)): lexicographic struct order =
+    // min dist, ties on the lower cell — same contract as a
+    // row_number window but partial-aggregable (no 64k-partition sort)
+    val cells = assigned
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col(idCol), col("subspace"), col("best.cell").as("cell"))
     d.join(cells, Seq(idCol, "subspace"))
       .groupBy(col("subspace"), col("cell"), col("within"))
       .agg(round(avg("x"), 6).as("cx"))
@@ -74,10 +76,9 @@ object PqIndex {
       .join(broadcast(cb), Seq("subspace", "within"))
       .groupBy(col(idCol), col("subspace"), col("cell"))
       .agg(round(sum(d2 * d2), 6).as("dist"))
-    val w = Window.partitionBy(idCol, "subspace")
-      .orderBy(col("dist").asc, col("cell").asc)
-    dist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col(idCol), col("subspace"), col("cell").as("code"))
+    dist.groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col(idCol), col("subspace"), col("best.cell").as("code"))
   }
 
   /** Query-side ADC distance table: (subspace, cell, qdist). */
@@ -123,7 +124,10 @@ object PqIndex {
               m: Int, ksub: Int, dim: Int,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val cb = codebook(embs, m, ksub, dim, idCol, vecCol)
+    // materialize the tiny codebook (m·ksub·dsub rows) once — it feeds
+    // both the corpus encode and the query table, and recomputing it
+    // means re-running the seeded Lloyd assignment over the corpus
+    val cb = codebook(embs, m, ksub, dim, idCol, vecCol).localCheckpoint()
     val codes = encode(embs, cb, m, dim, idCol, vecCol)
     val table = queryTable(embs, queryId, cb, m, dim, idCol, vecCol)
     rerank(adcShortlist(codes, table, queryId, shortlist, idCol),
@@ -153,7 +157,7 @@ object PqIndex {
       .select("cell")
     val candidates = assigned.join(broadcast(probeCells), "cell")
       .select(col(idCol))
-    val cb = codebook(embs, m, ksub, dim, idCol, vecCol)
+    val cb = codebook(embs, m, ksub, dim, idCol, vecCol).localCheckpoint()
     val codes = encode(embs, cb, m, dim, idCol, vecCol)
       .join(candidates, Seq(idCol))
     val table = queryTable(embs, queryId, cb, m, dim, idCol, vecCol)

@@ -175,6 +175,52 @@ class Grib2Spec extends SparkTestBase {
     }
   }
 
+  test("5.3 round-trip property: random fields survive 2nd-order differencing") {
+    // encode per WMO 7.3: stored[i] = (2nd difference - gmin) for
+    // i >= 2, zeros for the two seed positions (overwritten by the
+    // preamble's initial values on decode); random multi-group split
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 30) {
+      val n = 3 + rnd.nextInt(38)
+      val field = Array.fill(n)(rnd.nextInt(200))
+      val d = Array.tabulate(n)(i =>
+        if (i < 2) 0L else field(i) - 2L * field(i - 1) + field(i - 2))
+      val gmin = d.drop(2).min
+      val stored = Array.tabulate(n)(i => if (i < 2) 0L else d(i) - gmin)
+      // random contiguous group split
+      val cuts = (Seq(0, n) ++ Seq.fill(rnd.nextInt(3))(1 + rnd.nextInt(n - 1)))
+        .distinct.sorted
+      val groups = cuts.zip(cuts.tail).map { case (a, b) => stored.slice(a, b) }
+      def bitsFor(v: Long): Int = if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val t = new Builder
+      t.f32(0f).u16(0).u16(0).u8(16)     // R=0 E=0 D=0, 16 bits per ref
+        .u8(0).u8(1).u8(0)
+        .u32(0).u32(0)
+        .u32(groups.length)
+        .u8(0).u8(6)                      // width ref 0, 6 bits per width
+        .u32(0).u8(1)                     // length ref 0, increment 1
+        .u32(groups.last.length)          // true last group length
+        .u8(8)                            // 8 bits per scaled length
+        .u8(2).u8(2)                      // sd order 2, 2 octets per field
+      val w = new BitWriter
+      w.write(field(0).toLong & 0xFFFF, 16)          // iv1 (sign-magnitude)
+      w.write(field(1).toLong & 0xFFFF, 16)          // iv2
+      val gm = if (gmin < 0) 0x8000L | -gmin else gmin
+      w.write(gm, 16)                                 // gmin sign-magnitude
+      val refs = groups.map(g => g.min)
+      val widths = groups.map(g => bitsFor(g.max - g.min))
+      refs.foreach(r => w.write(r, 16)); w.align()
+      widths.foreach(gw => w.write(gw.toLong, 6)); w.align()
+      groups.init.foreach(g => w.write(g.length.toLong, 8))
+      w.write(rnd.nextInt(256).toLong, 8); w.align() // NG-th placeholder
+      groups.zip(widths).foreach { case (g, gw) =>
+        if (gw > 0) g.foreach(v => w.write(v - g.min, gw)) }
+      val msgs = Grib2.read(message(3, n, t.bytes, w.bytes))
+      assert(msgs.head.values.toSeq === field.map(_.toDouble).toSeq,
+        s"n=$n groups=${groups.map(_.length).mkString(",")}")
+    }
+  }
+
   test("template 5.3 spatial differencing order 2 reconstructs the field") {
     // true field [5,7,10,14,19,25]; 2nd differences all 1, gmin 1
     val t = new Builder
