@@ -380,6 +380,21 @@ object ExtensionProbes {
               |GROUP BY 1, 2 HAVING COUNT(*) >= 3
               |ORDER BY eval_id, train_id""".stripMargin)),
 
+    // TextOps.repetitionRatio: duplicate-bigram corpus-quality filter --
+    Probe("x28_repetition_ratio",
+      (s, d) => TextOps.repetitionRatio(Tables.documents(s, d), n = 2)
+        .orderBy("doc_id"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    array_to_string(words[g.i:g.i + 1], ' ') AS shingle
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+             |        FROM documents) w,
+             |    (SELECT unnest(generate_series(1, 10000)) AS i) g
+             |  WHERE g.i <= greatest(1, len(words) - 1))
+             |SELECT doc_id,
+             |  1.0e0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS rep_ratio
+             |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RangeJoin.bucketized: interval containment as an equi-join -------
     // (intervals [k*18, k*18+27) overlap, so points can match 1-2 of
     // them; the oracle states the same join as a plain theta BETWEEN)

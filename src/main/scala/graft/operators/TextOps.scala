@@ -155,6 +155,17 @@ object TextOps {
         (acc, c) => (acc * 31L + c) % FingerprintMod))
   }
 
+  /** Repetition ratio — the duplicate-n-gram fraction used by
+    * web-corpus quality filters (boilerplate and keyword-stuffed pages
+    * repeat themselves): 1 − distinct n-grams / total n-grams, 0 for
+    * degenerate short docs. One shuffle on the doc id. */
+  def repetitionRatio(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    Dedup.shingles(docs, n, idCol, textCol, dedupe = false)
+      .groupBy(col(idCol))
+      .agg((lit(1.0) - countDistinct(col("shingle")).cast("double") /
+        count(lit(1))).as("rep_ratio"))
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them
