@@ -144,8 +144,10 @@ object GraftExtensions {
       graft.expressions.WordCounts(t) }),
     // xgb_score(features, path-literal): scores the reference's
     // operational xgboost artifact (parsed from its RDS) in codegen.
+    // A "<mem:…>" tag instead of a path resolves a freshly-trained
+    // in-memory booster (GbtTrainer) through XgbScore's registry.
     ("xgb_score", 2, { case Seq(f, Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
-      graft.expressions.XgbScore(f, p.toString) }),
+      graft.expressions.XgbScore.resolve(f, p.toString) }),
 
     ("holland_wind", 6, { case Seq(dist, rmax, b, penv, pcen, lat) =>
       val fCor = Multiply(d(2 * 0.0000729), Sin(ToRadians(Abs(lat))))

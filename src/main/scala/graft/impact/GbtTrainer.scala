@@ -78,8 +78,10 @@ object GbtTrainer {
 
   /** One training row after quantization: bin index per feature
     * (−1 = missing), label, running prediction, and a deterministic
-    * fingerprint driving per-round subsampling. */
-  private final case class Binned(
+    * fingerprint driving per-round subsampling. Not `private`: the
+    * generated encoder deserializer lives outside this object and needs
+    * constructor access. */
+  final case class Binned(
       bins: Array[Int], label: Double, pred: Double, fp: Long)
 
   // ---------------------------------------------------------------- cuts

@@ -1,24 +1,28 @@
 package graft.impact
 
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.XgbScore
 import graft.functions.ScalarFunctions
 
 /** X9: the damage regression + post-processing (SURVEY.md §2.10,
   * reference forecast_process.py:409-547, 884-1237).
   *
-  * Two scoring paths:
+  * Two scoring paths, both through the same [[XgbBooster]] artifact
+  * type and the same `xgb_score` codegen traversal:
   *
   *  - TRAIN-HERE: the Python reference retrains per run
-  *    (forecast_process.py:491-512 — 100 trees, depth 8, eta .05,
-  *    subsample .8, seed 42). XGBoost4J is not on this classpath, so
-  *    the Spark-native equivalent trains MLlib gradient-boosted trees
-  *    with the same hyperparameters — a re-expression, not a numeric
-  *    port (tree ensembles differ across implementations).
+  *    (forecast_process.py:491-517 — n_estimators=100, max_depth=8,
+  *    learning_rate=0.025 after xgboost's eta/learning_rate alias
+  *    resolution, subsample=0.8, gamma=1, min_child_weight=1,
+  *    base_score=0.5, reg:squarederror, early_stopping_rounds=10).
+  *    [[GbtTrainer]] re-implements xgboost's `hist` algorithm from the
+  *    public equations (histogram split finding, two-direction missing
+  *    enumeration, −G/(H+λ) leaves) as one distributed aggregation per
+  *    tree level — certified tree-for-tree against an independent
+  *    single-node implementation (GbtTrainerSpec).
   *  - EXACT ARTIFACT: the R reference scores a saved model
   *    (run_model_V2.R:53,160-165). [[XgbBooster]] loads that very RDS
   *    through the from-scratch R-serialization reader and
@@ -28,7 +32,8 @@ import graft.functions.ScalarFunctions
   *    x24_xgb_reference_model).
   *
   * At scale, scoring either way is a per-row map over the feature
-  * vector — embarrassingly parallel, no shuffle.
+  * vector — embarrassingly parallel, no shuffle; training's shuffle is
+  * O(nodes × features × bins) per level, independent of row count.
   */
 object ImpactModel {
 
@@ -52,45 +57,43 @@ object ImpactModel {
       .join(broadcast(indicators), Seq("Mun_Code"), "left")
       .na.fill(0.0)
 
-  /** Train the damage regressor. `train` must contain FeatureCols
-    * (or `features` override) + the label column. */
+  /** The reference's fit hyperparameters (forecast_process.py:491-517;
+    * eta/learning_rate alias resolves last-one-wins to 0.025). Early
+    * stopping engages only when an eval set is passed, mirroring
+    * xgboost's fit(eval_set=…) contract. */
+  val ReferenceParams: GbtParams = GbtParams(
+    numRound = 100, maxDepth = 8, eta = 0.025, lambda = 1.0, gamma = 1.0,
+    minChildWeight = 1.0, subsample = 0.8, baseScore = 0.5f, seed = 42L,
+    earlyStoppingRounds = 10)
+
+  /** Train the damage regressor from scratch on the cluster. `train`
+    * must contain FeatureCols (or `features` override) + the label
+    * column; nulls/NaNs are xgboost-style missing values. */
   def train(train: DataFrame, labelCol: String = "DAM_perc_dmg",
-            features: Seq[String] = FeatureCols): GBTRegressionModel = {
-    val assembled = new VectorAssembler()
-      .setInputCols(features.toArray).setOutputCol("features")
-      .setHandleInvalid("keep")
-      .transform(train)
-    new GBTRegressor()
-      .setLabelCol(labelCol)
-      .setFeaturesCol("features")
-      .setMaxIter(100)       // n_estimators=100
-      .setMaxDepth(8)        // max_depth=8
-      .setStepSize(0.05)     // learning_rate=0.05
-      .setSubsamplingRate(0.8)
-      .setSeed(42)
-      .fit(assembled)
-  }
+            features: Seq[String] = FeatureCols,
+            params: GbtParams = ReferenceParams,
+            evalDf: Option[DataFrame] = None): XgbBooster =
+    GbtTrainer.train(train, labelCol, features, params, evalDf)
 
   /** Predict + the reference's postprocessing chain:
     * clip negatives to 0, cap at 100 (F9); zero damage beyond the
     * 300 km wind-damage radius (P11, settings.py:188); damaged-house
-    * count (F7); affected population (F6). */
-  def predict(model: GBTRegressionModel, data: DataFrame,
+    * count (F7); affected population (F6). Scoring runs inside
+    * whole-stage codegen via the registered `xgb_score` function —
+    * the same traversal x24 certifies on the operational artifact. */
+  def predict(model: XgbBooster, data: DataFrame,
               features: Seq[String] = FeatureCols,
               windDamageRadiusKm: Double = 300.0): DataFrame = {
-    val assembled = new VectorAssembler()
-      .setInputCols(features.toArray).setOutputCol("features")
-      .setHandleInvalid("keep")
-      .transform(data)
-    model.transform(assembled)
+    val featArray = array(features.map(col(_).cast("double")): _*)
+    val score = call_function("xgb_score", featArray, lit(XgbScore.register(model)))
+    data
       .withColumn("damage_pct",
         when(col("HAZ_dis_track_min") > windDamageRadiusKm, 0.0)
-          .otherwise(ScalarFunctions.clip(col("prediction"), 0.0, 100.0)))
+          .otherwise(ScalarFunctions.clip(score, 0.0, 100.0)))
       .withColumn("damage_num",
         ScalarFunctions.damagedHouses(col("damage_pct"), col("VUL_Housing_Units")))
       .withColumn("affected_population",
         ScalarFunctions.affectedPopulation(col("damage_num")))
-      .drop("features", "prediction")
   }
 
   /** J8 + F8: training-set preparation — join the housing-growth

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.geo.SpatialJoin
 import graft.hazard.CentroidGrid
-import graft.impact.ImpactModel
+import graft.impact.{GbtParams, ImpactModel}
 import graft.publish.Payloads
 import graft.rain.Rainfall
 import graft.tracks.TrackPrep
@@ -87,7 +87,8 @@ class ForecastE2ESpec extends SparkTestBase {
     // synthetic label to fit on (damage grows with wind)
     val trainDf = feats.withColumn("DAM_perc_dmg",
       least(lit(100.0), pow(col("HAZ_v_max"), 2) / 50.0))
-    val model = ImpactModel.train(trainDf, features = featCols)
+    val model = ImpactModel.train(trainDf, features = featCols,
+      params = GbtParams(numRound = 8, maxDepth = 3, eta = 0.3, gamma = 0.1))
     val impact = ImpactModel.predict(model, feats, features = featCols).cache()
 
     assert(impact.count() == feats.count())

@@ -122,7 +122,7 @@ class GbtTrainerSpec extends SparkTestBase {
     val rnd = new scala.util.Random(20260812L)
     val xs = Array.tabulate(n) { i =>
       Array.tabulate(nf) { f =>
-        if (missingEvery > 0 && (i * nf + f) % missingEvery == 13) Double.NaN
+        if (missingEvery > 0 && (i * nf + f) % missingEvery == missingEvery / 2) Double.NaN
         else (rnd.nextInt(17) - 4).toDouble
       }
     }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.geo.SpatialJoin
-import graft.impact.{ImpactModel, Triggers}
+import graft.impact.{GbtParams, ImpactModel, Triggers}
 
 class ImpactSpec extends SparkTestBase {
   import spark.implicits._
@@ -124,7 +124,9 @@ class ImpactSpec extends SparkTestBase {
       "VUL_Housing_Units", "DAM_perc_dmg")
       .withColumn("HAZ_v_max_3", pow($"HAZ_v_max", 3))
     val feats = Seq("HAZ_v_max", "HAZ_v_max_3", "HAZ_dis_track_min", "VUL_Housing_Units")
-    val model = ImpactModel.train(df, features = feats)
+    // reference-shaped but truncated for test speed (12 rounds, depth 4)
+    val model = ImpactModel.train(df, features = feats,
+      params = GbtParams(numRound = 12, maxDepth = 4, eta = 0.3, gamma = 0.1))
     val pred = ImpactModel.predict(model, df, features = feats).cache()
     assert(pred.count() == 300)
     // postprocessing invariants
