@@ -36,6 +36,17 @@ object PqIndex {
       .withColumn("x", col("x").cast("double"))
       .drop("j")
 
+  /** Exploded dims hash-partitioned on the vector id. Every
+    * aggregation downstream of the explode groups on keys led by the
+    * id (assign, encode, ADC sum), and HashPartitioning on a PREFIX of
+    * the grouping keys satisfies their clustered distribution — so one
+    * up-front shuffle of the slim (id, subspace, within, x) rows makes
+    * the whole index build + query pipeline exchange-free from there
+    * (the broadcast codebook joins preserve partitioning). */
+  private def partitionedDims(embs: DataFrame, dsub: Int, idCol: String,
+                              vecCol: String): DataFrame =
+    dims(embs, dsub, idCol, vecCol).repartition(col(idCol))
+
   /** Deterministic per-dim codebook (subspace, cell, within, cx):
     * cell c seeds from vector c's subvector (data-dependent spread —
     * a hash-random init collapses all centroids onto the per-subspace
@@ -46,7 +57,11 @@ object PqIndex {
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val d = dims(embs, dim / m, idCol, vecCol)
+    codebookFromDims(dims(embs, dim / m, idCol, vecCol), ksub, idCol)
+  }
+
+  private def codebookFromDims(d: DataFrame, ksub: Int,
+                               idCol: String): DataFrame = {
     val cb0 = d.where(col(idCol) < ksub)
       .select(col("subspace"), col(idCol).cast("int").as("cell"),
         col("within"), col("x").as("cx"))
@@ -70,9 +85,13 @@ object PqIndex {
     * squared distance to each centroid. */
   def encode(embs: DataFrame, cb: DataFrame, m: Int, dim: Int,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    encodeFromDims(dims(embs, dim / m, idCol, vecCol), cb, idCol)
+
+  private def encodeFromDims(d: DataFrame, cb: DataFrame,
+                             idCol: String): DataFrame = {
     val d2 = col("x") - col("cx")
-    val dist = dims(embs, dim / m, idCol, vecCol)
+    val dist = d
       .join(broadcast(cb), Seq("subspace", "within"))
       .groupBy(col(idCol), col("subspace"), col("cell"))
       .agg(round(sum(d2 * d2), 6).as("dist"))
@@ -84,10 +103,13 @@ object PqIndex {
   /** Query-side ADC distance table: (subspace, cell, qdist). */
   def queryTable(embs: DataFrame, queryId: Long, cb: DataFrame, m: Int,
                  dim: Int, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding"): DataFrame =
+    queryTableFromDims(
+      dims(embs.where(col(idCol) === queryId), dim / m, idCol, vecCol), cb)
+
+  private def queryTableFromDims(dq: DataFrame, cb: DataFrame): DataFrame = {
     val d2 = col("x") - col("cx")
-    dims(embs.where(col(idCol) === queryId), dim / m, idCol, vecCol)
-      .join(broadcast(cb), Seq("subspace", "within"))
+    dq.join(broadcast(cb), Seq("subspace", "within"))
       .groupBy(col("subspace"), col("cell"))
       .agg(round(sum(d2 * d2), 6).as("qdist"))
   }
@@ -124,14 +146,24 @@ object PqIndex {
               m: Int, ksub: Int, dim: Int,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    // materialize the tiny codebook (m·ksub·dsub rows) once — it feeds
-    // both the corpus encode and the query table, and recomputing it
-    // means re-running the seeded Lloyd assignment over the corpus
-    val cb = codebook(embs, m, ksub, dim, idCol, vecCol).localCheckpoint()
-    val codes = encode(embs, cb, m, dim, idCol, vecCol)
-    val table = queryTable(embs, queryId, cb, m, dim, idCol, vecCol)
-    rerank(adcShortlist(codes, table, queryId, shortlist, idCol),
-      embs, queryId, k, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    // explode + id-partition ONCE; codebook build, encode, and query
+    // table are all broadcast-join + partition-local aggregation over
+    // this cached frame — no further exchange until the final top-k
+    val d = partitionedDims(embs, dim / m, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materialize the tiny codebook (m·ksub·dsub rows) once — it
+      // feeds both the corpus encode and the query table, and
+      // recomputing it re-runs the seeded Lloyd assignment
+      val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
+      val codes = encodeFromDims(d, cb, idCol)
+      val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
+      // ≤ shortlist rows; eager so the cached dims can be released
+      val short = adcShortlist(codes, table, queryId, shortlist, idCol)
+        .localCheckpoint()
+      rerank(short, embs, queryId, k, idCol, vecCol)
+    } finally d.unpersist(blocking = false)
   }
 
   /** IVF-PQ: the standard two-level layout for web-scale ANN — the IVF
@@ -157,11 +189,19 @@ object PqIndex {
       .select("cell")
     val candidates = assigned.join(broadcast(probeCells), "cell")
       .select(col(idCol))
-    val cb = codebook(embs, m, ksub, dim, idCol, vecCol).localCheckpoint()
-    val codes = encode(embs, cb, m, dim, idCol, vecCol)
-      .join(candidates, Seq(idCol))
-    val table = queryTable(embs, queryId, cb, m, dim, idCol, vecCol)
-    rerank(adcShortlist(codes, table, queryId, shortlist, idCol),
-      embs, queryId, k, idCol, vecCol)
+    val d = partitionedDims(embs, dim / m, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
+      // codes are id-partitioned, so only the (pruned) candidate-id
+      // side moves here; never broadcast it — at full scale it is
+      // nprobe/nlist of the whole corpus
+      val codes = encodeFromDims(d, cb, idCol)
+        .join(candidates, Seq(idCol))
+      val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
+      val short = adcShortlist(codes, table, queryId, shortlist, idCol)
+        .localCheckpoint()
+      rerank(short, embs, queryId, k, idCol, vecCol)
+    } finally d.unpersist(blocking = false)
   }
 }

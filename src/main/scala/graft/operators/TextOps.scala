@@ -158,13 +158,25 @@ object TextOps {
   /** Repetition ratio — the duplicate-n-gram fraction used by
     * web-corpus quality filters (boilerplate and keyword-stuffed pages
     * repeat themselves): 1 − distinct n-grams / total n-grams, 0 for
-    * degenerate short docs. One shuffle on the doc id. */
+    * degenerate short docs.
+    *
+    * The n-gram multiset of one document never crosses rows, so this is
+    * a pure projection: build the shingle array (same construction as
+    * [[Dedup.shingles]]) and compare `array_distinct` size against
+    * total size in place. Map-only — zero shuffle at any corpus size,
+    * where the earlier explode→groupBy paid a full shuffle of every
+    * n-gram occurrence. */
   def repetitionRatio(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame =
-    Dedup.shingles(docs, n, idCol, textCol, dedupe = false)
-      .groupBy(col(idCol))
-      .agg((lit(1.0) - countDistinct(col("shingle")).cast("double") /
-        count(lit(1))).as("rep_ratio"))
+                      textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val sh = when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    docs.select(col(idCol),
+      (lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+        .as("rep_ratio"))
+  }
 
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
