@@ -242,6 +242,102 @@ class Grib2Spec extends SparkTestBase {
     assert(msgs.head.values.toSeq === Seq(5.0, 7.0, 10.0, 14.0, 19.0, 25.0))
   }
 
+  test("GEFS pgrb2a shape: template 4.11 ensemble accumulation on a 0.5-deg 3.0 grid, 5.3 packing") {
+    // The reference ingests NOMADS `geprcp.t*.pgrb2a.0p50.bc_{06,24}h`
+    // (Rainfall_data.py:40-65): discipline 0 (meteorological), APCP
+    // (category 1, number 8), product template 4.11 (individual
+    // ensemble member over a time interval), grid template 3.0 regular
+    // 0.5-degree lat/lon, complex packing with 2nd-order spatial
+    // differencing (5.3). This fixture reproduces that exact message
+    // shape on a 5x3 sub-grid.
+    def section(num: Int, body: Builder => Unit): Array[Byte] = {
+      val b = new Builder
+      body(b)
+      val content = b.bytes
+      val h = new Builder
+      h.u32(content.length + 5).u8(num)
+      h.out.write(content, 0, content.length)
+      h.bytes
+    }
+    val ni = 5; val nj = 3; val n = ni * nj
+    // 6-hour precip accumulation field (tenths of mm as integers)
+    val field = Array(0, 2, 5, 9, 14, 1, 4, 8, 13, 19, 3, 7, 12, 18, 25)
+    val d = Array.tabulate(n)(i =>
+      if (i < 2) 0L else field(i) - 2L * field(i - 1) + field(i - 2))
+    val gmin = d.drop(2).min
+    val stored = Array.tabulate(n)(i => if (i < 2) 0L else d(i) - gmin)
+    val groups = Seq(stored.slice(0, 8), stored.slice(8, n))
+    def bitsFor(v: Long): Int =
+      if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+    val s1 = section(1, b => { b.u16(7).u16(2).u8(2).u8(1).u8(1)
+      .u16(2024).u8(11).u8(14).u8(0).u8(0).u8(0).u8(0).u8(1) })
+    val s3 = section(3, b => { b.u8(0).u32(n).u8(0).u8(0).u16(0) // template 3.0
+      .u8(6).u8(0).u32(0).u8(0).u32(0).u8(0).u32(0)  // earth shape octets 15-30
+      .u32(ni).u32(nj)                                // Ni, Nj
+      .u32(0).u32(0)                                  // basic angle, subdivisions
+      .u32(15000000L).u32(120000000L)                 // lat1 15.0, lon1 120.0
+      .u8(48)                                         // res & component flags
+      .u32(14000000L).u32(122000000L)                 // lat2 14.0, lon2 122.0
+      .u32(500000L).u32(500000L)                      // Di = Dj = 0.5 deg
+      .u8(0) })                                       // scan +i, -j
+    val s4 = section(4, b => { b.u16(0).u16(11)       // template 4.11
+      .u8(1).u8(8)                                    // APCP: category 1, number 8
+      .u8(4).u8(0).u8(0).u16(0).u8(0)                 // ens generating process
+      .u8(1).u32(0)                                   // time unit hour, fcTime 0
+      .u8(1).u8(0).u32(0).u8(255).u8(0).u32(0)        // ground surface
+      .u8(3).u8(17).u8(30)                            // perturbed member 17 of 30
+      .u16(2024).u8(11).u8(14).u8(6).u8(0).u8(0)      // end of interval
+      .u8(1).u32(0)                                   // 1 time range, 0 missing
+      .u8(1).u8(2).u8(1).u32(6).u8(255).u32(0) })     // accumulation over 6 h
+    val s5 = section(5, b => { b.u32(n).u16(3)        // template 5.3
+      b.f32(0f).u16(0).u16(1)                         // R=0 E=0 D=1 (tenths of mm)
+      b.u8(16).u8(0).u8(1).u8(0)
+        .u32(0).u32(0)
+        .u32(groups.length)
+        .u8(0).u8(6)
+        .u32(0).u8(1)
+        .u32(groups.last.length)
+        .u8(8)
+        .u8(2).u8(2) })
+    val s6 = section(6, b => b.u8(255))
+    val w = new BitWriter
+    w.write(field(0).toLong & 0xFFFF, 16)
+    w.write(field(1).toLong & 0xFFFF, 16)
+    w.write(if (gmin < 0) 0x8000L | -gmin else gmin, 16)
+    val refs = groups.map(_.min)
+    val widths = groups.map(g => bitsFor(g.max - g.min))
+    refs.foreach(r => w.write(r, 16)); w.align()
+    widths.foreach(gw => w.write(gw.toLong, 6)); w.align()
+    groups.init.foreach(g => w.write(g.length.toLong, 8))
+    w.write(99, 8); w.align()                         // NG-th placeholder
+    groups.zip(widths).foreach { case (g, gw) =>
+      if (gw > 0) g.foreach(v => w.write(v - g.min, gw)) }
+    val s7 = section(7, b => { val x = w.bytes; b.out.write(x, 0, x.length) })
+
+    val body = Array(s1, s3, s4, s5, s6, s7).flatten
+    val msg = new Builder
+    msg.u8('G').u8('R').u8('I').u8('B').u16(0).u8(0).u8(2)
+    msg.u64(16L + body.length + 4)
+    msg.out.write(body, 0, body.length)
+    msg.u8('7').u8('7').u8('7').u8('7')
+
+    val fields = Grib2.read(msg.bytes)
+    assert(fields.length === 1)
+    val f = fields.head
+    assert(f.discipline === 0 && f.paramCategory === 1 && f.paramNumber === 8)
+    assert(f.productTemplate === 11)
+    assert(f.ensembleMember === 17)
+    assert(f.timeUnit === 1 && f.forecastTime === 0L)
+    val g = f.grid.get
+    assert(g.ni === 5 && g.nj === 3)
+    assert(g.lat1 === 15.0 && g.lon1 === 120.0)
+    assert(g.lat2 === 14.0 && g.lon2 === 122.0)
+    assert(g.di === 0.5 && g.dj === 0.5 && g.scanMode === 0)
+    // D=1 divides the packed integers by 10 (tenths of mm -> mm)
+    assert(f.values.toSeq === field.map(_ / 10.0).toSeq)
+  }
+
   test("repeated sections 4-7 decode one field each; forecast time is signed") {
     // One GRIB2 message carrying TWO fields (sections 4,5,6,7 repeat
     // after the shared section 3) — the spec allows 2-7 to repeat, one
