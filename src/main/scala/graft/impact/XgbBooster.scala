@@ -84,15 +84,61 @@ object XgbBooster {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, XgbBooster]()
 
-  /** Load and cache a booster from an RDS file. */
+  /** Load and cache a booster: an RDS artifact (the reference's
+    * operational format) or a plain xgboost-JSON model file (the
+    * engine's own save format — first byte '{'). */
   def load(path: String): XgbBooster =
-    cache.computeIfAbsent(path, p => parse(Rds.readFile(p)))
+    cache.computeIfAbsent(path, p => {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      if (bytes.nonEmpty && bytes(0) == '{')
+        parseJson(new String(bytes, StandardCharsets.UTF_8))
+      else parse(Rds.readFile(p))
+    })
+
+  /** Save `model` in xgboost's public JSON model layout (the same
+    * schema `xgb.Booster.save_model("*.json")` writes and [[parseJson]]
+    * reads back) — train once with [[GbtTrainer]], persist, score from
+    * any later job via `xgb_score(features, path)`. Float32 leaf/split
+    * values print as their exact double expansion, so save→load is
+    * bit-exact. */
+  def save(model: XgbBooster, path: String): Unit = {
+    def ja[T](xs: Seq[T])(f: T => JValue): JArray = JArray(xs.map(f).toList)
+    val treesJ = ja(model.trees.toSeq) { t =>
+      JObject(
+        "split_indices" -> ja(t.feat.toSeq)(i => JInt(i)),
+        "split_conditions" -> ja(t.cond.toSeq)(c => JDouble(c.toDouble)),
+        "left_children" -> ja(t.left.toSeq)(i => JInt(i)),
+        "right_children" -> ja(t.right.toSeq)(i => JInt(i)),
+        "default_left" -> ja(t.defaultLeft.toSeq)(b => JBool(b)))
+    }
+    val j = JObject("learner" -> JObject(
+      "learner_model_param" -> JObject(
+        "base_score" -> JString(model.baseScore.toString),
+        "num_feature" -> JString(model.numFeature.toString)),
+      "feature_names" -> ja(model.featureNames)(n => JString(n)),
+      "gradient_booster" -> JObject("model" -> JObject("trees" -> treesJ))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      JsonMethods.compact(JsonMethods.render(j)).getBytes(StandardCharsets.UTF_8))
+  }
 
   /** Parse the xgboost JSON model out of gunzipped RDS bytes. */
   def parse(rdsBytes: Array[Byte]): XgbBooster = {
     val raw = Rds.firstRaw(rdsBytes)
-    val j = JsonMethods.parse(new String(raw, StandardCharsets.UTF_8))
-    val learner = j \ "Model" \ "learner"
+    parseJson(new String(raw, StandardCharsets.UTF_8),
+      nf => Rds.scanStringVector(rdsBytes, nf).getOrElse(Seq.empty))
+  }
+
+  /** Parse an xgboost JSON model — either the RDS-wrapped layout
+    * (top-level "Model", feature names in a sibling R vector fetched
+    * via `rdsNames`) or a plain save_model file (top-level "learner",
+    * names inline under feature_names). */
+  def parseJson(json: String,
+                rdsNames: Int => Seq[String] = _ => Seq.empty): XgbBooster = {
+    val j = JsonMethods.parse(json)
+    val learner = (j \ "Model" \ "learner") match {
+      case JNothing => j \ "learner"
+      case wrapped => wrapped
+    }
     val base = str(learner \ "learner_model_param" \ "base_score").toFloat
     val numFeature = str(learner \ "learner_model_param" \ "num_feature").toInt
     val JArray(treesJ) = (learner \ "gradient_booster" \ "model" \ "trees"): @unchecked
@@ -104,7 +150,10 @@ object XgbBooster {
         ints(t \ "right_children"),
         bools(t \ "default_left"))
     }.toArray
-    val names = Rds.scanStringVector(rdsBytes, numFeature).getOrElse(Seq.empty)
+    val names = (learner \ "feature_names") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => rdsNames(numFeature)
+    }
     new XgbBooster(base, numFeature, trees, names)
   }
 

@@ -79,6 +79,51 @@ class XgbSpec extends SparkTestBase {
     rows.foreach { case (id, f) => assert(got(id) === b.predict(f)) }
   }
 
+  test("JSON save/load round-trips the operational model bit-exactly") {
+    assume(have)
+    val b = XgbBooster.load(s"$dir/xgboost_regression_v4.RDS")
+    val tmp = java.nio.file.Files.createTempFile("xgb-model", ".json").toString
+    try {
+      XgbBooster.save(b, tmp)
+      val back = XgbBooster.load(tmp)
+      assert(back.baseScore === b.baseScore)
+      assert(back.numFeature === b.numFeature)
+      assert(back.featureNames === b.featureNames)
+      assert(back.trees.length === b.trees.length)
+      back.trees.zip(b.trees).foreach { case (x, y) =>
+        assert(x.feat.toSeq === y.feat.toSeq)
+        assert(x.cond.toSeq === y.cond.toSeq) // float32 exact
+        assert(x.left.toSeq === y.left.toSeq)
+        assert(x.right.toSeq === y.right.toSeq)
+        assert(x.defaultLeft.toSeq === y.defaultLeft.toSeq)
+      }
+      val f = b.medianSplitByFeature
+      assert(back.predict(f) === b.predict(f))
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+  }
+
+  test("trained GbtTrainer model persists and scores via xgb_score(path)") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (i.toDouble % 13, (i * 7 % 11).toDouble,
+      (i % 13) * 2.0 - (i * 7 % 11) * 0.5))
+    val df = rows.toDF("f0", "f1", "y")
+    val booster = graft.impact.GbtTrainer.train(df, "y", Seq("f0", "f1"),
+      graft.impact.GbtParams(numRound = 4, maxDepth = 3, eta = 0.3,
+        gamma = 0.1, subsample = 1.0))
+    val tmp = java.nio.file.Files.createTempFile("gbt-trained", ".json").toString
+    try {
+      XgbBooster.save(booster, tmp)
+      graft.GraftExtensions.register(spark)
+      val scored = df.withColumn("p",
+        call_function("xgb_score", array($"f0", $"f1"), lit(tmp)))
+        .select("f0", "f1", "p").collect()
+      scored.foreach { r =>
+        assert(r.getDouble(2) ===
+          booster.predict(Array(r.getDouble(0), r.getDouble(1))))
+      }
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+  }
+
   test("probe registers only when the reference artifact exists") {
     if (have) assert(XgbProbe.probes.map(_.name) === Seq("x24_xgb_reference_model"))
     else assert(XgbProbe.probes.isEmpty)
