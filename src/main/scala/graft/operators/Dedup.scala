@@ -329,4 +329,41 @@ object Dedup {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning over an embedding corpus. Cluster with a
+    * coarse quantizer, compare pairs ONLY within a cell (the
+    * published method's core trick — all-pairs cosine is quadratic in
+    * the corpus, within-cell is quadratic only in the cell), and drop
+    * every vector that has a lower-id neighbor at cosine ≥ tau; the
+    * minimum id is the deterministic stand-in for the paper's
+    * keep-one-representative rule.
+    *
+    * Quantizer is [[IvfIndex]]'s deterministic md5-init + one-Lloyd-step
+    * path, so the whole decision — cells, centroids, assignment,
+    * within-cell pairs, keep flags — is one relational plan an
+    * independent engine can replay (probe x29). Shape at 100 TB: one
+    * shuffle on `cell`, quadratic work confined to cells (cell count
+    * scales with the corpus), then a distinct + left anti-style join
+    * keyed on the id. Cosine is rounded to 6 decimals before the
+    * threshold compare so float-order noise cannot flip a keep flag.
+    *
+    * Returns (id, cell, keep) for every vector. */
+  def semanticDedup(embs: DataFrame, nlist: Int, tau: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = IvfIndex.meanCentroids(
+      IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+    val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
+    val dups = assigned
+      .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      .join(assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        round(Similarity.cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as("dup_id")).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dups, col(idCol) === col("dup_id"), "left")
+      .select(col(idCol), col("cell"), col("dup_id").isNull.as("keep"))
+  }
 }

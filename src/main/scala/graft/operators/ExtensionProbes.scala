@@ -395,6 +395,49 @@ object ExtensionProbes {
              |  1.0e0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS rep_ratio
              |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dedup.semanticDedup: SemDeDup over the embedding corpus — the
+    // deterministic IVF quantizer makes cells, centroids, assignment,
+    // within-cell pairs and keep flags all mirrorable op-for-op -------
+    Probe("x29_semantic_dedup",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Dedup.semanticDedup(Tables.embeddings(s, d), nlist = 8, tau = 0.25)
+          .orderBy("vec_id")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM dims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, embedding, cell FROM (
+             |    SELECT i.vec_id, i.embedding, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |dups AS (
+             |  SELECT DISTINCT b.vec_id AS dup_id
+             |  FROM assigned a JOIN assigned b USING (cell)
+             |  WHERE a.vec_id < b.vec_id
+             |    AND ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |      (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |       SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+             |      >= 0.25)
+             |SELECT a.vec_id, a.cell, d.dup_id IS NULL AS keep
+             |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+             |ORDER BY a.vec_id""".stripMargin)),
+
     // RangeJoin.bucketized: interval containment as an equi-join -------
     // (intervals [k*18, k*18+27) overlap, so points can match 1-2 of
     // them; the oracle states the same join as a plain theta BETWEEN)

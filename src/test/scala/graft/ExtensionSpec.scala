@@ -187,6 +187,30 @@ class ExtensionSpec extends SparkTestBase {
     all.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("semanticDedup drops exactly the vectors with a lower-id cell-mate at cosine >= tau") {
+    val embs = Tables.embeddings(spark, sfDir).where(col("vec_id") < 120)
+    val tau = 0.2
+    val got = Dedup.semanticDedup(embs, nlist = 4, tau = tau)
+    // independent keep computation: collect cells + vectors, brute force
+    val cells = got.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectDrop = vecs.keys.filter { id =>
+      vecs.keys.exists(o => o < id && cells(o) == cells(id) &&
+        BigDecimal(cos(vecs(o), vecs(id))).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= tau)
+    }.toSet
+    val gotDrop = got.where(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(gotDrop === expectDrop)
+    // every vector appears exactly once, keep + drop partition the corpus
+    assert(got.count() === embs.count())
+  }
+
   test("winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val docs = Seq(
