@@ -563,6 +563,49 @@ object ExtensionProbes {
              |WHERE n_chars >= q_lo AND n_chars <= q_hi
              |ORDER BY doc_id""".stripMargin)),
 
+    // Sampling.hashSplit: deterministic train/val/test membership -------
+    Probe("x30_hash_split",
+      (s, d) => Sampling.hashSplit(Tables.documents(s, d),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE
+             |    WHEN b < 800000 THEN 'train'
+             |    WHEN b < 900000 THEN 'val'
+             |    ELSE 'test'
+             |  END AS split
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+             |          % 1000000 AS b
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sampling.packSequences: GPT-style packing, one stream per shard ---
+    Probe("x31_pack_sequences",
+      (s, d) => Sampling.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              TextOps.wsTokenCount(col("text")).as("n_tokens")),
+          budget = 512, tokenCol = "n_tokens", shardCol = "lang")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_offset"), col("pack_id"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_offset
+             |  FROM t)
+             |SELECT doc_id, lang, n_tokens, start_offset,
+             |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_id
+             |FROM o ORDER BY doc_id""".stripMargin)),
+
     // Dedup.cosineNearDups (embedding near-duplicates) ------------------
     Probe("x10_cosine_neardups",
       (s, d) => {

@@ -47,4 +47,47 @@ object Sampling {
       .cast("long") % 1000000L
     df.where(bucket < (fraction * 1000000L).toLong)
   }
+
+  /** Deterministic train/val/test split: the id's md5 bucket in
+    * [0, 1e6) is mapped onto cumulative weight ranges, so membership
+    * is a pure function of the id — stable across runs, engines,
+    * cluster sizes and corpus growth (a document never migrates
+    * between splits when new data arrives, the property RNG splits
+    * lack). Map-only. Weights are normalized; the last range absorbs
+    * rounding so every row is labeled. */
+  def hashSplit(df: DataFrame, weights: Seq[(String, Double)],
+                idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("long") % 1000000L
+    val cum = weights.scanLeft(0.0)(_ + _._2)
+      .map(w => math.round(w / total * 1000000L)).toIndexedSeq
+    val labeled = weights.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), i)) =>
+        val hi = if (i == weights.length - 1) 1000000L else cum(i + 1)
+        when(bucket >= cum(i) && bucket < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** GPT-style sequence packing: concatenate documents in id order
+    * within each shard and cut the token stream every `budget` tokens;
+    * a document's `pack_id` is the chunk its first token lands in
+    * (`start_offset` is its position in the shard's stream). The
+    * window is partitioned by the shard column, so packing scales by
+    * sharding — the global-concatenation order the papers describe is
+    * recovered per shard, which is how production packers run (one
+    * stream per worker/source), never as a single global sort. */
+  def packSequences(docs: DataFrame, budget: Long, tokenCol: String,
+                    shardCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start_offset",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("start_offset") / budget))
+  }
 }

@@ -282,4 +282,40 @@ class ExtensionSpec extends SparkTestBase {
     assert(strat.count() > 0)
     assert(strat.select("decile").distinct().collect().map(_.getInt(0)).toSet == Set(10))
   }
+
+  test("hashSplit: total partition, ~weights, and no migration under corpus growth") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Sampling.hashSplit(docs, splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.values.forall(Set("train", "val", "test")))  // every row labeled
+    val n = full.size.toDouble
+    val trainFrac = full.values.count(_ == "train") / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // membership is a pure function of the id: a half-corpus assigns
+    // every surviving doc to the SAME split (RNG splits cannot do this)
+    val half = Sampling.hashSplit(docs.where($"doc_id" % 2 === 0), splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id migrated") }
+  }
+
+  test("packSequences: per-shard concatenation offsets and chunk assignment") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 300L), (3L, "en", 200L), (4L, "en", 50L),
+      (10L, "fr", 600L), (11L, "fr", 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.packSequences(docs, budget = 512,
+      tokenCol = "n_tokens", shardCol = "lang")
+      .select("doc_id", "start_offset", "pack_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // en stream: offsets 0,100,400,600 → packs 0,0,0,1
+    assert(got(1L) == (0L, 0L) && got(2L) == (100L, 0L))
+    assert(got(3L) == (400L, 0L) && got(4L) == (600L, 1L))
+    // fr stream restarts at 0 independently
+    assert(got(10L) == (0L, 0L) && got(11L) == (600L, 1L))
+  }
 }
