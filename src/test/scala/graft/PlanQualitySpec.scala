@@ -128,6 +128,40 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size == 1, s"only the sort may exchange:\n$p")
   }
 
+  test("x28 repetition ratio: map-only, one scan, no shuffle") {
+    val df = graft.operators.TextOps.repetitionRatio(
+      Tables.documents(spark, sfDir))
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan|Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"repetition ratio must be a pure projection:\n$p")
+  }
+
+  test("x30 hash split: map-only, no shuffle, no join") {
+    val df = graft.operators.Sampling.hashSplit(
+      Tables.documents(spark, sfDir), Seq("train" -> 0.9, "test" -> 0.1))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"hash split must be a pure projection:\n$p")
+  }
+
+  test("x31 pack sequences: exactly one exchange (the shard window)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextOps.wsTokenCount(col("text")).as("n_tokens"))
+    val df = graft.operators.Sampling.packSequences(docs, 512, "n_tokens", "lang")
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"packing shuffles once on the shard key:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("x29 semantic dedup: no cartesian product, cell join is equi") {
+    val p = planString("x29_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairs must come from an equi-join on cell:\n$p")
+  }
+
   test("x21 quantile band plan: one grouped aggregate joined back, no window") {
     val p = planString("x21_quantile_band")
     assert(!p.contains("Window"), s"band filter must not window over full data:\n$p")
