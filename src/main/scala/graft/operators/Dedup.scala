@@ -144,6 +144,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Ingest-time incremental dedup: test a NEW batch against an
+    * EXISTING corpus through the corpus's persisted signature index —
+    * never re-reading or re-shingling corpus text. The index is two
+    * ordinary tables built once and appended per ingest: the minhash
+    * signature table (id, minhash) and the shingle-hash set table
+    * (id, sh_hashes), both map-only to produce (one-pass kernels).
+    * New docs compute their signatures in the scan, band-join against
+    * the corpus buckets (the only shuffle proportional to data, and it
+    * carries b hashes per doc, not text), and candidates verify exact
+    * Jaccard against the set table. At 100 TB the index is a fraction
+    * of corpus bytes and the daily batch is small — this is the shape
+    * that keeps continuous ingest O(batch), not O(corpus).
+    *
+    * Returns (new_id, corpus_id, jaccard) for pairs ≥ threshold. */
+  def incrementalNearDups(newDocs: DataFrame, corpusSignatures: DataFrame,
+                          corpusShingleSets: DataFrame, n: Int = 3,
+                          bands: Int = 4, rowsPer: Int = 2,
+                          threshold: Double = 0.5,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val newSigs = minhashSignaturesOnePass(newDocs, n, bands * rowsPer, idCol, textCol)
+    val newBuckets = lshBuckets(newSigs, bands, rowsPer, idCol)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("new_id"))
+    val corpusBuckets = lshBuckets(corpusSignatures, bands, rowsPer, idCol)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("corpus_id"))
+    val cands = newBuckets.join(corpusBuckets, Seq("band_idx", "band_hash"))
+      .select("new_id", "corpus_id").distinct()
+    val a = shingleHashSets(newDocs, n, idCol, textCol)
+      .select(col(idCol).as("new_id"), col("sh_hashes").as("ha"))
+    val b = corpusShingleSets
+      .select(col(idCol).as("corpus_id"), col("sh_hashes").as("hb"))
+    cands.join(a, Seq("new_id")).join(b, Seq("corpus_id"))
+      .withColumn("n_inter",
+        call_function("sorted_intersect_count", col("ha"), col("hb")))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("n_inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs,
     * computed relationally: |A∩B| via a self-join on shingle,
     * |A∪B| = |A| + |B| − |A∩B|. */

@@ -205,6 +205,58 @@ object ExtensionProbes {
            |ORDER BY p.id_a, p.id_b""".stripMargin
       }),
 
+    // Dedup.incrementalNearDups: ingest-time batch-vs-corpus dedup
+    // through the persisted signature index (docs >= 400 play the new
+    // batch; < 400 the indexed corpus) -----------------------------------
+    Probe("x32_incremental_dedup",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val corpus = docs.where(col("doc_id") < 400)
+        val batch = docs.where(col("doc_id") >= 400)
+        val sigs = Dedup.minhashSignaturesOnePass(corpus, n = 3, numPerm = 8)
+        val sets = Dedup.shingleHashSets(corpus, n = 3)
+        Dedup.incrementalNearDups(batch, sigs, sets, n = 3,
+          bands = 4, rowsPer = 2, threshold = 0.5)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some {
+        val consts = Dedup.permutationConstants(8)
+        val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN(($a * h + $b) % $P) AS m$i"
+        }.mkString(", ")
+        val bandHash = (0 until 4).map { bIdx =>
+          val cols = (0 until 2).map(r => s"m${bIdx * 2 + r}").mkString(", ")
+          s"SELECT $bIdx AS band_idx, md5(concat_ws('_', $cols)) AS band_hash, doc_id FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH sh AS ($shingleSql),
+           |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |buckets AS ($bandHash),
+           |cands AS (
+           |  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+           |  WHERE l.doc_id >= 400 AND r.doc_id < 400),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT c.new_id, c.corpus_id, COUNT(*) AS n_inter
+           |  FROM cands c
+           |  JOIN sh a ON a.doc_id = c.new_id
+           |  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT c.new_id, c.corpus_id,
+           |    ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+           |          (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+           |  FROM cands c
+           |  LEFT JOIN inter i ON i.new_id = c.new_id AND i.corpus_id = c.corpus_id
+           |  JOIN sizes sa ON sa.doc_id = c.new_id
+           |  JOIN sizes sb ON sb.doc_id = c.corpus_id)
+           |SELECT new_id, corpus_id, jaccard FROM j
+           |WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""".stripMargin
+      }),
+
     // MultimodalOps plumbing: binary column + digest --------------------
     Probe("x09_multimodal_bytes",
       (s, d) => Tables.documents(s, d)

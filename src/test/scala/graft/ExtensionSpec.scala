@@ -187,6 +187,28 @@ class ExtensionSpec extends SparkTestBase {
     all.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("incrementalNearDups equals the batch pipeline restricted to cross-boundary pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val cut = 30L
+    val corpus = docs.where($"doc_id" < cut)
+    val batch = docs.where($"doc_id" >= cut)
+    val incr = Dedup.incrementalNearDups(batch,
+        Dedup.minhashSignaturesOnePass(corpus, n = 3, numPerm = 8),
+        Dedup.shingleHashSets(corpus, n = 3), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the full-corpus pipeline, keeping only (new, corpus) pairs
+    val sig = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 2))
+    val full = Dedup.ngramJaccardFromSets(Dedup.shingleHashSets(docs, n = 3), pairs)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a >= cut && b < cut) Some((a, b, j))
+        else if (b >= cut && a < cut) Some((b, a, j)) else None }.toSet
+    assert(incr === full)
+    assert(incr.nonEmpty, "fixture should produce at least one cross-boundary candidate")
+  }
+
   test("semanticDedup drops exactly the vectors with a lower-id cell-mate at cosine >= tau") {
     val embs = Tables.embeddings(spark, sfDir).where(col("vec_id") < 120)
     val tau = 0.2
