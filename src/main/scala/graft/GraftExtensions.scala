@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions wiring: the engine's domain functions as
   * first-class SQL functions, composed from NATIVE Catalyst
@@ -142,6 +142,15 @@ object GraftExtensions {
         litInt("winnowing_fps", w)) }),
     ("word_counts", 1, { case Seq(t) =>
       graft.expressions.WordCounts(t) }),
+    // pq_adc(vec, cb-literal, qt-literal, m, ksub, dsub): fused PQ
+    // encode + asymmetric-distance score (see PqAdcScore).
+    ("pq_adc", 6, { case Seq(v,
+        Literal(cbA: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(DoubleType, _)),
+        Literal(qtA: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(DoubleType, _)),
+        mE, ksubE, dsubE) =>
+      graft.expressions.PqAdcScore(v, cbA.toDoubleArray(), qtA.toDoubleArray(),
+        litInt("pq_adc", mE), litInt("pq_adc", ksubE), litInt("pq_adc", dsubE)) }),
+
     // xgb_score(features, path-literal): scores the reference's
     // operational xgboost artifact (parsed from its RDS) in codegen.
     // A "<mem:…>" tag instead of a path resolves a freshly-trained

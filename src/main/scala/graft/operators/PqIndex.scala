@@ -147,23 +147,54 @@ object PqIndex {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    // explode + id-partition ONCE; codebook build, encode, and query
-    // table are all broadcast-join + partition-local aggregation over
-    // this cached frame — no further exchange until the final top-k
-    val d = partitionedDims(embs, dim / m, idCol, vecCol)
+    val dsub = dim / m
+    // explode + id-partition ONCE, only for the index build: codebook
+    // and query table are broadcast-join + partition-local aggregation
+    // over this cached frame
+    val d = partitionedDims(embs, dsub, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // materialize the tiny codebook (m·ksub·dsub rows) once — it
-      // feeds both the corpus encode and the query table, and
-      // recomputing it re-runs the seeded Lloyd assignment
-      val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
-      val codes = encodeFromDims(d, cb, idCol)
-      val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
-      // ≤ shortlist rows; eager so the cached dims can be released
-      val short = adcShortlist(codes, table, queryId, shortlist, idCol)
-        .localCheckpoint()
-      rerank(short, embs, queryId, k, idCol, vecCol)
-    } finally d.unpersist(blocking = false)
+    val (cbArr, qtArr) =
+      try {
+        val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
+        val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
+        collectTables(cb, table, m, ksub, dsub)
+      } finally d.unpersist(blocking = false)
+    // fused scan: pq_adc encodes + ADC-scores each vector in one
+    // codegen pass (values bit-identical to the relational
+    // encode→join→sum path — see PqAdcScore); shortlist is a
+    // TakeOrdered, so the whole query side is map-only, zero shuffle
+    val spark = embs.sparkSession
+    graft.GraftExtensions.register(spark)
+    val adist = call_function("pq_adc",
+      col(vecCol).cast("array<double>"), lit(cbArr), lit(qtArr),
+      lit(m), lit(ksub), lit(dsub))
+    val short = embs.where(col(idCol) =!= queryId)
+      .select(col(idCol), adist.as("adist"))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(shortlist)
+    rerank(short, embs, queryId, k, idCol, vecCol)
+  }
+
+  /** Flatten the (tiny) codebook and query table for the fused kernel:
+    * cb slot (s·ksub + c)·dsub + w, qt slot s·ksub + c; NaN in qt marks
+    * a (subspace, cell) the codebook never produced (empty Lloyd cell),
+    * which the kernel skips exactly like the relational join does. */
+  private def collectTables(cb: DataFrame, table: DataFrame,
+                            m: Int, ksub: Int, dsub: Int): (Array[Double], Array[Double]) = {
+    val cbArr = new Array[Double](m * ksub * dsub)
+    val qtArr = Array.fill(m * ksub)(Double.NaN)
+    cb.collect().foreach { r =>
+      val s = r.getAs[Number]("subspace").intValue()
+      val c = r.getAs[Number]("cell").intValue()
+      val w = r.getAs[Number]("within").intValue()
+      cbArr((s * ksub + c) * dsub + w) = r.getAs[Double]("cx")
+    }
+    table.collect().foreach { r =>
+      val s = r.getAs[Number]("subspace").intValue()
+      val c = r.getAs[Number]("cell").intValue()
+      qtArr(s * ksub + c) = r.getAs[Double]("qdist")
+    }
+    (cbArr, qtArr)
   }
 
   /** IVF-PQ: the standard two-level layout for web-scale ANN — the IVF
