@@ -120,6 +120,39 @@ class StreamingSpec extends SparkTestBase {
       Set("alpha document text", "beta document text", "gamma document text"))
   }
 
+  test("map-only curation ops run unchanged on a stream and equal the batch result") {
+    GraftExtensions.register(spark)
+    val landing = Files.createTempDirectory("graft_curdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_cur").toString
+    val rows = Seq(
+      (1L, "the quick brown fox the quick brown fox"),
+      (2L, "completely unique words appear exactly once here"),
+      (3L, "aaa aaa aaa aaa aaa"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    // stateless projections compose on streams with no extra plumbing:
+    // curation profile + repetition ratio + split assignment in one pass
+    val curated = graft.operators.Sampling.hashSplit(
+      graft.operators.TextOps.repetitionRatio(stream).join(
+        graft.operators.TextOps.curationProfile(stream)
+          .select("doc_id", "ws_tokens"), "doc_id"),
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val got = ForecastStream.runAvailableNow(curated, "curation", ckpt, "append")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rep_ratio"), r.getAs[Int]("ws_tokens"), r.getAs[String]("split"))).toMap
+    val batch = graft.operators.Sampling.hashSplit(
+      graft.operators.TextOps.repetitionRatio(rows.toDF("doc_id", "text")).join(
+        graft.operators.TextOps.curationProfile(rows.toDF("doc_id", "text"))
+          .select("doc_id", "ws_tokens"), "doc_id"),
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rep_ratio"), r.getAs[Int]("ws_tokens"), r.getAs[String]("split"))).toMap
+    assert(got === batch)
+    assert(got(3L)._1 > 0.7)  // degenerate repetition caught on the stream
+  }
+
   test("streaming contamination equals the batch scan on the same docs") {
     GraftExtensions.register(spark)
     val landing = Files.createTempDirectory("graft_evaldocs").toString
