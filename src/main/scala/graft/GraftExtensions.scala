@@ -142,6 +142,13 @@ object GraftExtensions {
         litInt("winnowing_fps", w)) }),
     ("word_counts", 1, { case Seq(t) =>
       graft.expressions.WordCounts(t) }),
+    // nearest_value(v, values-literal, keys-literal): J9 nearest lookup
+    // as a map-only binary search over a broadcast value table.
+    ("nearest_value", 3, { case Seq(v,
+        Literal(vs: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(DoubleType, _)),
+        Literal(ks: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(LongType, _))) =>
+      graft.expressions.NearestValue(v, vs.toDoubleArray(), ks.toLongArray()) }),
+
     // pq_adc(vec, cb-literal, qt-literal, m, ksub, dsub): fused PQ
     // encode + asymmetric-distance score (see PqAdcScore).
     ("pq_adc", 6, { case Seq(v,

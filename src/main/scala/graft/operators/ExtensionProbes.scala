@@ -205,6 +205,26 @@ object ExtensionProbes {
            |ORDER BY p.id_a, p.id_b""".stripMargin
       }),
 
+    // RangeJoin.nearestByValue: J9 nearest lookup as a map-only binary
+    // search over the broadcast (value, min-key) table; the oracle
+    // states the same lexicographic (|diff|, key) contract as a plain
+    // window over the cross product ------------------------------------
+    Probe("x33_nearest_scalar",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val t = graft.sources.Tables
+        RangeJoin.nearestByValue(t.supplier(s, d), t.customer(s, d),
+          "s_acctbal", "c_acctbal", "c_custkey")
+          .select(col("s_suppkey"), col("nearest"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, nearest FROM (
+             |  SELECT s.s_suppkey, c.c_custkey AS nearest,
+             |    ROW_NUMBER() OVER (PARTITION BY s.s_suppkey
+             |      ORDER BY ABS(c.c_acctbal - s.s_acctbal), c.c_custkey) AS rn
+             |  FROM supplier s CROSS JOIN customer c)
+             |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin)),
+
     // Dedup.incrementalNearDups: ingest-time batch-vs-corpus dedup
     // through the persisted signature index (docs >= 400 play the new
     // batch; < 400 the indexed corpus) -----------------------------------

@@ -34,4 +34,28 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** J9 nearest-by-scalar-value lookup, map-only: the right side's
+    * distinct values collapse to a sorted (value, min key) table —
+    * dimension-sized by contract — and every left row binary-searches
+    * it inside codegen (`nearest_value`). Semantics: the right key
+    * minimizing (|leftVal − rightVal|, key) lexicographically. The
+    * cross-join formulation this replaces is quadratic in BOTH sides;
+    * this is one aggregation of the right side plus a scan of the
+    * left. Appends `outCol` to `left`. */
+  def nearestByValue(left: DataFrame, right: DataFrame,
+                     leftVal: String, rightVal: String, rightKey: String,
+                     outCol: String = "nearest"): DataFrame = {
+    val pairs = right
+      .groupBy(col(rightVal).cast("double").as("v"))
+      .agg(min(col(rightKey).cast("long")).as("k"))
+      .orderBy("v")
+      .collect()
+    require(pairs.nonEmpty, "nearestByValue: right side is empty")
+    val values = pairs.map(_.getDouble(0))
+    val keys = pairs.map(_.getLong(1))
+    graft.GraftExtensions.register(left.sparkSession)
+    left.withColumn(outCol, call_function("nearest_value",
+      col(leftVal).cast("double"), lit(values), lit(keys)))
+  }
 }

@@ -16,6 +16,29 @@ class RangeJoinSpec extends SparkTestBase {
     ("d", 39.9, 40.1), ("e", 50.0, 60.0))
     .toDF("name", "lo", "hi")
 
+  test("nearestByValue equals the cross-join lexicographic argmin, incl. ties") {
+    import graft.operators.RangeJoin
+    // equidistant tie (5.0 between 4.0 and 6.0), duplicate right values
+    // (key 12 and 7 both at 6.0 -> 7 wins), exact match, out-of-range ends
+    val left = Seq((1L, 5.0), (2L, -100.0), (3L, 999.0), (4L, 6.0), (5L, 4.4))
+      .toDF("id", "lv")
+    val right = Seq((10L, 4.0), (12L, 6.0), (7L, 6.0), (20L, 50.0))
+      .toDF("key", "rv")
+    val got = RangeJoin.nearestByValue(left, right, "lv", "rv", "key")
+      .select("id", "nearest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force with struct-lexicographic min_by
+    val expect = left.crossJoin(right)
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "min_by(key, struct(abs(rv - lv), key))").as("nearest"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // equidistant 4.0 vs 6.0 at lv=5.0: |diff| ties, keys {10} vs {12,7} -> 7
+    assert(got(1L) === 7L)
+    assert(got(2L) === 10L && got(3L) === 20L)  // clamped ends
+  }
+
   test("matches equal the naive theta join for every bucket width") {
     val naive = points.join(intervals,
         col("v") >= col("lo") && col("v") < col("hi"))
