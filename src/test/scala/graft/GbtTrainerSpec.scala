@@ -252,6 +252,28 @@ class GbtTrainerSpec extends SparkTestBase {
       s"kept ${b.trees.length}, eval argmin ${maes.indexOf(maes.min) + 1}")
   }
 
+  test("property: random data/params produce identical trees to single-node") {
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 0 until 5) {
+      val n = 80 + rnd.nextInt(220)
+      val nf = 2 + rnd.nextInt(4)
+      val missing = if (rnd.nextBoolean()) 7 + rnd.nextInt(10) else 0
+      val (xs, ys) = fixture(n, nf, missingEvery = missing)
+      val p = GbtParams(
+        numRound = 1 + rnd.nextInt(4),
+        maxDepth = 2 + rnd.nextInt(3),
+        eta = 0.1 + rnd.nextDouble() * 0.5,
+        gamma = rnd.nextDouble(),
+        minChildWeight = 1.0 + rnd.nextInt(5),
+        subsample = 1.0)
+      val booster = GbtTrainer.train(toDf(xs, ys), "y", (0 until nf).map(i => s"f$i"), p)
+      val (trees, _) = SingleNode.train(xs, ys, p)
+      withClue(s"trial $trial: n=$n nf=$nf missing=$missing p=$p") {
+        assertSameTrees(booster, trees)
+      }
+    }
+  }
+
   test("subsample < 1 is deterministic across runs and changes the fit") {
     val (xs, ys) = fixture(400, 3)
     val feats = (0 until 3).map(i => s"f$i")

@@ -26,6 +26,44 @@ class PqSpec extends SparkTestBase {
       .where(col("count") =!= 1).count() === 0)
   }
 
+  test("fused pq_adc kernel is bit-identical to the relational encode->join->sum") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir)
+    val q = 3L
+    val cb = PqIndex.codebook(embs, m, ksub, dim).localCheckpoint()
+    val codes = PqIndex.encode(embs, cb, m, dim)
+    val table = PqIndex.queryTable(embs, q, cb, m, dim)
+    // relational ADC distance for EVERY vector (shortlist = corpus)
+    val n = embs.count().toInt
+    val relational = PqIndex.adcShortlist(codes, table, q, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // fused kernel through the public operator path: adcTopK with the
+    // full corpus as shortlist reranks everything, so instead compare
+    // the raw scores by scoring directly with the same tables
+    val dsub = dim / m
+    val cbArr = new Array[Double](m * ksub * dsub)
+    val qtArr = Array.fill(m * ksub)(Double.NaN)
+    cb.collect().foreach { r =>
+      val s = r.getAs[Number]("subspace").intValue()
+      val c = r.getAs[Number]("cell").intValue()
+      val w = r.getAs[Number]("within").intValue()
+      cbArr((s * ksub + c) * dsub + w) = r.getAs[Double]("cx")
+    }
+    table.collect().foreach { r =>
+      qtArr(r.getAs[Number]("subspace").intValue() * ksub +
+        r.getAs[Number]("cell").intValue()) = r.getAs[Double]("qdist")
+    }
+    val fused = embs.where(col("vec_id") =!= q)
+      .select(col("vec_id"), call_function("pq_adc",
+        col("embedding").cast("array<double>"), lit(cbArr), lit(qtArr),
+        lit(m), lit(ksub), lit(dsub)).as("adist"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused.keySet === relational.keySet)
+    fused.foreach { case (id, a) =>
+      assert(a === relational(id), s"vec $id: fused $a vs relational ${relational(id)}")
+    }
+  }
+
   test("ADC shortlist + rerank recovers >= 8 of the exact top-10") {
     val embs = Tables.embeddings(spark, sfDir)
     for (q <- Seq(0L, 3L, 17L)) {
