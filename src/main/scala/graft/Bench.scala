@@ -125,7 +125,12 @@ object Bench {
       "converged in 2 rounds, 17.2s (25.7s before folding the " +
       "convergence check into the checkpointed update - one big join " +
       "per round instead of two), collapsing all 19,998 planted " +
-      "near-dup pairs. BenchTrain (from-scratch xgboost-hist trainer, " +
+      "near-dup pairs; ingest-time incremental dedup of a 10k-doc " +
+      "batch against the persisted 1M-doc signature index 2.7s " +
+      "(index build 1.3s, amortized across ingests) finding exactly " +
+      "the 100 planted copies - the batch joins signatures, not " +
+      "documents, so per-ingest cost is O(batch), not O(corpus). " +
+      "BenchTrain (from-scratch xgboost-hist trainer, " +
       "10 rounds x depth 6 x 10 features, 5% missing): 2M rows in " +
       "21.8s vs 200k rows in 17.7s - 10x the rows costs 1.23x the " +
       "wall time because each tree level is ONE aggregation whose " +
