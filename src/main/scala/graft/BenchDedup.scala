@@ -93,13 +93,32 @@ object BenchDedup {
       Dedup.incrementalNearDups(batch, corpusSigs, corpusSets,
         n = 3, bands = 4, rowsPer = 4, threshold = 0.8).count()
     }
+    // LINE-level dedup at volume: 5 lines per doc, a fixed boilerplate
+    // line planted in 30% of docs (the C4 cookie-banner scenario) plus
+    // the per-doc unique lines — the window-over-line shuffle is the
+    // cost, and the one hot line must not stall the stage (AQE skew
+    // split applies to the window exchange).
+    val lined = docs.withColumn("text5", concat_ws("\n",
+        when(col("doc_id") % 10 < 3,
+          lit("accept cookies to continue reading this site"))
+          .otherwise(concat(lit("head"), col("doc_id"))),
+        substring(col("text"), 1, 60),
+        substring(col("text"), 61, 60),
+        substring(col("text"), 121, 60),
+        concat(lit("tail"), col("doc_id"))))
+      .select(col("doc_id"), col("text5").as("text"))
+    val (nLineDropped, tLine) = timed {
+      graft.operators.TextOps.lineDedup(lined)
+        .agg(sum("n_dropped")).collect()(0).getLong(0)
+    }
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
       s""""minhash_lsh_onepass_sec":${f"$tOnePass%.2f"},""" +
       s""""cc_dropped_docs":$nDropped,"cc_rounds":$ccRounds,"cc_sec":${f"$tCc%.2f"},""" +
       s""""ingest_batch":10000,"ingest_index_sec":${f"$tIndex%.2f"},""" +
-      s""""ingest_hits":$nIngest,"ingest_sec":${f"$tIngest%.2f"}}""")
+      s""""ingest_hits":$nIngest,"ingest_sec":${f"$tIngest%.2f"},""" +
+      s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"}}""")
     spark.stop()
   }
 }

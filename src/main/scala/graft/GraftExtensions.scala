@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions wiring: the engine's domain functions as
   * first-class SQL functions, composed from NATIVE Catalyst
@@ -126,6 +126,12 @@ object GraftExtensions {
 
     ("graft_dot_product", 2, { case Seq(a, b) =>
       graft.expressions.DotProduct(a, b) }),
+
+    // bloom_might_contain(filter-literal, hash): map-only membership
+    // prefilter against a broadcast-able serialized BloomFilter.
+    ("bloom_might_contain", 2, { case Seq(
+        Literal(bytes: Array[Byte], BinaryType), v) =>
+      graft.expressions.BloomMightContain(v, bytes) }),
 
     // One-pass text-dedup kernels (graft.expressions.MinHashOps). The
     // int parameters must be literals: they pick generated-code

@@ -903,5 +903,107 @@ object ExtensionProbes {
              |        AS recall_ok)
              |SELECT r.vec_id, ROUND(r.sim, 6) AS sim, rec.recall_ok
              |FROM rerank r CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // HeavyHitters.MisraGries: frequency-sketch guarantee contract ------
+    // (sketch CONTENTS below the guarantee threshold are partitioning-
+    // dependent, so — like x17/x18 — the certified rows are the exact
+    // heavy tokens plus the engine-portable boolean that the MG
+    // guarantee held for each: every token with cnt·capacity > N must
+    // be in the summary. Docs are augmented with 20 copies of a
+    // per-doc unique token so the distinct count (~1k) genuinely
+    // exceeds the 256 counters and the sketch actually compresses.)
+    Probe("x34_heavy_hitters",
+      (s, d) => {
+        val aug = Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), expr("repeat(concat(' u', doc_id), 20)")))
+        val sketch = aug.agg(
+          HeavyHitters.heavyHitters(256)(col("aug")).as("mg"))
+        val toks = aug.select(
+          explode(split(trim(col("aug")), "\\s+")).as("w"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .where(col("cnt") * 256 > col("n_total"))
+          .crossJoin(broadcast(sketch))
+          .select(col("w"), col("cnt"),
+            map_contains_key(col("mg"), col("w")).as("in_sketch"))
+          .orderBy("w")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text || repeat(' u' || doc_id, 20) AS aug
+             |  FROM documents),
+             |toks AS (
+             |  SELECT unnest(regexp_split_to_array(trim(aug), '\s+')) AS w
+             |  FROM a),
+             |c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS n_total FROM toks)
+             |SELECT w, cnt, TRUE AS in_sketch FROM c, t
+             |WHERE cnt * 256 > n_total ORDER BY w""".stripMargin)),
+
+    // Dedup.contaminationBloomPruned: bloom prefilter, EXACT output -----
+    // (identical result to the unpruned x16 scan — bloom has no false
+    // negatives and the equi-join removes the false positives — so the
+    // oracle is the plain exact contamination SQL)
+    Probe("x35_bloom_contamination",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        Dedup.contaminationBloomPruned(train, eval, n = 3, minOverlap = 3,
+            fpp = 0.01)
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH sh AS ($shingleSql),
+              |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1)
+              |SELECT eval_id, train_id, COUNT(*) AS n_shared
+              |FROM ev JOIN tr USING (shingle)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+              |ORDER BY eval_id, train_id""".stripMargin)),
+
+    // TextOps.lineDedup: C4/RefinedWeb line-level dedup -----------------
+    // (the corpus has no newlines, so docs are synthesized with two
+    // lines each where doc i's SECOND line is doc i+1's FIRST line —
+    // every line is duplicated across adjacent documents and the
+    // first-occurrence rule produces a nontrivial keep/drop pattern:
+    // doc 0 keeps both lines, middle docs keep only their second
+    // line, the last doc keeps nothing)
+    Probe("x36_line_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nexts = docs.select((col("doc_id") - 1).as("doc_id"),
+          substring(col("text"), 1, 80).as("nxt"))
+        val aug = docs.join(nexts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 80),
+              when(col("nxt").isNull, lit(""))
+                .otherwise(concat(lit("\n"), col("nxt")))).as("aug"))
+        TextOps.lineDedup(aug, textCol = "aug").orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT d.doc_id,
+             |    substr(d.text, 1, 80) ||
+             |    CASE WHEN n.text IS NULL THEN ''
+             |         ELSE chr(10) || substr(n.text, 1, 80) END AS aug
+             |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+             |l AS (
+             |  SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line
+             |  FROM (SELECT doc_id, string_split(aug, chr(10)) AS parts FROM a),
+             |       (SELECT unnest(generate_series(1, 2)) AS i) g
+             |  WHERE g.i <= len(parts)),
+             |f AS (
+             |  SELECT doc_id, pos, line,
+             |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |  FROM l),
+             |k AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             |    COUNT(*) AS n_kept
+             |  FROM f WHERE rn = 1 GROUP BY 1)
+             |SELECT a.doc_id,
+             |  COALESCE(k.clean_text, '') AS clean_text,
+             |  COALESCE(k.n_kept, 0) AS n_kept,
+             |  len(string_split(a.aug, chr(10))) - COALESCE(k.n_kept, 0) AS n_dropped
+             |FROM a LEFT JOIN k USING (doc_id) ORDER BY a.doc_id""".stripMargin)),
   )
 }

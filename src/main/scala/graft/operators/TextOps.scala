@@ -178,6 +178,49 @@ object TextOps {
         .as("rep_ratio"))
   }
 
+  /** C4/RefinedWeb-style LINE-level dedup: a line (newline-separated
+    * span) that occurs anywhere else in the corpus keeps only its
+    * FIRST occurrence (smallest (doc_id, position)); every other copy
+    * is dropped and the surviving lines are reassembled in document
+    * order. This is the sub-document dedup the web-corpus pipelines
+    * apply before document-level MinHash — boilerplate (nav bars,
+    * cookie banners, license headers) repeats across billions of pages
+    * that are NOT near-duplicates as whole documents.
+    *
+    * Returns (idCol, clean_text, n_kept, n_dropped) for every input
+    * document (documents whose lines all drop keep an empty string).
+    *
+    * Scale shape: two keyed shuffles, no products — (1) the
+    * first-occurrence decision is a window partitioned by the line
+    * (exact, no hash-collision risk; the shuffled rows carry the line
+    * text either way), (2) reassembly is a groupBy on the document
+    * id. Both keys are high-cardinality; a pathological hot line
+    * (empty boilerplate) widens ONE window partition, bounded by its
+    * corpus frequency — AQE skew handling applies as usual. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val firsts = lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))))
+    val kept = firsts.where(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TextOps
+
+/** C4-style line-level dedup: first occurrence (smallest (doc_id,
+  * pos)) survives, every other copy corpus-wide drops, documents
+  * reassemble in position order. */
+class LineDedupSpec extends SparkTestBase {
+
+  private def run(rows: Seq[(Long, String)]): Map[Long, (String, Long, Long)] = {
+    import spark.implicits._
+    TextOps.lineDedup(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("cross-document duplicate keeps only the earliest (doc_id, pos)") {
+    val out = run(Seq(
+      (1L, "alpha\nboiler"),
+      (2L, "boiler\nbeta"),
+      (3L, "boiler")))
+    assert(out(1L) === (("alpha\nboiler", 2L, 0L)))
+    assert(out(2L) === (("beta", 1L, 1L)))
+    assert(out(3L) === (("", 0L, 1L)))
+  }
+
+  test("within-document repeat: first position wins, order preserved") {
+    val out = run(Seq((7L, "x\ny\nx\nz")))
+    assert(out(7L) === (("x\ny\nz", 3L, 1L)))
+  }
+
+  test("no duplicates anywhere is the identity") {
+    val docs = Seq((1L, "a\nb"), (2L, "c\nd"))
+    val out = run(docs)
+    assert(out(1L) === (("a\nb", 2L, 0L)))
+    assert(out(2L) === (("c\nd", 2L, 0L)))
+  }
+}

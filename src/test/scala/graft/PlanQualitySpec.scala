@@ -103,6 +103,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x35 bloom contamination: prefilter sits below the join, join stays equi") {
+    val p = planString("x35_bloom_contamination")
+    // the bloom probe must run as a Filter on the train side BEFORE
+    // the shuffle/join — a map-side prune, not a post-join residual
+    assert(p.contains("bloom_might_contain"),
+      s"bloom prefilter missing from the plan:\n$p")
+    val joinAt = p.indexOf("Join")
+    val bloomAt = p.indexOf("bloom_might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      "bloom filter must appear on the input side (below the join) in the plan tree")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x34 heavy hitters: MG aggregation is partial before the single merge") {
+    val p = planString("x34_heavy_hitters")
+    // ObjectHashAggregate with a partial_misragries pass = map-side
+    // bounded summaries; only O(capacity) state crosses the wire
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert("partial_".r.findFirstIn(p).isDefined,
+      s"MG aggregation lost its partial (map-side) phase:\n$p")
+  }
+
   test("curation profile: all metrics in one scan, map-only plan") {
     val df = graft.operators.TextOps.curationProfile(
       Tables.documents(spark, sfDir))

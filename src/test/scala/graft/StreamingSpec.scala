@@ -153,6 +153,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got(3L)._1 > 0.7)  // degenerate repetition caught on the stream
   }
 
+  test("streaming heavy hitters keeps the MG guarantee incrementally") {
+    // the Misra-Gries buffer is streaming-aggregation state: each
+    // micro-batch reduces into it and the mergeable-summaries bound
+    // holds for ANY merge tree, including incremental ones — so every
+    // token over the N/(capacity+1) threshold must be in the final
+    // summary even though batch boundaries differ from any batch run.
+    val landing = Files.createTempDirectory("graft_hhdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_hh").toString
+    val mkText = (salt: Int) => (0 until 30).map { i =>
+      if (i % 3 == 0) "hot" else s"cold${salt}_$i"
+    }.mkString(" ")
+    // two arrivals: the stream must fold batch 2 into batch 1's state
+    Seq((1L, mkText(1)), (2L, mkText(2))).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    val agg = stream.agg(
+      graft.operators.HeavyHitters.heavyHitters(16)(col("text")).as("mg"))
+    val q1 = ForecastStream.runAvailableNow(agg, "hh_stream", ckpt, "complete")
+    Seq((3L, mkText(3))).toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(landing)
+    val q2 = ForecastStream.runAvailableNow(agg, "hh_stream", ckpt, "complete")
+    val mg = q2.collect()(0).getMap[String, Long](0).toMap
+    // 90 tokens total, "hot" has 30 > 90/17 — must survive; capacity
+    // bound must hold; its count may undercount by at most N/(cap+1)
+    assert(mg.size <= 16)
+    assert(mg.contains("hot"), s"hot token missing from $mg")
+    assert(mg("hot") <= 30L && 30L - mg("hot") <= 90 / 17 + 1)
+  }
+
   test("streaming contamination equals the batch scan on the same docs") {
     GraftExtensions.register(spark)
     val landing = Files.createTempDirectory("graft_evaldocs").toString
