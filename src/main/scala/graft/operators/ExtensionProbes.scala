@@ -1005,5 +1005,118 @@ object ExtensionProbes {
              |  COALESCE(k.n_kept, 0) AS n_kept,
              |  len(string_split(a.aug, chr(10))) - COALESCE(k.n_kept, 0) AS n_dropped
              |FROM a LEFT JOIN k USING (doc_id) ORDER BY a.doc_id""".stripMargin)),
+
+    // PqIndex.ivfPqTopK: the COMPOSED scale path — IVF cell pruning
+    // (x23's certified quantizer) feeding the PQ ADC shortlist (x27's
+    // certified codebook) then exact rerank. The parts were already
+    // oracle-certified; this certifies their composition op-for-op —
+    // the candidate set from nprobe 6/8 cells restricts the codes
+    // table before the ADC scan, exactly as the 100 TB plan would
+    // (prune first, score the survivors, rerank a shortlist) --------
+    Probe("x37_ivf_pq_topk",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val approx = PqIndex.ivfPqTopK(embs, queryId = 3, k = 10,
+          nlist = 8, nprobe = 6, shortlist = 60, m = 32, ksub = 16, dim = 64)
+        val exact = Similarity.cosineTopK(embs, queryId = 3, k = 10)
+        val ok = approx.select("vec_id")
+          .join(exact.select("vec_id"), "vec_id")
+          .agg((count(lit(1)) >= 7).as("recall_ok"))
+        approx.select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .crossJoin(broadcast(ok))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+             |probecells AS (
+             |  SELECT cell FROM (
+             |    SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+             |      ROUND(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+             |        - 2 * list_dot_product(q.qv::DOUBLE[], c.c)
+             |        + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM cent c CROSS JOIN qv q) WHERE rn <= 6),
+             |cand AS (
+             |  SELECT a.vec_id FROM assigned a JOIN probecells USING (cell)),
+             |dims AS (
+             |  SELECT vec_id, CAST(FLOOR((j-1) / 2) AS INT) AS subspace,
+             |    (j-1) % 2 AS within, CAST(x AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cb0 AS (
+             |  SELECT subspace, CAST(vec_id AS INT) AS cell, within, x AS cx
+             |  FROM dims WHERE vec_id < 16),
+             |d0 AS (
+             |  SELECT d.vec_id, d.subspace, c.cell,
+             |    ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             |  FROM dims d JOIN cb0 c ON d.subspace = c.subspace AND d.within = c.within
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (
+             |  SELECT vec_id, subspace, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM d0) WHERE rn = 1),
+             |cb AS (
+             |  SELECT d.subspace, a.cell, d.within, ROUND(AVG(d.x), 6) AS cx
+             |  FROM dims d JOIN a0 a ON d.vec_id = a.vec_id AND d.subspace = a.subspace
+             |  GROUP BY 1, 2, 3),
+             |dist AS (
+             |  SELECT d.vec_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS dist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  GROUP BY 1, 2, 3),
+             |codes AS (
+             |  SELECT vec_id, subspace, cell AS code FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+             |qtab AS (
+             |  SELECT d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS qdist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  WHERE d.vec_id = 3 GROUP BY 1, 2),
+             |short AS (
+             |  SELECT c.vec_id, ROUND(SUM(q.qdist), 6) AS adist
+             |  FROM codes c JOIN cand USING (vec_id)
+             |  JOIN qtab q ON c.subspace = q.subspace AND c.code = q.cell
+             |  WHERE c.vec_id <> 3 GROUP BY 1
+             |  ORDER BY adist ASC, vec_id ASC LIMIT 60),
+             |rerank AS (
+             |  SELECT s.vec_id,
+             |    list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS sim
+             |  FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN qv q
+             |  ORDER BY sim DESC, vec_id LIMIT 10),
+             |exact AS (
+             |  SELECT e.vec_id FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 3
+             |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC, vec_id
+             |  LIMIT 10),
+             |rec AS (SELECT (SELECT COUNT(*) FROM rerank JOIN exact USING (vec_id)) >= 7
+             |        AS recall_ok)
+             |SELECT r.vec_id, ROUND(r.sim, 6) AS sim, rec.recall_ok
+             |FROM rerank r CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
   )
 }
