@@ -129,7 +129,11 @@ object Bench {
       "batch against the persisted 1M-doc signature index 2.7s " +
       "(index build 1.3s, amortized across ingests) finding exactly " +
       "the 100 planted copies - the batch joins signatures, not " +
-      "documents, so per-ingest cost is O(batch), not O(corpus). " +
+      "documents, so per-ingest cost is O(batch), not O(corpus); " +
+      "C4-style line-level dedup over the same 1M docs as 5M lines " +
+      "(30% sharing one hot boilerplate line) 9.4s, all 359,999 " +
+      "planted duplicate lines dropped - the hot line widens one " +
+      "window partition, which AQE skew handling splits. " +
       "BenchTrain (from-scratch xgboost-hist trainer, " +
       "10 rounds x depth 6 x 10 features, 5% missing): 2M rows in " +
       "21.8s vs 200k rows in 17.7s - 10x the rows costs 1.23x the " +

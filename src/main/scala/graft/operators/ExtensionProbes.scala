@@ -1118,5 +1118,128 @@ object ExtensionProbes {
              |        AS recall_ok)
              |SELECT r.vec_id, ROUND(r.sim, 6) AS sim, rec.recall_ok
              |FROM rerank r CROSS JOIN rec ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // CURATION FLAGSHIP: the end-to-end training-data pipeline in one
+    // certified probe — the x-suite's w01. Corpus is salted with exact
+    // copies (+1M ids) and near copies (+2M ids, one appended word);
+    // then: quality/token scoring → threshold filter → exact dedup
+    // (min-id keeper) → one-pass MinHash LSH → Jaccard ≥ 0.5 →
+    // drop-the-higher-id → deterministic hash split. Every stage's
+    // machinery is individually certified (x02/x01/x05/x06/x08/x30);
+    // this certifies the COMPOSITION, exact-id for exact-id, against
+    // one DuckDB mirror of the whole DAG. Scale shape: scoring and
+    // signatures are map-only scans; the only shuffles are the md5
+    // dedup groupBy, the band-bucket join (candidate-proportional)
+    // and the split-free reassembly joins — no stage is quadratic in
+    // the corpus.
+    Probe("x38_curation_e2e",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val all = docs
+          .union(docs.select(col("doc_id") + 1000000, col("text")))
+          .union(docs.select(col("doc_id") + 2000000,
+            concat(col("text"), lit(" zq")).as("text")))
+        val scored = all.select(col("doc_id"), col("text"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+        val filtered = scored
+          .where(col("quality") >= 0.87 && col("ws_tokens") >= 30)
+        val keepIds = Dedup.exactDedup(filtered.select("doc_id", "text"))
+          .select(col("keep_id").as("doc_id"))
+        val exactKept = filtered.join(keepIds, "doc_id")
+        val sig = Dedup.minhashSignaturesOnePass(exactKept, n = 3, numPerm = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBuckets(sig, bands = 4, rowsPer = 2))
+        val jac = Dedup.ngramJaccardFromSets(
+          Dedup.shingleHashSets(exactKept, n = 3), pairs)
+        val drops = jac.where(col("jaccard") >= 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        val surv = exactKept.join(drops, Seq("doc_id"), "left_anti")
+        Sampling.hashSplit(surv,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("quality"),
+            col("ws_tokens"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val consts = Dedup.permutationConstants(8)
+        val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN(($a * h + $b) % $P) AS m$i"
+        }.mkString(", ")
+        val bandHash = (0 until 4).map { bIdx =>
+          val cols = (0 until 2).map(r => s"m${bIdx * 2 + r}").mkString(", ")
+          s"SELECT $bIdx AS band_idx, md5(concat_ws('_', $cols)) AS band_hash, doc_id FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+           |  UNION ALL SELECT doc_id + 2000000, text || ' zq' FROM documents),
+           |m AS (
+           |  SELECT doc_id, text,
+           |    CAST(length(text) AS DOUBLE) AS len,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS spaces,
+           |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens
+           |  FROM all_docs),
+           |scored AS (
+           |  SELECT doc_id, text, ws_tokens, GREATEST(0.0e0, LEAST(1.0e0,
+           |    CASE WHEN len > 0 THEN alpha / len ELSE 0.0e0 END * 0.5e0 +
+           |    GREATEST(0.0e0, 1.0e0 - ABS(CASE WHEN len > 0 THEN spaces / len
+           |      ELSE 0.0e0 END - 1.0e0 / 6.0e0) * 3.0e0) * 0.3e0 +
+           |    (1.0e0 - CASE WHEN len > 0 THEN punct / len ELSE 0.0e0 END) * 0.2e0))
+           |    AS quality
+           |  FROM m),
+           |f AS (SELECT * FROM scored WHERE quality >= 0.87e0 AND ws_tokens >= 30),
+           |e AS (
+           |  SELECT f.* FROM f JOIN (
+           |    SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text)) k
+           |  USING (doc_id)),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    array_to_string(words[g.i:g.i + 2], ' ') AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM e) w,
+           |    (SELECT unnest(generate_series(1, 10000)) AS i) g
+           |  WHERE g.i <= greatest(1, len(words) - 2)),
+           |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |buckets AS ($bandHash),
+           |pairs AS (
+           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+           |  WHERE l.doc_id < r.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.id_a
+           |  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2),
+           |drops AS (
+           |  SELECT DISTINCT p.id_b AS doc_id
+           |  FROM pairs p
+           |  JOIN sizes sa ON sa.doc_id = p.id_a
+           |  JOIN sizes sb ON sb.doc_id = p.id_b
+           |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+           |  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+           |        (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5e0),
+           |surv AS (SELECT e.* FROM e LEFT JOIN drops USING (doc_id)
+           |         WHERE drops.doc_id IS NULL)
+           |SELECT doc_id, quality, ws_tokens,
+           |  CASE
+           |    WHEN b < 800000 THEN 'train'
+           |    WHEN b < 900000 THEN 'val'
+           |    ELSE 'test'
+           |  END AS split
+           |FROM (SELECT *,
+           |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           |          % 1000000 AS b
+           |      FROM surv)
+           |ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -125,6 +125,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"MG aggregation lost its partial (map-side) phase:\n$p")
   }
 
+  test("x38 curation flagship: no product joins anywhere in the composed DAG") {
+    // scoring/signatures are map-only; every join in the pipeline
+    // (exact-dedup keeper, LSH buckets, Jaccard sets, near-dup anti)
+    // must be keyed — one CartesianProduct here would be quadratic in
+    // the corpus at 100 TB
+    val p = planString("x38_curation_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation pipeline must stay keyed end-to-end:\n$p")
+  }
+
   test("curation profile: all metrics in one scan, map-only plan") {
     val df = graft.operators.TextOps.curationProfile(
       Tables.documents(spark, sfDir))
