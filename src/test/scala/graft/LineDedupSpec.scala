@@ -36,4 +36,32 @@ class LineDedupSpec extends SparkTestBase {
     assert(out(1L) === (("a\nb", 2L, 0L)))
     assert(out(2L) === (("c\nd", 2L, 0L)))
   }
+
+  test("idempotent on random corpora: a second pass never drops a line") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random docs over a tiny line vocabulary → heavy cross-doc and
+    // within-doc duplication in the first pass
+    val docs = (0L until 60L).map { i =>
+      (i, (0 until 1 + rnd.nextInt(5))
+        .map(_ => s"line${rnd.nextInt(12)}").mkString("\n"))
+    }
+    val once = TextOps.lineDedup(docs.toDF("doc_id", "text"))
+    val onceRows = once.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // global invariant: each surviving line appears at most once
+    val survivingLines = onceRows.flatMap(_._2.split("\n").filter(_.nonEmpty))
+    assert(survivingLines.distinct.length === survivingLines.length)
+    // conservation: per doc, kept + dropped = original line count
+    val orig = docs.toMap
+    onceRows.foreach { case (id, _, kept, dropped) =>
+      assert(kept + dropped === orig(id).split("\n", -1).length.toLong, s"doc $id")
+    }
+    // idempotence: the deduped corpus passes through unchanged
+    val again = TextOps.lineDedup(
+        once.select($"doc_id", $"clean_text".as("text"))
+          .where($"clean_text" =!= ""))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(again.forall(_._3 === 0L), "second pass dropped a line")
+  }
 }
