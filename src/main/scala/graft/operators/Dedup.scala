@@ -279,9 +279,11 @@ object Dedup {
                                fpp: Double = 0.01): DataFrame = {
     val eh = shingleHashSets(eval, n, idCol, textCol)
       .select(col(idCol).as("eval_id"), explode(col("sh_hashes")).as("h"))
-    val distinctH = eh.select("h").distinct()
-    val bloom = distinctH.stat.bloomFilter("h",
-      math.max(distinctH.count(), 1L), fpp)
+    // no distinct() before the build: duplicate insertions don't
+    // change a bloom, and sizing by the row count (an overestimate of
+    // the distinct count) only buys a LOWER false-positive rate — so
+    // the build is a plain map-side aggregation with no exchange.
+    val bloom = eh.stat.bloomFilter("h", math.max(eh.count(), 1L), fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

@@ -117,6 +117,15 @@ object Bufr {
     }.takeWhile { case (f, x, y) => !(f == 0 && x == 0 && y == 0) } // trailing pad
     off += l3
     val l4 = u24(off)
+    // bounds-check BEFORE copyOfRange: it silently ZERO-PADS when the
+    // requested end runs past a truncated buffer, which would decode
+    // a cut-off file into garbage zeros instead of failing. The +4
+    // accounts for the section-5 "7777" trailer.
+    require(off + l4 + 4 <= d.length,
+      s"BUFR truncated: section 4 claims ${l4} bytes at offset $off " +
+        s"but only ${d.length - off} remain (incl. 7777 trailer)")
+    require(new String(d, off + l4, 4, "US-ASCII") == "7777",
+      "BUFR missing 7777 end section")
     val payload = java.util.Arrays.copyOfRange(d, off + 4, off + l4)
     val reader = new BitReader(payload, 0)
 

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bufr, Grib2, Hdf5File, Rds}
+
+/** Hostile-input behavior of the from-scratch binary decoders: a
+  * truncated or magic-corrupted file must fail with a clean
+  * `Exception` — never hang, never return silent garbage, and never
+  * throw an `Error` (a corrupt length field that drives a huge
+  * allocation would surface as OutOfMemoryError and fail these tests
+  * by propagating past `intercept[Exception]`). At 100 TB a decoder
+  * sits behind `binaryFile` flat-maps over untrusted bytes; one
+  * malformed blob must fail its task with a diagnosable message, not
+  * poison the executor. */
+class HostileInputSpec extends AnyFunSuite {
+
+  private val dataDir =
+    "/root/reference/IBF-Typhoon-model/src/climada/hazard/test/data"
+  private val bufrPath = s"$dataDir/tracks_22S_HEROLD_2020031912.det.bufr4"
+  private val gribPath =
+    s"$dataDir/test_storm_europe_icon_2021012800_001_vmax_10m.grib2.bz2"
+  private val rdsPath =
+    "/root/reference/IBF-Typhoon-model/models/operational/xgboost_regression_v4.RDS"
+  private val ncPath = s"$dataDir/1988021S12080.nc"
+
+  private def bytesOf(path: String): Option[Array[Byte]] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  private def truncations(b: Array[Byte]): Seq[Array[Byte]] =
+    Seq(4, 17, b.length / 2, b.length - 3)
+      .filter(n => n > 0 && n < b.length)
+      .map(n => java.util.Arrays.copyOfRange(b, 0, n))
+
+  private def corruptHead(b: Array[Byte]): Array[Byte] = {
+    val c = b.clone(); c(0) = (c(0) ^ 0x5A).toByte; c
+  }
+
+  test("BUFR: truncations and corrupted magic fail with clean exceptions") {
+    bytesOf(bufrPath) match {
+      case None => cancel("reference BUFR fixture not present")
+      case Some(b) =>
+        truncations(b).foreach(t => intercept[Exception](Bufr.decode(t)))
+        intercept[Exception](Bufr.decode(corruptHead(b)))
+    }
+  }
+
+  test("GRIB2/bz2: truncations and corrupted stream fail with clean exceptions") {
+    bytesOf(gribPath) match {
+      case None => cancel("reference GRIB2 fixture not present")
+      case Some(bz) =>
+        truncations(bz).foreach { t =>
+          intercept[Exception] {
+            val msgs = Grib2.read(Grib2.decompress(t))
+            // a cut landing exactly on a message boundary could parse
+            // clean prefixes; demand the full fixture's field count
+            require(msgs.length >= Grib2.read(Grib2.decompress(bz)).length,
+              "truncated stream decoded fewer fields")
+          }
+        }
+        // corrupt the GRIB magic on the DECOMPRESSED bytes
+        val raw = Grib2.decompress(bz)
+        intercept[Exception](Grib2.read(corruptHead(raw)))
+    }
+  }
+
+  test("HDF5: truncations and corrupted signature fail cleanly") {
+    bytesOf(ncPath) match {
+      case None => cancel("reference NetCDF4 fixture not present")
+      case Some(b) =>
+        truncations(b).foreach { t =>
+          intercept[Exception] {
+            val f = new Hdf5File(t)
+            f.list("/").foreach(n => f.readDoubles("/" + n))
+          }
+        }
+        intercept[Exception] {
+          val f = new Hdf5File(corruptHead(b))
+          f.list("/").foreach(n => f.readDoubles("/" + n))
+        }
+    }
+  }
+
+  test("RDS: truncations and corrupted magic fail cleanly") {
+    bytesOf(rdsPath) match {
+      case None => cancel("reference RDS artifact not present")
+      case Some(gz) =>
+        truncations(gz).foreach(t =>
+          intercept[Exception](Rds.firstRaw(Rds.gunzip(t))))
+        val raw = Rds.gunzip(gz)
+        intercept[Exception](Rds.firstRaw(corruptHead(raw)))
+    }
+  }
+}
