@@ -138,9 +138,12 @@ object Bench {
       "the 100 planted copies - the batch joins signatures, not " +
       "documents, so per-ingest cost is O(batch), not O(corpus); " +
       "C4-style line-level dedup over the same 1M docs as 5M lines " +
-      "(30% sharing one hot boilerplate line) 9.4s, all 359,999 " +
-      "planted duplicate lines dropped - the hot line widens one " +
-      "window partition, which AQE skew handling splits. " +
+      "(30% sharing one hot boilerplate line) 3.7s, all 359,999 " +
+      "planted duplicate lines dropped - first-occurrence is " +
+      "min(struct(doc_id,pos)) per line, an aggregation whose " +
+      "map-side combine collapses the hot line to one candidate per " +
+      "partition (2.5x faster than the window formulation it " +
+      "replaced, and skew-immune where the window was not). " +
       "BenchTrain (from-scratch xgboost-hist trainer, " +
       "10 rounds x depth 6 x 10 features, 5% missing): 2M rows in " +
       "21.8s vs 200k rows in 17.7s - 10x the rows costs 1.23x the " +

@@ -64,7 +64,24 @@ final case class GbtParams(
     earlyStoppingRounds: Int = 0,
     /** rows hash-sampled for quantile cuts when a feature exceeds maxBin
       * distinct values; bounded driver memory at any input scale. */
-    sketchRows: Int = 65536)
+    sketchRows: Int = 65536,
+    /** "reg:squarederror" (g = pred−y, h = 1) or "binary:logistic"
+      * (g = σ(margin)−y, h = σ(1−σ)) — the two objectives the reference
+      * trains (xgb_model_v1.R:230,267). For logistic, `baseScore` is a
+      * probability and the booster's raw output is a MARGIN — apply
+      * [[GbtTrainer.sigmoid]] for probabilities, exactly like
+      * xgboost's prob→margin base_score handling. */
+    objective: String = "reg:squarederror") {
+  require(objective == "reg:squarederror" || objective == "binary:logistic",
+    s"unsupported objective $objective")
+  /** Initial raw prediction: the margin-scale base score. */
+  def baseMargin: Double =
+    if (objective == "binary:logistic") {
+      val b = baseScore.toDouble
+      require(b > 0.0 && b < 1.0, "binary:logistic needs baseScore in (0,1)")
+      math.log(b / (1.0 - b))
+    } else baseScore.toDouble
+}
 
 object GbtTrainer {
 
@@ -218,7 +235,7 @@ object GbtTrainer {
                       cuts: Array[Array[Float]], params: GbtParams): Dataset[Binned] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = params.baseScore.toDouble
+    val base = params.baseMargin
     val bcCuts = spark.sparkContext.broadcast(cuts)
     val nf = features.length
     val ds = df
@@ -258,6 +275,7 @@ object GbtTrainer {
                           cuts: Array[Array[Float]], features: Seq[String],
                           p: GbtParams): XgbBooster = {
     import spark.implicits._
+    val logistic = p.objective == "binary:logistic"
     val nf = features.length
     val nBins = cuts.map(_.length + 2) // [missing][bin 0..len]
     val slotOf = new Array[Int](nf + 1) // prefix offsets into the flat histogram
@@ -298,11 +316,15 @@ object GbtTrainer {
             if (sampleKeep(r.fp, roundNow, p)) {
               val node = nodeOf(nd, r.bins)
               if (node >= 0) fIdx.get(node).foreach { fi =>
-                val grad = r.pred - r.label
+                val (grad, hess) =
+                  if (logistic) {
+                    val pr = 1.0 / (1.0 + math.exp(-r.pred))
+                    (pr - r.label, pr * (1.0 - pr))
+                  } else (r.pred - r.label, 1.0)
                 var f = 0
                 while (f < nf) {
                   val slot = fi * slots + slotOf(f) + (r.bins(f) + 1)
-                  g(slot) += grad; h(slot) += 1.0
+                  g(slot) += grad; h(slot) += hess
                   f += 1
                 }
               }
@@ -365,8 +387,17 @@ object GbtTrainer {
 
       evalRows match {
         case Some(e) if p.earlyStoppingRounds > 0 =>
-          val mae = e.agg(avg(abs($"pred" - $"label"))).as[Double].head()
-          if (mae < bestMae) { bestMae = mae; bestRound = round }
+          // squared error: MAE on raw predictions. logistic: logloss on
+          // probabilities (xgboost's default metric), eps-clamped.
+          val metric =
+            if (logistic) {
+              val pr = greatest(least(
+                lit(1.0) / (lit(1.0) + exp(-$"pred")), lit(1.0 - 1e-16)),
+                lit(1e-16))
+              e.agg(avg(-($"label" * log(pr) +
+                (lit(1.0) - $"label") * log(lit(1.0) - pr)))).as[Double].head()
+            } else e.agg(avg(abs($"pred" - $"label"))).as[Double].head()
+          if (metric < bestMae) { bestMae = metric; bestRound = round }
           else if (round - bestRound >= p.earlyStoppingRounds) stop = true
         case _ => bestRound = round
       }
@@ -424,6 +455,16 @@ object GbtTrainer {
       }
       XgbTree(feat, cond, left, right, dflt)
     }.toArray
-    new XgbBooster(p.baseScore, features.length, packed, features)
+    // margin-scale base: for binary:logistic the booster's raw output
+    // is a margin (apply [[sigmoid]] for probabilities), mirroring
+    // xgboost's ProbToMargin base_score handling
+    new XgbBooster(p.baseMargin.toFloat, features.length, packed, features)
   }
+
+  /** Margin → probability for binary:logistic boosters:
+    * `sigmoid(xgb_score(features, tag))`. */
+  def sigmoid(margin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(1.0) /
+      (org.apache.spark.sql.functions.lit(1.0) +
+        org.apache.spark.sql.functions.exp(org.apache.spark.sql.functions.negate(margin)))
 }

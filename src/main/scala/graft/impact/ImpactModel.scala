@@ -75,6 +75,21 @@ object ImpactModel {
             evalDf: Option[DataFrame] = None): XgbBooster =
     GbtTrainer.train(train, labelCol, features, params, evalDf)
 
+  /** The classification twin the reference trains alongside the
+    * regressor (xgb_model_v1.R:267: classif.xgboost with
+    * objective="binary:logistic", nrounds=50) — e.g. a binary
+    * `impact_threshold_passed` label. Returns a margin-scale booster;
+    * probabilities are `GbtTrainer.sigmoid(xgb_score(...))`, the same
+    * per-row map-only scoring path as the regressor. */
+  def trainClassifier(train: DataFrame, labelCol: String,
+                      features: Seq[String] = FeatureCols,
+                      params: GbtParams =
+                        ReferenceParams.copy(numRound = 50,
+                          objective = "binary:logistic"),
+                      evalDf: Option[DataFrame] = None): XgbBooster =
+    GbtTrainer.train(train, labelCol, features,
+      params.copy(objective = "binary:logistic"), evalDf)
+
   /** Predict + the reference's postprocessing chain:
     * clip negatives to 0, cap at 100 (F9); zero damage beyond the
     * 300 km wind-damage radius (P11, settings.py:188); damaged-house

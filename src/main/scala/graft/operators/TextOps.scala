@@ -190,22 +190,23 @@ object TextOps {
     * Returns (idCol, clean_text, n_kept, n_dropped) for every input
     * document (documents whose lines all drop keep an empty string).
     *
-    * Scale shape: two keyed shuffles, no products — (1) the
-    * first-occurrence decision is a window partitioned by the line
-    * (exact, no hash-collision risk; the shuffled rows carry the line
-    * text either way), (2) reassembly is a groupBy on the document
-    * id. Both keys are high-cardinality; a pathological hot line
-    * (empty boilerplate) widens ONE window partition, bounded by its
-    * corpus frequency — AQE skew handling applies as usual. */
+    * Scale shape: two AGGREGATIONS, no window, no products — (1) the
+    * first occurrence of a line is `min(struct(doc_id, pos))` per
+    * line, which partial-aggregates map-side: a boilerplate line
+    * repeated a billion times collapses to ONE candidate per input
+    * partition before the shuffle, so corpus-frequency skew never
+    * reaches a single reducer (a window-over-line formulation would
+    * sort the billion copies in one task — AQE skew splitting does
+    * not apply to window exchanges); (2) reassembly is a groupBy on
+    * the document id, high-cardinality and unskewed. */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val firsts = lines
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))))
-    val kept = firsts.where(col("rn") === 1)
+    val kept = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .select(col(s"f.$idCol").as(idCol), col("f.pos").as("pos"), col("line"))
       .groupBy(col(idCol))
       .agg(
         concat_ws("\n", transform(

@@ -40,19 +40,20 @@ class GbtTrainerSpec extends SparkTestBase {
       if (v.isNaN) -1 else c.count(_ <= v.toFloat)
 
     def grow(rows: Seq[Int], bins: Array[Array[Int]], g: Array[Double],
-             depth: Int, c: Array[Array[Float]], p: GbtParams): T = {
+             h: Array[Double], depth: Int, c: Array[Array[Float]],
+             p: GbtParams): T = {
       val gT = rows.map(g(_)).sum
-      val hT = rows.size.toDouble
+      val hT = rows.map(h(_)).sum
       def leaf = Leaf(-gT / (hT + p.lambda) * p.eta)
       if (depth == p.maxDepth || rows.isEmpty) return leaf
       val parent = gT * gT / (hT + p.lambda)
       var best: (Double, Split) = null
       for (f <- c.indices) {
         val gm = rows.iterator.filter(bins(_)(f) == -1).map(g(_)).sum
-        val hm = rows.count(bins(_)(f) == -1).toDouble
+        val hm = rows.iterator.filter(bins(_)(f) == -1).map(h(_)).sum
         for (b <- c(f).indices) {
           val gl0 = rows.iterator.filter(r => bins(r)(f) >= 0 && bins(r)(f) <= b).map(g(_)).sum
-          val hl0 = rows.count(r => bins(r)(f) >= 0 && bins(r)(f) <= b).toDouble
+          val hl0 = rows.iterator.filter(r => bins(r)(f) >= 0 && bins(r)(f) <= b).map(h(_)).sum
           for (dl <- Seq(false, true)) {
             val (gl, hl) = if (dl) (gl0 + gm, hl0 + hm) else (gl0, hl0)
             val (gr, hr) = (gT - gl, hT - hl)
@@ -72,8 +73,8 @@ class GbtTrainerSpec extends SparkTestBase {
           if (bb == -1) s.defaultLeft else bb <= s.bin
         }
         Branch(s, c(s.feat)(s.bin),
-          grow(lRows, bins, g, depth + 1, c, p),
-          grow(rRows, bins, g, depth + 1, c, p))
+          grow(lRows, bins, g, h, depth + 1, c, p),
+          grow(rRows, bins, g, h, depth + 1, c, p))
       }
     }
 
@@ -90,10 +91,18 @@ class GbtTrainerSpec extends SparkTestBase {
       val nf = xs.head.length
       val c = cuts(xs, nf)
       val bins = xs.map(r => Array.tabulate(nf)(f => bin(r(f), c(f))))
-      val preds = Array.fill(xs.length)(p.baseScore.toDouble)
+      val logistic = p.objective == "binary:logistic"
+      val preds = Array.fill(xs.length)(p.baseMargin)
       val trees = (0 until p.numRound).map { _ =>
-        val g = Array.tabulate(xs.length)(i => preds(i) - ys(i))
-        val t = grow(xs.indices, bins, g, 0, c, p)
+        val g = new Array[Double](xs.length)
+        val h = new Array[Double](xs.length)
+        for (i <- xs.indices) {
+          if (logistic) {
+            val pr = 1.0 / (1.0 + math.exp(-preds(i)))
+            g(i) = pr - ys(i); h(i) = pr * (1.0 - pr)
+          } else { g(i) = preds(i) - ys(i); h(i) = 1.0 }
+        }
+        val t = grow(xs.indices, bins, g, h, 0, c, p)
         for (i <- xs.indices) preds(i) += score(t, bins(i))
         t
       }
@@ -184,6 +193,51 @@ class GbtTrainerSpec extends SparkTestBase {
       assert(math.abs(booster.predict(xs(i)) - preds(i)) < 1e-9,
         s"row $i: ${booster.predict(xs(i))} vs ${preds(i)}")
     }
+  }
+
+  test("binary:logistic matches single-node: trees, defaults, probabilities") {
+    val (xs, _) = fixture(350, 4)
+    // binary labels correlated with the feature sum, with deterministic
+    // "noise" so neither class is separable
+    val ys = xs.zipWithIndex.map { case (x, i) =>
+      val s = x.filterNot(_.isNaN).sum
+      if (s + (i % 5) > 6) 1.0 else 0.0
+    }
+    val p = GbtParams(numRound = 4, maxDepth = 3, eta = 0.3, gamma = 0.1,
+      subsample = 1.0, objective = "binary:logistic")
+    val booster = GbtTrainer.train(toDf(xs, ys), "y", (0 until 4).map(i => s"f$i"), p)
+    val (trees, margins) = SingleNode.train(xs, ys, p)
+    assertSameTrees(booster, trees)
+    // booster raw output is the margin; sigmoid gives probabilities
+    xs.indices.foreach { i =>
+      val prob = 1.0 / (1.0 + math.exp(-booster.predict(xs(i))))
+      val want = 1.0 / (1.0 + math.exp(-margins(i)))
+      assert(math.abs(prob - want) < 1e-9, s"row $i: $prob vs $want")
+      assert(prob > 0.0 && prob < 1.0)
+    }
+    // the model must actually discriminate: mean p(class 1) > mean p(class 0)
+    val (p1, p0) = (
+      xs.indices.filter(ys(_) == 1.0).map(i => 1.0 / (1.0 + math.exp(-booster.predict(xs(i))))),
+      xs.indices.filter(ys(_) == 0.0).map(i => 1.0 / (1.0 + math.exp(-booster.predict(xs(i))))))
+    assert(p1.sum / p1.size > p0.sum / p0.size + 0.2,
+      s"separation too weak: ${p1.sum / p1.size} vs ${p0.sum / p0.size}")
+  }
+
+  test("logistic logloss decreases across rounds and stays calibrated-ish") {
+    val (xs, _) = fixture(300, 3)
+    val ys = xs.map(x => if (x.filterNot(_.isNaN).sum > 2) 1.0 else 0.0)
+    def logloss(rounds: Int): Double = {
+      val p = GbtParams(numRound = rounds, maxDepth = 3, eta = 0.3,
+        gamma = 0.0, subsample = 1.0, objective = "binary:logistic")
+      val b = GbtTrainer.train(toDf(xs, ys), "y", (0 until 3).map(i => s"f$i"), p)
+      xs.indices.map { i =>
+        val pr = (1.0 / (1.0 + math.exp(-b.predict(xs(i)))))
+          .max(1e-16).min(1.0 - 1e-16)
+        -(ys(i) * math.log(pr) + (1.0 - ys(i)) * math.log(1.0 - pr))
+      }.sum / xs.length
+    }
+    val l = Seq(1, 3, 6).map(logloss)
+    assert(l(0) > l(1) && l(1) > l(2), l.toString)
   }
 
   test("training loss decreases monotonically across rounds") {
