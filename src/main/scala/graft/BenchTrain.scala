@@ -56,11 +56,24 @@ object BenchTrain {
 
     val small = run(nRows / 10)
     val big = run(nRows)
+    // classification twin (binary:logistic): same machinery plus a
+    // per-row sigmoid in each level's gradient pass; tree shapes
+    // differ under the logistic gain scale, so its wall time is
+    // reported separately rather than assumed equal
+    val tCls = {
+      val t0 = System.nanoTime()
+      val b = GbtTrainer.train(
+        corpus(nRows).withColumn("y", (col("y") > 40.0).cast("double")),
+        "y", feats, p.copy(objective = "binary:logistic"))
+      require(b.trees.length == p.numRound)
+      (System.nanoTime() - t0) / 1e9
+    }
     val levels = p.numRound * (p.maxDepth + 1)
     println(s"""{"metric":"train_gbt","rows":$nRows,"features":$nf,""" +
       s""""rounds":${p.numRound},"depth":${p.maxDepth},""" +
       s""""level_aggregations":$levels,""" +
       s""""sec":${f"$big%.1f"},"sec_tenth_corpus":${f"$small%.1f"},""" +
+      s""""logistic_sec":${f"$tCls%.1f"},""" +
       s""""rows_per_sec":${(nRows / big).toLong}}""")
     spark.stop()
   }
