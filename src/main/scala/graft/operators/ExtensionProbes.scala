@@ -940,6 +940,39 @@ object ExtensionProbes {
              |SELECT w, cnt, TRUE AS in_sketch FROM c, t
              |WHERE cnt * 256 > n_total ORDER BY w""".stripMargin)),
 
+    // HeavyHitters under groupBy: per-language dominant tokens ----------
+    // (the realistic corpus-profiling shape — one bounded MG summary
+    // per group key, partial-aggregated map-side like any keyed agg;
+    // certified with the same guarantee contract as x34 per group)
+    Probe("x39_heavy_hitters_grouped",
+      (s, d) => {
+        val aug = Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), expr("repeat(concat(' u', doc_id), 20)")))
+        val sketches = aug.groupBy("lang").agg(
+          HeavyHitters.heavyHitters(64)(col("aug")).as("mg"))
+        val toks = aug.select(col("lang"),
+          explode(split(trim(col("aug")), "\\s+")).as("w"))
+        val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        toks.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(totals), "lang")
+          .where(col("cnt") * 64 > col("n_total"))
+          .join(broadcast(sketches), "lang")
+          .select(col("lang"), col("w"), col("cnt"),
+            map_contains_key(col("mg"), col("w")).as("in_sketch"))
+          .orderBy("lang", "w")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, lang, text || repeat(' u' || doc_id, 20) AS aug
+             |  FROM documents),
+             |toks AS (
+             |  SELECT lang, unnest(regexp_split_to_array(trim(aug), '\s+')) AS w
+             |  FROM a),
+             |c AS (SELECT lang, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+             |t AS (SELECT lang, COUNT(*) AS n_total FROM toks GROUP BY 1)
+             |SELECT c.lang, w, cnt, TRUE AS in_sketch
+             |FROM c JOIN t USING (lang)
+             |WHERE cnt * 64 > n_total ORDER BY lang, w""".stripMargin)),
+
     // Dedup.contaminationBloomPruned: bloom prefilter, EXACT output -----
     // (identical result to the unpruned x16 scan — bloom has no false
     // negatives and the equi-join removes the false positives — so the
