@@ -108,8 +108,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val notes = "vs the DuckDB oracle proxy (warm, 32 threads, same " +
-      "parquet, full 80-query suite at sf0.1, timed 2026-08-13): Spark " +
-      "23.8s vs DuckDB 21.4s = 1.11x (r3: 3.9x), and Spark WINS the " +
+      "parquet, full 81-query suite at sf0.1, timed 2026-08-13): Spark " +
+      "23.1s vs DuckDB 21.0s = 1.10x (r3: 3.9x), and Spark WINS the " +
       "volume-bearing probes - x38 curation flagship 3.1s vs 6.1s, " +
       "x12 winnowing 0.5s vs 1.2s, x24 xgb scoring 0.1s vs 2.5s; the " +
       "residual gap is the fixed per-query overhead on the ~60 " +

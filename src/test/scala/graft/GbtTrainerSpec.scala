@@ -313,15 +313,18 @@ class GbtTrainerSpec extends SparkTestBase {
       val nf = 2 + rnd.nextInt(4)
       val missing = if (rnd.nextBoolean()) 7 + rnd.nextInt(10) else 0
       val (xs, ys) = fixture(n, nf, missingEvery = missing)
+      val logistic = trial % 2 == 1 // alternate objectives across trials
       val p = GbtParams(
         numRound = 1 + rnd.nextInt(4),
         maxDepth = 2 + rnd.nextInt(3),
         eta = 0.1 + rnd.nextDouble() * 0.5,
-        gamma = rnd.nextDouble(),
-        minChildWeight = 1.0 + rnd.nextInt(5),
-        subsample = 1.0)
-      val booster = GbtTrainer.train(toDf(xs, ys), "y", (0 until nf).map(i => s"f$i"), p)
-      val (trees, _) = SingleNode.train(xs, ys, p)
+        gamma = rnd.nextDouble() * (if (logistic) 0.01 else 1.0),
+        minChildWeight = 1.0 + (if (logistic) 0 else rnd.nextInt(5)),
+        subsample = 1.0,
+        objective = if (logistic) "binary:logistic" else "reg:squarederror")
+      val ysObj = if (logistic) ys.map(y => if (y > ys.sum / ys.length) 1.0 else 0.0) else ys
+      val booster = GbtTrainer.train(toDf(xs, ysObj), "y", (0 until nf).map(i => s"f$i"), p)
+      val (trees, _) = SingleNode.train(xs, ysObj, p)
       withClue(s"trial $trial: n=$n nf=$nf missing=$missing p=$p") {
         assertSameTrees(booster, trees)
       }
