@@ -143,7 +143,13 @@ object Bench {
       "min(struct(doc_id,pos)) per line, an aggregation whose " +
       "map-side combine collapses the hot line to one candidate per " +
       "partition (2.5x faster than the window formulation it " +
-      "replaced, and skew-immune where the window was not). " +
+      "replaced, and skew-immune where the window was not); " +
+      "Misra-Gries heavy hitters over the same 1M docs (~43M tokens) " +
+      "1.2s with all planted heavies surfaced - at parity with the " +
+      "exact token groupBy (1.1s) on this 10k-word vocabulary, and " +
+      "the sketch's O(capacity) state is what survives when the " +
+      "vocabulary is billions of distinct tokens and exact counting " +
+      "cannot. " +
       "BenchTrain (from-scratch xgboost-hist trainer, " +
       "10 rounds x depth 6 x 10 features, 5% missing): 2M rows in " +
       "21.8s vs 200k rows in 17.7s - 10x the rows costs 1.23x the " +

@@ -111,6 +111,28 @@ object BenchDedup {
       graft.operators.TextOps.lineDedup(lined)
         .agg(sum("n_dropped")).collect()(0).getLong(0)
     }
+    // FREQUENCY sketch at volume: the synthetic vocabulary is uniform
+    // (no true heavy hitters), so three stopword-like tokens are
+    // appended to every doc — each then holds ~1M of 43M tokens, far
+    // over the N/257 guarantee line. Misra-Gries must surface all
+    // three from one bounded-state pass; the exact groupBy twin (which
+    // shuffles every distinct token) is timed alongside for the cost
+    // comparison.
+    val salted = docs.withColumn("text",
+      concat(col("text"), lit(" zthe zof zand")))
+    val (mgHit, tMg) = timed {
+      val m = salted.agg(
+          graft.operators.HeavyHitters.heavyHitters(256)(col("text")))
+        .collect()(0).getMap[String, Long](0)
+      Seq("zthe", "zof", "zand").forall(m.contains)
+    }
+    val (exactTop, tExactTop) = timed {
+      salted.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(3)
+        .collect().map(_.getString(0)).toSet
+    }
+    require(exactTop == Set("zthe", "zof", "zand"))
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
@@ -118,7 +140,9 @@ object BenchDedup {
       s""""cc_dropped_docs":$nDropped,"cc_rounds":$ccRounds,"cc_sec":${f"$tCc%.2f"},""" +
       s""""ingest_batch":10000,"ingest_index_sec":${f"$tIndex%.2f"},""" +
       s""""ingest_hits":$nIngest,"ingest_sec":${f"$tIngest%.2f"},""" +
-      s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"}}""")
+      s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"},""" +
+      s""""mg_heavy_hitters_sec":${f"$tMg%.2f"},"exact_topk_sec":${f"$tExactTop%.2f"},""" +
+      s""""mg_found_planted_heavies":$mgHit}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import scala.collection.mutable
+
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -33,58 +33,86 @@ object HeavyHitters {
   /** MG update of a running summary with one token. O(1) amortized:
     * the decrement-all branch pays O(capacity) but can fire at most
     * once per `capacity` insertions. */
-  private def update(m: mutable.HashMap[String, Long], w: String,
+  private def update(m: java.util.HashMap[String, java.lang.Long], w: String,
                      capacity: Int): Unit = {
-    m.get(w) match {
-      case Some(c) => m.update(w, c + 1)
-      case None if m.size < capacity => m.update(w, 1L)
-      case None =>
-        val dead = mutable.ArrayBuffer.empty[String]
-        for ((k, c) <- m) { if (c == 1L) dead += k else m.update(k, c - 1) }
-        dead.foreach(m.remove)
+    val c = m.get(w)
+    if (c ne null) m.put(w, java.lang.Long.valueOf(c.longValue() + 1L))
+    else if (m.size < capacity) m.put(w, java.lang.Long.valueOf(1L))
+    else {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.longValue() == 1L) it.remove()
+        else e.setValue(java.lang.Long.valueOf(e.getValue.longValue() - 1L))
+      }
     }
   }
 
-  /** Summary state: bounded counter map + exact total token count. */
-  case class MgBuf(counters: Map[String, Long], total: Long)
+  /** Summary state: bounded counter map + exact total token count.
+    * MUTATED in place by reduce/merge (the documented `Aggregator`
+    * contract) and kryo-encoded, so it is serialized only at the
+    * partial→final boundary — never copied per input row. */
+  final class MgState(val m: java.util.HashMap[String, java.lang.Long],
+                      var total: Long)
 
   /** Aggregator over raw text rows: tokenizes on whitespace inside
     * `reduce` so no exploded token rows ever materialize. */
   class MisraGries(capacity: Int)
-      extends Aggregator[String, MgBuf, Map[String, Long]] {
+      extends Aggregator[String, MgState, Map[String, Long]] {
     require(capacity > 0, "capacity must be positive")
 
-    override def zero: MgBuf = MgBuf(Map.empty, 0L)
+    override def zero: MgState =
+      new MgState(new java.util.HashMap[String, java.lang.Long], 0L)
 
-    override def reduce(b: MgBuf, text: String): MgBuf = {
+    override def reduce(b: MgState, text: String): MgState = {
       if (text == null) return b
-      val m = mutable.HashMap.from(b.counters)
-      var n = b.total
       for (w <- text.trim.split("\\s+") if w.nonEmpty) {
-        update(m, w, capacity)
-        n += 1
+        update(b.m, w, capacity)
+        b.total += 1
       }
-      MgBuf(m.toMap, n)
+      b
     }
 
     /** Mergeable-summaries combine: sum counters, then reduce back to
       * `capacity` survivors by subtracting the (capacity+1)-th largest
       * combined count from every counter and dropping non-positives. */
-    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
-      val m = mutable.HashMap.from(a.counters)
-      for ((k, c) <- b.counters) m.update(k, m.getOrElse(k, 0L) + c)
-      if (m.size > capacity) {
-        val cut = m.values.toArray.sorted(Ordering[Long].reverse)(capacity)
-        val kept = m.iterator
-          .map { case (k, c) => k -> (c - cut) }
-          .filter(_._2 > 0L)
-        MgBuf(Map.from(kept), a.total + b.total)
-      } else MgBuf(m.toMap, a.total + b.total)
+    override def merge(a: MgState, b: MgState): MgState = {
+      val it = b.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val prev = a.m.get(e.getKey)
+        val sum = (if (prev eq null) 0L else prev.longValue()) + e.getValue.longValue()
+        a.m.put(e.getKey, java.lang.Long.valueOf(sum))
+      }
+      if (a.m.size > capacity) {
+        val vals = new Array[Long](a.m.size)
+        var i = 0
+        val vIt = a.m.values().iterator()
+        while (vIt.hasNext) { vals(i) = vIt.next().longValue(); i += 1 }
+        java.util.Arrays.sort(vals)
+        val cut = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+        val eIt = a.m.entrySet().iterator()
+        while (eIt.hasNext) {
+          val e = eIt.next()
+          val v = e.getValue.longValue() - cut
+          if (v <= 0L) eIt.remove()
+          else e.setValue(java.lang.Long.valueOf(v))
+        }
+      }
+      a.total += b.total
+      a
     }
 
-    override def finish(buf: MgBuf): Map[String, Long] = buf.counters
+    override def finish(buf: MgState): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      val it = buf.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); b += e.getKey -> e.getValue.longValue()
+      }
+      b.result()
+    }
 
-    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def bufferEncoder: Encoder[MgState] = Encoders.kryo[MgState]
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
