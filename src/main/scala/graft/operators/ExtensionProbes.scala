@@ -973,6 +973,41 @@ object ExtensionProbes {
              |FROM c JOIN t USING (lang)
              |WHERE cnt * 64 > n_total ORDER BY lang, w""".stripMargin)),
 
+    // CountMin point-frequency sketch: error contract per token --------
+    // (md5-derived row hashes make every cell index relational, so the
+    // estimate is read back out of the sketch array with element_at;
+    // certified: estimate never BELOW the true count (deterministic
+    // CMS property, exact int64 merges) and never above it by more
+    // than 3N/width on this corpus — the x17/x18-style engine-portable
+    // bound pattern. Docs are salted with per-doc unique tokens so the
+    // ~1k-at-sf0.01 vocabulary genuinely collides in the 8192 cells.)
+    Probe("x40_countmin_bound",
+      (s, d) => {
+        val aug = Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), expr("repeat(concat(' u', doc_id), 20)")))
+        val sk = aug.agg(CountMin.countMin(8192, 4)(col("aug")).as("cms"))
+        val toks = aug.select(
+          explode(split(trim(col("aug")), "\\s+")).as("w"))
+        val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val est = CountMin.estimate(col("cms"), col("w"), 8192, 4)
+        counts.crossJoin(broadcast(sk)).crossJoin(broadcast(total))
+          .select(col("w"), col("cnt"),
+            (est >= col("cnt")).as("lb_ok"),
+            (est <= col("cnt") +
+              ceil(col("n_total") * 3.0 / 8192).cast("long")).as("ub_ok"))
+          .orderBy("w")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text || repeat(' u' || doc_id, 20) AS aug
+             |  FROM documents),
+             |toks AS (
+             |  SELECT unnest(regexp_split_to_array(trim(aug), '\s+')) AS w
+             |  FROM a),
+             |c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1)
+             |SELECT w, cnt, TRUE AS lb_ok, TRUE AS ub_ok
+             |FROM c ORDER BY w""".stripMargin)),
+
     // Dedup.contaminationBloomPruned: bloom prefilter, EXACT output -----
     // (identical result to the unpruned x16 scan — bloom has no false
     // negatives and the equi-join removes the false positives — so the

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CountMin
+
+/** Count-Min sketch: estimates are partitioning-INVARIANT (merges are
+  * exact element-wise adds), never below the true count, and the SQL
+  * `estimate`/`cellIndex` readout agrees with the aggregator's own
+  * JVM-side hashing. */
+class CountMinSpec extends SparkTestBase {
+
+  private val W = 64
+  private val D = 3
+
+  private def sketchOf(texts: Seq[String], parts: Int): Array[Long] = {
+    import spark.implicits._
+    spark.createDataset(texts).repartition(parts).toDF("text")
+      .agg(CountMin.countMin(W, D)(col("text")))
+      .collect()(0).getSeq[Long](0).toArray
+  }
+
+  test("sketch is identical under 1, 3, and 11 partitions") {
+    val rnd = new scala.util.Random(5)
+    val texts = (0 until 200).map(_ =>
+      (0 until 30).map(_ => s"t${rnd.nextInt(300)}").mkString(" "))
+    val ref = sketchOf(texts, 1)
+    for (p <- Seq(3, 11))
+      assert(sketchOf(texts, p).sameElements(ref), s"parts=$p differs")
+  }
+
+  test("estimates never undercount; exact when width clears the vocabulary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val texts = (0 until 150).map(_ =>
+      (0 until 20).map(_ => s"w${rnd.nextInt(500)}").mkString(" "))
+    val exact = texts.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val df = spark.createDataset(texts).repartition(4).toDF("text")
+    val sk = df.agg(CountMin.countMin(W, D)(col("text")).as("cms"))
+    val words = exact.keys.toSeq.toDF("w")
+    val est = words.crossJoin(broadcast(sk))
+      .select(col("w"), CountMin.estimate(col("cms"), col("w"), W, D).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500-word vocabulary in 64 cells: collisions guaranteed, but the
+    // estimate must never fall below the truth
+    exact.foreach { case (w, c) =>
+      assert(est(w) >= c, s"$w undercounted: ${est(w)} < $c")
+    }
+    // wide sketch (no collisions likely per row-min): exact counts
+    val wide = 1 << 14
+    val sk2 = df.agg(CountMin.countMin(wide, D)(col("text")).as("cms"))
+    val est2 = words.crossJoin(broadcast(sk2))
+      .select(col("w"), CountMin.estimate(col("cms"), col("w"), wide, D).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, c) =>
+      assert(est2(w) === c, s"$w: wide sketch ${est2(w)} != $c")
+    }
+  }
+
+  test("absent tokens estimate only colliding mass (usually zero when wide)") {
+    import spark.implicits._
+    val df = Seq("a b c a").toDF("text")
+    val sk = df.agg(CountMin.countMin(1 << 12, 4)(col("text")).as("cms"))
+    val est = Seq("zebra").toDF("w").crossJoin(broadcast(sk))
+      .select(CountMin.estimate(col("cms"), col("w"), 1 << 12, 4))
+      .collect()(0).getLong(0)
+    assert(est === 0L)
+  }
+}
