@@ -86,6 +86,11 @@ object PqAdcScore {
         }
         c += 1
       }
+      if (best < 0)
+        throw new IllegalStateException(
+          s"pq_adc: subspace $s has no usable codebook cell (all $ksub " +
+            "query-table slots are NaN) — the query table does not cover " +
+            "this codebook; rebuild the query table for this codebook")
       acc += qt(s * ksub + best)
       s += 1
     }

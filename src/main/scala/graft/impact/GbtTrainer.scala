@@ -458,7 +458,8 @@ object GbtTrainer {
     // margin-scale base: for binary:logistic the booster's raw output
     // is a margin (apply [[sigmoid]] for probabilities), mirroring
     // xgboost's ProbToMargin base_score handling
-    new XgbBooster(p.baseMargin.toFloat, features.length, packed, features)
+    new XgbBooster(p.baseMargin.toFloat, features.length, packed, features,
+      p.objective)
   }
 
   /** Margin → probability for binary:logistic boosters:

@@ -99,7 +99,12 @@ object ImpactModel {
   def predict(model: XgbBooster, data: DataFrame,
               features: Seq[String] = FeatureCols,
               windDamageRadiusKm: Double = 300.0): DataFrame = {
-    val featArray = array(features.map(col(_).cast("double")): _*)
+    // SQL NULL must follow xgboost's missing/default_left routing, not be
+    // read as 0.0: ArrayData.toDoubleArray() turns null elements into 0.0,
+    // so substitute NaN explicitly (GbtTrainer bins NaN as missing and
+    // XgbBooster routes NaN via each node's default direction).
+    val featArray = array(features.map(f =>
+      coalesce(col(f).cast("double"), lit(Double.NaN))): _*)
     val score = call_function("xgb_score", featArray, lit(XgbScore.register(model)))
     data
       .withColumn("damage_pct",

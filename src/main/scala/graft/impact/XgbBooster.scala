@@ -30,7 +30,9 @@ final case class XgbTree(feat: Array[Int], cond: Array[Float],
 
 final class XgbBooster(val baseScore: Float, val numFeature: Int,
                        val trees: Array[XgbTree],
-                       val featureNames: Seq[String]) extends Serializable {
+                       val featureNames: Seq[String],
+                       val objective: String = "reg:squarederror")
+    extends Serializable {
 
   def predict(f: Array[Double]): Double = {
     require(f.length >= numFeature,
@@ -100,7 +102,13 @@ object XgbBooster {
     * reads back) — train once with [[GbtTrainer]], persist, score from
     * any later job via `xgb_score(features, path)`. Float32 leaf/split
     * values print as their exact double expansion, so save→load is
-    * bit-exact. */
+    * bit-exact.
+    *
+    * The objective is recorded (`learner.objective.name`) and, matching
+    * xgboost's on-disk convention, `base_score` is persisted on
+    * PROBABILITY scale for `binary:logistic` (xgboost applies
+    * ProbToMargin at load); [[parseJson]] inverts it, so the in-memory
+    * margin-scale `baseScore` round-trips. */
   def save(model: XgbBooster, path: String): Unit = {
     def ja[T](xs: Seq[T])(f: T => JValue): JArray = JArray(xs.map(f).toList)
     val treesJ = ja(model.trees.toSeq) { t =>
@@ -111,10 +119,15 @@ object XgbBooster {
         "right_children" -> ja(t.right.toSeq)(i => JInt(i)),
         "default_left" -> ja(t.defaultLeft.toSeq)(b => JBool(b)))
     }
+    val storedBase =
+      if (model.objective == "binary:logistic")
+        1.0 / (1.0 + math.exp(-model.baseScore.toDouble))  // margin → probability
+      else model.baseScore.toDouble
     val j = JObject("learner" -> JObject(
       "learner_model_param" -> JObject(
-        "base_score" -> JString(model.baseScore.toString),
+        "base_score" -> JString(storedBase.toString),
         "num_feature" -> JString(model.numFeature.toString)),
+      "objective" -> JObject("name" -> JString(model.objective)),
       "feature_names" -> ja(model.featureNames)(n => JString(n)),
       "gradient_booster" -> JObject("model" -> JObject("trees" -> treesJ))))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -139,7 +152,17 @@ object XgbBooster {
       case JNothing => j \ "learner"
       case wrapped => wrapped
     }
-    val base = str(learner \ "learner_model_param" \ "base_score").toFloat
+    val objective = (learner \ "objective" \ "name") match {
+      case JString(s) => s
+      case _ => "reg:squarederror"
+    }
+    val storedBase = str(learner \ "learner_model_param" \ "base_score").toDouble
+    // xgboost persists base_score on probability scale for logistic
+    // objectives and converts at load (ProbToMargin); mirror that.
+    val base =
+      if (objective == "binary:logistic")
+        (math.log(storedBase) - math.log1p(-storedBase)).toFloat
+      else storedBase.toFloat
     val numFeature = str(learner \ "learner_model_param" \ "num_feature").toInt
     val JArray(treesJ) = (learner \ "gradient_booster" \ "model" \ "trees"): @unchecked
     val trees = treesJ.map { t =>
@@ -154,7 +177,7 @@ object XgbBooster {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => rdsNames(numFeature)
     }
-    new XgbBooster(base, numFeature, trees, names)
+    new XgbBooster(base, numFeature, trees, names, objective)
   }
 
   private def str(v: JValue): String = v match {

@@ -648,7 +648,7 @@ object ExtensionProbes {
              |    ELSE 'test'
              |  END AS split
              |FROM (SELECT doc_id,
-             |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+             |        CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
              |          % 1000000 AS b
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
@@ -1062,12 +1062,13 @@ object ExtensionProbes {
              |  WHERE g.i <= len(parts)),
              |f AS (
              |  SELECT doc_id, pos, line,
-             |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+             |    length(trim(line)) = 0 AS trivial
              |  FROM l),
              |k AS (
              |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
              |    COUNT(*) AS n_kept
-             |  FROM f WHERE rn = 1 GROUP BY 1)
+             |  FROM f WHERE rn = 1 OR trivial GROUP BY 1)
              |SELECT a.doc_id,
              |  COALESCE(k.clean_text, '') AS clean_text,
              |  COALESCE(k.n_kept, 0) AS n_kept,
@@ -1304,7 +1305,7 @@ object ExtensionProbes {
            |    ELSE 'test'
            |  END AS split
            |FROM (SELECT *,
-           |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           |        CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
            |          % 1000000 AS b
            |      FROM surv)
            |ORDER BY doc_id""".stripMargin

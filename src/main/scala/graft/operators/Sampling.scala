@@ -60,7 +60,11 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive: $weights")
     val total = weights.map(_._2).sum
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+    // Salted with "split_" so split membership is independent of
+    // `deterministicSample`'s bucketing — an unsalted shared hash would
+    // make a 10% sample of a split corpus come entirely from one split.
+    val bucket = conv(substring(
+      md5(concat(lit("split_"), col(idCol).cast("string"))), 1, 7), 16, 10)
       .cast("long") % 1000000L
     val cum = weights.scanLeft(0.0)(_ + _._2)
       .map(w => math.round(w / total * 1000000L)).toIndexedSeq

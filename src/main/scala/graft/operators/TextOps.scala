@@ -190,6 +190,12 @@ object TextOps {
     * Returns (idCol, clean_text, n_kept, n_dropped) for every input
     * document (documents whose lines all drop keep an empty string).
     *
+    * Trivial lines — whitespace-trimmed length below `minDedupLen` —
+    * are exempt and kept unconditionally: C4/RefinedWeb dedup targets
+    * repeated boilerplate CONTENT, and deduplicating the empty line
+    * corpus-wide would strip the paragraph separators from every
+    * document but one.
+    *
     * Scale shape: two AGGREGATIONS, no window, no products — (1) the
     * first occurrence of a line is `min(struct(doc_id, pos))` per
     * line, which partial-aggregates map-side: a boilerplate line
@@ -200,13 +206,16 @@ object TextOps {
     * not apply to window exchanges); (2) reassembly is a groupBy on
     * the document id, high-cardinality and unskewed. */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text", minDedupLen: Int = 1): DataFrame = {
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val kept = lines
+    val trivial = length(trim(col("line"))) < minDedupLen
+    val firsts = lines.where(!trivial)
       .groupBy(col("line"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))
       .select(col(s"f.$idCol").as(idCol), col("f.pos").as("pos"), col("line"))
+    val kept = firsts
+      .unionByName(lines.where(trivial).select(col(idCol), col("pos"), col("line")))
       .groupBy(col(idCol))
       .agg(
         concat_ws("\n", transform(

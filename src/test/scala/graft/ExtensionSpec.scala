@@ -322,6 +322,14 @@ class ExtensionSpec extends SparkTestBase {
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     half.foreach { case (id, s) => assert(full(id) == s, s"doc $id migrated") }
+    // split hashing is salted independently of deterministicSample's
+    // bucketing: a 10% sample of the corpus must span all three splits
+    // (an unsalted shared hash would draw it entirely from 'train')
+    val sampled = Sampling.deterministicSample(docs, 0.1)
+      .select("doc_id").collect().map(_.getLong(0))
+    val splitsHit = sampled.map(full).toSet
+    assert(splitsHit == Set("train", "val", "test"),
+      s"10% sample only reached $splitsHit")
   }
 
   test("packSequences: per-shard concatenation offsets and chunk assignment") {

@@ -143,6 +143,30 @@ class ImpactSpec extends SparkTestBase {
     pred.unpersist()
   }
 
+  test("predict routes SQL NULL features as missing (NaN), not 0.0") {
+    // f_a is noise; the signal lives entirely in f_b, so the trees
+    // split on f_b and a null f_b exercises the missing route
+    val train = (1 to 200).map { i =>
+      val v = (i % 100).toDouble
+      ("M" + i, (i % 3).toDouble, v * 2.0, if (v > 50) 80.0 else 1.0)
+    }.toDF("Mun_Code", "f_a", "f_b", "y")
+    val feats = Seq("f_a", "f_b")
+    val model = ImpactModel.train(train, labelCol = "y", features = feats,
+      params = GbtParams(numRound = 5, maxDepth = 3, eta = 0.5, gamma = 0.0))
+    val probe = Seq(("M1", Some(75.0), None: Option[Double], 10.0, 100.0))
+      .toDF("Mun_Code", "f_a", "f_b", "HAZ_dis_track_min", "VUL_Housing_Units")
+    val got = ImpactModel.predict(model, probe, features = feats)
+      .select("damage_pct").collect().head.getDouble(0)
+    // the null feature must follow the booster's missing/default routing
+    val wantMissing = math.min(100.0, math.max(0.0,
+      model.predict(Array(75.0, Double.NaN))))
+    val wantZero = math.min(100.0, math.max(0.0,
+      model.predict(Array(75.0, 0.0))))
+    assert(got === wantMissing)
+    // and the model actually splits on f_b, so 0.0 would have differed
+    assert(wantMissing !== wantZero)
+  }
+
   test("A4 ensemble summary + J6 window probability") {
     val df = Seq(
       ("M1", 0, 10.0, 100.0, 30.0, 50.0), ("M1", 1, 20.0, 200.0, 60.0, 55.0))

@@ -30,6 +30,28 @@ class LineDedupSpec extends SparkTestBase {
     assert(out(7L) === (("x\ny\nz", 3L, 1L)))
   }
 
+  test("blank lines are exempt: paragraph separators survive in every doc") {
+    val out = run(Seq(
+      (1L, "para1\n\npara2"),
+      (2L, "para3\n\npara4"),
+      (3L, "  \nx")))
+    // the empty separator line is NOT deduped corpus-wide
+    assert(out(1L) === (("para1\n\npara2", 3L, 0L)))
+    assert(out(2L) === (("para3\n\npara4", 3L, 0L)))
+    // whitespace-only lines are trivial too
+    assert(out(3L) === (("  \nx", 2L, 0L)))
+  }
+
+  test("minDedupLen exempts sub-minimum lines from corpus-wide dedup") {
+    import spark.implicits._
+    val docs = Seq((1L, "ok\nlong shared line"), (2L, "ok\nlong shared line"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, minDedupLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "ok\nlong shared line")
+    assert(out(2L) === "ok") // short "ok" exempt; long line deduped
+  }
+
   test("no duplicates anywhere is the identity") {
     val docs = Seq((1L, "a\nb"), (2L, "c\nd"))
     val out = run(docs)

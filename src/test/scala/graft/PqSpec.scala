@@ -108,4 +108,20 @@ class PqSpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(full === exact)
   }
+
+  test("pq_adc names the subspace when the query table has no usable cell") {
+    import graft.expressions.PqAdcScore
+    // subspace 1's query-table slots are all NaN → loud failure, not a
+    // silent read of subspace 0's last slot
+    val cb = Array.tabulate(2 * 2 * 1)(_.toDouble) // m=2, ksub=2, dsub=1
+    val qt = Array(0.1, 0.2, Double.NaN, Double.NaN)
+    val ex = intercept[IllegalStateException] {
+      PqAdcScore.score(Array(0.0, 1.0), cb, qt, m = 2, ksub = 2, dsub = 1)
+    }
+    assert(ex.getMessage.contains("subspace 1"))
+    // a fully-covered table still scores
+    val ok = PqAdcScore.score(Array(0.0, 1.0), cb,
+      Array(0.1, 0.2, 0.3, 0.4), m = 2, ksub = 2, dsub = 1)
+    assert(!ok.isNaN)
+  }
 }

@@ -124,6 +124,38 @@ class XgbSpec extends SparkTestBase {
     } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
   }
 
+  test("logistic save records the objective and a probability-scale base_score") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (i.toDouble % 13, (i * 7 % 11).toDouble,
+      if (i % 13 > 6) 1.0 else 0.0))
+    val df = rows.toDF("f0", "f1", "y")
+    val booster = graft.impact.GbtTrainer.train(df, "y", Seq("f0", "f1"),
+      graft.impact.GbtParams(numRound = 4, maxDepth = 3, eta = 0.3,
+        gamma = 0.0, subsample = 1.0, baseScore = 0.3f,
+        objective = "binary:logistic"))
+    val tmp = java.nio.file.Files.createTempFile("gbt-logistic", ".json").toString
+    try {
+      XgbBooster.save(booster, tmp)
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tmp)), java.nio.charset.StandardCharsets.UTF_8)
+      assert(json.contains("\"binary:logistic\""))
+      // on disk: probability scale (xgboost's convention), not the margin
+      val stored = org.json4s.jackson.JsonMethods.parse(json) \ "learner" \
+        "learner_model_param" \ "base_score" match {
+        case org.json4s.JString(s) => s.toDouble
+        case other => fail(s"unexpected base_score: $other")
+      }
+      assert(stored > 0.0 && stored < 1.0)
+      assert(math.abs(stored - 0.3) < 1e-6)
+      // in memory: the margin round-trips bit-exactly through ProbToMargin
+      val back = XgbBooster.load(tmp)
+      assert(back.objective === "binary:logistic")
+      assert(back.baseScore === booster.baseScore)
+      val f = booster.medianSplitByFeature
+      assert(back.predict(f) === booster.predict(f))
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+  }
+
   test("probe registers only when the reference artifact exists") {
     if (have) assert(XgbProbe.probes.map(_.name) === Seq("x24_xgb_reference_model"))
     else assert(XgbProbe.probes.isEmpty)
