@@ -111,6 +111,23 @@ object BenchDedup {
       graft.operators.TextOps.lineDedup(lined)
         .agg(sum("n_dropped")).collect()(0).getLong(0)
     }
+    // HOT-BUCKET skew guard at volume: 100k boilerplate template pages
+    // (identical body, per-page serial) that survive EXACT dedup but
+    // collapse into a handful of shared LSH buckets. Uncapped, a
+    // bucket of B members emits B(B−1)/2 candidate pairs — ~5e8 from
+    // one bucket here, the quadratic hot key. With maxBucket the
+    // over-cap buckets drop before the self-join and the pipeline
+    // completes with the organic near-dup pairs intact.
+    val template = (0 until 40).map(i => s"tmpl$i").mkString(" ")
+    val templated = docs.unionByName(
+      spark.range(n, n + 100000)
+        .select(col("id").as("doc_id"),
+          concat(lit(template), lit(" page"), col("id").cast("string")).as("text")))
+    val (nCappedPairs, tHot) = timed {
+      val sig = Dedup.minhashSignaturesOnePass(templated, n = 3, numPerm = 16)
+      Dedup.lshCandidatePairs(Dedup.lshBuckets(sig, bands = 4, rowsPer = 4),
+        maxBucket = 1000).count()
+    }
     // FREQUENCY sketch at volume: the synthetic vocabulary is uniform
     // (no true heavy hitters), so three stopword-like tokens are
     // appended to every doc — each then holds ~1M of 43M tokens, far
@@ -141,6 +158,8 @@ object BenchDedup {
       s""""ingest_batch":10000,"ingest_index_sec":${f"$tIndex%.2f"},""" +
       s""""ingest_hits":$nIngest,"ingest_sec":${f"$tIngest%.2f"},""" +
       s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"},""" +
+      s""""hot_bucket_docs":100000,"hot_bucket_capped_pairs":$nCappedPairs,""" +
+      s""""hot_bucket_sec":${f"$tHot%.2f"},""" +
       s""""mg_heavy_hitters_sec":${f"$tMg%.2f"},"exact_topk_sec":${f"$tExactTop%.2f"},""" +
       s""""mg_found_planted_heavies":$mgHit}""")
     spark.stop()

@@ -134,10 +134,36 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
-  /** Candidate near-duplicate pairs (a < b) from shared LSH buckets. */
-  def lshCandidatePairs(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val l = buckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val r = buckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+  /** Candidate near-duplicate pairs (a < b) from shared LSH buckets.
+    *
+    * `maxBucket` is the SKEW GUARD (the [[contamination]] `maxShingleDf`
+    * pattern applied to buckets): a bucket with B members emits
+    * B(B−1)/2 pairs, so one band bucket full of boilerplate-identical
+    * template pages — the kind that survives *exact* dedup — turns the
+    * self-join quadratic on a single key. Buckets larger than the cap
+    * are dropped BEFORE the join: the over-cap set is tiny (at most
+    * |bucket rows| / maxBucket buckets), so it broadcasts, and the
+    * prune is a broadcast left-anti join — no extra shuffle of the
+    * bucket table. Recall cost is bounded: a genuine near-dup pair
+    * collides independently in each of the `bands` bands, so it
+    * survives unless EVERY shared bucket is over the cap — and a
+    * bucket that big is template boilerplate, which the downstream
+    * exact-Jaccard verify would mostly reject anyway. Default keeps
+    * every bucket (exact semantics, no extra pass). */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String = "doc_id",
+                        maxBucket: Long = Long.MaxValue): DataFrame = {
+    val pruned =
+      if (maxBucket == Long.MaxValue) buckets
+      else {
+        require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
+        val hot = buckets.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") > maxBucket)
+          .select("band_idx", "band_hash")
+        buckets.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+      }
+    val l = pruned.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = pruned.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

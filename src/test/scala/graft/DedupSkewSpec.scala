@@ -65,4 +65,41 @@ class DedupSkewSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits === Set((100L, 0L), (100L, 1L)))
   }
+
+  test("lsh bucket cap above max bucket size reproduces the uncapped pairs") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val sig = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
+    val buckets = Dedup.lshBuckets(sig, bands = 4, rowsPer = 2)
+    val base = Dedup.lshCandidatePairs(buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidatePairs(buckets, maxBucket = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === base)
+    assert(base.nonEmpty)
+  }
+
+  test("hot bucket: over-cap buckets drop, organic near-dup pairs survive") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 50 boilerplate template pages (identical text → identical
+    // signature → one 50-member bucket per band) + one organic
+    // near-dup pair with its own text
+    val organic = "zebra yak xylophone wombat vulture unicorn tapir seal"
+    val docs = ((0L until 50L).map(i => (i, "tmplA tmplB tmplC tmplD tmplE tmplF")) ++
+      Seq((200L, organic), (201L, organic + " extra")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
+    val buckets = Dedup.lshBuckets(sig, bands = 4, rowsPer = 2)
+    val uncapped = Dedup.lshCandidatePairs(buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quadratic blow-up present: all 50*49/2 template pairs emitted
+    assert(uncapped.count(p => p._1 < 50L && p._2 < 50L) === 1225)
+    val capped = Dedup.lshCandidatePairs(buckets, maxBucket = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 50-member buckets dropped; the organic pair (2-member
+    // buckets) is untouched
+    assert(!capped.exists(p => p._1 < 50L && p._2 < 50L))
+    assert(capped.contains((200L, 201L)))
+  }
 }

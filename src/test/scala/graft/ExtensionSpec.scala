@@ -120,13 +120,48 @@ class ExtensionSpec extends SparkTestBase {
       MultimodalOps.MediaRow(3L, null, "img", 0, 0)).toDS()
     val feats = MultimodalOps.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
+    // none of these payloads are decodable images → byte fallback
+    assert(feats.values.forall(!_.decoded))
     assert(feats(1L).n_bytes == 256)
     // uniform byte distribution → max entropy (log2(16) = 4 bits)
-    assert(math.abs(feats(1L).byte_entropy - 4.0) < 1e-9)
+    assert(math.abs(feats(1L).entropy - 4.0) < 1e-9)
     assert(feats(1L).histogram.sum > 0.999 && feats(1L).histogram.length == 16)
     // constant bytes → zero entropy, all mass in bin 0
-    assert(feats(2L).byte_entropy == 0.0 && feats(2L).histogram(0) == 1.0)
+    assert(feats(2L).entropy == 0.0 && feats(2L).histogram(0) == 1.0)
     assert(feats(3L).n_bytes == 0)
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: real PNG decodes to exact luminance pixel stats") {
+    // hand-built 4x4 PNG: top half pure red, bottom half pure white
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (y < 2) 0xff0000 else 0xffffff)
+    // integer Rec.601: red → (299*255+500)/1000 = 76, white → 255
+    val dec = MultimodalOps.decodeImage(pngBytes(img)).get
+    assert(dec.width === 4 && dec.height === 4)
+    assert(dec.luma.toSeq === (Seq.fill(8)(76) ++ Seq.fill(8)(255)))
+
+    val media = Seq(MultimodalOps.MediaRow(9L, pngBytes(img), "png", 4, 4)).toDS()
+    val f = MultimodalOps.extractFeatures(media).collect().head
+    assert(f.decoded && f.width === 4 && f.height === 4)
+    assert(f.mean === (8 * 76 + 8 * 255) / 16.0)
+    // two equally-likely luminance bins: 76*16/256=4, 255*16/256=15
+    assert(f.entropy === 1.0)
+    assert(f.histogram(4) === 0.5 && f.histogram(15) === 0.5)
+    // JPEG round-trips through the same path (lossy → assert shape)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jf = MultimodalOps.extractFeatures(
+      Seq(MultimodalOps.MediaRow(10L, bos.toByteArray, "jpg", 4, 4)).toDS())
+      .collect().head
+    assert(jf.decoded && jf.width === 4 && jf.height === 4)
   }
 
   test("multimodal: frame sampling slices every Nth frame") {
@@ -137,20 +172,33 @@ class ExtensionSpec extends SparkTestBase {
     assert(frames.head.getAs[Array[Byte]]("frame").toSeq == (0 until 10).map(_.toByte))
   }
 
-  test("multimodal: metadata-driven resize downsamples and nulls malformed rows") {
+  test("multimodal: resize downsamples rasters and decoded images, nulls malformed rows") {
     // 4x4 gradient raster → 2x2 nearest-neighbor picks rows 0/2, cols 0/2
     val px = Array.tabulate(16)(i => (i * 10).toByte)
     val media = Seq(
       MultimodalOps.MediaRow(1L, px, "img", 4, 4),
       MultimodalOps.MediaRow(2L, Array.fill(3)(0.toByte), "img", 4, 4), // short payload
       MultimodalOps.MediaRow(3L, null, "img", 4, 4)).toDS()
-    val out = MultimodalOps.resizeStub(media, outW = 2, outH = 2)
+    val out = MultimodalOps.resize(media, outW = 2, outH = 2)
       .orderBy("media_id").collect()
     assert(out.head.getAs[Array[Byte]]("media").toSeq ===
       Seq(0, 20, 80, 100).map(_.toByte))
     assert(out.head.getInt(3) === 2 && out.head.getInt(4) === 2)
     assert(out(1).getAs[Array[Byte]]("media") == null)
     assert(out(2).getAs[Array[Byte]]("media") == null)
+    // a real PNG resizes from its DECODED luminance plane
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = if (y < 2) 0 else 0xffffff  // top black, bottom white
+      img.setRGB(x, y, v)
+    }
+    val dec = MultimodalOps.resize(
+      Seq(MultimodalOps.MediaRow(4L, pngBytes(img), "png", 4, 4)).toDS(),
+      outW = 2, outH = 2).collect().head
+    assert(dec.getString(2) === "raster8")
+    assert(dec.getAs[Array[Byte]]("media").toSeq ===
+      Seq(0, 0, 255.toByte, 255.toByte))
   }
 
   test("lshNearDupPairs agrees with brute force above the threshold") {
