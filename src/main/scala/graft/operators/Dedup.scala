@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -286,6 +286,33 @@ object Dedup {
       .where(col("n_shared") >= minOverlap)
   }
 
+  /** Build and persist the train-side shingle index ONCE: (train_id,
+    * h) rows as an external parquet table BUCKETED on `h`. This is the
+    * 100 TB shape the contamination scan promises: the corpus is
+    * shingled exactly once, every later benchmark scan joins the
+    * persisted table (never re-reading or re-shingling corpus text),
+    * and the bucketing pre-clusters the join key so a bucket-aware
+    * plan shuffles only the dimension-sized eval side. Re-running
+    * drops and rewrites the table (the index is derived data). */
+  def writeShingleIndex(train: DataFrame, path: String, table: String,
+                        n: Int = 3, buckets: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    val spark = train.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    shingleHashSets(train, n, idCol, textCol)
+      .select(col(idCol).as("train_id"), explode(col("sh_hashes")).as("h"))
+      .write.format("parquet").option("path", path)
+      .bucketBy(buckets, "h")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** The persisted shingle index as a DataFrame (bucket metadata
+    * intact — reads must go through the catalog, not the path, for
+    * the bucketed join to apply). */
+  def readShingleIndex(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Contamination with a BLOOM-FILTER prefilter on the corpus side —
     * the 100 TB shape of the scan when the eval/benchmark set is
     * dimension-sized but its exact shingle relation is too big to
@@ -303,8 +330,15 @@ object Dedup {
                                idCol: String = "doc_id",
                                textCol: String = "text",
                                fpp: Double = 0.01): DataFrame = {
+    // localCheckpoint: the eval shingle relation feeds THREE actions
+    // (the sizing count, the bloom build, the final join) — one
+    // materialization instead of three runs of the shingle kernel,
+    // and the count over the checkpointed partitions is near-free.
+    // The eval side is dimension-sized by contract, so the
+    // materialized rows are small.
     val eh = shingleHashSets(eval, n, idCol, textCol)
       .select(col(idCol).as("eval_id"), explode(col("sh_hashes")).as("h"))
+      .localCheckpoint()
     // no distinct() before the build: duplicate insertions don't
     // change a bloom, and sizing by the row count (an overestimate of
     // the distinct count) only buys a LOWER false-positive rate — so

@@ -1310,5 +1310,149 @@ object ExtensionProbes {
            |      FROM surv)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // PqIndex at rest: the index you persist ONCE — codes partitioned
+    // by IVF cell + codebook/centroid side tables — answering the same
+    // query as the in-memory x37 composition, hash-equal, with the
+    // nprobe cell selection arriving at the codes AND vectors scans as
+    // file-level PartitionFilters (PqSpec gates the plan). At 100 TB
+    // this is the difference between a query that reads ~nprobe/nlist
+    // of m-byte codes and one that rebuilds the index per query ------
+    Probe("x41_pq_index_at_rest",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        // build ONCE per corpus (the dir is keyed by the sf dir), then
+        // every query — including this probe re-run — reads the index
+        // at rest: that amortization IS the operator's contract
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tag"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
+          PqIndex.writeIndex(embs, dir, nlist = 8, m = 32, ksub = 16, dim = 64)
+        val q = embs.where(col("vec_id") === 3)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        PqIndex.topKFromIndex(s, dir, q, k = 10, nprobe = 6, shortlist = 60,
+            excludeId = Some(3L))
+          .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+             |probecells AS (
+             |  SELECT cell FROM (
+             |    SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+             |      ROUND(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+             |        - 2 * list_dot_product(q.qv::DOUBLE[], c.c)
+             |        + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM cent c CROSS JOIN qv q) WHERE rn <= 6),
+             |cand AS (
+             |  SELECT a.vec_id FROM assigned a JOIN probecells USING (cell)),
+             |dims AS (
+             |  SELECT vec_id, CAST(FLOOR((j-1) / 2) AS INT) AS subspace,
+             |    (j-1) % 2 AS within, CAST(x AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cb0 AS (
+             |  SELECT subspace, CAST(vec_id AS INT) AS cell, within, x AS cx
+             |  FROM dims WHERE vec_id < 16),
+             |d0 AS (
+             |  SELECT d.vec_id, d.subspace, c.cell,
+             |    ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             |  FROM dims d JOIN cb0 c ON d.subspace = c.subspace AND d.within = c.within
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (
+             |  SELECT vec_id, subspace, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM d0) WHERE rn = 1),
+             |cb AS (
+             |  SELECT d.subspace, a.cell, d.within, ROUND(AVG(d.x), 6) AS cx
+             |  FROM dims d JOIN a0 a ON d.vec_id = a.vec_id AND d.subspace = a.subspace
+             |  GROUP BY 1, 2, 3),
+             |dist AS (
+             |  SELECT d.vec_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS dist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  GROUP BY 1, 2, 3),
+             |codes AS (
+             |  SELECT vec_id, subspace, cell AS code FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+             |qtab AS (
+             |  SELECT d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS qdist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  WHERE d.vec_id = 3 GROUP BY 1, 2),
+             |short AS (
+             |  SELECT c.vec_id, ROUND(SUM(q.qdist), 6) AS adist
+             |  FROM codes c JOIN cand USING (vec_id)
+             |  JOIN qtab q ON c.subspace = q.subspace AND c.code = q.cell
+             |  WHERE c.vec_id <> 3 GROUP BY 1
+             |  ORDER BY adist ASC, vec_id ASC LIMIT 60),
+             |rerank AS (
+             |  SELECT s.vec_id,
+             |    list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS sim
+             |  FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN qv q
+             |  ORDER BY sim DESC, vec_id LIMIT 10)
+             |SELECT r.vec_id, ROUND(r.sim, 6) AS sim
+             |FROM rerank r ORDER BY sim DESC, vec_id""".stripMargin)),
+
+    // Contamination against the PERSISTED shingle index: the train
+    // corpus is shingled ONCE into a bucketed-on-h external table;
+    // the scan joins that table — no re-shingle of train, ever
+    // (PlanQualitySpec gates exactly one shingle kernel in the plan,
+    // on the eval side). Semantics identical to x16, so the oracle is
+    // the same SQL — what is certified here is that the at-rest index
+    // path reproduces the direct scan id-for-id --------------------
+    Probe("x42_contamination_index",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        // shingle the corpus ONCE per session+corpus; later scans (and
+        // this probe's re-runs) join the persisted bucketed table —
+        // the amortization the operator promises at 100 TB
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val table = s"graft_x42_train_shingles_$tag"
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x42_shingle_index_$tag"
+        if (!s.catalog.tableExists(table))
+          Dedup.writeShingleIndex(train, dir, table = table, n = 3)
+        Dedup.contaminationFromShingles(
+            Dedup.readShingleIndex(s, table), eval,
+            n = 3, minOverlap = 3)
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH sh AS ($shingleSql),
+              |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1)
+              |SELECT eval_id, train_id, COUNT(*) AS n_shared
+              |FROM ev JOIN tr USING (shingle)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+              |ORDER BY eval_id, train_id""".stripMargin)),
   )
 }

@@ -197,6 +197,119 @@ object PqIndex {
     (cbArr, qtArr)
   }
 
+  // ---------------------------------------------------------------------
+  // On-disk IVF-PQ index: at 100 TB the index you never persist is an
+  // index you rebuild per query. The codes table (m small ints per
+  // vector instead of 4·D bytes) is written partitioned by IVF cell,
+  // so a query's nprobe cell selection becomes a file-level PARTITION
+  // FILTER on both the ADC scan and the rerank scan; the codebook and
+  // centroid side tables are tiny and collect to the driver.
+  // ---------------------------------------------------------------------
+
+  /** Persist an IVF-PQ index at `path`:
+    *   codes/cell=N/    (id, codes array<int>, one code per subspace)
+    *   vectors/cell=N/  (id, vector) — for the exact rerank
+    *   codebook/        (subspace, cell, within, cx)
+    *   centroids/       (cell, centroid)
+    * Codebook and codes come from the FULL corpus (cell membership
+    * must not change code semantics), exactly like the in-memory
+    * [[ivfPqTopK]]; build cost is paid once and amortized over every
+    * future query. */
+  def writeIndex(embs: DataFrame, path: String, nlist: Int,
+                 m: Int, ksub: Int, dim: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val cents = IvfIndex.meanCentroids(
+      IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+    val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
+    val d = partitionedDims(embs, dim / m, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
+      val packed = encodeFromDims(d, cb, idCol)
+        .groupBy(col(idCol))
+        .agg(transform(
+          array_sort(collect_list(struct(col("subspace"), col("code")))),
+          s => s.getField("code")).as("codes"))
+      packed.join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+      assigned.write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$path/vectors")
+      cb.write.mode("overwrite").parquet(s"$path/codebook")
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+    } finally d.unpersist(blocking = false)
+  }
+
+  /** IVF-PQ top-k against an on-disk index for an explicit query
+    * vector: rank the centroid table (driver-side, nlist rows), turn
+    * the nprobe nearest cells into partition filters on the codes and
+    * vectors scans, score each surviving vector's packed codes against
+    * a driver-built ADC lookup table (same per-cell round-6 contract
+    * as the relational [[queryTable]]), shortlist, exact-rerank. No
+    * dims explode, no codebook rebuild — the index at rest answers
+    * the query. `excludeId` drops a corpus vector from the results
+    * (pass the query's own id when querying by an indexed vector). */
+  def topKFromIndex(spark: SparkSession, path: String, query: Seq[Double],
+                    k: Int, nprobe: Int, shortlist: Int,
+                    excludeId: Option[Long] = None,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import graft.expressions.PqAdcScore.round6
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select("subspace", "cell", "within", "cx").collect()
+      .map(r => (r.getAs[Number]("subspace").intValue(),
+        r.getAs[Number]("cell").intValue(),
+        r.getAs[Number]("within").intValue(),
+        r.getAs[Number]("cx").doubleValue()))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val ksub = cbRows.iterator.map(_._2).max + 1
+    val dsub = query.length / m
+    require(query.length % m == 0,
+      s"query dim ${query.length} not divisible into $m subspaces")
+    val qtArr = Array.fill(m * ksub)(Double.NaN)
+    cbRows.groupBy(t => (t._1, t._2)).foreach { case ((s, c), ws) =>
+      var acc = 0.0
+      ws.sortBy(_._3).foreach { case (_, _, w, cx) =>
+        val diff = query(s * dsub + w) - cx
+        acc += diff * diff
+      }
+      qtArr(s * ksub + c) = round6(acc)
+    }
+    val cells = spark.read.parquet(s"$path/centroids").collect()
+      .map { r =>
+        val cell = r.getAs[Number]("cell").longValue()
+        val cent = r.getSeq[Double](r.fieldIndex("centroid"))
+        var qq = 0.0; var qc = 0.0; var cc = 0.0
+        var i = 0
+        while (i < cent.length) {
+          qq += query(i) * query(i); qc += query(i) * cent(i)
+          cc += cent(i) * cent(i); i += 1
+        }
+        (round6(qq - 2.0 * qc + cc), cell)
+      }.sorted.take(nprobe).map(_._2).toSeq
+    // literal IN-list on the partition column → PartitionFilters prune
+    // code directories before any file is opened
+    val qtLit = array(qtArr.map(lit): _*)
+    val adist = round(aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(qtLit, (s * ksub + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x), 6)
+    val scored = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol), adist.as("adist"))
+    val short = excludeId.fold(scored)(id => scored.where(col(idCol) =!= id))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(shortlist)
+    val qCol = array(query.map(lit): _*)
+    spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(cells: _*))
+      .join(broadcast(short), Seq(idCol))
+      .withColumn("sim", Similarity.cosine(col(vecCol), qCol))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ: the standard two-level layout for web-scale ANN — the IVF
     * quantizer prunes to the nprobe nearest cells (on disk: partition
     * pruning, see IvfIndex.writeIndex), then ADC ranks only the codes

@@ -45,12 +45,23 @@ object RangeJoin {
     * left. Appends `outCol` to `left`. */
   def nearestByValue(left: DataFrame, right: DataFrame,
                      leftVal: String, rightVal: String, rightKey: String,
-                     outCol: String = "nearest"): DataFrame = {
+                     outCol: String = "nearest",
+                     maxRightValues: Int = 1000000): DataFrame = {
+    // the limit bounds the collect BEFORE it reaches the driver, so a
+    // misuse (a fact table on the right) fails loudly instead of
+    // OOMing the driver
     val pairs = right
       .groupBy(col(rightVal).cast("double").as("v"))
       .agg(min(col(rightKey).cast("long")).as("k"))
       .orderBy("v")
+      .limit(maxRightValues + 1)
       .collect()
+    require(pairs.length <= maxRightValues,
+      s"nearestByValue: right side has more than $maxRightValues distinct " +
+        s"values of '$rightVal' — it must be a dimension-sized lookup table " +
+        "(broadcast to every task); for fact-to-fact nearest joins use " +
+        "intervalJoin or an as-of join instead, or raise maxRightValues " +
+        "if the driver can hold the table")
     require(pairs.nonEmpty, "nearestByValue: right side is empty")
     val values = pairs.map(_.getDouble(0))
     val keys = pairs.map(_.getLong(1))

@@ -21,6 +21,15 @@ import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
   *    5.3 (complex packing with 1st/2nd-order spatial differencing)
   *  - section 6 bitmaps (missing points become NaN)
   *
+  * COVERAGE BOUNDARY: templates 5.0/5.2/5.3 cover every product the
+  * reference pipeline ingests (GEFS `pgrb2a`/`pgrb2b` per
+  * Rainfall_data.py:40-65 and the ECMWF/ICON fixtures). Template 5.40
+  * (JPEG2000 packing, used by e.g. HRRR and some NOMADS products) is
+  * intentionally NOT implemented — it needs a JPEG2000 codec the JDK
+  * does not ship, and no reference source emits it; `decode` raises
+  * a clear error naming the unsupported template so a future source
+  * addition fails loudly at ingest, not silently downstream.
+  *
   * All GRIB2 signed fields are sign-magnitude, not two's complement
   * (high bit = sign) — handled by `sm16`/`smN`.
   */

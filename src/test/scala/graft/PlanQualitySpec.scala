@@ -116,6 +116,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x42 contamination-from-index: train side never re-shingles") {
+    val p = planString("x42_contamination_index")
+    // corpus text is scanned exactly ONCE — the eval side (the shingle
+    // kernel and its pushdown copies all live on that branch); the
+    // train side must be a FileScan of the persisted bucketed index,
+    // not a recomputation from documents
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"only the eval side may read corpus text:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"index scan must carry its bucketing:\n$p")
+  }
+
   test("x34 heavy hitters: MG aggregation is partial before the single merge") {
     val p = planString("x34_heavy_hitters")
     // ObjectHashAggregate with a partial_misragries pass = map-side

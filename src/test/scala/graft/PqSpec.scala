@@ -109,6 +109,31 @@ class PqSpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  test("on-disk IVF-PQ index: partition-pruned query matches the in-memory path") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    PqIndex.writeIndex(embs, dir, nlist = 8, m = m, ksub = ksub, dim = dim)
+    val q = embs.where(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val fromDisk = PqIndex.topKFromIndex(spark, dir, q, k = 10, nprobe = 6,
+      shortlist = 60, excludeId = Some(3L))
+    val inMem = PqIndex.ivfPqTopK(embs, queryId = 3, k = 10,
+      nlist = 8, nprobe = 6, shortlist = 60, m, ksub, dim)
+    val got = fromDisk.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = inMem.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9) }
+
+    // the nprobe cell selection must reach BOTH scans (codes for ADC,
+    // vectors for rerank) as a PARTITION filter
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r
+      .findAllIn(plan).toSeq
+    assert(pf.length >= 2, s"expected cell partition filters on both scans:\n$plan")
+  }
+
   test("pq_adc names the subspace when the query table has no usable cell") {
     import graft.expressions.PqAdcScore
     // subspace 1's query-table slots are all NaN → loud failure, not a

@@ -39,6 +39,20 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got(2L) === 10L && got(3L) === 20L)  // clamped ends
   }
 
+  test("nearestByValue refuses a fact-sized right side instead of OOMing the driver") {
+    val left = Seq((1L, 5.0)).toDF("id", "lv")
+    val right = spark.range(50)
+      .select(col("id").as("key"), col("id").cast("double").as("rv"))
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.nearestByValue(left, right, "lv", "rv", "key",
+        maxRightValues = 10)
+    }
+    assert(ex.getMessage.contains("more than 10 distinct values"))
+    // at or under the cap it still works
+    assert(RangeJoin.nearestByValue(left, right, "lv", "rv", "key",
+      maxRightValues = 50).count() === 1)
+  }
+
   test("matches equal the naive theta join for every bucket width") {
     val naive = points.join(intervals,
         col("v") >= col("lo") && col("v") < col("hi"))
