@@ -1454,5 +1454,65 @@ object ExtensionProbes {
               |FROM ev JOIN tr USING (shingle)
               |GROUP BY 1, 2 HAVING COUNT(*) >= 3
               |ORDER BY eval_id, train_id""".stripMargin)),
+
+    // TextOps.lmScore: the CCNet-style LM quality filter — add-k
+    // bigram statistics trained on the even half of the corpus, every
+    // document scored by mean bigram log-probability. Unseen bigrams
+    // and contexts exercise the smoothing path. Scale shape: one
+    // window per doc for pairing, keyed joins against the counts
+    // tables (persistable, the at-rest pattern) ---------------------
+    Probe("x43_lm_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (contexts, bigrams, vocab) =
+          TextOps.bigramCounts(docs.where(col("doc_id") % 2 === 0))
+        TextOps.lmScore(docs, contexts, bigrams, vocab, k = 1.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+             |  SELECT doc_id, g.i AS pos, parts[g.i] AS w
+             |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS parts
+             |        FROM documents),
+             |       (SELECT unnest(generate_series(1, 100000)) AS i) g
+             |  WHERE g.i <= len(parts) AND parts[g.i] <> ''),
+             |bg AS (
+             |  SELECT doc_id, w1, w2 FROM (
+             |    SELECT doc_id, w AS w1,
+             |      LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |    FROM tok0) WHERE w2 IS NOT NULL),
+             |ref AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+             |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM ref GROUP BY 1, 2),
+             |c AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok0 WHERE doc_id % 2 = 0),
+             |s AS (
+             |  SELECT bg.doc_id,
+             |    ROUND(AVG(LN((COALESCE(b.c12, 0) + 1.0) /
+             |                 (COALESCE(c.c1, 0) + 1.0 * v.v))), 6) AS lm_score,
+             |    COUNT(*) AS n_bigrams
+             |  FROM bg LEFT JOIN b USING (w1, w2) LEFT JOIN c USING (w1)
+             |  CROSS JOIN v GROUP BY 1)
+             |SELECT d.doc_id, s.lm_score, COALESCE(s.n_bigrams, 0) AS n_bigrams
+             |FROM documents d LEFT JOIN s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Sampling.deterministicMixture: domain reweighting as a pure
+    // function of the id — per-source keep fractions, salted
+    // independently of split/sample bucketing. Map-only -------------
+    Probe("x44_source_mixture",
+      (s, d) => Sampling.deterministicMixture(Tables.documents(s, d),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    CAST('0x' || substring(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+             |      % 1000000 AS b
+             |  FROM documents)
+             |WHERE b < CASE source WHEN 'src0' THEN 1000000
+             |                      WHEN 'src1' THEN 500000
+             |                      WHEN 'src2' THEN 250000
+             |                      ELSE 100000 END
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

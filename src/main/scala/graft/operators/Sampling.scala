@@ -76,6 +76,33 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Deterministic SOURCE-MIXTURE sampling — the domain-reweighting
+    * step of corpus assembly (keep 100% of books, 30% of common-crawl,
+    * …): each row keeps iff its salted md5 bucket falls under its
+    * source's fraction. Membership is a pure function of (id, source
+    * fraction) — stable across runs, engines and corpus growth, like
+    * [[hashSplit]], and salted independently of both `hashSplit` and
+    * `deterministicSample` so composing the three never correlates.
+    * Sources absent from `fractions` default to `defaultFraction`
+    * (0 = drop unlisted sources). Map-only, no shuffle. */
+  def deterministicMixture(df: DataFrame, fractions: Map[String, Double],
+                           sourceCol: String = "source",
+                           idCol: String = "doc_id",
+                           defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must lie in [0,1]: $fractions")
+    val bucket = conv(substring(
+      md5(concat(lit("mix_"), col(idCol).cast("string"))), 1, 7), 16, 10)
+      .cast("long") % 1000000L
+    // thresholds rounded driver-side: 0.3 * 1e6 in double is
+    // 299999.99999999994, and a row-side cast would truncate it
+    def thr(f: Double): Long = math.round(f * 1000000.0)
+    val cutoff = fractions.foldLeft(lit(thr(defaultFraction))) {
+      case (acc, (src, f)) => when(col(sourceCol) === src, thr(f)).otherwise(acc)
+    }
+    df.where(bucket < cutoff)
+  }
+
   /** GPT-style sequence packing: concatenate documents in id order
     * within each shard and cut the token stream every `budget` tokens;
     * a document's `pack_id` is the chunk its first token lands in

@@ -75,6 +75,67 @@ object TextOps {
     }
   }
 
+  /** Whitespace tokens as (id, pos, w) rows — lowercased, blanks
+    * dropped. The explode is map-side; downstream shapes decide the
+    * shuffles. */
+  def tokenRows(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+
+  /** CCNet-style LM reference statistics: add-k-smoothed bigram model
+    * trained on a reference corpus (a trusted slice, or the corpus
+    * itself). Returns (contexts, bigrams, vocab):
+    * contexts (w1, c1) = bigram occurrences starting at w1;
+    * bigrams (w1, w2, c12); vocab = 1-row (v) distinct-token count.
+    * All three are ordinary DataFrames — persist them once and score
+    * any later corpus against them (the same at-rest pattern as the
+    * contamination shingle index). */
+  def bigramCounts(ref: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenRows(ref, idCol, textCol)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val bg = toks.withColumn("w2", lead("w", 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val bigrams = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contexts = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct("w").as("v"))
+    (contexts, bigrams, vocab)
+  }
+
+  /** CCNet-style LM quality score: each document's mean bigram
+    * log-probability under the add-k bigram model —
+    * ln((c12 + k) / (c1 + k·V)) averaged over the document's bigrams,
+    * rounded to 6 decimals. Gibberish, boilerplate and wrong-language
+    * text score low; docs with fewer than 2 tokens get a null score.
+    * Scale shape: one window per document for the bigram pairing (the
+    * per-doc shuffle), then two keyed joins against the counts tables
+    * — plain shuffle joins at any scale; the 1-row vocab broadcasts. */
+  def lmScore(docs: DataFrame, contexts: DataFrame, bigrams: DataFrame,
+              vocab: DataFrame, k: Double = 1.0,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val bg = tokenRows(docs, idCol, textCol)
+      .withColumn("w2", lead("w", 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col(idCol), col("w").as("w1"), col("w2"))
+    val scored = bg
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((coalesce(col("c12"), lit(0L)) + lit(k)) /
+        (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+      .groupBy(col(idCol))
+      .agg(round(avg("lp"), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
+
   /** Document fingerprint: polynomial rolling hash over the ASCII
     * codepoints of the normalized text (lowercase alphanumerics +
     * spaces), mod a prime below 2^57 so the accumulator never

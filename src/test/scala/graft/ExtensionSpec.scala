@@ -380,6 +380,45 @@ class ExtensionSpec extends SparkTestBase {
       s"10% sample only reached $splitsHit")
   }
 
+  test("deterministicMixture: per-source fractions, stable and salt-independent") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    val mixed = Sampling.deterministicMixture(docs,
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.5)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === total("src0"))        // fraction 1.0 keeps all
+    assert(!bySrc.contains("src1"))                // fraction 0.0 drops all
+    val restKept = bySrc.filterKeys(s => s != "src0").values.sum.toDouble
+    val restAll = total.filterKeys(s => s != "src0" && s != "src1").values.sum
+    assert(restKept / restAll > 0.3 && restKept / restAll < 0.7,
+      s"default 0.5 kept ${restKept / restAll}")
+    // deterministic: second run identical
+    assert(Sampling.deterministicMixture(docs,
+        Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.5)
+      .count() === mixed.count())
+  }
+
+  test("lmScore: fluent text under the reference model beats gibberish") {
+    import graft.operators.TextOps
+    val ref = Seq((0L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val score = Seq((10L, "the cat sat on the mat"),
+      (11L, "zqx vbn mlk pqr wer tyu"),
+      (12L, "x")) // single token → no bigrams
+      .toDF("doc_id", "text")
+    val (c, b, v) = TextOps.bigramCounts(ref)
+    val got = TextOps.lmScore(score, c, b, v).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+    val fluent = got(10L)._1.get.asInstanceOf[Double]
+    val gibberish = got(11L)._1.get.asInstanceOf[Double]
+    assert(fluent > gibberish, s"fluent $fluent vs gibberish $gibberish")
+    assert(got(10L)._2 === 5L)
+    assert(got(12L)._1.isEmpty && got(12L)._2 === 0L) // null score, densified
+  }
+
   test("packSequences: per-shard concatenation offsets and chunk assignment") {
     import graft.operators.Sampling
     val docs = Seq(
