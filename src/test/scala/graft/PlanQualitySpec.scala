@@ -128,6 +128,25 @@ class PlanQualitySpec extends SparkTestBase {
       s"index scan must carry its bucketing:\n$p")
   }
 
+  test("x43 lm score: counts join keyed, only the 1-row vocab rides nested-loop") {
+    val p = planString("x43_lm_score")
+    // the bigram/context joins are keyed at any scale; the single
+    // permitted nested-loop is the broadcast of the 1-row vocab count
+    assert(!p.contains("CartesianProduct"), s"lm score must stay keyed:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row vocab may broadcast nested-loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"counts joins must be hash/merge joins:\n$p")
+  }
+
+  test("x44 mixture: map-only, no shuffle, no join") {
+    val p = planString("x44_source_mixture")
+    // keep fraction is a pure projection over the scan + the probe's
+    // final sort — one exchange, zero joins
+    assert(!p.contains("Join"), s"mixture must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"only the sort may exchange:\n$p")
+  }
+
   test("x34 heavy hitters: MG aggregation is partial before the single merge") {
     val p = planString("x34_heavy_hitters")
     // ObjectHashAggregate with a partial_misragries pass = map-side
