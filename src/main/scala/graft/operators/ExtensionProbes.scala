@@ -1514,5 +1514,61 @@ object ExtensionProbes {
              |                      WHEN 'src2' THEN 250000
              |                      ELSE 100000 END
              |ORDER BY doc_id""".stripMargin)),
+
+    // TextOps.gopherRepetitionSignals: Gopher/MassiveText §A1.1
+    // within-document repetition filters — dup-line / dup-paragraph /
+    // top-bigram fractions as one map-only projection (the bigram
+    // multiplicity is a sorted-array run-length fold, no explode).
+    // The corpus is salted with the next doc's prefix (like x36) so
+    // real within-doc duplication exists at every sf ---------------
+    Probe("x45_gopher_signals",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val aug = docs.select(col("doc_id"),
+          concat_ws("\n", substring(col("text"), 1, 60),
+            substring(col("text"), 1, 60),
+            substring(col("text"), 61, 60)).as("text"))
+        TextOps.gopherRepetitionSignals(aug).orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 60) || chr(10) || substr(text, 1, 60) ||
+             |    chr(10) || substr(text, 61, 60) AS text
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM a),
+             |lf AS (
+             |  SELECT doc_id,
+             |    ROUND(1.0 - COUNT(DISTINCT line) * 1.0 / COUNT(*), 6) AS dup_line_frac
+             |  FROM l WHERE length(trim(line)) > 0 GROUP BY 1),
+             |p AS (
+             |  SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS para
+             |  FROM a),
+             |pf AS (
+             |  SELECT doc_id,
+             |    ROUND(1.0 - COUNT(DISTINCT para) * 1.0 / COUNT(*), 6) AS dup_para_frac
+             |  FROM p WHERE length(trim(para)) > 0 GROUP BY 1),
+             |tok AS (
+             |  SELECT doc_id, g.i AS pos, parts[g.i] AS w
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS parts
+             |        FROM a),
+             |       (SELECT unnest(generate_series(1, 100000)) AS i) g
+             |  WHERE g.i <= len(parts) AND parts[g.i] <> ''),
+             |bg AS (
+             |  SELECT doc_id, w1 || ' ' || w2 AS b FROM (
+             |    SELECT doc_id, w AS w1,
+             |      LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |    FROM tok) WHERE w2 IS NOT NULL),
+             |bf AS (
+             |  SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+             |  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT a.doc_id,
+             |  COALESCE(lf.dup_line_frac, 0.0) AS dup_line_frac,
+             |  COALESCE(pf.dup_para_frac, 0.0) AS dup_para_frac,
+             |  COALESCE(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+             |FROM a LEFT JOIN lf USING (doc_id) LEFT JOIN pf USING (doc_id)
+             |LEFT JOIN bf USING (doc_id)
+             |ORDER BY a.doc_id""".stripMargin)),
   )
 }

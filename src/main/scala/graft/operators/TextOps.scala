@@ -267,9 +267,11 @@ object TextOps {
     * not apply to window exchanges); (2) reassembly is a groupBy on
     * the document id, high-cardinality and unskewed. */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text", minDedupLen: Int = 1): DataFrame = {
+                textCol: String = "text", minDedupLen: Int = 1,
+                sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
     val trivial = length(trim(col("line"))) < minDedupLen
     val firsts = lines.where(!trivial)
       .groupBy(col("line"))
@@ -279,17 +281,68 @@ object TextOps {
       .unionByName(lines.where(trivial).select(col(idCol), col("pos"), col("line")))
       .groupBy(col(idCol))
       .agg(
-        concat_ws("\n", transform(
+        concat_ws(sep, transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
     docs.select(col(idCol),
-        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+        (size(split(col(textCol), sepRe))).cast("long").as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Paragraph-level corpus dedup: [[lineDedup]] over blank-line
+    * separated spans — the coarser sibling the web pipelines run
+    * before line-level (whole boilerplate blocks repeat across pages
+    * even when individual lines vary). */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    lineDedup(docs, idCol, textCol, minDedupLen = 1, sep = "\n\n")
+
+  /** Gopher/MassiveText within-document repetition signals
+    * (Rae et al. 2021 §A1.1): fraction of duplicated non-blank lines,
+    * fraction of duplicated non-blank paragraphs, and the fraction of
+    * bigrams taken by the single most frequent bigram. High values
+    * mark listings, templates, and degenerate generations. One
+    * map-only projection — the top-bigram count runs as a sorted-array
+    * longest-equal-run fold, no explode, no shuffle. */
+  def gopherRepetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    def dupFraction(parts: Column): Column = {
+      val clean = filter(parts, p => length(trim(p)) > 0)
+      when(size(clean) <= 0, 0.0).otherwise(
+        round(lit(1.0) -
+          size(array_distinct(clean)).cast("double") /
+          size(clean).cast("double"), 6))
+    }
+    val t = col(textCol)
+    // drop empty split artifacts (text starting with \n or \t yields a
+    // leading "" element)
+    val words = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val bigrams = when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+    // max bigram multiplicity = longest run of equals in the sorted array
+    val maxRun = aggregate(array_sort(bigrams),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x,
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(col(idCol),
+      dupFraction(split(t, "\n")).as("dup_line_frac"),
+      dupFraction(split(t, java.util.regex.Pattern.quote("\n\n")))
+        .as("dup_para_frac"),
+      when(size(bigrams) <= 0, 0.0)
+        .otherwise(round(maxRun.cast("double") / size(bigrams), 6))
+        .as("top_bigram_frac"))
   }
 
   /** Single-scan curation profile: every per-document curation metric

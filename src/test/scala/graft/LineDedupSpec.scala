@@ -52,6 +52,42 @@ class LineDedupSpec extends SparkTestBase {
     assert(out(2L) === "ok") // short "ok" exempt; long line deduped
   }
 
+  test("paragraphDedup: blank-line-separated blocks dedup corpus-wide") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro one\n\nshared legal boilerplate\nblock two lines"),
+      (2L, "other intro\n\nshared legal boilerplate\nblock two lines"))
+      .toDF("doc_id", "text")
+    val out = TextOps.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "intro one\n\nshared legal boilerplate\nblock two lines")
+    assert(out(2L) === "other intro") // whole repeated block dropped
+  }
+
+  test("gopher repetition signals: duplicated lines/paragraphs/bigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\na b\nc d"),                 // 3 lines, one dup; bigrams of "a b a b c d"
+      (2L, "p q\n\np q\n\nr s"),             // 3 paragraphs, one dup
+      (3L, "unique text only here"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // doc 1: 3 lines, 2 distinct → 1/3 dup; tokens a b a b c d → 5
+    // bigrams, "a b" appears twice → 0.4
+    assert(got(1L)._1 === 0.333333)
+    assert(got(1L)._3 === 0.4)
+    // doc 2: paragraphs (p q, p q, r s) → 1/3 dup
+    assert(got(2L)._2 === 0.333333)
+    assert(got(3L) === ((0.0, 0.0, round2(1.0 / 3))))
+    assert(got(4L) === ((0.0, 0.0, 0.0)))
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("no duplicates anywhere is the identity") {
     val docs = Seq((1L, "a\nb"), (2L, "c\nd"))
     val out = run(docs)
