@@ -42,11 +42,28 @@ object MultimodalOps {
   /** Decode an image payload with `javax.imageio` and reduce it to an
     * 8-bit luminance plane (integer Rec.601: (299R+587G+114B+500)/1000
     * — deterministic, no float rounding ambiguity). Returns None when
-    * the bytes are not a decodable image. */
-  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    * the bytes are not a decodable image, or when the header declares
+    * more than `maxPixels` pixels — a decompression-bomb guard: at
+    * corpus scale malicious media is data, and a crafted 1 KB PNG
+    * claiming 30000×30000 would otherwise allocate gigabytes in the
+    * executor before any downstream check runs. The dimensions are
+    * read from the header WITHOUT decoding pixels. */
+  def decodeImage(bytes: Array[Byte],
+                  maxPixels: Long = 64L * 1024 * 1024): Option[DecodedImage] = {
     if (bytes == null || bytes.length < 8) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          val (w0, h0) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          if (w0 <= 0 || h0 <= 0 || w0 * h0 > maxPixels) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight

@@ -127,8 +127,11 @@ object TextOps {
       .join(bigrams, Seq("w1", "w2"), "left")
       .join(contexts, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
+      // greatest(v, 1): an empty reference corpus has V = 0, which
+      // would divide by zero; with V clamped the smoothed probability
+      // degenerates to 1 (lp = 0) instead of Infinity
       .withColumn("lp", log((coalesce(col("c12"), lit(0L)) + lit(k)) /
-        (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+        (coalesce(col("c1"), lit(0L)) + lit(k) * greatest(col("v"), lit(1L)))))
       .groupBy(col(idCol))
       .agg(round(avg("lp"), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))

@@ -85,6 +85,24 @@ class HostileInputSpec extends AnyFunSuite {
     }
   }
 
+  test("image decode: decompression bomb rejected from the header, garbage is None") {
+    import graft.multimodal.MultimodalOps
+    // a real 4x4 PNG decodes...
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(MultimodalOps.decodeImage(png).isDefined)
+    // ...but not when its declared pixel count exceeds the cap: the
+    // guard must reject BEFORE allocating the raster
+    assert(MultimodalOps.decodeImage(png, maxPixels = 15).isEmpty)
+    // truncated and garbage payloads are None, never exceptions
+    assert(MultimodalOps.decodeImage(png.take(12)).isEmpty)
+    assert(MultimodalOps.decodeImage(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(MultimodalOps.decodeImage(null).isEmpty)
+  }
+
   test("RDS: truncations and corrupted magic fail cleanly") {
     bytesOf(rdsPath) match {
       case None => cancel("reference RDS artifact not present")
