@@ -251,11 +251,12 @@ object Dedup {
   def contamination(train: DataFrame, eval: DataFrame, n: Int = 3,
                     minOverlap: Long = 3, idCol: String = "doc_id",
                     textCol: String = "text",
-                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                    maxShingleDf: Long = Long.MaxValue,
+                    broadcastEval: Boolean = true): DataFrame = {
     val th = shingleHashSets(train, n, idCol, textCol)
       .select(col(idCol).as("train_id"), explode(col("sh_hashes")).as("h"))
     contaminationFromShingles(th, eval, n, minOverlap, idCol, textCol,
-      maxShingleDf)
+      maxShingleDf, broadcastEval)
   }
 
   /** Contamination against a PRECOMPUTED train shingle table
@@ -268,7 +269,8 @@ object Dedup {
                                 n: Int = 3, minOverlap: Long = 3,
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
-                                maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                                maxShingleDf: Long = Long.MaxValue,
+                                broadcastEval: Boolean = true): DataFrame = {
     // the shingle table is distinct per (train_id, h), so count(1)
     // per hash = document frequency on the train side.
     val thKept =
@@ -280,7 +282,18 @@ object Dedup {
       }
     val eh = shingleHashSets(eval, n, idCol, textCol)
       .select(col(idCol).as("eval_id"), explode(col("sh_hashes")).as("h"))
-    eh.join(thKept, Seq("h"))
+    // the eval side is dimension-sized by contract (benchmark sets),
+    // but Spark cannot SEE that through the kernel+explode (unknown
+    // size estimate → sort-merge join, shuffling the ENTIRE train
+    // shingle relation). The explicit broadcast makes the join
+    // map-side: train shingles never shuffle, and the only exchange
+    // left is the (matched-rows-only) pair aggregation. Disable for
+    // an eval set too big to broadcast — or use
+    // [[contaminationBloomPruned]], which is built for that regime.
+    val joined =
+      if (broadcastEval) thKept.join(broadcast(eh), Seq("h"))
+      else eh.join(thKept, Seq("h"))
+    joined
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minOverlap)

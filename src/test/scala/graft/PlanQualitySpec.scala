@@ -88,10 +88,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("HashAggregate") && "partial_max".r.findFirstIn(p).isDefined)
   }
 
-  test("x16 contamination plan: hash equi-join on the shingle hash, no product join") {
+  test("x16 contamination plan: eval side broadcasts, train shingles never shuffle") {
     val p = planString("x16_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"contamination must join on the hash key:\n$p")
+    // the dimension-sized eval side must reach the join as a broadcast
+    // (map-side join): the train shingle relation is the 100 TB side
+    // and shuffling it would dominate the scan
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast into the join:\n$p")
   }
 
   test("x25 pruned contamination: hot-shingle prune is a broadcast anti-join") {
