@@ -218,10 +218,38 @@ object PqIndex {
   def writeIndex(embs: DataFrame, path: String, nlist: Int,
                  m: Int, ksub: Int, dim: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val cents = IvfIndex.meanCentroids(
       IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
     val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
+    writeIndexTables(embs, assigned, cents, path, m, ksub, dim, idCol, vecCol)
+  }
+
+  /** [[writeIndex]] with a TRAINED coarse quantizer: MLlib KMeans
+    * cells instead of the deterministic hash-init + one-Lloyd-step
+    * quantizer. Same on-disk layout, same [[topKFromIndex]] reader
+    * (the reader is quantizer-agnostic — it ranks whatever centroid
+    * table the index carries). This is the production quality path the
+    * certified deterministic build trades away for SQL-mirrorability:
+    * real cells cluster tighter, so a given recall needs fewer probed
+    * cells — i.e. fewer partitions read at 100 TB. */
+  def writeIndexKMeans(embs: DataFrame, path: String, nlist: Int,
+                       m: Int, ksub: Int, dim: Int, seed: Long = 42,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val (model, assigned) = IvfIndex.build(embs, nlist, seed, idCol, vecCol)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    writeIndexTables(embs, assigned, cents, path, m, ksub, dim, idCol, vecCol)
+  }
+
+  private def writeIndexTables(embs: DataFrame, assigned: DataFrame,
+                               cents: DataFrame, path: String,
+                               m: Int, ksub: Int, dim: Int,
+                               idCol: String, vecCol: String): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = partitionedDims(embs, dim / m, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

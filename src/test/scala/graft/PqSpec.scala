@@ -134,6 +134,30 @@ class PqSpec extends SparkTestBase {
     assert(pf.length >= 2, s"expected cell partition filters on both scans:\n$plan")
   }
 
+  test("kmeans-quantized on-disk index: same reader, recall holds") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_km").toString
+    PqIndex.writeIndexKMeans(embs, dir, nlist = 8, m = m, ksub = ksub, dim = dim)
+    val q = embs.where(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val got = PqIndex.topKFromIndex(spark, dir, q, k = 10, nprobe = 6,
+        shortlist = 60, excludeId = Some(3L))
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(embs, queryId = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // trained cells must hold the recall bar the deterministic
+    // quantizer carries (IvfSpec's >= 0.8 bound)
+    assert(got.intersect(exact).size >= 8,
+      s"recall ${got.intersect(exact).size}/10: $got vs $exact")
+    // partition pruning is still a file-level filter with the kmeans
+    // centroid table
+    val plan = PqIndex.topKFromIndex(spark, dir, q, k = 10, nprobe = 6,
+        shortlist = 60, excludeId = Some(3L))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined)
+  }
+
   test("pq_adc names the subspace when the query table has no usable cell") {
     import graft.expressions.PqAdcScore
     // subspace 1's query-table slots are all NaN → loud failure, not a
