@@ -151,6 +151,21 @@ class StreamingSpec extends SparkTestBase {
         (r.getAs[Double]("rep_ratio"), r.getAs[Int]("ws_tokens"), r.getAs[String]("split"))).toMap
     assert(got === batch)
     assert(got(3L)._1 > 0.7)  // degenerate repetition caught on the stream
+
+    // the r5 map-only ops compose on the same stream identically:
+    // Gopher repetition signals + source-mixture filtering
+    val ckpt2 = Files.createTempDirectory("graft_ckpt_cur2").toString
+    val mixed = graft.operators.Sampling.deterministicMixture(
+      graft.operators.TextOps.gopherRepetitionSignals(stream)
+        .withColumn("source", lit("web")),
+      Map("web" -> 1.0))
+    val gotG = ForecastStream.runAvailableNow(mixed, "gopher", ckpt2, "append")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("top_bigram_frac")).toMap
+    val batchG = graft.operators.TextOps.gopherRepetitionSignals(
+        rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("top_bigram_frac")).toMap
+    assert(gotG === batchG)
+    assert(gotG(3L) === 1.0)  // "aaa aaa ..." → one bigram dominates
   }
 
   test("streaming heavy hitters keeps the MG guarantee incrementally") {
