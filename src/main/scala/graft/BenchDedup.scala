@@ -95,9 +95,10 @@ object BenchDedup {
     }
     // LINE-level dedup at volume: 5 lines per doc, a fixed boilerplate
     // line planted in 30% of docs (the C4 cookie-banner scenario) plus
-    // the per-doc unique lines — the window-over-line shuffle is the
-    // cost, and the one hot line must not stall the stage (AQE skew
-    // split applies to the window exchange).
+    // the per-doc unique lines — first-occurrence is an AGGREGATION
+    // whose map-side combine collapses the 300k-copy hot line to one
+    // candidate per partition before the shuffle, so the hot key never
+    // reaches a single reducer.
     val lined = docs.withColumn("text5", concat_ws("\n",
         when(col("doc_id") % 10 < 3,
           lit("accept cookies to continue reading this site"))
@@ -111,6 +112,16 @@ object BenchDedup {
       graft.operators.TextOps.lineDedup(lined)
         .agg(sum("n_dropped")).collect()(0).getLong(0)
     }
+    // LM quality scoring at volume: train the add-k bigram statistics
+    // on the full 1M-doc corpus (~43M tokens) and score every document
+    // — one window for pairing, two keyed joins against the counts
+    // tables, nothing quadratic.
+    val (lmWorst, tLm) = timed {
+      val (c, b, v) = graft.operators.TextOps.bigramCounts(docs)
+      graft.operators.TextOps.lmScore(docs, c, b, v)
+        .agg(min("lm_score")).collect()(0).getDouble(0)
+    }
+    require(!lmWorst.isNaN && lmWorst < 0.0, s"lm score degenerate: $lmWorst")
     // HOT-BUCKET skew guard at volume: 100k boilerplate template pages
     // (identical body, per-page serial) that survive EXACT dedup but
     // collapse into a handful of shared LSH buckets. Uncapped, a
@@ -160,6 +171,7 @@ object BenchDedup {
       s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"},""" +
       s""""hot_bucket_docs":100000,"hot_bucket_capped_pairs":$nCappedPairs,""" +
       s""""hot_bucket_sec":${f"$tHot%.2f"},""" +
+      s""""lm_score_sec":${f"$tLm%.2f"},""" +
       s""""mg_heavy_hitters_sec":${f"$tMg%.2f"},"exact_topk_sec":${f"$tExactTop%.2f"},""" +
       s""""mg_found_planted_heavies":$mgHit}""")
     spark.stop()

@@ -105,4 +105,56 @@ class PropertySpec extends SparkTestBase {
     val peakDist = dists(got.indexOf(got.max))
     assert(peakDist >= 20.0 && peakDist <= 80.0)   // near rmax = 40 km
   }
+
+  test("gopher signals lie in [0,1] and dedup drops only duplicated mass") {
+    import graft.operators.TextOps
+    val wordGen = Gen.listOfN(30,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "", " ", "x\ny"))
+    val docs = (0L until 40L).map { i =>
+      (i, wordGen.sample.getOrElse(Nil).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sig = TextOps.gopherRepetitionSignals(docs).collect()
+    sig.foreach { r =>
+      Seq(1, 2, 3).foreach { c =>
+        val v = r.getDouble(c)
+        assert(v >= 0.0 && v <= 1.0, s"col $c out of range: $v")
+      }
+    }
+    // conservation under line dedup on the same generated corpus
+    val out = TextOps.lineDedup(docs).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+    }
+  }
+
+  test("deterministicMixture is a filter: subset, per-source monotone in fraction") {
+    import graft.operators.Sampling
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    def kept(f: Double): Set[Long] =
+      Sampling.deterministicMixture(docs, Map("src0" -> f, "src1" -> f),
+          defaultFraction = f / 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    var prev = Set.empty[Long]
+    Seq(0.0, 0.2, 0.5, 0.8, 1.0).foreach { f =>
+      val k = kept(f)
+      assert(k.subsetOf(all))
+      assert(prev.subsetOf(k), s"fraction $f lost rows kept at a lower fraction")
+      prev = k
+    }
+    assert(kept(0.0).isEmpty)
+  }
+
+  test("lmScore is maximal for text the reference corpus saw verbatim") {
+    import graft.operators.TextOps
+    val ref = Seq((0L, "one two three four five")).toDF("doc_id", "text")
+    val (c, b, v) = TextOps.bigramCounts(ref)
+    val score = Seq((1L, "one two three four five"),
+      (2L, "five four three two one"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(score, c, b, v).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L), s"verbatim ${got(1L)} vs reversed ${got(2L)}")
+  }
 }
