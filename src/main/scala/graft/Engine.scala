@@ -21,7 +21,7 @@ object Engine {
       // testdata events.parquet stores TIMESTAMP(NANOS); read as long and
       // convert (Tables.events) — Spark has no native ns timestamp type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the 67-query probe suite generates far more codegen classes
+      // the 87-query probe suite generates far more codegen classes
       // than the default 100-entry cache; at 100 the suite evicts its
       // own classes mid-run and queries recompile (static conf — must
       // be set before the first session in the JVM)

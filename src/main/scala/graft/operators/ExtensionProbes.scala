@@ -1322,10 +1322,13 @@ object ExtensionProbes {
       (s, d) => {
         graft.GraftExtensions.register(s)
         val embs = Tables.embeddings(s, d)
-        // build ONCE per corpus (the dir is keyed by the sf dir), then
-        // every query — including this probe re-run — reads the index
-        // at rest: that amortization IS the operator's contract
-        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        // build ONCE per corpus, then every query — including this
+        // probe re-run — reads the index at rest: that amortization IS
+        // the operator's contract. The dir is keyed by the sf dir AND
+        // a cheap corpus fingerprint (count + id sum), so regenerated
+        // testdata at the same path can never serve a stale index.
+        val fp = embs.agg(count(lit(1)), sum(col("vec_id"))).collect()(0)
+        val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tag"
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
