@@ -299,6 +299,22 @@ object Dedup {
       .where(col("n_shared") >= minOverlap)
   }
 
+  /** DECONTAMINATE: the removal step over the detection scan — drop
+    * every train document sharing at least `minOverlap` shingles with
+    * any eval/benchmark document, returning the cleaned corpus. The
+    * hit list is contamination-sized (tiny against a clean corpus), so
+    * the final anti-join broadcasts; all scale properties are
+    * [[contamination]]'s. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
+                    minOverlap: Long = 3, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val hits = contamination(train, eval, n, minOverlap, idCol, textCol,
+        maxShingleDf)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+
   /** Build and persist the train-side shingle index ONCE: (train_id,
     * h) rows as an external parquet table BUCKETED on `h`. This is the
     * 100 TB shape the contamination scan promises: the corpus is

@@ -1518,6 +1518,31 @@ object ExtensionProbes {
              |                      ELSE 100000 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Dedup.decontaminate: the REMOVAL step over the x16 detection —
+    // the cleaned train corpus with every >=minOverlap-shingle hit
+    // dropped via a broadcast anti-join on the (tiny) hit list ------
+    Probe("x46_decontaminate",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        Dedup.decontaminate(train, eval, n = 3, minOverlap = 3)
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS ($shingleSql),
+              |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1),
+              |hits AS (
+              |  SELECT DISTINCT train_id FROM (
+              |    SELECT eval_id, train_id FROM ev JOIN tr USING (shingle)
+              |    GROUP BY 1, 2 HAVING COUNT(*) >= 3))
+              |SELECT d.doc_id, d.n_chars FROM documents d
+              |WHERE d.doc_id % 2 = 0
+              |  AND d.doc_id NOT IN (SELECT train_id FROM hits)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // TextOps.gopherRepetitionSignals: Gopher/MassiveText §A1.1
     // within-document repetition filters — dup-line / dup-paragraph /
     // top-bigram fractions as one map-only projection (the bigram

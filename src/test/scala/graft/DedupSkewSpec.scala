@@ -66,6 +66,24 @@ class DedupSkewSpec extends SparkTestBase {
     assert(hits === Set((100L, 0L), (100L, 1L)))
   }
 
+  test("decontaminate drops exactly the detected train docs, keeps the rest") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val (train, eval) = split(sfDir)
+    val hits = Dedup.contamination(train, eval, n = 3, minOverlap = 3)
+      .select("train_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty)
+    val cleaned = Dedup.decontaminate(train, eval, n = 3, minOverlap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned === all -- hits)
+    // the cleaned corpus re-scans clean
+    assert(Dedup.contamination(
+      train.join(cleaned.toSeq.toDF("doc_id"), "doc_id"),
+      eval, n = 3, minOverlap = 3).isEmpty)
+  }
+
   test("lsh bucket cap above max bucket size reproduces the uncapped pairs") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, sfDir)
