@@ -118,6 +118,14 @@ object Bench {
       "x24 xgb scoring 0.1s vs 2.7s, x12 winnowing 0.3-0.5s vs 1.2s) " +
       "while the ~60 sub-200ms probes still pay Spark's fixed " +
       "per-query overhead, which amortizes at scale. " +
+      "The r4 perf-weak trio was reworked in r5: x35's three " +
+      "redundant passes over the eval shingles are gone (one " +
+      "localCheckpoint materialization) and it now runs within " +
+      "~0.2s of the plain x16 scan - the residual vs DuckDB is the " +
+      "multi-stage floor the whole contamination family pays at " +
+      "sf0.1, not avoidable work; x16/x25/x42 additionally gained " +
+      "the broadcast-eval plan (train shingles never shuffle, " +
+      "plan-gated), the structurally right shape at 100 TB. " +
       "r3 regression root cause: the r3 all-probes-upfront warmup " +
       "overflowed spark.sql.codegen.cache.maxEntries (default 100), so " +
       "multi-stage probes recompiled generated classes inside their timing " +
