@@ -1543,6 +1543,71 @@ object ExtensionProbes {
               |  AND d.doc_id NOT IN (SELECT train_id FROM hits)
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // TextOps.domainBlocklistFilter: C4-style domain filtering — the
+    // suffix explode turns subdomain matching into an EQUI-join (no
+    // endsWith theta join). URLs synthesized from doc_id so the
+    // blocklist exercises exact-host, subdomain, and TLD-level rules
+    Probe("x47_domain_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("url", concat(lit("https://"),
+            when(col("doc_id") % 7 === 0, lit("cdn."))
+              .otherwise(lit("")),
+            lit("site"), (col("doc_id") % 10).cast("string"),
+            lit(".example"),
+            when(col("doc_id") % 3 === 0, lit(".net")).otherwise(lit(".com")),
+            lit("/page/"), col("doc_id").cast("string")))
+        TextOps.domainBlocklistFilter(docs,
+            Seq("site3.example.com", "site4.example.net", "example.org"))
+          .select(col("doc_id"),
+            TextOps.extractHost(col("url")).as("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'https://' ||
+             |    CASE WHEN doc_id % 7 = 0 THEN 'cdn.' ELSE '' END ||
+             |    'site' || CAST(doc_id % 10 AS VARCHAR) || '.example' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN '.net' ELSE '.com' END ||
+             |    '/page/' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    lower(regexp_extract(url,
+             |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+             |  FROM u),
+             |sfx AS (
+             |  SELECT doc_id, array_to_string(
+             |    list_slice(string_split(host, '.'), g.i,
+             |               len(string_split(host, '.'))), '.') AS suffix
+             |  FROM h, (SELECT unnest(generate_series(1, 8)) AS i) g
+             |  WHERE g.i <= len(string_split(host, '.'))),
+             |hits AS (
+             |  SELECT DISTINCT doc_id FROM sfx
+             |  WHERE suffix IN ('site3.example.com', 'site4.example.net',
+             |                   'example.org'))
+             |SELECT h.doc_id, h.host FROM h
+             |WHERE h.doc_id NOT IN (SELECT doc_id FROM hits)
+             |ORDER BY h.doc_id""".stripMargin)),
+
+    // TextOps.chunkByChars: sliding-window chunking with overlap for
+    // embedding/RAG pipelines — map-side explode, offsets exact ------
+    Probe("x48_chunking",
+      (s, d) => TextOps.chunkByChars(Tables.documents(s, d),
+          size = 120, overlap = 20)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    CAST(CEIL(GREATEST(length(text) - 120, 0) / 100.0) AS INT) + 1
+             |      AS n_chunks
+             |  FROM documents)
+             |SELECT doc_id, g.i AS chunk_idx, g.i * 100 AS start_char,
+             |  substr(text, g.i * 100 + 1, 120) AS chunk,
+             |  length(substr(text, g.i * 100 + 1, 120)) AS chunk_chars
+             |FROM n, (SELECT unnest(generate_series(0, 100000)) AS i) g
+             |WHERE g.i < n_chunks
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // TextOps.gopherRepetitionSignals: Gopher/MassiveText §A1.1
     // within-document repetition filters — dup-line / dup-paragraph /
     // top-bigram fractions as one map-only projection (the bigram

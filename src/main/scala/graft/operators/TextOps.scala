@@ -348,6 +348,66 @@ object TextOps {
         .as("top_bigram_frac"))
   }
 
+  /** Registrable host of a URL (lowercased; empty string when the
+    * value does not parse as a scheme://host URL). */
+  def extractHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** All dot-suffixes of a host ("a.b.c" → [a.b.c, b.c, c]) — the key
+    * trick that turns subdomain blocklist matching ("drop *.spam.com")
+    * into an EQUI-join: explode each host into its ≤~6 suffixes and
+    * join the blocklist on equality, instead of a host-endsWith theta
+    * join that cannot hash-partition. */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => concat_ws(".", slice(labels, i, size(labels))))
+  }
+
+  /** C4-style domain blocklist filter: drop every document whose URL
+    * host equals a blocked domain or sits under one. The blocklist is
+    * dimension-sized (broadcast); the suffix explode is bounded by the
+    * host's label count, so the scan side stays map-heavy with one
+    * broadcast left-anti join. Rows with unparseable URLs KEEP
+    * (malformed metadata is not evidence of spam; filter separately
+    * if wanted). */
+  def domainBlocklistFilter(docs: DataFrame, blocked: Seq[String],
+                            urlCol: String = "url",
+                            idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = blocked.map(_.toLowerCase).toDF("suffix")
+    val hitIds = docs
+      .select(col(idCol),
+        explode(hostSuffixes(extractHost(col(urlCol)))).as("suffix"))
+      .join(broadcast(bl), Seq("suffix"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(hitIds, Seq(idCol), "left_anti")
+  }
+
+  /** Sliding-window CHUNKING for embedding/RAG pipelines: fixed-size
+    * character windows with `overlap` characters shared between
+    * consecutive chunks — one output row per chunk with its index and
+    * start offset, documents shorter than `size` yield exactly one
+    * chunk. Map-side explode, no shuffle; chunk count is
+    * ceil(max(len−size,0)/stride)+1 with stride = size−overlap. */
+  def chunkByChars(docs: DataFrame, size: Int, overlap: Int = 0,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size: size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = length(col(textCol))
+    val nChunks = (ceil(greatest(n - size, lit(0)).cast("double") / stride)
+      .cast("int") + 1)
+    docs
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_char", col("chunk_idx") * stride)
+      .withColumn("chunk", col(textCol).substr(col("start_char") + 1, lit(size)))
+      .select(col(idCol), col("chunk_idx"), col("start_char"), col("chunk"),
+        length(col("chunk")).as("chunk_chars"))
+  }
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them

@@ -380,6 +380,46 @@ class ExtensionSpec extends SparkTestBase {
       s"10% sample only reached $splitsHit")
   }
 
+  test("domain blocklist: exact host, subdomain, and TLD-level drops; malformed keeps") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "https://spam.com/a"),            // exact
+      (2L, "https://ads.spam.com/b"),        // subdomain
+      (3L, "http://good.com/c"),             // keeps
+      (4L, "https://spam.com.evil.org/d"),   // not a suffix match for spam.com
+      (5L, "not a url"),                     // malformed keeps
+      (6L, "https://sub.tracker.net:8080/e") // port stripped, subdomain
+    ).toDF("doc_id", "url")
+    val kept = TextOps.domainBlocklistFilter(docs,
+        Seq("spam.com", "tracker.net"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L, 5L))
+    // suffix expansion itself
+    val sfx = docs.where($"doc_id" === 2L)
+      .select(TextOps.hostSuffixes(TextOps.extractHost($"url")))
+      .collect().head.getSeq[String](0)
+    assert(sfx === Seq("ads.spam.com", "spam.com", "com"))
+  }
+
+  test("chunkByChars: offsets, overlap, short-doc and exact-fit edges") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "abcde"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkByChars(docs, size = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // len 10, stride 3: chunks at 0,3,6 cover the doc with 2-char overlap
+    assert(got(1L).map(c => (c._3, c._4)) ===
+      Seq((0, "abcde"), (3, "defgh"), (6, "ghij")))
+    // shorter than size → exactly one chunk
+    assert(got(2L) === Seq((2L, 0, 0, "abc")))
+    // exact fit → one chunk
+    assert(got(3L) === Seq((3L, 0, 0, "abcde")))
+    // every character is covered by at least one chunk
+    val covered = got(1L).flatMap(c => c._3 until (c._3 + c._4.length)).toSet
+    assert(covered === (0 until 10).toSet)
+  }
+
   test("deterministicMixture: per-source fractions, stable and salt-independent") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sfDir)
