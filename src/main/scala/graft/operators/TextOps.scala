@@ -312,23 +312,25 @@ object TextOps {
     * mark listings, templates, and degenerate generations. One
     * map-only projection — the top-bigram count runs as a sorted-array
     * longest-equal-run fold, no explode, no shuffle. */
-  def gopherRepetitionSignals(docs: DataFrame, idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
-    def dupFraction(parts: Column): Column = {
-      val clean = filter(parts, p => length(trim(p)) > 0)
-      when(size(clean) <= 0, 0.0).otherwise(
-        round(lit(1.0) -
-          size(array_distinct(clean)).cast("double") /
-          size(clean).cast("double"), 6))
-    }
-    val t = col(textCol)
+  /** Fraction of duplicated non-blank parts (0 when none exist). */
+  private[operators] def dupFraction(parts: Column): Column = {
+    val clean = filter(parts, p => length(trim(p)) > 0)
+    when(size(clean) <= 0, 0.0).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(clean)).cast("double") /
+        size(clean).cast("double"), 6))
+  }
+
+  /** Fraction of bigrams taken by the single most frequent bigram —
+    * the max multiplicity is a longest-equal-run fold over the sorted
+    * bigram array: a pure expression, no explode, no shuffle. */
+  private[operators] def topBigramFraction(t: Column): Column = {
     // drop empty split artifacts (text starting with \n or \t yields a
     // leading "" element)
     val words = filter(split(trim(t), "\\s+"), w => w =!= "")
     val bigrams = when(size(words) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", slice(words, i + 1, lit(2)))))
-    // max bigram multiplicity = longest run of equals in the sorted array
     val maxRun = aggregate(array_sort(bigrams),
       struct(lit(null).cast("string").as("prev"),
         lit(0).as("run"), lit(0).as("best")),
@@ -339,13 +341,18 @@ object TextOps {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+    when(size(bigrams) <= 0, 0.0)
+      .otherwise(round(maxRun.cast("double") / size(bigrams), 6))
+  }
+
+  def gopherRepetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
     docs.select(col(idCol),
       dupFraction(split(t, "\n")).as("dup_line_frac"),
       dupFraction(split(t, java.util.regex.Pattern.quote("\n\n")))
         .as("dup_para_frac"),
-      when(size(bigrams) <= 0, 0.0)
-        .otherwise(round(maxRun.cast("double") / size(bigrams), 6))
-        .as("top_bigram_frac"))
+      topBigramFraction(t).as("top_bigram_frac"))
   }
 
   /** Registrable host of a URL (lowercased; empty string when the
@@ -413,7 +420,8 @@ object TextOps {
     * metric above is a pure column expression, so computing them
     * together is one pass over the data where separate curation jobs
     * would pay the scan once per metric. Column values are identical
-    * to the individually oracle-certified operators (x01-x04, x20). */
+    * to the individually oracle-certified operators (x01-x04, x20,
+    * x45). */
   def curationProfile(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -423,6 +431,8 @@ object TextOps {
       qualityScore(t).as("quality"),
       languageGuess(t).as("lang_guess"),
       fingerprint(t).as("fp"),
+      dupFraction(split(t, "\n")).as("dup_line_frac"),
+      topBigramFraction(t).as("top_bigram_frac"),
       redactPii(t).as("text_redacted"))
   }
 }

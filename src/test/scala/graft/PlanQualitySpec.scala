@@ -185,6 +185,13 @@ class PlanQualitySpec extends SparkTestBase {
     val single = Tables.documents(spark, sfDir).where(col("doc_id") === 0)
       .select(tok).head().getInt(0)
     assert(one.getAs[Int]("ws_tokens") === single)
+    val gopher = graft.operators.TextOps.gopherRepetitionSignals(
+        Tables.documents(spark, sfDir))
+      .where(col("doc_id") === 0).head()
+    assert(one.getAs[Double]("dup_line_frac") ===
+      gopher.getAs[Double]("dup_line_frac"))
+    assert(one.getAs[Double]("top_bigram_frac") ===
+      gopher.getAs[Double]("top_bigram_frac"))
   }
 
   test("x06 one-pass minhash plan: single stage, no exchange, codegen'd") {
