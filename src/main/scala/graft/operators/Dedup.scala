@@ -312,7 +312,33 @@ object Dedup {
     val hits = contamination(train, eval, n, minOverlap, idCol, textCol,
         maxShingleDf)
       .select(col("train_id").as(idCol)).distinct()
-    train.join(broadcast(hits), Seq(idCol), "left_anti")
+    // no broadcast hint: the hit list is contamination-sized against a
+    // clean corpus, but a pathological eval overlap makes it
+    // corpus-sized — AQE sees the runtime size and picks broadcast
+    // exactly when it actually fits (an unconditional hint would OOM
+    // the driver on the pathological case)
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Decontaminate THROUGH the persisted shingle index — the 100 TB
+    * composition: the corpus was shingled once ([[writeShingleIndex]]);
+    * the cleaning pass consumes that table instead of re-shingling
+    * `train` per benchmark sweep. `trainShingles` must be the
+    * (train_id, h) index over exactly the `train` relation (read via
+    * [[readShingleIndex]] so the bucket metadata rides the scan);
+    * `train` itself is only scanned to RETURN surviving rows — its
+    * text is never re-shingled. Same result as [[decontaminate]]. */
+  def decontaminateFromShingles(trainShingles: DataFrame, train: DataFrame,
+                                eval: DataFrame, n: Int = 3,
+                                minOverlap: Long = 3,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val hits = contaminationFromShingles(trainShingles, eval, n, minOverlap,
+        idCol, textCol, maxShingleDf)
+      .select(col("train_id").as(idCol)).distinct()
+    // AQE sizes the anti-join at runtime (see decontaminate)
+    train.join(hits, Seq(idCol), "left_anti")
   }
 
   /** Build and persist the train-side shingle index ONCE: (train_id,
@@ -327,6 +353,10 @@ object Dedup {
                         n: Int = 3, buckets: Int = 32,
                         idCol: String = "doc_id",
                         textCol: String = "text"): Unit = {
+    // the identifier reaches a string-built DROP TABLE — refuse
+    // anything that is not a plain (optionally db-qualified) name
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"invalid table identifier: $table")
     val spark = train.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     shingleHashSets(train, n, idCol, textCol)

@@ -14,6 +14,25 @@ object ExtensionProbes {
 
   private val P = Dedup.MinhashPrime
 
+  /** Build (or reuse) the persisted train-side shingle index for the
+    * even-id half of `documents` — shared by x42 (detection) and x46
+    * (removal): the corpus is shingled ONCE per session+corpus and
+    * every contamination-family pass joins the same bucketed table.
+    * Keyed by the sf dir AND the x41-style corpus fingerprint
+    * (count + id sum) so regenerated testdata never serves a stale
+    * index. Returns the catalog table name. */
+  private def trainShingleTable(s: org.apache.spark.sql.SparkSession,
+                                d: String,
+                                train: org.apache.spark.sql.DataFrame): String = {
+    val tfp = train.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${tfp.getLong(0)}_${tfp.getLong(1)}"
+    val table = s"graft_x42_train_shingles_$tag"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x42_shingle_index_$tag"
+    if (!s.catalog.tableExists(table))
+      Dedup.writeShingleIndex(train, dir, table = table, n = 3)
+    table
+  }
+
   // SQL fragment: shingle rows (doc_id, shingle) for word 3-grams,
   // mirroring Dedup.shingles(n = 3).
   private val shingleSql =
@@ -1437,14 +1456,7 @@ object ExtensionProbes {
         val docs = Tables.documents(s, d)
         val train = docs.where(col("doc_id") % 2 === 0)
         val eval = docs.where(col("doc_id") % 2 === 1)
-        // shingle the corpus ONCE per session+corpus; later scans (and
-        // this probe's re-runs) join the persisted bucketed table —
-        // the amortization the operator promises at 100 TB
-        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-        val table = s"graft_x42_train_shingles_$tag"
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x42_shingle_index_$tag"
-        if (!s.catalog.tableExists(table))
-          Dedup.writeShingleIndex(train, dir, table = table, n = 3)
+        val table = trainShingleTable(s, d, train)
         Dedup.contaminationFromShingles(
             Dedup.readShingleIndex(s, table), eval,
             n = 3, minOverlap = 3)
@@ -1518,16 +1530,21 @@ object ExtensionProbes {
              |                      ELSE 100000 END
              |ORDER BY doc_id""".stripMargin)),
 
-    // Dedup.decontaminate: the REMOVAL step over the x16 detection —
-    // the cleaned train corpus with every >=minOverlap-shingle hit
-    // dropped via a broadcast anti-join on the (tiny) hit list ------
+    // Dedup.decontaminateFromShingles: the REMOVAL step composed with
+    // the x42 at-rest index — the cleaning pass CONSUMES the persisted
+    // bucketed shingle table instead of re-shingling the corpus (at
+    // 100 TB decontamination is THE consumer of the index you built);
+    // the hit-list anti-join is AQE-sized, not hint-broadcast --------
     Probe("x46_decontaminate",
       (s, d) => {
         graft.GraftExtensions.register(s)
         val docs = Tables.documents(s, d)
         val train = docs.where(col("doc_id") % 2 === 0)
         val eval = docs.where(col("doc_id") % 2 === 1)
-        Dedup.decontaminate(train, eval, n = 3, minOverlap = 3)
+        val table = trainShingleTable(s, d, train)
+        Dedup.decontaminateFromShingles(
+            Dedup.readShingleIndex(s, table), train, eval,
+            n = 3, minOverlap = 3)
           .select("doc_id", "n_chars")
           .orderBy("doc_id")
       },

@@ -404,13 +404,17 @@ object TextOps {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size: size=$size overlap=$overlap")
     val stride = size - overlap
-    val n = length(col(textCol))
+    // NULL text counts as empty — the doc contract is one chunk per
+    // document minimum, and a null length would make the sequence
+    // null and the explode emit nothing (silent row loss)
+    val t = coalesce(col(textCol), lit(""))
+    val n = length(t)
     val nChunks = (ceil(greatest(n - size, lit(0)).cast("double") / stride)
       .cast("int") + 1)
     docs
       .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
       .withColumn("start_char", col("chunk_idx") * stride)
-      .withColumn("chunk", col(textCol).substr(col("start_char") + 1, lit(size)))
+      .withColumn("chunk", t.substr(col("start_char") + 1, lit(size)))
       .select(col(idCol), col("chunk_idx"), col("start_char"), col("chunk"),
         length(col("chunk")).as("chunk_chars"))
   }

@@ -114,13 +114,23 @@ object ImpactMap {
       def py(lat: Double): Int = // lat grows north, pixel rows grow south
         math.round((env.getMaxY - lat) / env.getHeight * (height - 1)).toInt
       def drawPolygon(p: Polygon, fill: Color): Unit = {
-        val ring = p.getExteriorRing.getCoordinates
-        val xs = ring.map(c => px(c.x)); val ys = ring.map(c => py(c.y))
+        // even-odd winding: interior rings (holes) subtract from the
+        // exterior fill instead of being painted over
+        val shape = new java.awt.geom.Path2D.Double(
+          java.awt.geom.Path2D.WIND_EVEN_ODD)
+        def addRing(cs: Array[org.locationtech.jts.geom.Coordinate]): Unit = {
+          shape.moveTo(px(cs(0).x).toDouble, py(cs(0).y).toDouble)
+          cs.drop(1).foreach(c => shape.lineTo(px(c.x).toDouble, py(c.y).toDouble))
+          shape.closePath()
+        }
+        addRing(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing)
+          .foreach(i => addRing(p.getInteriorRingN(i).getCoordinates))
         g.setColor(fill)
-        g.fillPolygon(xs, ys, ring.length)
+        g.fill(shape)
         g.setColor(new Color(0x96, 0x96, 0x96)) // the reference's '#969696' edges
         g.setStroke(new BasicStroke(1f))
-        g.drawPolygon(xs, ys, ring.length)
+        g.draw(shape)
       }
       geoms.foreach { case (geom, color) =>
         (0 until geom.getNumGeometries).foreach { i =>

@@ -36,6 +36,22 @@ object Notify {
   private def b64Wrapped(bytes: Array[Byte]): String =
     Base64.getEncoder.encodeToString(bytes).grouped(76).mkString("\r\n")
 
+  /** Header-safe value: CR/LF can never reach a header line (header
+    * injection), and non-ASCII values are RFC 2047 B-encoded so the
+    * message stays 7-bit-clean. */
+  private[publish] def headerValue(raw: String): String = {
+    val clean = raw.replaceAll("[\r\n]+", " ")
+    if (clean.forall(c => c >= 32 && c < 127)) clean
+    else "=?utf-8?B?" +
+      Base64.getEncoder.encodeToString(clean.getBytes(StandardCharsets.UTF_8)) +
+      "?="
+  }
+
+  /** Attachment-filename-safe value: drops quotes and CR/LF (the
+    * characters that would escape the quoted parameter). */
+  private[publish] def filenameValue(raw: String): String =
+    raw.replaceAll("[\"\r\n]", "")
+
   /** Build the full RFC 5322 message text: multipart/mixed carrying a
     * multipart/alternative (the HTML body — the structure
     * `EmailMessage.add_alternative` + `add_attachment` produces,
@@ -49,10 +65,10 @@ object Notify {
     require(to.nonEmpty, "email needs at least one recipient")
     val sb = new StringBuilder
     def line(s: String): Unit = { sb.append(s); sb.append("\r\n") }
-    line(s"Subject: $subject")
-    line(s"From: $from")
-    line(s"To: ${to.mkString(", ")}")
-    if (cc.nonEmpty) line(s"CC: ${cc.mkString(", ")}")
+    line(s"Subject: ${headerValue(subject)}")
+    line(s"From: ${headerValue(from)}")
+    line(s"To: ${headerValue(to.mkString(", "))}")
+    if (cc.nonEmpty) line(s"CC: ${headerValue(cc.mkString(", "))}")
     line("MIME-Version: 1.0")
     line(s"""Content-Type: multipart/mixed; boundary="$mixedBoundary"""")
     line("")
@@ -66,10 +82,11 @@ object Notify {
     line(b64Wrapped(messageHtml.getBytes(StandardCharsets.UTF_8)))
     line(s"--$altBoundary--")
     attachments.foreach { case (name, bytes) =>
+      val safeName = filenameValue(name)
       line(s"--$mixedBoundary")
-      line(s"""Content-Type: ${mimeType(name)}; name="$name"""")
+      line(s"""Content-Type: ${mimeType(name)}; name="$safeName"""")
       line("Content-Transfer-Encoding: base64")
-      line(s"""Content-Disposition: attachment; filename="$name"""")
+      line(s"""Content-Disposition: attachment; filename="$safeName"""")
       line("")
       line(b64Wrapped(bytes))
     }

@@ -84,6 +84,31 @@ class DedupSkewSpec extends SparkTestBase {
       eval, n = 3, minOverlap = 3).isEmpty)
   }
 
+  test("decontaminateFromShingles: index path equals the direct scan") {
+    GraftExtensions.register(spark)
+    val (train, eval) = split(sfDir)
+    val direct = Dedup.decontaminate(train, eval, n = 3, minOverlap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx").toString
+    val table = "graft_spec_train_shingles"
+    try {
+      Dedup.writeShingleIndex(train, s"$dir/t", table, n = 3)
+      val viaIndex = Dedup.decontaminateFromShingles(
+          Dedup.readShingleIndex(spark, table), train, eval,
+          n = 3, minOverlap = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaIndex === direct)
+      assert(direct.nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("writeShingleIndex rejects injection-shaped table identifiers") {
+    val (train, _) = split(sfDir)
+    intercept[IllegalArgumentException] {
+      Dedup.writeShingleIndex(train, "/tmp/x", "t; DROP TABLE users")
+    }
+  }
+
   test("lsh bucket cap above max bucket size reproduces the uncapped pairs") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, sfDir)

@@ -418,6 +418,11 @@ class ExtensionSpec extends SparkTestBase {
     // every character is covered by at least one chunk
     val covered = got(1L).flatMap(c => c._3 until (c._3 + c._4.length)).toSet
     assert(covered === (0 until 10).toSet)
+    // NULL text counts as empty: the row still yields its one chunk
+    val withNull = Seq((4L, null: String)).toDF("doc_id", "text")
+    val nullRows = TextOps.chunkByChars(withNull, size = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(nullRows.toSeq === Seq((4L, 0, "")))
   }
 
   test("deterministicMixture: per-source fractions, stable and salt-independent") {

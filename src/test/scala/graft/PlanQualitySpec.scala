@@ -133,6 +133,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"index scan must carry its bucketing:\n$p")
   }
 
+  test("x46 decontaminate-from-index: cleaning pass consumes the persisted index") {
+    val p = planString("x46_decontaminate")
+    // train text is never re-shingled: corpus text scans are the eval
+    // shingle branch plus the returned-rows branch (2), and the train
+    // shingle relation arrives as the bucketed index table
+    assert("documents\\.parquet".r.findAllIn(p).size == 2,
+      s"decontaminate must not re-shingle train from text:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"index scan must carry its bucketing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x43 lm score: counts join keyed, only the 1-row vocab rides nested-loop") {
     val p = planString("x43_lm_score")
     // the bigram/context joins are keyed at any scale; the single

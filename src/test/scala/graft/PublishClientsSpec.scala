@@ -84,6 +84,20 @@ class PublishClientsSpec extends SparkTestBase {
     } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
   }
 
+  test("renderPng: polygon holes stay unfilled (even-odd winding)") {
+    val wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    val path = java.nio.file.Files.createTempFile("graft_hole", ".png").toString
+    try {
+      ImpactMap.renderPng(Seq((wkt, "#a50f15")), Seq.empty, path, width = 100)
+      val img = javax.imageio.ImageIO.read(new java.io.File(path))
+      def rgbAt(lon: Double, lat: Double): Int =
+        img.getRGB(math.round(lon / 10.0 * 99).toInt,
+          math.round((10.0 - lat) / 10.0 * 99).toInt) & 0xffffff
+      assert(rgbAt(2.0, 5.0) === 0xa50f15)   // ring area filled
+      assert(rgbAt(5.0, 5.0) === 0xffffff)   // hole shows background
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+
   test("buildEmail: deterministic MIME with HTML alternative and attachments") {
     val payload = Array[Byte](1, 2, 3, 4, 5)
     val msg = Notify.buildEmail("Typhoon DREF alert", "ibf@example.org",
@@ -107,6 +121,22 @@ class PublishClientsSpec extends SparkTestBase {
       Seq("ops@example.org", "duty@example.org"), Seq("cc@example.org"),
       "<b>trigger reached</b>", Seq(("impact.csv", "a,b\n1,2".getBytes),
         ("map.png", payload))))
+  }
+
+  test("buildEmail: CRLF can't inject headers, non-ASCII subject B-encodes") {
+    val msg = Notify.buildEmail("alert\r\nBcc: evil@x", "ibf@example.org",
+      Seq("ops@example.org"), Seq.empty, "<p>hi</p>",
+      Seq(("na\"me\r\n.csv", "a".getBytes)))
+    assert(msg.contains("Subject: alert Bcc: evil@x\r\n"))
+    assert(!msg.contains("\r\nBcc:"))
+    assert(msg.contains("""filename="name.csv""""))
+    val utf = Notify.buildEmail("Bagyo ⚠ alerto", "ibf@example.org",
+      Seq("ops@example.org"), Seq.empty, "<p>hi</p>")
+    val enc = "=?utf-8?B?" + java.util.Base64.getEncoder.encodeToString(
+      "Bagyo ⚠ alerto".getBytes("UTF-8")) + "?="
+    assert(utf.contains(s"Subject: $enc\r\n"))
+    // the whole message stays 7-bit clean
+    assert(utf.forall(c => c < 128))
   }
 
   test("sendEmail delivers to + cc through the injected transport with retry") {
