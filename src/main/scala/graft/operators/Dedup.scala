@@ -352,7 +352,8 @@ object Dedup {
   def writeShingleIndex(train: DataFrame, path: String, table: String,
                         n: Int = 3, buckets: Int = 32,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): Unit = {
+                        textCol: String = "text",
+                        outIdCol: String = "train_id"): Unit = {
     // the identifier reaches a string-built DROP TABLE — refuse
     // anything that is not a plain (optionally db-qualified) name
     require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
@@ -360,10 +361,37 @@ object Dedup {
     val spark = train.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     shingleHashSets(train, n, idCol, textCol)
-      .select(col(idCol).as("train_id"), explode(col("sh_hashes")).as("h"))
+      .select(col(idCol).as(outIdCol), explode(col("sh_hashes")).as("h"))
       .write.format("parquet").option("path", path)
       .bucketBy(buckets, "h")
       .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Contamination with BOTH sides read from persisted shingle
+    * indexes bucketed on `h` (built by [[writeShingleIndex]], the eval
+    * side with `outIdCol = "eval_id"`) — the steady-state shape of a
+    * recurring decontamination sweep: corpus and benchmark sets are
+    * both shingled once, and every scan is a bucket-co-located
+    * equi-join with ZERO exchange below the join and no shingle kernel
+    * in the query at all. The only shuffle left is the matched-pair
+    * aggregation. Benchmark sets are static, so persisting their
+    * (tiny) shingle relation costs nothing and removes the per-sweep
+    * eval shingling too. Same semantics as [[contamination]]. */
+  def contaminationFromShingleIndexes(trainShingles: DataFrame,
+                                      evalShingles: DataFrame,
+                                      minOverlap: Long = 3,
+                                      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val thKept =
+      if (maxShingleDf == Long.MaxValue) trainShingles
+      else {
+        val hot = trainShingles.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf).select("h")
+        trainShingles.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    evalShingles.join(thKept, Seq("h"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
   }
 
   /** The persisted shingle index as a DataFrame (bucket metadata

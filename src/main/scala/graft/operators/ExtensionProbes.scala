@@ -21,16 +21,55 @@ object ExtensionProbes {
     * Keyed by the sf dir AND the x41-style corpus fingerprint
     * (count + id sum) so regenerated testdata never serves a stale
     * index. Returns the catalog table name. */
+  private def shingleIndexTable(s: org.apache.spark.sql.SparkSession,
+                                d: String,
+                                docs: org.apache.spark.sql.DataFrame,
+                                side: String, outIdCol: String): String = {
+    val fp = docs.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
+    val table = s"graft_x42_${side}_shingles_$tag"
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_x42_shingle_index_${side}_$tag"
+    if (!s.catalog.tableExists(table))
+      Dedup.writeShingleIndex(docs, dir, table = table, n = 3,
+        outIdCol = outIdCol)
+    table
+  }
+
   private def trainShingleTable(s: org.apache.spark.sql.SparkSession,
                                 d: String,
-                                train: org.apache.spark.sql.DataFrame): String = {
-    val tfp = train.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
-    val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${tfp.getLong(0)}_${tfp.getLong(1)}"
-    val table = s"graft_x42_train_shingles_$tag"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x42_shingle_index_$tag"
-    if (!s.catalog.tableExists(table))
-      Dedup.writeShingleIndex(train, dir, table = table, n = 3)
-    table
+                                train: org.apache.spark.sql.DataFrame): String =
+    shingleIndexTable(s, d, train, "train", "train_id")
+
+  /** Both contamination index tables (train + eval) with their
+    * staleness fingerprints computed in ONE pass over the corpus —
+    * the per-side tags (and thus table names) are identical to what
+    * [[shingleIndexTable]] derives for each half. */
+  private def contaminationIndexTables(s: org.apache.spark.sql.SparkSession,
+                                       d: String,
+                                       docs: org.apache.spark.sql.DataFrame,
+                                       train: org.apache.spark.sql.DataFrame,
+                                       eval: org.apache.spark.sql.DataFrame): (String, String) = {
+    val even = col("doc_id") % 2 === 0
+    val fp = docs.agg(
+      sum(when(even, 1L).otherwise(0L)),
+      sum(when(even, col("doc_id")).otherwise(0L)),
+      sum(when(!even, 1L).otherwise(0L)),
+      sum(when(!even, col("doc_id")).otherwise(0L))).collect()(0)
+    val dTag = d.replaceAll("[^A-Za-z0-9]", "_")
+    def ensure(side: String, n0: Long, s0: Long,
+               src: org.apache.spark.sql.DataFrame, outIdCol: String): String = {
+      val tag = s"${dTag}_${n0}_$s0"
+      val table = s"graft_x42_${side}_shingles_$tag"
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_x42_shingle_index_${side}_$tag"
+      if (!s.catalog.tableExists(table))
+        Dedup.writeShingleIndex(src, dir, table = table, n = 3,
+          outIdCol = outIdCol)
+      table
+    }
+    (ensure("train", fp.getLong(0), fp.getLong(1), train, "train_id"),
+      ensure("eval", fp.getLong(2), fp.getLong(3), eval, "eval_id"))
   }
 
   // SQL fragment: shingle rows (doc_id, shingle) for word 3-grams,
@@ -1460,6 +1499,33 @@ object ExtensionProbes {
         Dedup.contaminationFromShingles(
             Dedup.readShingleIndex(s, table), eval,
             n = 3, minOverlap = 3)
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH sh AS ($shingleSql),
+              |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+              |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1)
+              |SELECT eval_id, train_id, COUNT(*) AS n_shared
+              |FROM ev JOIN tr USING (shingle)
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+              |ORDER BY eval_id, train_id""".stripMargin)),
+
+    // Contamination with BOTH sides at rest: train AND eval shingle
+    // relations persisted as h-bucketed catalog tables, so the
+    // recurring sweep is a bucket-co-located equi-join — zero exchange
+    // below the join, zero shingle kernels at query time (the md5
+    // shingling cost is paid once at index build, not per sweep).
+    // Same oracle as x16/x42: what is certified is that the fully
+    // at-rest plan reproduces the direct scan id-for-id -------------
+    Probe("x49_contamination_bucketed",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        val (tt, et) = contaminationIndexTables(s, d, docs, train, eval)
+        Dedup.contaminationFromShingleIndexes(
+            Dedup.readShingleIndex(s, tt), Dedup.readShingleIndex(s, et),
+            minOverlap = 3)
           .orderBy("eval_id", "train_id")
       },
       Some(s"""WITH sh AS ($shingleSql),

@@ -102,6 +102,29 @@ class DedupSkewSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("contaminationFromShingleIndexes: both-sides-at-rest equals the direct scan") {
+    GraftExtensions.register(spark)
+    val (train, eval) = split(sfDir)
+    val direct = Dedup.contamination(train, eval, n = 3, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx2").toString
+    try {
+      Dedup.writeShingleIndex(train, s"$dir/t", "graft_spec_tr_sh", n = 3)
+      Dedup.writeShingleIndex(eval, s"$dir/e", "graft_spec_ev_sh", n = 3,
+        outIdCol = "eval_id")
+      val atRest = Dedup.contaminationFromShingleIndexes(
+          Dedup.readShingleIndex(spark, "graft_spec_tr_sh"),
+          Dedup.readShingleIndex(spark, "graft_spec_ev_sh"),
+          minOverlap = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(atRest === direct)
+      assert(direct.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_tr_sh")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_ev_sh")
+    }
+  }
+
   test("writeShingleIndex rejects injection-shaped table identifiers") {
     val (train, _) = split(sfDir)
     intercept[IllegalArgumentException] {

@@ -145,6 +145,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x49 both-sides-bucketed contamination: no text scan, no kernel, co-located join") {
+    val p = planString("x49_contamination_bucketed")
+    // the sweep reads ONLY the two persisted indexes — corpus text is
+    // never touched and no shingle kernel runs at query time
+    assert(!p.contains("documents.parquet"),
+      s"fully at-rest sweep must not read corpus text:\n$p")
+    assert(!p.toLowerCase.contains("shinglehashes"),
+      s"no shingle kernel may run at query time:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both index scans must carry their bucketing:\n$p")
+    // the only shuffles are the matched-pair aggregation and the
+    // probe's orderBy — the join itself is broadcast or bucket-zipped
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 2,
+      s"join must not add an exchange below it:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x43 lm score: counts join keyed, only the 1-row vocab rides nested-loop") {
     val p = planString("x43_lm_score")
     // the bigram/context joins are keyed at any scale; the single
