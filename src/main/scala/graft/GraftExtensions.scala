@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions wiring: the engine's domain functions as
   * first-class SQL functions, composed from NATIVE Catalyst
@@ -163,6 +163,14 @@ object GraftExtensions {
         mE, ksubE, dsubE) =>
       graft.expressions.PqAdcScore(v, cbA.toDoubleArray(), qtA.toDoubleArray(),
         litInt("pq_adc", mE), litInt("pq_adc", ksubE), litInt("pq_adc", dsubE)) }),
+
+    // bpe_tokens(text, table-key-literal, space-mark-literal): real BPE
+    // tokenization under a registered compiled merge table (the table
+    // itself is serialized into the expression — see BpeOps).
+    ("bpe_tokens", 3, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType),
+        Literal(b: Boolean, BooleanType)) =>
+      graft.expressions.BpeTokens(t, graft.expressions.BpeOps.resolve(k.toString), b) }),
 
     // xgb_score(features, path-literal): scores the reference's
     // operational xgboost artifact (parsed from its RDS) in codegen.

@@ -1,0 +1,180 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => fn}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BpeOps
+
+/** Trainable byte-pair encoding over a corpus — the real tokenizer the
+  * LLM-data extension suite budgets with (`x01`'s `preTokenCount` is
+  * the heuristic proxy; this is the exact version).
+  *
+  * Training follows the standard BPE recipe (Sennrich et al. 2016):
+  * count word TYPES once (distributed), then run the merge loop over
+  * the word-frequency dictionary on the driver — the dictionary is the
+  * classic bounded structure (vocabulary grows ~O(corpus^0.6), and the
+  * deterministic `maxWordTypes` cap bounds it hard), which is how
+  * every production tokenizer trainer works; the 100 TB of text is
+  * only ever touched by the one distributed word-count aggregation.
+  *
+  * Determinism: merge choice is (max pair count, then lexicographically
+  * smallest pair by UTF-8 BYTE order) — byte order is what both
+  * Spark's UTF8String comparison and DuckDB's binary collation
+  * implement, so the trained table is engine-reproducible.
+  */
+object Bpe {
+
+  /** Pre-token array of a text column (the GPT-2-style prelude —
+    * same pattern as [[TextOps.preTokenCount]]). */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeOps.PreTokenPattern), lit(0))
+
+  /** Distributed word-type counts → driver merge loop. Returns the
+    * ranked merge list. `maxWordTypes` caps the collected dictionary
+    * deterministically (top by count, ties by word ascending); the cap
+    * being hit is logged loudly since tail word types stop informing
+    * pair counts. */
+  def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 100,
+            minPairCount: Long = 1L, maxWordTypes: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 0 && maxWordTypes > 0)
+    val counts = docs
+      .select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWordTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (counts.length == maxWordTypes)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"BPE word dictionary hit maxWordTypes=$maxWordTypes — tail word " +
+          "types are not informing pair counts; raise the cap if unintended")
+    trainOnDict(counts, numMerges, minPairCount)
+  }
+
+  /** The merge loop over an in-memory word-frequency dictionary.
+    * Pair counts are positional (overlapping occurrences all count);
+    * each chosen merge is applied as one left-to-right pass per word —
+    * the same pass semantics the encode kernel contracts to. */
+  def trainOnDict(dict: Array[(String, Long)], numMerges: Int,
+                  minPairCount: Long = 1L): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, f) => (BpeOps.initialTokens(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((toks, f) <- words) {
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.reduceOption { (a, b) =>
+        val c = java.lang.Long.compare(b._2, a._2) // higher count wins
+        if (c < 0) a
+        else if (c > 0) b
+        else if (pairCompare(a._1, b._1) <= 0) a else b
+      }
+      best match {
+        case Some((pair, cnt)) if cnt >= minPairCount =>
+          merges += pair
+          words = words.map { case (toks, f) => (applyMerge(toks, pair), f) }
+          k += 1
+        case _ => exhausted = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping pass (REPLACE semantics). */
+  private def applyMerge(toks: Array[String], pair: (String, String)): Array[String] = {
+    val (l, r) = pair
+    val m = l + r
+    val out = new Array[String](toks.length)
+    var w = 0
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out(w) = m; w += 1; i += 2
+      } else {
+        out(w) = toks(i); w += 1; i += 1
+      }
+    }
+    if (w == toks.length) toks else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** UTF-8 byte-order comparison — matches Spark UTF8String and DuckDB
+    * binary collation, unlike String.compareTo (UTF-16 units). */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+  private def pairCompare(a: (String, String), b: (String, String)): Int = {
+    val c = utf8Compare(a._1, b._1)
+    if (c != 0) c else utf8Compare(a._2, b._2)
+  }
+
+  /** Token array of `text` under `merges` (compiled + validated once
+    * per call site). Map-only codegen'd scan — see
+    * [[graft.expressions.BpeOps]] for the contract. */
+  def tokens(text: Column, merges: Seq[(String, String)],
+             spaceMark: Boolean = false): Column = {
+    val key = BpeOps.register(BpeOps.compile(merges))
+    call_function("bpe_tokens", text, lit(key), lit(spaceMark))
+  }
+
+  /** Real-token count (the exact replacement for the `preTokenCount`
+    * proxy; null text stays null). */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(tokens(text, merges))
+
+  /** Ranked merges as a DataFrame (merge_rank, lhs, rhs) — persist as
+    * parquet / a catalog table and broadcast-join or re-compile on
+    * read; the table is the tokenizer's entire state. */
+  def mergesDF(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /** Read a persisted merges table back into the Seq form `tokens`/
+    * `train` exchange. */
+  def readMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("merge_rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Sliding-window chunking budgeted in REAL tokens: fixed-size token
+    * windows with `overlap` tokens shared between consecutive chunks —
+    * the token twin of [[TextOps.chunkByChars]]. One row per chunk
+    * with its index, start-token offset, token count, and the chunk
+    * text reassembled from space-marked tokens (ltrim'd, so a chunk
+    * starting mid-document drops the word-boundary space). Documents
+    * shorter than `size` tokens (including empty/null text) yield
+    * exactly one chunk. Map-side explode, no shuffle. */
+  def chunkByTokens(docs: DataFrame, merges: Seq[(String, String)],
+                    size: Int, overlap: Int = 0,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size: size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = tokens(coalesce(col(textCol), lit("")), merges, spaceMark = true)
+    val n = fn.size(col("__toks"))
+    val nChunks = (ceil(greatest(n - size, lit(0)).cast("double") / stride)
+      .cast("int") + 1)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_token", col("chunk_idx") * stride)
+      .withColumn("__chunk", slice(col("__toks"), col("start_token") + 1, lit(size)))
+      .select(col(idCol), col("chunk_idx"), col("start_token"),
+        fn.size(col("__chunk")).as("n_tokens"),
+        ltrim(concat_ws("", col("__chunk"))).as("chunk_text"))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Certification probes for the BPE tokenizer (graft.operators.Bpe):
+  * encode, train, token-budget chunking and token-budget packing, each
+  * mirrored exactly in DuckDB.
+  *
+  * Mirror technique: a token list is represented in SQL as a string of
+  * ` tok ` units (words joined by a space so merges cannot
+  * cross pre-token boundaries), and one merge = one non-overlapping
+  * left-to-right `replace()` — precisely the pass semantics the Scala
+  * kernel contracts to. The delimiters are control characters, which
+  * `TextOps.normalizeText` (itself oracle-certified as x15) removes
+  * from the input first, so they can never occur in the payload.
+  *
+  * The training mirror goes further: each merge-selection round is a
+  * MATERIALIZED CTE stage (pair explode → argmax with byte-order
+  * tie-break → replace), so DuckDB independently re-derives the entire
+  * merge table that Spark's distributed-count + driver-loop trainer
+  * produces — the trained table itself is hash-certified, not just the
+  * encode under a fixed table.
+  */
+object BpeProbes {
+
+  private val E = "\u001E" // token open (record separator)
+  private val F = "\u001F" // token close (unit separator)
+  private val G = "\u001D" // adjacent-pre-token boundary (group separator)
+
+  /** Fixed, well-formed public merge table for the encode/chunk/pack
+    * probes (ranks matter; every multi-char side is produced by an
+    * earlier rank). Lowercase because the probes normalize first. */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
+    "an" -> "d", "in" -> "g", "t" -> "o", "e" -> "s", "o" -> "f",
+    "a" -> "l", "i" -> "s", "i" -> "t", "o" -> "u", "a" -> "r",
+    "s" -> "t", "l" -> "e", "h" -> "e", "s" -> "e", "th" -> "at",
+    "e" -> "d", "c" -> "o", "d" -> "e", "m" -> "e", "w" -> "h")
+
+  // --- SQL fragments -----------------------------------------------------
+
+  /** x15-certified normalization mirror. */
+  private val nrmSql =
+    """lower(trim(regexp_replace(regexp_replace(text,
+      |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')))""".stripMargin
+
+  /** Initial encoding: split the (normalized, single-space-separated)
+    * text into segments on ' ', pre-tokenize each segment, wrap every
+    * codepoint as a delimited unit; adjacent pre-tokens inside one
+    * segment are joined with the G separator (so merges cannot cross a
+    * pre-token boundary but no space mark arises), segments with ' '. */
+  private def encInitSql(t: String): String =
+    s"""array_to_string(list_transform(string_split($t, ' '),
+       |    seg -> array_to_string(list_transform(
+       |      regexp_extract_all(seg, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+       |      x -> regexp_replace(x, '(.)', '$E\\1$F', 'g')), '$G')), ' ')""".stripMargin
+
+  /** Chained replace applying `merges` in rank order. */
+  private def mergeChainSql(inner: String,
+                            merges: Seq[(String, String)]): String =
+    merges.foldLeft(inner) { case (acc, (l, r)) =>
+      s"replace($acc, '$E$l$F$E$r$F', '$E$l$r$F')"
+    }
+
+  /** Full fixed-table encode of the normalized `text` column. */
+  private val fixedEncodeSql: String =
+    mergeChainSql(s"(${encInitSql(nrmSql)})", FixedMerges)
+
+  /** tokens_str mirror: '|' between tokens, word-initial tokens keep
+    * their space mark (matches array_join of the space-marked kernel
+    * output). */
+  private def tokensStrSql(f: String): String =
+    s"replace(replace(replace(replace(replace($f, '$F$G$E', '|'), " +
+      s"'$F $E', '| '), '$F$E', '|'), '$E', ''), '$F', '')"
+
+  /** Space-marked token LIST mirror (for chunking). */
+  private def tokenListSql(f: String): String =
+    s"regexp_extract_all(replace(replace($f, '$F $E', '$F$E '), " +
+      s"'$F$G$E', '$F$E'), '$E([^$F]*)$F', 1)"
+
+  private def nTokensSql(f: String): String =
+    s"CAST(length($f) - length(replace($f, '$E', '')) AS INT)"
+
+  /** The generated training mirror: `numMerges` materialized stages of
+    * (pair counts → argmax → replace), then the merge list re-read out
+    * of the per-stage argmax CTEs. */
+  private def trainSql(numMerges: Int): String = {
+    val tokPat = s"$E[^$F]*$F"
+    val head =
+      s"""nrm AS (SELECT $nrmSql AS t FROM documents),
+         |w0 AS (SELECT unnest(regexp_extract_all(t,
+         |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w FROM nrm),
+         |s0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', '$E\\1$F', 'g') AS w, COUNT(*) AS f
+         |  FROM w0 GROUP BY 1)""".stripMargin
+    val stages = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT t[g] || t[g+1] AS pair, SUM(f) AS cnt
+         |  FROM (SELECT regexp_extract_all(w, '$tokPat') AS t, f,
+         |               unnest(generate_series(1,
+         |                 len(regexp_extract_all(w, '$tokPat')) - 1)) AS g
+         |        FROM s${i - 1})
+         |  GROUP BY 1),
+         |m$i AS MATERIALIZED (SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT replace(x.w, m.pair,
+         |           '$E' || replace(replace(m.pair, '$E', ''), '$F', '') || '$F') AS w,
+         |         x.f
+         |  FROM s${i - 1} x, m$i m)""".stripMargin
+    }
+    val outs = (1 to numMerges).map { i =>
+      s"""f$i AS (SELECT $i AS merge_rank,
+         |  regexp_extract(pair, '$E([^$F]*)$F', 1) AS lhs,
+         |  regexp_extract(pair, '$E[^$F]*$F$E([^$F]*)$F', 1) AS rhs
+         |FROM m$i)""".stripMargin
+    }
+    val union = (1 to numMerges).map(i => s"SELECT * FROM f$i").mkString(" UNION ALL ")
+    "WITH " + (Seq(head) ++ stages ++ outs).mkString(",\n") +
+      s"\n$union ORDER BY merge_rank"
+  }
+
+  val probes: Seq[Probe] = Seq(
+
+    // Bpe.tokens under the fixed table: per-document real-token count
+    // and the full token stream — certifies the encode kernel
+    // (pre-tokenization, rank-order passes, space marking) end to end
+    Probe("x50_bpe_encode",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, d)
+          .withColumn("__toks",
+            Bpe.tokens(TextOps.normalizeText(col("text")), FixedMerges,
+              spaceMark = true))
+          .select(col("doc_id"),
+            size(col("__toks")).as("n_tokens"),
+            array_join(col("__toks"), "|").as("tokens_str"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fin AS (SELECT doc_id, $fixedEncodeSql AS f FROM documents)
+              |SELECT doc_id,
+              |  ${nTokensSql("f")} AS n_tokens,
+              |  ${tokensStrSql("f")} AS tokens_str
+              |FROM fin ORDER BY doc_id""".stripMargin)),
+
+    // Bpe.train: the distributed-count + driver-loop trainer vs a full
+    // in-SQL re-derivation of every merge round --------------------------
+    Probe("x51_bpe_train",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(TextOps.normalizeText(col("text")).as("text"))
+        Bpe.mergesDF(s, Bpe.train(docs, numMerges = 24))
+          .orderBy("merge_rank")
+      },
+      Some(trainSql(24))),
+
+    // Bpe.chunkByTokens: sliding-window chunking budgeted in real
+    // tokens, chunk text reassembled from space-marked tokens ------------
+    Probe("x52_chunk_by_tokens",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Bpe.chunkByTokens(
+            Tables.documents(s, d)
+              .select(col("doc_id"), TextOps.normalizeText(col("text")).as("text")),
+            FixedMerges, size = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH fin AS (SELECT doc_id, $fixedEncodeSql AS f FROM documents),
+              |tl AS (SELECT doc_id, ${tokenListSql("f")} AS l FROM fin),
+              |n AS (SELECT doc_id, l, len(l) AS n,
+              |        CAST(CEIL(GREATEST(len(l) - 32, 0) / 24.0) AS INT) + 1
+              |          AS n_chunks
+              |      FROM tl),
+              |c AS (SELECT doc_id, l,
+              |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+              |      FROM n)
+              |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+              |  CAST(chunk_idx * 24 AS INT) AS start_token,
+              |  CAST(len(l[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS INT)
+              |    AS n_tokens,
+              |  ltrim(array_to_string(l[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+              |    '')) AS chunk_text
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Sampling.packSequences budgeted by Bpe.tokenCount: GPT-style
+    // packing where the budget is REAL tokens (x31 is the
+    // whitespace-proxy twin) --------------------------------------------
+    Probe("x53_pack_by_tokens",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Sampling.packSequences(
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("lang"),
+                Bpe.tokenCount(TextOps.normalizeText(col("text")), FixedMerges)
+                  .as("n_tokens")),
+            budget = 512, tokenCol = "n_tokens", shardCol = "lang")
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("start_offset"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fin AS (SELECT doc_id, lang, $fixedEncodeSql AS f FROM documents),
+              |t AS (SELECT doc_id, lang, ${nTokensSql("f")} AS n_tokens FROM fin),
+              |o AS (
+              |  SELECT doc_id, lang, n_tokens,
+              |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |      AS start_offset
+              |  FROM t)
+              |SELECT doc_id, lang, n_tokens, start_offset,
+              |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_id
+              |FROM o ORDER BY doc_id""".stripMargin)),
+  )
+}

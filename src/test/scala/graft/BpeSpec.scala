@@ -1,0 +1,272 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BpeOps
+import graft.operators.{Bpe, BpeProbes, TextOps}
+
+/** BPE tokenizer: the production kernel/trainer vs independent naive
+  * twins, the contract's edge cases, and the plan shape.
+  *
+  * The naive encode twin applies every merge rank as a full pass in
+  * rank order (O(M·L), no candidate tracking, no cache) — a different
+  * algorithm computing the same contract, so agreement is evidence,
+  * not tautology. The naive trainer twin recounts pairs from word
+  * INSTANCES each round where the production trainer folds word TYPES.
+  */
+class BpeSpec extends SparkTestBase {
+
+  // --- independent naive twins -----------------------------------------
+
+  private def naiveEncodeWord(word: String, merges: Seq[(String, String)]): List[String] = {
+    var toks = BpeOps.initialTokens(word).toList
+    for ((l, r) <- merges) { // every rank, one full left-to-right pass
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = toks
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tail if a == l && b == r => out += (l + r); rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+      toks = out.toList
+    }
+    toks
+  }
+
+  private def naiveEncode(text: String, merges: Seq[(String, String)]): List[String] = {
+    val m = java.util.regex.Pattern.compile(BpeOps.PreTokenPattern).matcher(text)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    while (m.find()) {
+      val mark = m.start() > 0 && text.charAt(m.start() - 1) == ' '
+      val toks = naiveEncodeWord(m.group(), merges)
+      out ++= toks.zipWithIndex.map { case (t, i) =>
+        if (mark && i == 0) " " + t else t
+      }
+    }
+    out.toList
+  }
+
+  private def byteLt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8)) < 0
+
+  /** Instance-level trainer (no word-type folding). */
+  private def naiveTrain(docs: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    val m = java.util.regex.Pattern.compile(BpeOps.PreTokenPattern)
+    var words: Seq[Array[String]] = docs.flatMap { t =>
+      val it = m.matcher(t)
+      val ws = scala.collection.mutable.ListBuffer.empty[Array[String]]
+      while (it.find()) ws += BpeOps.initialTokens(it.group())
+      ws
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 0 until numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for (w <- words; i <- 0 until w.length - 1)
+        counts.update((w(i), w(i + 1)), counts.getOrElse((w(i), w(i + 1)), 0L) + 1)
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.sortWith { case ((p1, c1), (p2, c2)) =>
+          c1 > c2 || (c1 == c2 && (byteLt(p1._1, p2._1) ||
+            (p1._1 == p2._1 && byteLt(p1._2, p2._2))))
+        }.head._1
+        merges += best
+        words = words.map { w =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == best._1 && w(i + 1) == best._2) {
+              out += best._1 + best._2; i += 2
+            } else { out += w(i); i += 1 }
+          }
+          out.toArray
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def kernelEncode(text: String, merges: Seq[(String, String)],
+                           mark: Boolean = true): List[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    BpeOps.encode(UTF8String.fromString(text), BpeOps.compile(merges), mark)
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+      .map(_.toString).toList
+  }
+
+  // --- encode kernel vs naive twin --------------------------------------
+
+  test("kernel equals the rank-order naive twin on crafted inputs") {
+    val merges = BpeProbes.FixedMerges
+    val cases = Seq(
+      "the theater is there", "don't stop-me now", "a1b2c3", "x,y.z!",
+      "aaa aaaa aaaaa", "thththth", "", " ", "single", "t h e",
+      "that that that", "ingesting interesting things")
+    for (c <- cases)
+      assert(kernelEncode(c, merges) === naiveEncode(c, merges), s"input: '$c'")
+  }
+
+  test("kernel equals the naive twin on seeded random soup") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab cd!1é世"
+    for (_ <- 0 until 200) {
+      val s = (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(kernelEncode(s, BpeProbes.FixedMerges) ===
+        naiveEncode(s, BpeProbes.FixedMerges), s"input: '$s'")
+    }
+  }
+
+  test("random well-formed merge tables agree with the naive twin") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      // grow a random well-formed table over a small alphabet
+      val produced = scala.collection.mutable.ArrayBuffer("a", "b", "c")
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 0 until 12) {
+        val l = produced(rnd.nextInt(produced.length))
+        val r = produced(rnd.nextInt(produced.length))
+        merges += ((l, r)); produced += l + r
+      }
+      val text = (0 until 30).map(_ => "abc ab"(rnd.nextInt(6))).mkString
+      assert(kernelEncode(text, merges.toSeq) === naiveEncode(text, merges.toSeq),
+        s"table: $merges input: '$text'")
+    }
+  }
+
+  test("long degenerate runs stay linear-ish and correct") {
+    val merges = Seq("a" -> "a", "aa" -> "aa", "aaaa" -> "aaaa")
+    val run = "a" * 10000
+    val got = kernelEncode(run, merges)
+    assert(got === naiveEncode(run, merges))
+    assert(got.count(_ == "aaaaaaaa") === 1250)
+  }
+
+  // --- contract edges ----------------------------------------------------
+
+  test("codepoint-level initial tokens: non-BMP survives") {
+    assert(BpeOps.initialTokens("a😀世").toSeq === Seq("a", "😀", "世"))
+    // each non-alphanumeric codepoint is its own pre-token → no merges
+    assert(kernelEncode("a😀b", BpeProbes.FixedMerges) === List("a", "😀", "b"))
+  }
+
+  test("space marking reassembles normalized text exactly") {
+    val texts = Seq("the quick, brown fox!", "don't 3.14 x-y", "a  b\tc")
+    for (t <- texts) {
+      val n = TextOps.normalizeText(lit(t))
+      val norm = spark.range(1).select(n.as("t")).head().getString(0)
+      assert(kernelEncode(norm, BpeProbes.FixedMerges).mkString === norm)
+    }
+  }
+
+  test("compile rejects non-well-formed tables loudly") {
+    val e = intercept[IllegalArgumentException] {
+      BpeOps.compile(Seq("th" -> "e")) // "th" produced by no earlier merge
+    }
+    assert(e.getMessage.contains("not well-formed"))
+    intercept[IllegalArgumentException] { BpeOps.compile(Seq("" -> "a")) }
+    // duplicate pair at a later rank is legal (it can simply never fire)
+    BpeOps.compile(Seq("a" -> "b", "a" -> "b"))
+  }
+
+  test("compiled tables survive serialization (executor shipping)") {
+    val t = BpeOps.compile(BpeProbes.FixedMerges)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(t)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[BpeOps.BpeTable]
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(BpeOps.encode(UTF8String.fromString("the theater"), back, true)
+      .numElements() === 4)
+  }
+
+  // --- trainer vs naive twin ---------------------------------------------
+
+  test("distributed trainer equals the instance-level naive trainer") {
+    import spark.implicits._
+    val docs = Seq(
+      "the theater there then", "in the inn and the end",
+      "banana bandana and sandals", "ing ing ing going singing",
+      "low lower lowest newest widest")
+    val got = Bpe.train(docs.toDF("text"), numMerges = 15)
+    val want = naiveTrain(docs, 15)
+    assert(got === want)
+  }
+
+  test("trainer tie-break is UTF-8 byte order, trainer output is well-formed") {
+    import spark.implicits._
+    // "xy" and "yx" pairs tie at 2 each; byte order picks (x,y)
+    val docs = Seq("xy", "xy", "yx", "yx")
+    val got = Bpe.train(docs.toDF("text"), numMerges = 1)
+    assert(got === Seq("x" -> "y"))
+    BpeOps.compile(Bpe.train(docs.toDF("text"), numMerges = 4)) // must not throw
+  }
+
+  test("minPairCount stops training; merges persist through a DataFrame round-trip") {
+    import spark.implicits._
+    val docs = Seq("ab ab ab", "cd")
+    val got = Bpe.train(docs.toDF("text"), numMerges = 10, minPairCount = 2L)
+    assert(got === Seq("a" -> "b")) // (c,d) occurs once, below the floor
+    val df = Bpe.mergesDF(spark, BpeProbes.FixedMerges)
+    assert(Bpe.readMerges(df) === BpeProbes.FixedMerges)
+  }
+
+  // --- column API + chunking edges ---------------------------------------
+
+  test("tokenCount: null text stays null, empty text counts zero") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq((1L, "the cat"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Bpe.tokenCount(col("text"), BpeProbes.FixedMerges).as("n"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(got === Map(1L -> 3, 2L -> 0, 3L -> -1)) // "the cat" → the|c|at
+  }
+
+  test("chunkByTokens: short/empty docs yield one chunk, offsets and overlap exact") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, "the " * 20),            // 20 tokens of " the"
+      (2L, "tiny"),
+      (3L, ""),
+      (4L, null: String)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normalizeText(coalesce(col("text"), lit(""))).as("text"))
+    val out = Bpe.chunkByTokens(docs, BpeProbes.FixedMerges, size = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: 20 tokens, stride 6 → ceil(12/6)+1 = 3 chunks
+    assert(byDoc(1L).length === 3)
+    assert(byDoc(1L).map(c => (c._2, c._3)).sorted.toSeq === Seq((0, 0), (1, 6), (2, 12)))
+    assert(byDoc(1L).forall(c => c._4 === 8 && c._5 === ("the " * 8).trim))
+    // chunk 1 starts mid-doc: its text must NOT begin with a space
+    assert(byDoc(1L).forall(!_._5.startsWith(" ")))
+    // docs 2-4: exactly one chunk each
+    assert(byDoc(2L).toSeq === Seq((2L, 0, 0, 3, "tiny"))) // t|in|y
+    assert(byDoc(3L).toSeq === Seq((3L, 0, 0, 0, "")))
+    assert(byDoc(4L).toSeq === Seq((4L, 0, 0, 0, "")))
+  }
+
+  test("chunkByTokens: exact-fit doc yields exactly one chunk") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text") // 4 tokens
+    val out = Bpe.chunkByTokens(docs, BpeProbes.FixedMerges, size = 4, overlap = 1)
+    assert(out.count() === 1)
+    assert(out.head().getString(4) === "a b c d")
+  }
+
+  // --- plan shape ---------------------------------------------------------
+
+  test("bpe_tokens projection is map-only: no exchange, codegen'd") {
+    GraftExtensions.register(spark)
+    val df = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Bpe.tokens(col("text"), BpeProbes.FixedMerges).as("toks"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan) // inside whole-stage codegen
+  }
+}
