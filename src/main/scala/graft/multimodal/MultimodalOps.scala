@@ -134,6 +134,153 @@ object MultimodalOps {
     }
   }
 
+  /** A decoded audio clip: format metadata + normalized samples in
+    * [-1, 1] (interleaved when multi-channel) + the raw-domain clip
+    * count (samples at integer full scale). */
+  case class DecodedAudio(sampleRate: Int, channels: Int, nFrames: Long,
+                          samples: Array[Double], clipCount: Long)
+
+  /** Audio features: decode provenance + format + level statistics.
+    * Undecodable payloads keep `decoded = false` with zeroed audio
+    * fields — same malformed-media-is-data stance as the image path. */
+  case class AudioFeatures(media_id: Long, n_bytes: Int, decoded: Boolean,
+                           sample_rate: Int, channels: Int, n_frames: Long,
+                           duration_s: Double, rms: Double, peak: Double,
+                           clipping_frac: Double)
+
+  /** Decode an audio payload with `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM signed/unsigned up to 32-bit — JDK-only, the
+    * audio twin of [[decodeImage]]). Returns None for non-audio bytes,
+    * non-PCM encodings, or when the header's declared frame count ×
+    * channels exceeds `maxSamples` — the decompression-bomb guard: the
+    * declared length is read from the header WITHOUT decoding, so a
+    * 100-byte file claiming 2³¹ frames never allocates. A payload
+    * whose data is SHORTER than its header claims (truncated upload)
+    * decodes to the frames actually present — truncation is data.
+    *
+    * Normalization divides by 2^(bits−1) (a power of two, so PCM16
+    * round-trips bit-exactly through the double domain — what lets the
+    * DuckDB oracle recompute features from the sample formula). */
+  def decodeAudio(bytes: Array[Byte],
+                  maxSamples: Long = 16L * 1024 * 1024): Option[DecodedAudio] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        if (!(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED)) return None
+        if (ch <= 0 || bits <= 0 || bits % 8 != 0 || bits > 32) return None
+        if (fmt.getSampleRate <= 0) return None
+        val step = bits / 8
+        val declFrames = in.getFrameLength
+        if (declFrames >= 0 && declFrames * ch > maxSamples) return None
+        // read with a hard cap even when the header declares nothing
+        val capBytes = (maxSamples * step + step).min(Int.MaxValue.toLong).toInt
+        val buf = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length, capBytes))
+        val chunk = new Array[Byte](8192)
+        var read = 0
+        var n = in.read(chunk)
+        while (n > 0 && read <= capBytes) {
+          buf.write(chunk, 0, n)
+          read += n
+          n = in.read(chunk)
+        }
+        if (read > maxSamples * step) return None
+        val data = buf.toByteArray
+        val nSamples = (data.length / step / ch) * ch // whole frames only
+        val half = 1L << (bits - 1)
+        val maxRaw = half - 1
+        val samples = new Array[Double](nSamples)
+        var clips = 0L
+        var s = 0
+        while (s < nSamples) {
+          val base = s * step
+          var raw = 0L
+          var b = 0
+          while (b < step) {
+            val by = data(base + (if (fmt.isBigEndian) b else step - 1 - b)) & 0xffL
+            raw = (raw << 8) | by
+            b += 1
+          }
+          val v =
+            if (signed) { // sign-extend
+              if (raw >= half) raw - (half << 1) else raw
+            } else raw - half
+          if (v == maxRaw || v == -half) clips += 1
+          samples(s) = v.toDouble / half
+          s += 1
+        }
+        Some(DecodedAudio(fmt.getSampleRate.toInt, ch, nSamples / ch,
+          samples, clips))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Hand-built canonical 44-byte-header WAV (PCM16 LE mono/stereo) —
+    * the deterministic synthesis half of the audio path (fixtures,
+    * probes, and a sink for resynthesized clips). `samples` are
+    * interleaved raw 16-bit values. */
+  def synthWavPcm16(sampleRate: Int, samples: Array[Int],
+                    channels: Int = 1): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => out.putShort(v.toShort))
+    out.array()
+  }
+
+  /** Partition-parallel audio feature extraction: one pass, no
+    * shuffle. RMS/peak/clipping are computed over normalized samples;
+    * for PCM16 every step is exact in the double domain, so the values
+    * are engine-reproducible from the raw integers. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val nBytes = if (r.media == null) 0 else r.media.length
+        decodeAudio(r.media) match {
+          case Some(a) if a.samples.nonEmpty =>
+            var sumSq = 0.0
+            var peak = 0.0
+            a.samples.foreach { v =>
+              sumSq += v * v
+              val av = math.abs(v)
+              if (av > peak) peak = av
+            }
+            val n = a.samples.length
+            AudioFeatures(r.media_id, nBytes, decoded = true,
+              a.sampleRate, a.channels, a.nFrames,
+              a.nFrames.toDouble / a.sampleRate,
+              math.sqrt(sumSq / n), peak, a.clipCount.toDouble / n)
+          case Some(a) =>
+            AudioFeatures(r.media_id, nBytes, decoded = true,
+              a.sampleRate, a.channels, 0L, 0.0, 0.0, 0.0, 0.0)
+          case None =>
+            AudioFeatures(r.media_id, nBytes, decoded = false,
+              0, 0, 0L, 0.0, 0.0, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
   /** Nearest-neighbor resample of an 8-bit plane. */
   private def nearestResample(src: Array[Int], w: Int, h: Int,
                               outW: Int, outH: Int): Array[Byte] =

@@ -403,8 +403,8 @@ object ProbeQueries {
 
   def allProbes: Seq[Probe] =
     probes ++ DomainProbes.probes ++ PipelineProbes.probes ++
-      ExtensionProbes.probes ++ BpeProbes.probes ++ WindfieldProbe.probes ++
-      LandfallProbe.probes ++ XgbProbe.probes
+      ExtensionProbes.probes ++ BpeProbes.probes ++ MediaProbes.probes ++
+      WindfieldProbe.probes ++ LandfallProbe.probes ++ XgbProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     allProbes.map(p => p.name -> p.query).toMap
