@@ -161,6 +161,30 @@ object BenchDedup {
         .collect().map(_.getString(0)).toSet
     }
     require(exactTop == Set("zthe", "zof", "zand"))
+    // LONG-CHAIN worst case for the label-propagation decision path:
+    // organic LSH components are shallow (stars/cliques — the 2-round
+    // convergence above), but min-label propagation is O(component
+    // diameter), and the adversarial shape is a long PATH where the
+    // minimum travels one hop per round. 1000 planted chains of
+    // diameter 20 across the 1M-vertex corpus: rounds must track the
+    // diameter (~21 with the convergence-detection round), and the
+    // per-round wall time is the localCheckpoint + join cost curve
+    // that the O(diameter) claim rests on.
+    val chainLen = 21
+    val nChains = 1000
+    val chainEdges = spark.range(nChains.toLong * (chainLen - 1)).select(
+        (col("id") / (chainLen - 1)).as("c"), (col("id") % (chainLen - 1)).as("i"))
+      .select((col("c") * chainLen + col("i")).as("id_a"),
+        (col("c") * chainLen + col("i") + 1).as("id_b"))
+    val ((chainRounds, nChainKeep), tChain) = timed {
+      val (groups, rounds) = Dedup.nearDupGroupsDFWithRounds(
+        chainEdges, docs.select("doc_id"), maxRounds = 64)
+      (rounds, groups.where(col("keep")).count())
+    }
+    require(nChainKeep == n - nChains.toLong * (chainLen - 1),
+      s"chain components wrong: $nChainKeep keepers")
+    require(chainRounds >= chainLen - 1,
+      s"diameter-${chainLen - 1} chain converged in $chainRounds rounds?")
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
@@ -173,7 +197,10 @@ object BenchDedup {
       s""""hot_bucket_sec":${f"$tHot%.2f"},""" +
       s""""lm_score_sec":${f"$tLm%.2f"},""" +
       s""""mg_heavy_hitters_sec":${f"$tMg%.2f"},"exact_topk_sec":${f"$tExactTop%.2f"},""" +
-      s""""mg_found_planted_heavies":$mgHit}""")
+      s""""mg_found_planted_heavies":$mgHit,""" +
+      s""""chain_diameter":${chainLen - 1},"chain_rounds":$chainRounds,""" +
+      s""""chain_sec":${f"$tChain%.2f"},""" +
+      s""""chain_sec_per_round":${f"${tChain / chainRounds}%.2f"}}""")
     spark.stop()
   }
 }

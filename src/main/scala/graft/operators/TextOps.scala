@@ -371,24 +371,69 @@ object TextOps {
       i => concat_ws(".", slice(labels, i, size(labels))))
   }
 
+  /** Map-only membership twin of [[domainBlocklistFilter]]: TRUE when
+    * the URL's host is dropped by the blocklist. Same drop set as the
+    * join-based operator (spec-certified), but a pure column predicate
+    * — the form to use inside a streaming query, where the anti-join
+    * shape would need a stateful aggregation the stream can't run in
+    * append mode.
+    *
+    * `publicSuffixes` is the optional eTLD floor (see
+    * [[domainBlocklistFilter]]). */
+  def isBlockedDomain(url: Column, blocked: Seq[String],
+                      publicSuffixes: Seq[String] = Nil): Column = {
+    val (etld, normal) = splitBlocklist(blocked, publicSuffixes)
+    val host = extractHost(url)
+    val bySuffix =
+      if (normal.isEmpty) lit(false)
+      else arrays_overlap(hostSuffixes(host), array(normal.map(lit(_)): _*))
+    val byExact =
+      if (etld.isEmpty) lit(false) else host.isin(etld: _*)
+    // null url → null host must KEEP (match the join-based operator),
+    // not propagate null through the predicate
+    coalesce(bySuffix || byExact, lit(false))
+  }
+
+  /** Blocklist entries that are public suffixes only ever match a host
+    * EXACTLY; everything else suffix-matches. */
+  private def splitBlocklist(blocked: Seq[String],
+                             publicSuffixes: Seq[String]): (Seq[String], Seq[String]) = {
+    val psl = publicSuffixes.map(_.toLowerCase).toSet
+    blocked.map(_.toLowerCase).partition(psl.contains)
+  }
+
   /** C4-style domain blocklist filter: drop every document whose URL
     * host equals a blocked domain or sits under one. The blocklist is
     * dimension-sized (broadcast); the suffix explode is bounded by the
     * host's label count, so the scan side stays map-heavy with one
     * broadcast left-anti join. Rows with unparseable URLs KEEP
     * (malformed metadata is not evidence of spam; filter separately
-    * if wanted). */
+    * if wanted).
+    *
+    * `publicSuffixes` is an optional eTLD floor: a blocklist entry
+    * that appears in it (e.g. "com", "co.uk" from the public-suffix
+    * list) matches a host only EXACTLY, never as a suffix — so one
+    * careless "co.uk" entry cannot silently drop an entire TLD
+    * family. Empty by default (behavior unchanged). */
   def domainBlocklistFilter(docs: DataFrame, blocked: Seq[String],
                             urlCol: String = "url",
-                            idCol: String = "doc_id"): DataFrame = {
+                            idCol: String = "doc_id",
+                            publicSuffixes: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bl = blocked.map(_.toLowerCase).toDF("suffix")
-    val hitIds = docs
+    val (etld, normal) = splitBlocklist(blocked, publicSuffixes)
+    val bl = normal.toDF("suffix")
+    val host = extractHost(col(urlCol))
+    val bySuffix = docs
       .select(col(idCol),
-        explode(hostSuffixes(extractHost(col(urlCol)))).as("suffix"))
+        explode(hostSuffixes(host)).as("suffix"))
       .join(broadcast(bl), Seq("suffix"), "left_semi")
-      .select(idCol).distinct()
+      .select(idCol)
+    val hitIds =
+      (if (etld.isEmpty) bySuffix
+       else bySuffix.unionByName(
+         docs.where(host.isin(etld: _*)).select(idCol)))
+        .distinct()
     docs.join(hitIds, Seq(idCol), "left_anti")
   }
 

@@ -401,6 +401,47 @@ class ExtensionSpec extends SparkTestBase {
     assert(sfx === Seq("ads.spam.com", "spam.com", "com"))
   }
 
+  test("domain blocklist: eTLD floor stops a careless public-suffix entry") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "https://shop.co.uk/a"),      // under the eTLD — must KEEP
+      (2L, "https://co.uk/b"),           // exactly the eTLD — drops
+      (3L, "https://spam.co.uk/c"),      // normal entry still drops
+      (4L, "https://sub.spam.co.uk/d"),  // and its subdomains
+      (5L, "https://good.org/e")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("co.uk", "spam.co.uk")
+    val psl = Seq("co.uk", "com", "org")
+    val kept = TextOps.domainBlocklistFilter(docs, blocked,
+        publicSuffixes = psl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L))
+    // without the floor, the careless "co.uk" entry nukes the family
+    val keptNoFloor = TextOps.domainBlocklistFilter(docs, blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoFloor === Set(5L))
+  }
+
+  test("map-only blocklist predicate equals the join-based operator's drop set") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "https://spam.com/a"), (2L, "https://ads.spam.com/b"),
+      (3L, "http://good.com/c"), (4L, "https://spam.com.evil.org/d"),
+      (5L, "not a url"), (6L, "https://sub.tracker.net:8080/e"),
+      (7L, null: String), (8L, "https://co.uk/x"), (9L, "https://shop.co.uk/y")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("spam.com", "tracker.net", "co.uk")
+    val psl = Seq("co.uk")
+    val joinKept = TextOps.domainBlocklistFilter(docs, blocked,
+        publicSuffixes = psl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val predKept = docs
+      .where(!TextOps.isBlockedDomain($"url", blocked, psl))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(predKept === joinKept)
+    assert(joinKept === Set(3L, 4L, 5L, 7L, 9L))
+  }
+
   test("chunkByChars: offsets, overlap, short-doc and exact-fit edges") {
     import graft.operators.TextOps
     val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "abcde"))

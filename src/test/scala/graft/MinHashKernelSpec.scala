@@ -112,6 +112,26 @@ class MinHashKernelSpec extends SparkTestBase {
     assert(viaDF(900005L) == 900001L) // chain collapsed to min id
   }
 
+  test("label propagation rounds track component diameter on a planted chain") {
+    // a path graph is the adversarial shape: the min label travels one
+    // hop per round, so rounds ≈ diameter (+1 to detect the fixpoint)
+    val d = 8
+    val edges = (0L until d).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L to d).toDF("doc_id")
+    val (groups, rounds) = Dedup.nearDupGroupsDFWithRounds(edges, ids)
+    assert(groups.collect().forall(_.getLong(1) == 0L)) // all label to min id
+    assert(rounds >= d && rounds <= d + 2, s"diameter $d took $rounds rounds")
+    // min id planted mid-chain: information spreads both ways, so the
+    // round count halves — evidence rounds follow ECCENTRICITY of the
+    // minimum, not chain length
+    val mid = (0L until d).map(i => (i + 100, i + 101)) :+ ((104L, 50L))
+    val midIds = ((100L to 100L + d) :+ 50L).toDF("doc_id")
+    val (g2, rounds2) = Dedup.nearDupGroupsDFWithRounds(
+      mid.toDF("id_a", "id_b"), midIds)
+    assert(g2.collect().forall(_.getLong(1) == 50L))
+    assert(rounds2 <= d / 2 + 3, s"mid-anchored chain took $rounds2 rounds")
+  }
+
   test("one-pass signature plan is a map-only scan (no shuffle)") {
     val plan = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
       .queryExecution.executedPlan.toString

@@ -168,6 +168,40 @@ class StreamingSpec extends SparkTestBase {
     assert(gotG(3L) === 1.0)  // "aaa aaa ..." → one bigram dominates
   }
 
+  test("blocklist filter, BPE token chunking compose on a stream and equal batch") {
+    GraftExtensions.register(spark)
+    val landing = Files.createTempDirectory("graft_bpedocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_bpe").toString
+    val rows = Seq(
+      (1L, "the theater is there tonight", "https://good.com/a"),
+      (2L, "don't stop me now", "https://ads.spam.com/b"), // blocked
+      (3L, "in the end it matters " * 8, "https://fine.org/c"),
+      (4L, "x", null: String))                             // null url keeps
+    rows.toDF("doc_id", "text", "url").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("url", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    // x47 (map-only predicate form) → normalize → x52 token chunking:
+    // the whole curation segment is stateless, so it runs on a stream
+    // with no extra plumbing and must equal the batch run row-for-row
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Bpe.chunkByTokens(
+        df.where(!graft.operators.TextOps.isBlockedDomain(
+            col("url"), Seq("spam.com")))
+          .select(col("doc_id"),
+            graft.operators.TextOps.normalizeText(col("text")).as("text")),
+        graft.operators.BpeProbes.FixedMerges, size = 8, overlap = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+    val got = ForecastStream.runAvailableNow(pipe(stream), "bpe_chunks", ckpt, "append")
+      .collect().map(key).toSet
+    val batch = pipe(rows.toDF("doc_id", "text", "url")).collect().map(key).toSet
+    assert(got === batch)
+    assert(!got.exists(_._1 == 2L)) // the blocked doc never reached chunking
+    assert(got.exists(_._1 == 4L))  // null url keeps on the stream too
+  }
+
   test("streaming heavy hitters keeps the MG guarantee incrementally") {
     // the Misra-Gries buffer is streaming-aggregation state: each
     // micro-batch reduces into it and the mergeable-summaries bound
