@@ -173,7 +173,8 @@ object BenchDedup {
     val chainLen = 21
     val nChains = 1000
     val chainEdges = spark.range(nChains.toLong * (chainLen - 1)).select(
-        (col("id") / (chainLen - 1)).as("c"), (col("id") % (chainLen - 1)).as("i"))
+        expr(s"id div ${chainLen - 1}").as("c"),
+        (col("id") % (chainLen - 1)).as("i"))
       .select((col("c") * chainLen + col("i")).as("id_a"),
         (col("c") * chainLen + col("i") + 1).as("id_b"))
     val ((chainRounds, nChainKeep), tChain) = timed {
@@ -185,6 +186,26 @@ object BenchDedup {
       s"chain components wrong: $nChainKeep keepers")
     require(chainRounds >= chainLen - 1,
       s"diameter-${chainLen - 1} chain converged in $chainRounds rounds?")
+    // REAL-TOKENIZER at volume: train a 200-merge BPE table on the
+    // full 1M-doc corpus (one distributed word-type aggregation, then
+    // the driver merge loop over the ~10k-type dictionary), then
+    // re-count every document in real tokens — the encode is one
+    // map-only codegen scan, so the corpus pass is scan-bound. The
+    // synthetic "w1234" vocabulary would pre-tokenize into single
+    // letters and digits (no pairs to learn), so digits map to letters
+    // first — giving 5-char letter-run word types, the shape BPE
+    // actually trains on.
+    val bpeDocs = docs.select(col("doc_id"),
+      translate(col("text"), "0123456789", "abcdefghij").as("text"))
+    val (bpeMerges, tBpeTrain) = timed {
+      graft.operators.Bpe.train(bpeDocs, numMerges = 200)
+    }
+    val (bpeTokens, tBpeEncode) = timed {
+      bpeDocs.select(graft.operators.Bpe.tokenCount(col("text"), bpeMerges).as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+    }
+    require(bpeMerges.length == 200 && bpeTokens > 0,
+      s"BPE volume run degenerate: ${bpeMerges.length} merges, $bpeTokens tokens")
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
@@ -200,7 +221,9 @@ object BenchDedup {
       s""""mg_found_planted_heavies":$mgHit,""" +
       s""""chain_diameter":${chainLen - 1},"chain_rounds":$chainRounds,""" +
       s""""chain_sec":${f"$tChain%.2f"},""" +
-      s""""chain_sec_per_round":${f"${tChain / chainRounds}%.2f"}}""")
+      s""""chain_sec_per_round":${f"${tChain / chainRounds}%.2f"},""" +
+      s""""bpe_train_sec":${f"$tBpeTrain%.2f"},""" +
+      s""""bpe_corpus_tokens":$bpeTokens,"bpe_encode_sec":${f"$tBpeEncode%.2f"}}""")
     spark.stop()
   }
 }

@@ -118,12 +118,19 @@ object Bpe {
     if (c != 0) c else utf8Compare(a._2, b._2)
   }
 
+  // compile+register once per distinct merge list — repeated calls
+  // (bench warmups, probe re-runs) reuse the registered table instead
+  // of growing the registry
+  private val tableKeys =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], String]()
+
   /** Token array of `text` under `merges` (compiled + validated once
-    * per call site). Map-only codegen'd scan — see
+    * per distinct merge list). Map-only codegen'd scan — see
     * [[graft.expressions.BpeOps]] for the contract. */
   def tokens(text: Column, merges: Seq[(String, String)],
              spaceMark: Boolean = false): Column = {
-    val key = BpeOps.register(BpeOps.compile(merges))
+    val key = tableKeys.computeIfAbsent(merges.toList,
+      m => BpeOps.register(BpeOps.compile(m)))
     call_function("bpe_tokens", text, lit(key), lit(spaceMark))
   }
 

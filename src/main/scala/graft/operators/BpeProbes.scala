@@ -84,18 +84,21 @@ object BpeProbes {
   private def nTokensSql(f: String): String =
     s"CAST(length($f) - length(replace($f, '$E', '')) AS INT)"
 
-  /** The generated training mirror: `numMerges` materialized stages of
-    * (pair counts → argmax → replace), then the merge list re-read out
-    * of the per-stage argmax CTEs. */
-  private def trainSql(numMerges: Int): String = {
+  /** The shared training-stage pipeline: `numMerges` materialized
+    * stages of (pair counts → argmax → replace) over the word-type
+    * dictionary. Each dictionary row carries the ORIGINAL word `w0`
+    * through every stage, so the final stage is also the full
+    * word→token-list encoding under the trained table (what x55 joins
+    * documents against). */
+  private def trainStagesSql(numMerges: Int): Seq[String] = {
     val tokPat = s"$E[^$F]*$F"
     val head =
-      s"""nrm AS (SELECT $nrmSql AS t FROM documents),
-         |w0 AS (SELECT unnest(regexp_extract_all(t,
-         |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w FROM nrm),
+      s"""nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
+         |wraw AS (SELECT unnest(regexp_extract_all(t,
+         |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w0 FROM nrm),
          |s0 AS MATERIALIZED (
-         |  SELECT regexp_replace(w, '(.)', '$E\\1$F', 'g') AS w, COUNT(*) AS f
-         |  FROM w0 GROUP BY 1)""".stripMargin
+         |  SELECT w0, regexp_replace(w0, '(.)', '$E\\1$F', 'g') AS w, COUNT(*) AS f
+         |  FROM wraw GROUP BY 1)""".stripMargin
     val stages = (1 to numMerges).map { i =>
       s"""p$i AS (
          |  SELECT t[g] || t[g+1] AS pair, SUM(f) AS cnt
@@ -106,11 +109,17 @@ object BpeProbes {
          |  GROUP BY 1),
          |m$i AS MATERIALIZED (SELECT pair FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
          |s$i AS MATERIALIZED (
-         |  SELECT replace(x.w, m.pair,
+         |  SELECT x.w0, replace(x.w, m.pair,
          |           '$E' || replace(replace(m.pair, '$E', ''), '$F', '') || '$F') AS w,
          |         x.f
          |  FROM s${i - 1} x, m$i m)""".stripMargin
     }
+    Seq(head) ++ stages
+  }
+
+  /** x51 mirror: the merge list re-read out of the per-stage argmax
+    * CTEs. */
+  private def trainSql(numMerges: Int): String = {
     val outs = (1 to numMerges).map { i =>
       s"""f$i AS (SELECT $i AS merge_rank,
          |  regexp_extract(pair, '$E([^$F]*)$F', 1) AS lhs,
@@ -118,8 +127,26 @@ object BpeProbes {
          |FROM m$i)""".stripMargin
     }
     val union = (1 to numMerges).map(i => s"SELECT * FROM f$i").mkString(" UNION ALL ")
-    "WITH " + (Seq(head) ++ stages ++ outs).mkString(",\n") +
+    "WITH " + (trainStagesSql(numMerges) ++ outs).mkString(",\n") +
       s"\n$union ORDER BY merge_rank"
+  }
+
+  /** x55 mirror: documents re-tokenized under the TRAINED table — the
+    * final stage's word dictionary IS the encoding, so per-document
+    * token counts are one join from pre-token occurrences to it. */
+  private def trainedCountSql(numMerges: Int): String = {
+    val tail =
+      s"""docw AS (SELECT doc_id, unnest(regexp_extract_all(t,
+         |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w0 FROM nrm),
+         |cnts AS (SELECT w0,
+         |           length(w) - length(replace(w, '$E', '')) AS k
+         |         FROM s$numMerges),
+         |dt AS (SELECT doc_id, SUM(k) AS n
+         |       FROM docw JOIN cnts USING (w0) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(dt.n, 0) AS INT) AS n_tokens
+         |FROM documents d LEFT JOIN dt USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    "WITH " + (trainStagesSql(numMerges) :+ tail).mkString(",\n")
   }
 
   val probes: Seq[Probe] = Seq(
@@ -155,6 +182,22 @@ object BpeProbes {
           .orderBy("merge_rank")
       },
       Some(trainSql(24))),
+
+    // Bpe.train → Bpe.tokens composition: documents re-counted under
+    // the table trained on themselves — certifies that the trained
+    // merges actually DRIVE the encode kernel (x50 certifies encode
+    // under a fixed table, x51 the trained table; this closes the loop)
+    Probe("x55_bpe_trained_counts",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"))
+        val merges = Bpe.train(docs, numMerges = 24)
+        docs.select(col("doc_id"),
+            Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(trainedCountSql(24))),
 
     // Bpe.chunkByTokens: sliding-window chunking budgeted in real
     // tokens, chunk text reassembled from space-marked tokens ------------

@@ -75,6 +75,23 @@ class AudioSpec extends SparkTestBase {
     assert(!got(3L).decoded && got(3L).n_bytes === 0)
   }
 
+  test("big-endian AIFF decodes through the same path") {
+    import javax.sound.sampled._
+    val raw = Array[Int](1000, -1000, 32767, -32768)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true) // big-endian PCM16
+    val data = java.nio.ByteBuffer.allocate(raw.length * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    raw.foreach(v => data.putShort(v.toShort))
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data.array()), fmt, raw.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    val got = MultimodalOps.decodeAudio(bos.toByteArray).get
+    assert(got.samples.toSeq === raw.map(_.toDouble / 32768).toSeq)
+    assert(got.nFrames === 4L && got.clipCount === 2L)
+  }
+
   test("8-bit unsigned PCM normalizes around the 128 midpoint") {
     // hand-build an 8-bit unsigned WAV (javax reads PCM_UNSIGNED for 8-bit)
     val samples = Array[Int](128, 0, 255, 192)

@@ -260,6 +260,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("Window"))
   }
 
+  test("x50/x55 BPE encode: one text scan, no join, the sort is the only exchange") {
+    for (name <- Seq("x50_bpe_encode", "x55_bpe_trained_counts")) {
+      val p = planString(name)
+      assert("documents\\.parquet".r.findAllIn(p).size == 1, s"$name re-scans:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      assert("Exchange".r.findAllIn(p).size == 1, s"$name: only the sort may exchange:\n$p")
+    }
+  }
+
+  test("x52 token chunking: map-side explode, no shuffle before the sort") {
+    val p = planString("x52_chunk_by_tokens")
+    assert(p.contains("Generate"), s"chunking explodes map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"only the sort may exchange:\n$p")
+  }
+
+  test("x54 audio features: partition-parallel map, single scan, no join") {
+    val p = planString("x54_audio_features")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, s"re-scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"only the sort may exchange:\n$p")
+  }
+
   test("x29 semantic dedup: no cartesian product, cell join is equi") {
     val p = planString("x29_semantic_dedup")
     assert(!p.contains("CartesianProduct"),
