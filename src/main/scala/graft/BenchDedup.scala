@@ -122,6 +122,18 @@ object BenchDedup {
         .agg(min("lm_score")).collect()(0).getDouble(0)
     }
     require(!lmWorst.isNaN && lmWorst < 0.0, s"lm score degenerate: $lmWorst")
+    // Trained quality classifier at volume: NB over hashed word+bigram
+    // features, trained on the full corpus (label: even doc_id) and
+    // every document scored — one integer-count aggregation bounded at
+    // numBuckets rows, then a broadcast-model scoring pass.
+    val (qcWorst, tQc) = timed {
+      val (c, t) = graft.operators.QualityClassifier.train(
+        docs.withColumn("label", (col("doc_id") % 2 === 0).cast("int")),
+        numBuckets = 1 << 16)
+      graft.operators.QualityClassifier.score(docs, c, t, numBuckets = 1 << 16)
+        .agg(min("q_score")).collect()(0).getDouble(0)
+    }
+    require(!qcWorst.isNaN, s"quality classifier degenerate: $qcWorst")
     // HOT-BUCKET skew guard at volume: 100k boilerplate template pages
     // (identical body, per-page serial) that survive EXACT dedup but
     // collapse into a handful of shared LSH buckets. Uncapped, a
@@ -206,6 +218,19 @@ object BenchDedup {
     }
     require(bpeMerges.length == 200 && bpeTokens > 0,
       s"BPE volume run degenerate: ${bpeMerges.length} merges, $bpeTokens tokens")
+    // encode-to-ids over the same corpus: the id resolution rides the
+    // same single codegen pass, so it should cost ~the encode scan
+    val bpeVocab = graft.operators.Bpe.vocab(
+      graft.operators.Bpe.baseChars(bpeDocs), bpeMerges)
+    val (idStats, tBpeIds) = timed {
+      bpeDocs.select(graft.operators.Bpe.tokenIds(
+          col("text"), bpeMerges, bpeVocab).as("ids"))
+        .agg(sum(size(col("ids"))), min(array_min(col("ids"))))
+        .collect()(0)
+    }
+    require(idStats.getLong(0) == bpeTokens && idStats.getInt(1) >= 0,
+      s"BPE id encode diverged: ${idStats.getLong(0)} ids vs $bpeTokens tokens, " +
+        s"min id ${idStats.getInt(1)}")
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
@@ -216,14 +241,15 @@ object BenchDedup {
       s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"},""" +
       s""""hot_bucket_docs":100000,"hot_bucket_capped_pairs":$nCappedPairs,""" +
       s""""hot_bucket_sec":${f"$tHot%.2f"},""" +
-      s""""lm_score_sec":${f"$tLm%.2f"},""" +
+      s""""lm_score_sec":${f"$tLm%.2f"},"qc_train_score_sec":${f"$tQc%.2f"},""" +
       s""""mg_heavy_hitters_sec":${f"$tMg%.2f"},"exact_topk_sec":${f"$tExactTop%.2f"},""" +
       s""""mg_found_planted_heavies":$mgHit,""" +
       s""""chain_diameter":${chainLen - 1},"chain_rounds":$chainRounds,""" +
       s""""chain_sec":${f"$tChain%.2f"},""" +
       s""""chain_sec_per_round":${f"${tChain / chainRounds}%.2f"},""" +
       s""""bpe_train_sec":${f"$tBpeTrain%.2f"},""" +
-      s""""bpe_corpus_tokens":$bpeTokens,"bpe_encode_sec":${f"$tBpeEncode%.2f"}}""")
+      s""""bpe_corpus_tokens":$bpeTokens,"bpe_encode_sec":${f"$tBpeEncode%.2f"},""" +
+      s""""bpe_ids_sec":${f"$tBpeIds%.2f"},"bpe_vocab_size":${bpeVocab.length}}""")
     spark.stop()
   }
 }

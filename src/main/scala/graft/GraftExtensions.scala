@@ -172,6 +172,14 @@ object GraftExtensions {
         Literal(b: Boolean, BooleanType)) =>
       graft.expressions.BpeTokens(t, graft.expressions.BpeOps.resolve(k.toString), b) }),
 
+    // bpe_token_ids(text, table-key-literal, vocab-key-literal):
+    // encode + vocabulary-id mapping in one pass (UNK → -1).
+    ("bpe_token_ids", 3, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType),
+        Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.BpeTokenIds(t, graft.expressions.BpeOps.resolve(k.toString),
+        graft.expressions.BpeVocab.resolve(v.toString)) }),
+
     // xgb_score(features, path-literal): scores the reference's
     // operational xgboost artifact (parsed from its RDS) in codegen.
     // A "<mem:…>" tag instead of a path resolves a freshly-trained

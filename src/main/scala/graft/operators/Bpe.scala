@@ -139,6 +139,47 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(tokens(text, merges))
 
+  /** Distinct initial codepoints of the corpus pre-tokens, in UTF-8
+    * byte order — the vocabulary's base alphabet. Derived from the
+    * word-TYPE dictionary (the same bounded structure training uses),
+    * so the corpus is touched by one aggregation. */
+  def baseChars(docs: DataFrame, textCol: String = "text",
+                maxWordTypes: Int = 1 << 20): Seq[String] = {
+    val types = docs
+      .select(explode(preTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWordTypes)
+      .collect().map(_.getString(0))
+    types.iterator.flatMap(graft.expressions.BpeOps.initialTokens)
+      .toSeq.distinct
+      .sortWith(utf8Compare(_, _) < 0)
+  }
+
+  /** The full vocabulary in id order: base alphabet first, then each
+    * merge's product by rank. Duplicate products (two merges yielding
+    * the same string — possible in principle, absent from trained
+    * tables) are refused at compile time by [[graft.expressions.BpeVocab]]. */
+  def vocab(base: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    base ++ merges.map { case (l, r) => l + r }
+
+  private val vocabKeys =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], String]()
+
+  /** Token-ID array of `text` — encode and id-map in one map-only
+    * codegen pass. Tokens outside the vocabulary become -1 (UNK);
+    * with a vocabulary built by [[baseChars]]+[[vocab]] over the same
+    * corpus, no -1 can occur. */
+  def tokenIds(text: Column, merges: Seq[(String, String)],
+               vocabTokens: Seq[String]): Column = {
+    val tKey = tableKeys.computeIfAbsent(merges.toList,
+      m => BpeOps.register(BpeOps.compile(m)))
+    val vKey = vocabKeys.computeIfAbsent(vocabTokens.toList,
+      v => graft.expressions.BpeVocab.register(
+        new graft.expressions.BpeVocab(v.toArray)))
+    call_function("bpe_token_ids", text, lit(tKey), lit(vKey))
+  }
+
   /** Ranked merges as a DataFrame (merge_rank, lhs, rhs) — persist as
     * parquet / a catalog table and broadcast-join or re-compile on
     * read; the table is the tokenizer's entire state. */

@@ -183,6 +183,51 @@ object BpeProbes {
       },
       Some(trainSql(24))),
 
+    // Bpe.tokenIds: encode straight to vocabulary ids — the id-order
+    // contract (byte-sorted base alphabet, then merge products by
+    // rank) re-derived independently in SQL and joined token-by-token
+    Probe("x56_bpe_token_ids",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"))
+        val voc = Bpe.vocab(Bpe.baseChars(docs), FixedMerges)
+        docs
+          .withColumn("__ids", Bpe.tokenIds(col("text"), FixedMerges, voc))
+          .select(col("doc_id"),
+            size(col("__ids")).as("n_tokens"),
+            concat_ws(",", transform(col("__ids"), _.cast("string")))
+              .as("ids_str"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val mergeRows = FixedMerges.zipWithIndex
+          .map { case ((l, r), i) => s"('${l + r}', $i)" }.mkString(", ")
+        s"""WITH nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
+           |wt AS (SELECT DISTINCT unnest(regexp_extract_all(t,
+           |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w FROM nrm),
+           |bc AS (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS tok FROM wt),
+           |vb AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS id FROM bc),
+           |nb AS (SELECT COUNT(*) AS n FROM vb),
+           |vm AS (SELECT t.tok, nb.n + t.r AS id
+           |       FROM (VALUES $mergeRows) AS t(tok, r), nb),
+           |voc AS (SELECT tok, id FROM vb UNION ALL SELECT tok, id FROM vm),
+           |fin AS (SELECT doc_id, $fixedEncodeSql AS f FROM documents),
+           |tl AS (SELECT doc_id,
+           |         regexp_extract_all(f, '$E([^$F]*)$F', 1) AS l FROM fin),
+           |tok AS (SELECT doc_id, g.i AS ord, l[g.i] AS tok
+           |        FROM tl, (SELECT unnest(generate_series(1, 100000)) AS i) g
+           |        WHERE g.i <= len(l)),
+           |ids AS (SELECT t.doc_id,
+           |          string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY t.ord) AS ids_str,
+           |          COUNT(*) AS n_tokens
+           |        FROM tok t JOIN voc v USING (tok) GROUP BY t.doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(i.n_tokens, 0) AS INT) AS n_tokens,
+           |  COALESCE(i.ids_str, '') AS ids_str
+           |FROM documents d LEFT JOIN ids i USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Bpe.train → Bpe.tokens composition: documents re-counted under
     // the table trained on themselves — certifies that the trained
     // merges actually DRIVE the encode kernel (x50 certifies encode

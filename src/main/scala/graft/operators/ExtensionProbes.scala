@@ -1576,6 +1576,59 @@ object ExtensionProbes {
              |FROM documents d LEFT JOIN s USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // QualityClassifier: the fastText-style TRAINED quality filter —
+    // multinomial NB over hashed word+bigram features. Train on the
+    // even docs (label: doc_id%4==0 as the "high-quality" class),
+    // score ALL docs. Training is integer counting (exactly
+    // mirrorable); the mirror re-derives hashed features, per-feature
+    // class counts, totals, and the per-doc mean LLR independently ---
+    Probe("x57_quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labeled = docs.where(col("doc_id") % 2 === 0)
+          .withColumn("label", (col("doc_id") % 4 === 0).cast("int"))
+        val (counts, totals) = QualityClassifier.train(labeled, numBuckets = 4096)
+        QualityClassifier.score(docs, counts, totals, numBuckets = 4096, k = 1.0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+             |  SELECT doc_id, g.i AS pos, parts[g.i] AS w
+             |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS parts
+             |        FROM documents),
+             |       (SELECT unnest(generate_series(1, 100000)) AS i) g
+             |  WHERE g.i <= len(parts) AND parts[g.i] <> ''),
+             |bg AS (
+             |  SELECT doc_id, w1 || ' ' || w2 AS term FROM (
+             |    SELECT doc_id, w AS w1,
+             |      LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |    FROM tok0) WHERE w2 IS NOT NULL),
+             |terms AS (
+             |  SELECT doc_id, w AS term FROM tok0
+             |  UNION ALL SELECT doc_id, term FROM bg),
+             |feat AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substring(md5('qc_' || term), 1, 7) AS BIGINT)
+             |      % 4096 AS f
+             |  FROM terms),
+             |lab AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |tr AS (SELECT f, y FROM feat JOIN lab USING (doc_id)),
+             |cnt AS (SELECT f, SUM(y) AS c_pos, SUM(1 - y) AS c_neg
+             |        FROM tr GROUP BY f),
+             |tot AS (SELECT SUM(y) AS t_pos, SUM(1 - y) AS t_neg FROM tr),
+             |s AS (
+             |  SELECT feat.doc_id,
+             |    ROUND(AVG(LN((COALESCE(c_pos, 0) + 1.0) / (t_pos + 1.0 * 4096))
+             |            - LN((COALESCE(c_neg, 0) + 1.0) / (t_neg + 1.0 * 4096))), 6)
+             |      AS q_score,
+             |    COUNT(*) AS n_terms
+             |  FROM feat LEFT JOIN cnt USING (f) CROSS JOIN tot
+             |  GROUP BY 1)
+             |SELECT d.doc_id, s.q_score, COALESCE(s.n_terms, 0) AS n_terms
+             |FROM documents d LEFT JOIN s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Sampling.deterministicMixture: domain reweighting as a pure
     // function of the id — per-source keep fractions, salted
     // independently of split/sample bucketing. Map-only -------------

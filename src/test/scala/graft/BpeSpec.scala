@@ -259,6 +259,37 @@ class BpeSpec extends SparkTestBase {
     assert(out.head().getString(4) === "a b c d")
   }
 
+  // --- token ids -----------------------------------------------------------
+
+  test("tokenIds: ids round-trip through the vocabulary, UNK is -1") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the cat"), (2L, "zzz 世")).toDF("doc_id", "text")
+    val base = Bpe.baseChars(docs)
+    assert(base === base.sorted) // byte order for ASCII == natural order here...
+    val voc = Bpe.vocab(base, BpeProbes.FixedMerges)
+    val got = docs
+      .select(col("doc_id"), Bpe.tokenIds(col("text"), BpeProbes.FixedMerges, voc).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // decode back through the vocab and compare to the string encode
+    val dec1 = got(1L).map(voc(_))
+    assert(dec1 === kernelEncode("the cat", BpeProbes.FixedMerges, mark = false))
+    assert(got(2L).forall(_ >= 0)) // 世 is in the base alphabet (same corpus)
+    // a vocabulary missing the corpus alphabet yields -1, not a crash
+    val tiny = Bpe.vocab(Seq("t", "h", "e"), Seq("t" -> "h", "th" -> "e"))
+    val unk = docs.where($"doc_id" === 1L)
+      .select(Bpe.tokenIds(col("text"), Seq("t" -> "h", "th" -> "e"), tiny).as("ids"))
+      .head().getSeq[Int](0)
+    assert(unk.head >= 0 && unk.count(_ == -1) === 2) // "the","t" known; c,a unknown
+  }
+
+  test("vocabulary: duplicate tokens are refused") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.expressions.BpeVocab(Array("a", "b", "a")).ids
+    }
+    assert(e.getMessage.contains("duplicate token"))
+  }
+
   // --- plan shape ---------------------------------------------------------
 
   test("bpe_tokens projection is map-only: no exchange, codegen'd") {

@@ -200,6 +200,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got === batch)
     assert(!got.exists(_._1 == 2L)) // the blocked doc never reached chunking
     assert(got.exists(_._1 == 4L))  // null url keeps on the stream too
+
+    // x56's id-encode is the same stateless codegen class, so it too
+    // must be batch≡stream with no extra plumbing
+    val ckptIds = Files.createTempDirectory("graft_ckpt_bpeids").toString
+    val voc = graft.operators.Bpe.vocab(
+      graft.operators.Bpe.baseChars(rows.toDF("doc_id", "text", "url")),
+      graft.operators.BpeProbes.FixedMerges)
+    def idPipe(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.operators.Bpe.tokenIds(
+          graft.operators.TextOps.normalizeText(col("text")),
+          graft.operators.BpeProbes.FixedMerges, voc).as("ids"))
+    val gotIds = ForecastStream.runAvailableNow(idPipe(stream), "bpe_ids", ckptIds, "append")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val batchIds = idPipe(rows.toDF("doc_id", "text", "url"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(gotIds === batchIds)
+    assert(gotIds.values.forall(_.forall(_ >= 0))) // vocab from same corpus → no UNK
   }
 
   test("streaming heavy hitters keeps the MG guarantee incrementally") {
