@@ -112,6 +112,15 @@ object BenchDedup {
       graft.operators.TextOps.lineDedup(lined)
         .agg(sum("n_dropped")).collect()(0).getLong(0)
     }
+    // SPAN-level (ExactSubstr) dedup over the same planted corpus: the
+    // 300k-copy boilerplate line duplicates every one of its k-grams —
+    // the hot gram collapses map-side in the first-occurrence agg, and
+    // the interval merge runs per-doc (high-cardinality, unskewed).
+    val (nSpanRemoved, tSpan) = timed {
+      graft.operators.TextOps.exactSpanDedup(lined, k = 6)
+        .agg(sum("n_removed")).collect()(0).getLong(0)
+    }
+    require(nSpanRemoved > 0, s"span dedup degenerate: $nSpanRemoved")
     // LM quality scoring at volume: train the add-k bigram statistics
     // on the full 1M-doc corpus (~43M tokens) and score every document
     // — one window for pairing, two keyed joins against the counts
@@ -239,6 +248,7 @@ object BenchDedup {
       s""""ingest_batch":10000,"ingest_index_sec":${f"$tIndex%.2f"},""" +
       s""""ingest_hits":$nIngest,"ingest_sec":${f"$tIngest%.2f"},""" +
       s""""line_dedup_dropped":$nLineDropped,"line_dedup_sec":${f"$tLine%.2f"},""" +
+      s""""span_dedup_removed_tokens":$nSpanRemoved,"span_dedup_sec":${f"$tSpan%.2f"},""" +
       s""""hot_bucket_docs":100000,"hot_bucket_capped_pairs":$nCappedPairs,""" +
       s""""hot_bucket_sec":${f"$tHot%.2f"},""" +
       s""""lm_score_sec":${f"$tLm%.2f"},"qc_train_score_sec":${f"$tQc%.2f"},""" +

@@ -1133,6 +1133,66 @@ object ExtensionProbes {
              |  len(string_split(a.aug, chr(10))) - COALESCE(k.n_kept, 0) AS n_dropped
              |FROM a LEFT JOIN k USING (doc_id) ORDER BY a.doc_id""".stripMargin)),
 
+    // TextOps.exactSpanDedup: ExactSubstr-style duplicated-SPAN
+    // removal (Lee et al. 2021) — every duplicated 8-token span keeps
+    // only its first corpus occurrence; later occurrences are excised
+    // from the text. The mirror re-derives gram hashes, the
+    // first-occurrence rule (ROW_NUMBER vs min(struct) — same order),
+    // gaps-and-islands interval merging, and the token-level rebuild
+    // completely independently --------------------------------------
+    Probe("x58_exact_span_dedup",
+      (s, d) => TextOps.exactSpanDedup(Tables.documents(s, d), k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    x -> x <> '') AS parts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, gg.i - 1 AS s,
+             |    CAST('0x' || substring(md5('ss_' ||
+             |      array_to_string(list_slice(parts, gg.i, gg.i + 7), ' ')),
+             |      1, 15) AS BIGINT) AS h
+             |  FROM w, (SELECT unnest(generate_series(1, 100000)) AS i) gg
+             |  WHERE gg.i <= len(parts) - 7),
+             |dup AS (
+             |  SELECT doc_id, s, s + 8 AS e FROM (
+             |    SELECT doc_id, s,
+             |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+             |      COUNT(*) OVER (PARTITION BY h) AS c
+             |    FROM g)
+             |  WHERE c > 1 AND rn > 1),
+             |iv AS (
+             |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM (
+             |    SELECT doc_id, s, e,
+             |      SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY doc_id ORDER BY s
+             |              ROWS UNBOUNDED PRECEDING) AS grp
+             |    FROM (SELECT doc_id, s, e,
+             |            MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |          FROM dup))
+             |  GROUP BY doc_id, grp),
+             |cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM iv),
+             |rem AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_removed
+             |        FROM iv GROUP BY doc_id),
+             |tok AS (
+             |  SELECT doc_id, gg.i - 1 AS pos, parts[gg.i] AS w
+             |  FROM w, (SELECT unnest(generate_series(1, 100000)) AS i) gg
+             |  WHERE gg.i <= len(parts)),
+             |kept AS (
+             |  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text_clean
+             |  FROM tok t LEFT JOIN cov c
+             |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+             |  WHERE c.doc_id IS NULL
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(kept.text_clean, '') AS text_clean,
+             |  COALESCE(rem.n_removed, 0) AS n_removed
+             |FROM documents d
+             |LEFT JOIN kept USING (doc_id) LEFT JOIN rem USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // PqIndex.ivfPqTopK: the COMPOSED scale path — IVF cell pruning
     // (x23's certified quantizer) feeding the PQ ADC shortlist (x27's
     // certified codebook) then exact rerank. The parts were already

@@ -305,6 +305,83 @@ object TextOps {
                      textCol: String = "text"): DataFrame =
     lineDedup(docs, idCol, textCol, minDedupLen = 1, sep = "\n\n")
 
+  /** ExactSubstr-style span dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every duplicated
+    * k-token span keeps only its FIRST corpus occurrence
+    * (min (doc_id, pos)); all later occurrences — across documents or
+    * within one — are excised from the text. The reference algorithm
+    * is a corpus suffix array; here the same contract is relational:
+    *
+    *  1. k-gram hash rows (60-bit salted md5 of the space-joined
+    *     window) built map-only from the word array — no self-join;
+    *  2. first occurrence per hash = one `min(struct)` aggregation —
+    *     partial-aggregates map-side, so a boilerplate span repeated a
+    *     billion times collapses per-partition before the shuffle
+    *     (same skew-immunity argument as [[lineDedup]]);
+    *  3. later occurrences become [pos, pos+k) removal intervals,
+    *     merged per document with the classic gaps-and-islands window
+    *     (per-doc partitions: high-cardinality, unskewed);
+    *  4. surviving tokens reassemble with one groupBy.
+    *
+    * Output: (id, text_clean, n_removed) — n_removed in tokens;
+    * documents shorter than k tokens pass through untouched (their
+    * text still re-normalizes to the lowercased single-spaced token
+    * form, so equal inputs produce equal outputs at any k).
+    *
+    * Contract detail: a token survives iff NO non-first occurrence of
+    * a duplicated gram covers it. In self-overlapping periodic text
+    * ("spam spam spam …") the overlapping later occurrences cover all
+    * but the first token — by design: within-document periodicity is
+    * exactly what repetition filters remove wholesale, and any
+    * "protect the keeper's span" refinement is ambiguous where keeper
+    * and duplicate occurrences overlap. */
+  def exactSpanDedup(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wsCol = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")
+    val toks = docs.select(col(idCol), wsCol.as("ws"))
+    val spanHash = (gram: Column) =>
+      conv(substring(md5(concat(lit("ss_"), gram)), 1, 15), 16, 10).cast("long")
+    val grams = toks.select(col(idCol),
+      posexplode(
+        when(size(col("ws")) >= k,
+          transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+            i => spanHash(array_join(slice(col("ws"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("s", "h")))
+    val keeper = grams.groupBy("h")
+      .agg(min(struct(col(idCol), col("s"))).as("first"), count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select(col("h"), col(s"first.$idCol").as("kid"), col("first.s").as("ks"))
+    val dups = grams.join(keeper, Seq("h"))
+      .where(!(col(idCol) === col("kid") && col("s") === col("ks")))
+      .select(col(idCol), col("s"), (col("s") + k).as("e"))
+    val ord = Window.partitionBy(idCol).orderBy("s")
+    val iv = dups
+      .withColumn("prev_max",
+        max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1)
+            .otherwise(0))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val covered = iv.select(col(idCol),
+      explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val removed = iv.groupBy(col(idCol)).agg(sum(col("e") - col("s")).as("n_removed"))
+    val kept = toks.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w"))).as("text_clean"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Gopher/MassiveText within-document repetition signals
     * (Rae et al. 2021 §A1.1): fraction of duplicated non-blank lines,
     * fraction of duplicated non-blank paragraphs, and the fraction of
