@@ -143,6 +143,17 @@ object BenchDedup {
         .agg(min("q_score")).collect()(0).getDouble(0)
     }
     require(!qcWorst.isNaN, s"quality classifier degenerate: $qcWorst")
+    // the deployment path: same pipeline with codegen'd xxhash64
+    // instead of the engine-portable (DuckDB-mirrorable) md5
+    val (qcFastWorst, tQcFast) = timed {
+      val (c, t) = graft.operators.QualityClassifier.train(
+        docs.withColumn("label", (col("doc_id") % 2 === 0).cast("int")),
+        numBuckets = 1 << 16, fastHash = true)
+      graft.operators.QualityClassifier.score(docs, c, t,
+          numBuckets = 1 << 16, fastHash = true)
+        .agg(min("q_score")).collect()(0).getDouble(0)
+    }
+    require(!qcFastWorst.isNaN, s"fast-hash classifier degenerate: $qcFastWorst")
     // HOT-BUCKET skew guard at volume: 100k boilerplate template pages
     // (identical body, per-page serial) that survive EXACT dedup but
     // collapse into a handful of shared LSH buckets. Uncapped, a
@@ -252,6 +263,7 @@ object BenchDedup {
       s""""hot_bucket_docs":100000,"hot_bucket_capped_pairs":$nCappedPairs,""" +
       s""""hot_bucket_sec":${f"$tHot%.2f"},""" +
       s""""lm_score_sec":${f"$tLm%.2f"},"qc_train_score_sec":${f"$tQc%.2f"},""" +
+      s""""qc_fast_hash_sec":${f"$tQcFast%.2f"},""" +
       s""""mg_heavy_hitters_sec":${f"$tMg%.2f"},"exact_topk_sec":${f"$tExactTop%.2f"},""" +
       s""""mg_found_planted_heavies":$mgHit,""" +
       s""""chain_diameter":${chainLen - 1},"chain_rounds":$chainRounds,""" +

@@ -139,6 +139,16 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(tokens(text, merges))
 
+  /** Inverse of [[tokens]] with `spaceMark = true`: space-marked
+    * tokens carry their word boundary, so plain concatenation
+    * reconstructs the (normalized) input EXACTLY — tokenization is
+    * lossless, the invariant probe x59 certifies corpus-wide. */
+  def detokenize(toks: Column): Column =
+    // concat_ws maps a null array to "" — preserve null so the
+    // operator is the exact inverse (tokens(null) is null)
+    when(toks.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("", toks))
+
   /** Distinct initial codepoints of the corpus pre-tokens, in UTF-8
     * byte order — the vocabulary's base alphabet. Derived from the
     * word-TYPE dictionary (the same bounded structure training uses),

@@ -228,6 +228,27 @@ object BpeProbes {
            |ORDER BY d.doc_id""".stripMargin
       }),
 
+    // Bpe.tokens → Bpe.detokenize round trip: tokenization is
+    // LOSSLESS — space-marked tokens concatenate back to the
+    // normalized text exactly. The oracle is the independent x15
+    // normalization mirror alone: any encode path that drops, reorders
+    // or re-spaces a character diverges from it ---------------------
+    Probe("x59_bpe_roundtrip",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            Bpe.detokenize(Bpe.tokens(
+              TextOps.normalizeText(col("text")), FixedMerges,
+              spaceMark = true)).as("text"))
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("int").as("n_chars_nrm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, $nrmSql AS text,
+              |  CAST(length($nrmSql) AS INT) AS n_chars_nrm
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Bpe.train → Bpe.tokens composition: documents re-counted under
     // the table trained on themselves — certifies that the trained
     // merges actually DRIVE the encode kernel (x50 certifies encode

@@ -283,6 +283,19 @@ class BpeSpec extends SparkTestBase {
     assert(unk.head >= 0 && unk.count(_ == -1) === 2) // "the","t" known; c,a unknown
   }
 
+  test("detokenize inverts space-marked tokens; null stays null") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "the cat, isn't here 42 times"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        Bpe.detokenize(Bpe.tokens(col("text"), BpeProbes.FixedMerges,
+          spaceMark = true)).as("rt"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("the cat, isn't here 42 times"))
+    assert(out(2L) === None)
+  }
+
   test("vocabulary: duplicate tokens are refused") {
     val e = intercept[IllegalArgumentException] {
       new graft.expressions.BpeVocab(Array("a", "b", "a")).ids

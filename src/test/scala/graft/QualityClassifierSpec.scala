@@ -115,6 +115,19 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("fastHash path: same term counts, classes still separate") {
+    val (counts, totals) = QualityClassifier.train(
+      labeled.toDF("doc_id", "text", "label"), numBuckets = 4096,
+      fastHash = true)
+    val s = QualityClassifier.score(
+        docsAll.toDF("doc_id", "text"), counts, totals, numBuckets = 4096,
+        fastHash = true)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) Double.NaN else r.getDouble(1)), r.getLong(2))).toMap
+    assert(s(1L)._2 === 15L) // 8 words + 7 bigrams — hashing doesn't change counts
+    assert(s(1L)._1 > 0 && s(3L)._1 < 0, s"fast-hash model must separate: $s")
+  }
+
   test("plan: the model join broadcasts — no sort-merge join in score") {
     val (counts, totals) = QualityClassifier.train(
       labeled.toDF("doc_id", "text", "label"), numBuckets = 4096)
