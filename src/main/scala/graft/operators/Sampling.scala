@@ -103,6 +103,82 @@ object Sampling {
     df.where(bucket < cutoff)
   }
 
+  /** Global token-budget selection: rank documents by `scoreCol`
+    * descending (ties to the smallest id) and keep the ranked prefix
+    * whose RUNNING token total stays within `budget` — the "fill a
+    * 1T-token training budget with the best documents" step of corpus
+    * assembly. The contract is the global greedy prefix: a document
+    * keeps iff the cumulative `tokenCol` sum of every document ranked
+    * at-or-before it is ≤ budget (no skip-and-backfill).
+    *
+    * The obvious formulation — `SUM(tokens) OVER (ORDER BY score
+    * DESC)` — is a GLOBAL window: one task sorts and scans the whole
+    * corpus. This implementation never builds that window:
+    *
+    *  1. one aggregation finds the score range; scores quantize into
+    *     `numBuckets` grid cells (monotone: a strictly better score
+    *     never lands in a later bucket, equal scores share a bucket —
+    *     so bucket order REFINES the global rank order);
+    *  2. one keyed aggregation sums tokens per bucket; the driver
+    *     scans the ≤ numBuckets partial sums to find the boundary
+    *     bucket where the running total crosses the budget (bounded
+    *     collect, like the PQ codebook pulls);
+    *  3. buckets before the boundary keep wholesale — no per-row
+    *     cumsum ever materializes for them; the exact window cumsum
+    *     runs only INSIDE the boundary bucket (~1/numBuckets of the
+    *     corpus in expectation) against the remaining budget.
+    *
+    * The result is row-for-row identical to the global-window rule
+    * (bucket order refines rank order, and within the boundary bucket
+    * the window uses the same (score desc, id) order). Rows with NULL
+    * score or NULL token count are excluded from selection — an
+    * unscored document cannot be ranked. Token counts must be ≥ 0.
+    *
+    * Output: (id, score, n_tokens) for the selected documents. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long, scoreCol: String,
+                        tokenCol: String, idCol: String = "doc_id",
+                        numBuckets: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val base = docs.select(col(idCol),
+        col(scoreCol).cast("double").as("score"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .where(col("score").isNotNull && col("n_tokens").isNotNull)
+    val mm = base.agg(min("score"), max("score")).collect()(0)
+    if (mm.isNullAt(0)) return base.limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bucket =
+      if (hi == lo) lit(0)
+      else least(lit(numBuckets - 1),
+        floor((lit(hi) - col("score")) / ((hi - lo) / numBuckets)).cast("int"))
+    val bucketed = base.withColumn("_b", bucket)
+    val perBucket = bucketed.groupBy("_b")
+      .agg(sum("n_tokens").as("bt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var running = 0L
+    var boundary = -1 // first bucket whose tokens don't all fit
+    var prefixBefore = 0L
+    perBucket.foreach { case (b, bt) =>
+      if (boundary < 0) {
+        if (running + bt > budget) { boundary = b; prefixBefore = running }
+        else running += bt
+      }
+    }
+    if (boundary < 0) return bucketed.drop("_b") // everything fits
+    val keepWhole = bucketed.where(col("_b") < boundary).drop("_b")
+    // exact resolution confined to the boundary bucket: the window is
+    // keyed on _b (a single value here), ordered by the same global
+    // rank order restricted to the bucket
+    val w = Window.partitionBy("_b")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = bucketed.where(col("_b") === boundary)
+      .withColumn("_cum", sum("n_tokens").over(w))
+      .where(col("_cum") <= budget - prefixBefore)
+      .drop("_b", "_cum")
+    keepWhole.unionByName(boundaryKept)
+  }
+
   /** GPT-style sequence packing: concatenate documents in id order
     * within each shard and cut the token stream every `budget` tokens;
     * a document's `pack_id` is the chunk its first token lands in

@@ -75,6 +75,51 @@ object TextOps {
     }
   }
 
+  /** Unicode script classes for [[scriptProfile]], in priority order
+    * (ties go to the earlier entry). BMP-only ranges, so the
+    * length-difference counting below is UTF-16/codepoint agnostic —
+    * an astral character inflates both lengths equally and cancels. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin"      -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic"   -> "[\\x{0400}-\\x{04FF}]",
+    "greek"      -> "[\\x{0370}-\\x{03FF}]",
+    "arabic"     -> "[\\x{0600}-\\x{06FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk"        -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "hangul"     -> "[\\x{AC00}-\\x{D7AF}]")
+
+  /** Count of `cls` characters in `t`: length minus length-with-them-
+    * removed — no explode, no split array, one regexp pass. */
+  private def scriptCount(t: Column, cls: String): Column =
+    coalesce(length(t) - length(regexp_replace(t, cls, "")), lit(0))
+      .cast("long")
+
+  /** Unicode-script histogram per document + the dominant script —
+    * the script-level complement of [[languageGuess]] (whose stopword
+    * lists are alphabet-specific: a Cyrillic or CJK page defeats
+    * Latin stopword matching, but its script is unambiguous).
+    * Map-only: one regexp count per script class, dominant = first
+    * class in [[ScriptClasses]] order reaching the max count, `none`
+    * when no scripted characters exist. `script_frac` is the dominant
+    * class's share of scripted characters (0 for `none`). */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val counts = ScriptClasses.map { case (name, cls) => name -> scriptCount(t, cls) }
+    val total = counts.map(_._2).reduce(_ + _)
+    val maxC = greatest(counts.map(_._2): _*)
+    val dominant = when(total === 0, lit("none")).otherwise(
+      counts.foldRight(lit("none")) { case ((name, c), acc) =>
+        when(c === maxC, lit(name)).otherwise(acc)
+      })
+    docs.select(Seq(col(idCol)) ++
+      counts.map { case (name, c) => c.as(s"n_$name") } ++ Seq(
+      total.as("n_scripted"),
+      dominant.as("script"),
+      when(total === 0, lit(0.0))
+        .otherwise(maxC.cast("double") / total).as("script_frac")): _*)
+  }
+
   /** Whitespace tokens as (id, pos, w) rows — lowercased, blanks
     * dropped. The explode is map-side; downstream shapes decide the
     * shuffles. */

@@ -521,4 +521,57 @@ class ExtensionSpec extends SparkTestBase {
     // fr stream restarts at 0 independently
     assert(got(10L) == (0L, 0L) && got(11L) == (600L, 1L))
   }
+
+  test("tokenBudgetSelect equals the global-window rule; nulls excluded") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: heavy score ties (5 values over 200 rows), variable
+    // token sizes, an unrankable null-score row, tiny bucket count so
+    // several buckets collapse together
+    val docs = ((1L to 200L).map(id =>
+        (id, Some((id % 5).toDouble), Some(id % 17 + 1L))) :+
+        ((201L, Option.empty[Double], Some(5L))) :+
+        ((202L, Some(99.0), Option.empty[Long])))
+      .toDF("doc_id", "score", "n_toks")
+    for (budget <- Seq(0L, 7L, 500L, 1200L, 100000L)) {
+      val fast = Sampling.tokenBudgetSelect(docs, budget, "score", "n_toks",
+          numBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val naive = docs
+        .where(col("score").isNotNull && col("n_toks").isNotNull)
+        .withColumn("cum", sum("n_toks").over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum") <= budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fast === naive, s"budget=$budget")
+    }
+    // constant scores: everything lands in one bucket (degenerate but exact)
+    val const = Seq((1L, 1.0, 10L), (2L, 1.0, 10L), (3L, 1.0, 10L))
+      .toDF("doc_id", "score", "n_toks")
+    val got = Sampling.tokenBudgetSelect(const, 25L, "score", "n_toks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("scriptProfile: per-script counts, dominance priority, none, astral-safe") {
+    val docs = Seq(
+      (1L, "hello мир"),            // latin 5, cyrillic 3 → latin
+      (2L, "привет hi"),            // cyrillic 6, latin 2 → cyrillic
+      (3L, "αβγ abc"),              // tie 3-3 → latin (priority order)
+      (4L, "123 !!!"),              // none
+      (5L, "漢字 안녕"),              // cjk 2, hangul 2 → cjk (priority)
+      (6L, "a😀b"))                  // astral char cancels in the count
+      .toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("script"),
+        r.getAs[Long]("n_latin"), r.getAs[Long]("n_scripted"),
+        r.getAs[Double]("script_frac")))).toMap
+    assert(out(1L) === (("latin", 5L, 8L, 5.0 / 8)))
+    assert(out(2L)._1 === "cyrillic")
+    assert(out(3L) === (("latin", 3L, 6L, 0.5)))
+    assert(out(4L) === (("none", 0L, 0L, 0.0)))
+    assert(out(5L)._1 === "cjk")
+    assert(out(6L) === (("latin", 2L, 2L, 1.0)))
+  }
 }

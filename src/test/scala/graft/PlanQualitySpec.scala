@@ -249,6 +249,50 @@ class PlanQualitySpec extends SparkTestBase {
       s"hash split must be a pure projection:\n$p")
   }
 
+  test("x60 url canonicalize: pure projection, no shuffle, no join") {
+    val p = planString("x60_url_canonical")
+    // the orderBy is the probe's determinism sort; everything below it
+    // must be map-only
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, // the probe sort only
+      s"canonicalization must be map-only before the sort:\n$p")
+  }
+
+  test("x61 url dedup: keeper agg is partial map-side (skew-immune)") {
+    val p = planString("x61_url_dedup")
+    // first-occurrence min(struct) must partial-aggregate before the
+    // canonical-url shuffle — a hot URL collapses per input partition
+    // (struct min is not hash-aggregable, so it shows as a partial
+    // SortAggregate; the skew immunity is the partial, not the hash)
+    assert(p.contains("partial_min"),
+      s"keeper choice must map-side combine:\n$p")
+    assert(p.indexOf("partial_min") > p.indexOf("Exchange hashpartitioning"),
+      s"partial agg must sit below the canonical-url exchange:\n$p")
+  }
+
+  test("x62 domain quota: local pre-top-k bounds the per-host window input") {
+    val p = planString("x62_domain_quota")
+    // two window passes: (host, bucket) local then host global —
+    // the mega-host never reaches one task unfiltered
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"quota must run the two-phase top-k:\n$p")
+    assert(p.contains("pmod"), s"phase 1 must partition by hash bucket:\n$p")
+  }
+
+  test("x64 token budget: NO global window — selection is bucketed") {
+    val df = ProbeQueries.queryMap("x64_token_budget")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only window is the boundary bucket's cumsum, keyed on _b —
+    // an unkeyed window (windowspecdefinition starting with the order
+    // spec instead of the _b partition column) would be the
+    // single-task global cumsum this operator exists to avoid
+    val specs = "windowspecdefinition\\(([^#)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected the boundary-bucket window:\n$p")
+    assert(specs.forall(_.startsWith("_b")),
+      s"token budget must never build an unpartitioned window: $specs\n$p")
+  }
+
   test("x31 pack sequences: exactly one exchange (the shard window)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),

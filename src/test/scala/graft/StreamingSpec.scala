@@ -220,6 +220,40 @@ class StreamingSpec extends SparkTestBase {
     assert(gotIds.values.forall(_.forall(_ >= 0))) // vocab from same corpus → no UNK
   }
 
+  test("url canonicalization + script profile run unchanged on a stream") {
+    val landing = Files.createTempDirectory("graft_urldocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_url").toString
+    val rows = Seq(
+      (1L, "hello world", "HTTPS://WWW.A.com:443/x/?b=2&utm_source=s&a=1#f"),
+      (2L, "привет мир", "http://b.com/p"),
+      (3L, "12345", "nope"))
+    rows.toDF("doc_id", "text", "url").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("url", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    // both ops are pure projections — the curation DAG stays
+    // streaming-composable end-to-end
+    val gotProfile = ForecastStream.runAvailableNow(
+        graft.operators.TextOps.scriptProfile(stream), "scripts", ckpt, "append")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("script")).toMap
+    val batchProfile = graft.operators.TextOps.scriptProfile(
+        rows.toDF("doc_id", "text", "url"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("script")).toMap
+    assert(gotProfile === batchProfile)
+    assert(gotProfile(2L) === "cyrillic" && gotProfile(3L) === "none")
+    val ckpt2 = Files.createTempDirectory("graft_ckpt_url2").toString
+    val gotCanon = ForecastStream.runAvailableNow(
+        stream.select(col("doc_id"),
+          graft.operators.UrlOps.canonicalizeUrl(col("url")).as("canon")),
+        "canon", ckpt2, "append")
+      .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("canon"))).toMap
+    assert(gotCanon === Map(
+      1L -> Some("https://a.com/x?a=1&b=2"),
+      2L -> Some("http://b.com/p"),
+      3L -> None))
+  }
+
   test("streaming heavy hitters keeps the MG guarantee incrementally") {
     // the Misra-Gries buffer is streaming-aggregation state: each
     // micro-batch reduces into it and the mergeable-summaries bound
