@@ -148,6 +148,11 @@ object GraftExtensions {
         litInt("winnowing_fps", w)) }),
     ("word_counts", 1, { case Seq(t) =>
       graft.expressions.WordCounts(t) }),
+    // unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD'): the form is a
+    // plan-time constant (selects the generated code path).
+    ("unicode_normalize", 2, { case Seq(t,
+        Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.UnicodeNormalize(t, f.toString) }),
     // nearest_value(v, values-literal, keys-literal): J9 nearest lookup
     // as a map-only binary search over a broadcast value table.
     ("nearest_value", 3, { case Seq(v,

@@ -593,6 +593,36 @@ object TextOps {
     * would pay the scan once per metric. Column values are identical
     * to the individually oracle-certified operators (x01-x04, x20,
     * x45). */
+  /** HTML → text extraction for crawl processing: the step between a
+    * fetched page and every text operator above. Removal order is part
+    * of the contract — comments, then script/style BLOCKS (their text
+    * content is code, not prose), then remaining tags, then entity
+    * decoding (`&amp;` LAST, so `&amp;lt;` decodes to the literal
+    * `&lt;` and not to `<`), then whitespace collapse. Every pattern
+    * is in the Java-regex ∩ RE2 common subset ((?is) inline flags,
+    * non-greedy `.*?`, no lookaround) so the DuckDB oracle runs the
+    * SAME chain verbatim. Map-only; stays in whole-stage codegen.
+    *
+    * This is the text-density-free core of a trafilatura/jusText-style
+    * extractor: deterministic and engine-portable. Boilerplate
+    * REMOVAL (nav/footer pruning by link density) is a policy layer a
+    * caller builds ON the extracted text, e.g. with [[lineDedup]]
+    * over the corpus (nav lines repeat corpus-wide and fall out). */
+  def stripHtml(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def curationProfile(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
