@@ -55,7 +55,7 @@ object BpeProbes {
   private def encInitSql(t: String): String =
     s"""array_to_string(list_transform(string_split($t, ' '),
        |    seg -> array_to_string(list_transform(
-       |      regexp_extract_all(seg, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'),
+       |      regexp_extract_all(seg, '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]'),
        |      x -> regexp_replace(x, '(.)', '$E\\1$F', 'g')), '$G')), ' ')""".stripMargin
 
   /** Chained replace applying `merges` in rank order. */
@@ -95,7 +95,7 @@ object BpeProbes {
     val head =
       s"""nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
          |wraw AS (SELECT unnest(regexp_extract_all(t,
-         |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w0 FROM nrm),
+         |         '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]')) AS w0 FROM nrm),
          |s0 AS MATERIALIZED (
          |  SELECT w0, regexp_replace(w0, '(.)', '$E\\1$F', 'g') AS w, COUNT(*) AS f
          |  FROM wraw GROUP BY 1)""".stripMargin
@@ -137,7 +137,7 @@ object BpeProbes {
   private def trainedCountSql(numMerges: Int): String = {
     val tail =
       s"""docw AS (SELECT doc_id, unnest(regexp_extract_all(t,
-         |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w0 FROM nrm),
+         |           '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]')) AS w0 FROM nrm),
          |cnts AS (SELECT w0,
          |           length(w) - length(replace(w, '$E', '')) AS k
          |         FROM s$numMerges),
@@ -205,7 +205,7 @@ object BpeProbes {
           .map { case ((l, r), i) => s"('${l + r}', $i)" }.mkString(", ")
         s"""WITH nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
            |wt AS (SELECT DISTINCT unnest(regexp_extract_all(t,
-           |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS w FROM nrm),
+           |         '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]')) AS w FROM nrm),
            |bc AS (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS tok FROM wt),
            |vb AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS id FROM bc),
            |nb AS (SELECT COUNT(*) AS n FROM vb),

@@ -24,8 +24,13 @@ object TextOps {
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish pre-tokenizer count: letter runs, single digits, or
-    * single non-alphanumeric marks (the usual GPT-2-style prelude). */
-  val PreTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    * single non-alphanumeric marks (the usual GPT-2-style prelude).
+    * Unicode-category classes (`\p{L}`/`\p{N}`), so non-Latin words
+    * ("café", Cyrillic, CJK) count as letter runs, not one pre-token
+    * per codepoint — this is the unit of account for every token
+    * budget in the suite, and a multilingual crawl is mostly
+    * non-ASCII. Java and DuckDB RE2 agree codepoint-for-codepoint. */
+  val PreTokenPattern = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]"
   def preTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PreTokenPattern), lit(0)))
 

@@ -150,6 +150,26 @@ class BpeSpec extends SparkTestBase {
     assert(kernelEncode("a😀b", BpeProbes.FixedMerges) === List("a", "😀", "b"))
   }
 
+  test("Unicode prelude: non-Latin words pre-tokenize as words, not codepoints") {
+    val m = java.util.regex.Pattern.compile(BpeOps.PreTokenPattern)
+    def pre(s: String): List[String] = {
+      val it = m.matcher(s)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.find()) out += it.group()
+      out.toList
+    }
+    assert(pre("café au lait") === List("café", "au", "lait"))
+    assert(pre("привет мир") === List("привет", "мир"))
+    assert(pre("漢字だよ") === List("漢字だよ")) // CJK letters form one run
+    assert(pre("東京 2020 大会") === List("東京", "2", "0", "2", "0", "大会"))
+    assert(pre("don't stop") === List("don", "'", "t", "stop"))
+    assert(pre("½①") === List("½", "①")) // Nl/No numerals are \p{N}: one each
+    assert(pre("𝔘nicode") === List("𝔘nicode")) // astral letter joins the run
+    // merges operate on whole non-Latin words now — "пр" can merge
+    val toks = kernelEncode("привет привет", Seq("п" -> "р"), mark = false)
+    assert(toks.take(1) === List("пр") && toks.length === 10)
+  }
+
   test("space marking reassembles normalized text exactly") {
     val texts = Seq("the quick, brown fox!", "don't 3.14 x-y", "a  b\tc")
     for (t <- texts) {
