@@ -221,5 +221,160 @@ object CurationProbes {
              |  FROM t)
              |SELECT doc_id, score, n_tokens FROM c
              |WHERE cum <= 12000 ORDER BY doc_id""".stripMargin)),
+
+    // graft.expressions.UnicodeNormalize: NFC over the real corpus
+    // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
+    // NFKC over synthesized normalization-unstable graphemes — the
+    // expected forms are stated literally, ground truth by
+    // construction (combining mark composes, ligature/superscript/
+    // fullwidth/angstrom fold under NFKC but not NFC) ----------------
+    Probe("x65_unicode_normalize",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val id = col("doc_id")
+        val mark = when(id % 5 === 0, "éclair") // e + combining acute
+          .when(id % 5 === 1, "ﬁle")             // fi ligature
+          .when(id % 5 === 2, "x²y")             // superscript two
+          .when(id % 5 === 3, "Ｆｕｌｌ") // fullwidth Full
+          .otherwise("Ångstrom")                 // angstrom sign
+        Tables.documents(s, d)
+          .select(id,
+            call_function("unicode_normalize", col("text"), lit("NFC"))
+              .as("nfc_text"),
+            call_function("unicode_normalize", mark, lit("NFC"))
+              .as("nfc_mark"),
+            call_function("unicode_normalize", mark, lit("NFKC"))
+              .as("nfkc_mark"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, nfc_normalize(text) AS nfc_text,
+             |  CASE doc_id % 5 WHEN 0 THEN 'éclair' WHEN 1 THEN 'ﬁle'
+             |       WHEN 2 THEN 'x²y' WHEN 3 THEN 'Ｆｕｌｌ'
+             |       ELSE 'Ångstrom' END AS nfc_mark,
+             |  CASE doc_id % 5 WHEN 0 THEN 'éclair' WHEN 1 THEN 'file'
+             |       WHEN 2 THEN 'x2y' WHEN 3 THEN 'Full'
+             |       ELSE 'Ångstrom' END AS nfkc_mark
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PiiOps.redactPii: per-category counts + sequential redaction
+    // over synthesized PII (corpus has none). The synthesis plants the
+    // contract's hard cases: a version string that must NOT count as
+    // an IP, space-adjacent IPs that need the second replace pass, and
+    // a short '+'-prefixed price range that must NOT count as a phone.
+    // The oracle interpolates the operator's own pattern constants —
+    // the regex strings ARE the certified contract ------------------
+    Probe("x66_pii_redact",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = concat(col("text"),
+          lit(" ip "), ((id % 200) + 1).cast("string"),
+          lit("."), (id % 250).cast("string"), lit(".7."), (id % 9).cast("string"),
+          lit(" ver 1.2."), (id % 9).cast("string"), lit(".4.5"),
+          lit(" twin 9.9.9.9 8.8.8."), (id % 9).cast("string"),
+          lit(" tel +1 415 555 "), ((id % 9000) + 1000).cast("string"),
+          lit(" px +5 10-20 m"), id.cast("string"), lit("@ex.org"))
+        PiiOps.redactPii(
+            Tables.documents(s, d).withColumn("aug", aug), textCol = "aug")
+          .select(col("doc_id"), col("text_redacted"),
+            md5(col("text_redacted")).as("red_md5"),
+            col("n_emails"), col("n_ipv4"), col("n_phones"), col("pii_total"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val em = PiiOps.EmailPattern
+        val ip = PiiOps.Ipv4Pattern
+        val ph = PiiOps.PhonePattern
+        s"""WITH a AS (
+           |  SELECT doc_id, text || ' ip ' || CAST(doc_id % 200 + 1 AS VARCHAR)
+           |    || '.' || CAST(doc_id % 250 AS VARCHAR) || '.7.'
+           |    || CAST(doc_id % 9 AS VARCHAR)
+           |    || ' ver 1.2.' || CAST(doc_id % 9 AS VARCHAR) || '.4.5'
+           |    || ' twin 9.9.9.9 8.8.8.' || CAST(doc_id % 9 AS VARCHAR)
+           |    || ' tel +1 415 555 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           |    || ' px +5 10-20 m' || CAST(doc_id AS VARCHAR) || '@ex.org' AS aug
+           |  FROM documents),
+           |e1 AS (SELECT doc_id,
+           |  len(regexp_extract_all(aug, '$em')) AS n_emails,
+           |  regexp_replace(aug, '$em', '<EMAIL>', 'g') AS t1 FROM a),
+           |i1 AS (SELECT doc_id, n_emails,
+           |  len(regexp_extract_all(t1, '$ip', 2)) AS c1,
+           |  regexp_replace(t1, '$ip', '\\1<IP>\\3', 'g') AS t1b FROM e1),
+           |i2 AS (SELECT doc_id, n_emails,
+           |  c1 + len(regexp_extract_all(t1b, '$ip', 2)) AS n_ipv4,
+           |  regexp_replace(t1b, '$ip', '\\1<IP>\\3', 'g') AS t2 FROM i1),
+           |p1 AS (SELECT doc_id, n_emails, n_ipv4,
+           |  len(regexp_extract_all(t2, '$ph')) AS n_phones,
+           |  regexp_replace(t2, '$ph', '<PHONE>', 'g') AS t3 FROM i2)
+           |SELECT doc_id, t3 AS text_redacted, md5(t3) AS red_md5,
+           |  CAST(n_emails AS INT) AS n_emails, CAST(n_ipv4 AS INT) AS n_ipv4,
+           |  CAST(n_phones AS INT) AS n_phones,
+           |  CAST(n_emails + n_ipv4 + n_phones AS INT) AS pii_total
+           |FROM p1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // TextOps.stripHtml: HTML → per-line text. The synthesis exercises
+    // every stage (comments, script/style blocks, block vs inline
+    // tags, entity order incl. the &amp;lt; double-escape, horizontal
+    // collapse, end trimming); the oracle runs the SAME regex chain
+    // verbatim (the block-tag pattern is interpolated from the
+    // operator's constant) ------------------------------------------
+    Probe("x67_strip_html",
+      (s, d) => {
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><head><script type=\"x\">var a="), id.cast("string"),
+          lit(";</script><style>.a{c:1}</style></head><body><!-- hidden "),
+          id.cast("string"),
+          lit(" --><h1>Title "), (id % 7).cast("string"),
+          lit("</h1>\n<p>Para <b>one</b> &amp;lt; &quot;q&#39;s&quot; &gt;2</p>"),
+          when(id % 3 === 0, "<ul><li>item a</li><li>item b</li></ul>")
+            .otherwise("<span>inline tail</span>"),
+          lit("<div>end&nbsp;"), (id % 5).cast("string"),
+          lit("</div></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.stripHtml(html).as("txt"))
+          .select(col("doc_id"), col("txt"),
+            size(split(col("txt"), "\n", -1)).as("n_lines"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val block = TextOps.BlockTagPattern
+        s"""WITH a AS (
+           |  SELECT doc_id, '<html><head><script type="x">var a='
+           |    || CAST(doc_id AS VARCHAR)
+           |    || ';</script><style>.a{c:1}</style></head><body><!-- hidden '
+           |    || CAST(doc_id AS VARCHAR) || ' --><h1>Title '
+           |    || CAST(doc_id % 7 AS VARCHAR)
+           |    || '</h1>' || chr(10)
+           |    || '<p>Para <b>one</b> &amp;lt; &quot;q&#39;s&quot; &gt;2</p>'
+           |    || CASE WHEN doc_id % 3 = 0
+           |            THEN '<ul><li>item a</li><li>item b</li></ul>'
+           |            ELSE '<span>inline tail</span>' END
+           |    || '<div>end&nbsp;' || CAST(doc_id % 5 AS VARCHAR)
+           |    || '</div></body></html>' AS h
+           |  FROM documents),
+           |s1 AS (SELECT doc_id,
+           |  regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM a),
+           |s2 AS (SELECT doc_id,
+           |  regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM s1),
+           |s3 AS (SELECT doc_id,
+           |  regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s2),
+           |s4 AS (SELECT doc_id,
+           |  regexp_replace(h, '$block', chr(10), 'g') AS h FROM s3),
+           |s5 AS (SELECT doc_id,
+           |  regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM s4),
+           |s6 AS (SELECT doc_id,
+           |  replace(replace(replace(replace(replace(replace(h,
+           |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |    '&#39;', CHR(39)), '&amp;', '&') AS h FROM s5),
+           |s7 AS (SELECT doc_id,
+           |  regexp_replace(h, '[ \\t\\x0B\\f\\r]+', ' ', 'g') AS h FROM s6),
+           |s8 AS (SELECT doc_id,
+           |  trim(regexp_replace(h, ' ?\\n[ \\n]*', chr(10), 'g'),
+           |       ' ' || chr(10)) AS txt FROM s7)
+           |SELECT doc_id, txt,
+           |  CAST(len(string_split(txt, chr(10))) AS INT) AS n_lines
+           |FROM s8 ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -36,13 +36,36 @@ object PiiOps {
   /** RFC-5322-ish address, the pragmatic crawl subset. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}"
 
-  /** Dotted-quad IPv4; `\b` keeps version strings like 1.2.3.4.5 out. */
-  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** Dotted-quad IPv4 with explicit dot/word guards. A plain `\b`
+    * cannot keep version strings out: `\b` holds between a digit and
+    * `.`, so `1.2.3.4.5` would match `1.2.3.4`. RE2 has no lookaround,
+    * so the guards are CONSUMING capture groups: group 1 = the
+    * character before the quad (start, or anything outside
+    * `[0-9A-Za-z._]` — the `\b` word set plus dot), group 2 = the
+    * quad, group 3 = the character(s) after (end, a non-word-non-dot
+    * character, or a dot NOT followed by a digit, so a sentence-ending
+    * `1.2.3.4.` still matches while `1.2.3.4.5` does not). Redaction
+    * restores groups 1/3 around the token; counts extract group 2.
+    * Because group 3 consumes the separator, a second IP immediately
+    * after a matched one is invisible to the same pass — [[redactPii]]
+    * runs TWO passes, which provably reaches every IP in a
+    * space-separated chain (pass one takes the odd ones, freeing the
+    * evens' boundaries for pass two). */
+  val Ipv4Pattern =
+    "(^|[^0-9A-Za-z._])((?:[0-9]{1,3}\\.){3}[0-9]{1,3})(\\.[^0-9]|\\.$|[^0-9A-Za-z._]|$)"
 
-  /** International phone: `+` country code then 7-14 more digits with
-    * optional single separators (space, dash, dot, parens). */
+  /** International phone: `+` then 8–15 digits total — contiguous, or
+    * country code (1–3) + optional parenthesized area code + 2–4 digit
+    * groups with single separators, with group shapes chosen so every
+    * alternative carries at least 8 digits (`+1 415 555 2671`,
+    * `+44 20 7946 0958`, `+79161234567` all match; a 5-digit price
+    * range like `+5 10-20` cannot). */
   val PhonePattern =
-    "\\+[0-9]{1,3}[ .-]?(?:\\([0-9]{1,4}\\)[ .-]?)?[0-9]{2,4}(?:[ .-]?[0-9]{2,4}){1,3}"
+    "\\+(?:[0-9]{8,15}" +
+      "|[0-9]{1,3}[ .-]?(?:\\([0-9]{1,4}\\)[ .-]?)?" +
+      "(?:[0-9]{2,4}(?:[ .-]?[0-9]{2,4}){3}" +
+      "|[0-9]{3,4}(?:[ .-]?[0-9]{2,4}){2}" +
+      "|[0-9]{2}(?:[ .-]?[0-9]{3,4}){2}))"
 
   val EmailToken = "<EMAIL>"
   val Ipv4Token = "<IP>"
@@ -56,8 +79,13 @@ object PiiOps {
     val t0 = col(textCol)
     val nEmail = coalesce(size(regexp_extract_all(t0, lit(EmailPattern), lit(0))), lit(0))
     val t1 = regexp_replace(t0, EmailPattern, EmailToken)
-    val nIp = coalesce(size(regexp_extract_all(t1, lit(Ipv4Pattern), lit(0))), lit(0))
-    val t2 = regexp_replace(t1, Ipv4Pattern, Ipv4Token)
+    // two IPv4 passes: the consuming trail guard (group 3) hides an IP
+    // that immediately follows a matched one; pass two catches it
+    val ipRepl = "$1" + Ipv4Token + "$3"
+    val t1b = regexp_replace(t1, Ipv4Pattern, ipRepl)
+    val nIp = coalesce(size(regexp_extract_all(t1, lit(Ipv4Pattern), lit(2))), lit(0)) +
+      coalesce(size(regexp_extract_all(t1b, lit(Ipv4Pattern), lit(2))), lit(0))
+    val t2 = regexp_replace(t1b, Ipv4Pattern, ipRepl)
     val nPhone = coalesce(size(regexp_extract_all(t2, lit(PhonePattern), lit(0))), lit(0))
     val t3 = regexp_replace(t2, PhonePattern, PhoneToken)
     docs

@@ -591,6 +591,54 @@ object TextOps {
         length(col("chunk")).as("chunk_chars"))
   }
 
+  /** HTML → text extraction for crawl processing: the step between a
+    * fetched page and every text operator above. Removal order is part
+    * of the contract — comments, then script/style BLOCKS (their text
+    * content is code, not prose), then BLOCK-LEVEL tags to `\n` (so
+    * the output keeps one line per paragraph/heading/list item), then
+    * remaining tags to a space, then entity decoding (`&amp;` LAST, so
+    * `&amp;lt;` decodes to the literal `&lt;` and not to `<`), then
+    * whitespace collapse that preserves the line structure: horizontal
+    * runs become one space, newline runs become one `\n`, and each
+    * line is trimmed. Every pattern is in the Java-regex ∩ RE2 common
+    * subset ((?is) inline flags, non-greedy `.*?`, no lookaround) so
+    * the DuckDB oracle runs the SAME chain verbatim. Map-only; stays
+    * in whole-stage codegen.
+    *
+    * This is the text-density-free core of a trafilatura/jusText-style
+    * extractor: deterministic and engine-portable. Boilerplate
+    * REMOVAL (nav/footer pruning by link density) is a policy layer a
+    * caller builds ON the extracted text — the per-line output shape
+    * exists exactly so [[lineDedup]] over the corpus can drop nav
+    * lines (they repeat corpus-wide and fall out). */
+  def stripHtml(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    // block-level structure → newline BEFORE the generic tag strip
+    val blocks = regexp_replace(noStyle, BlockTagPattern, "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    // collapse horizontal whitespace only, then dedup newlines and trim
+    // spaces AND newlines off the ends (plain trim is space-only in
+    // both engines)
+    val horiz = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    trim(regexp_replace(horiz, " ?\\n[ \\n]*", "\n"), " \n")
+  }
+
+  /** Block-level HTML elements whose open/close tags become a newline
+    * in [[stripHtml]] (everything else becomes a space). */
+  val BlockTagPattern: String =
+    "(?i)</?(?:p|div|br|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|thead|tbody|" +
+      "blockquote|pre|hr|section|article|aside|header|footer|nav|form|" +
+      "fieldset|figure|figcaption|main|address)\\b[^>]*>"
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them
@@ -598,36 +646,6 @@ object TextOps {
     * would pay the scan once per metric. Column values are identical
     * to the individually oracle-certified operators (x01-x04, x20,
     * x45). */
-  /** HTML → text extraction for crawl processing: the step between a
-    * fetched page and every text operator above. Removal order is part
-    * of the contract — comments, then script/style BLOCKS (their text
-    * content is code, not prose), then remaining tags, then entity
-    * decoding (`&amp;` LAST, so `&amp;lt;` decodes to the literal
-    * `&lt;` and not to `<`), then whitespace collapse. Every pattern
-    * is in the Java-regex ∩ RE2 common subset ((?is) inline flags,
-    * non-greedy `.*?`, no lookaround) so the DuckDB oracle runs the
-    * SAME chain verbatim. Map-only; stays in whole-stage codegen.
-    *
-    * This is the text-density-free core of a trafilatura/jusText-style
-    * extractor: deterministic and engine-portable. Boilerplate
-    * REMOVAL (nav/footer pruning by link density) is a policy layer a
-    * caller builds ON the extracted text, e.g. with [[lineDedup]]
-    * over the corpus (nav lines repeat corpus-wide and fall out). */
-  def stripHtml(html: Column): Column = {
-    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noScript = regexp_replace(noComments,
-      "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-    val decoded = entities.foldLeft(noTags) {
-      case (c, (from, to)) => replace(c, lit(from), lit(to))
-    }
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
-
   def curationProfile(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val t = col(textCol)

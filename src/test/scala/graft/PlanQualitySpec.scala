@@ -200,6 +200,26 @@ class PlanQualitySpec extends SparkTestBase {
       s"curation pipeline must stay keyed end-to-end:\n$p")
   }
 
+  test("pii redact / strip html / unicode normalize: map-only single-scan plans") {
+    // all three are pure per-row rewrites — any Exchange or aggregate
+    // here would turn a scan-bound 100 TB cleanup pass into a shuffle
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val plans = Seq(
+      "redactPii" -> graft.operators.PiiOps.redactPii(docs),
+      "stripHtml" -> docs.select(col("doc_id"),
+        graft.operators.TextOps.stripHtml(col("text")).as("t")),
+      "unicodeNormalize" -> docs.select(col("doc_id"),
+        call_function("unicode_normalize", col("text"), lit("NFKC")).as("t")))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+        s"$name must be map-only:\n$p")
+      assert("FileScan|Scan parquet".r.findAllIn(p).size == 1,
+        s"$name must read documents exactly once:\n$p")
+    }
+  }
+
   test("curation profile: all metrics in one scan, map-only plan") {
     val df = graft.operators.TextOps.curationProfile(
       Tables.documents(spark, sfDir))

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PiiOps, TextOps}
+
+/** The text-cleanup trio: PiiOps.redactPii (structured counts + token
+  * rewrite), TextOps.stripHtml (HTML → per-line text), and the
+  * unicode_normalize expression — the certified-contract edge cases
+  * the oracle probes (x65/x66/x67) sample, verified here one by one.
+  */
+class TextCleanupSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def redactOne(text: String): (Option[String], Int, Int, Int, Int) = {
+    import spark.implicits._
+    val r = PiiOps.redactPii(Seq((1L, text)).toDF("id", "text")).head()
+    (Option(r.getAs[String]("text_redacted")), r.getAs[Int]("n_emails"),
+      r.getAs[Int]("n_ipv4"), r.getAs[Int]("n_phones"), r.getAs[Int]("pii_total"))
+  }
+
+  // --- PiiOps.redactPii ---------------------------------------------------
+
+  test("IPv4: dotted quads redact; version strings do not") {
+    assert(redactOne("ip 10.0.0.1 end") === (Some("ip <IP> end"), 0, 1, 0, 1))
+    // sentence-ending period after the quad still matches
+    assert(redactOne("connect to 1.2.3.4.") === (Some("connect to <IP>."), 0, 1, 0, 1))
+    // 5-component version string: NO window of it is an IP
+    assert(redactOne("ver 1.2.3.4.5 x") === (Some("ver 1.2.3.4.5 x"), 0, 0, 0, 0))
+    // 8-component: the old \b pattern matched this twice
+    assert(redactOne("v 1.2.3.4.5.6.7.8") === (Some("v 1.2.3.4.5.6.7.8"), 0, 0, 0, 0))
+    // word-adjacent digits stay out (same as \b)
+    assert(redactOne("v1.2.3.4 here") === (Some("v1.2.3.4 here"), 0, 0, 0, 0))
+    // whole-string match
+    assert(redactOne("1.2.3.4") === (Some("<IP>"), 0, 1, 0, 1))
+  }
+
+  test("IPv4: space-adjacent chains all redact (second pass)") {
+    assert(redactOne("a 1.1.1.1 2.2.2.2 3.3.3.3 b") ===
+      (Some("a <IP> <IP> <IP> b"), 0, 3, 0, 3))
+    assert(redactOne("9.9.9.9 8.8.8.8") === (Some("<IP> <IP>"), 0, 2, 0, 2))
+  }
+
+  test("phones: international formats with 8+ digits match; short junk does not") {
+    assert(redactOne("call +1 415 555 2671 now") ===
+      (Some("call <PHONE> now"), 0, 0, 1, 1))
+    assert(redactOne("uk +44 20 7946 0958") === (Some("uk <PHONE>"), 0, 0, 1, 1))
+    assert(redactOne("ru +79161234567") === (Some("ru <PHONE>"), 0, 0, 1, 1))
+    assert(redactOne("us +1 (212) 555 0100") === (Some("us <PHONE>"), 0, 0, 1, 1))
+    // price/range junk below 8 digits total must not match
+    assert(redactOne("price +5 10-20 each") === (Some("price +5 10-20 each"), 0, 0, 0, 0))
+    assert(redactOne("range +5 10-20-30") === (Some("range +5 10-20-30"), 0, 0, 0, 0))
+  }
+
+  test("stages are sequential: an email's digits never double-count") {
+    val (r, ne, ni, np, tot) = redactOne("mail a1234567890@ex.org only")
+    assert(r === Some("mail <EMAIL> only"))
+    assert((ne, ni, np, tot) === (1, 0, 0, 1))
+  }
+
+  test("null text passes through as null with zero counts") {
+    assert(redactOne(null) === (None, 0, 0, 0, 0))
+  }
+
+  // --- TextOps.stripHtml --------------------------------------------------
+
+  private def strip(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(TextOps.stripHtml(col("h")).as("t"))
+      .head().getString(0)
+  }
+
+  test("stripHtml keeps one line per block element") {
+    val html = "<html><body><h1>Title</h1><p>Para <b>one</b></p>" +
+      "<ul><li>item a</li><li>item b</li></ul><div>tail</div></body></html>"
+    assert(strip(html) === "Title\nPara one\nitem a\nitem b\ntail")
+  }
+
+  test("stripHtml drops comments and script/style bodies, decodes entities in order") {
+    val html = "<p>x<!-- secret --></p><script>var a=1;</script>" +
+      "<style>.c{}</style><p>&amp;lt; &quot;q&#39;s&quot; &gt;2&nbsp;!</p>"
+    assert(strip(html) === "x\n&lt; \"q's\" >2 !")
+  }
+
+  test("stripHtml collapses horizontal whitespace but preserves line structure") {
+    val html = "<p>a\t b</p>\r\n\r\n<p>c   d</p>"
+    assert(strip(html) === "a b\nc d")
+  }
+
+  test("stripHtml output composes with lineDedup: repeated nav lines fall out") {
+    import spark.implicits._
+    val nav = "<nav>Home | About | Contact</nav>"
+    val docs = Seq(
+      (1L, s"$nav<p>unique one</p>"),
+      (2L, s"$nav<p>unique two</p>"),
+      (3L, s"$nav<p>unique three</p>")).toDF("doc_id", "html")
+      .select(col("doc_id"), TextOps.stripHtml(col("html")).as("text"))
+    val deduped: DataFrame = TextOps.lineDedup(docs)
+    val texts = deduped.orderBy("doc_id").collect()
+      .map(_.getAs[String]("clean_text"))
+    // doc 1 keeps the nav line (first occurrence); docs 2 and 3 lose it
+    assert(texts(0).contains("Home | About | Contact"))
+    assert(!texts(1).contains("Home") && texts(1).contains("unique two"))
+    assert(!texts(2).contains("Home") && texts(2).contains("unique three"))
+  }
+
+  // --- unicode_normalize ---------------------------------------------------
+
+  private def norm(s: String, form: String): String = {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(s).toDF("t")
+      .select(call_function("unicode_normalize", col("t"), lit(form)).as("n"))
+      .head().getString(0)
+  }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms") {
+    assert(norm("éclair", "NFC") === "éclair")
+    assert(norm("ﬁle", "NFC") === "ﬁle")   // ligature is NFC-stable
+    assert(norm("ﬁle", "NFKC") === "file")      // ...but folds under NFKC
+    assert(norm("x²y", "NFKC") === "x2y")
+    assert(norm("Ångstrom", "NFC") === "Ångstrom")
+    assert(norm("Ｆｕｌｌ", "NFKC") === "Full")
+  }
+
+  test("unicode_normalize: idempotent, null-safe, unknown form refused") {
+    assert(norm("plain ascii", "NFC") === "plain ascii")
+    assert(norm(norm("é", "NFKC"), "NFKC") === "é")
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val r = Seq((1L, null: String)).toDF("id", "t")
+      .select(call_function("unicode_normalize", col("t"), lit("NFC")).as("n"))
+      .head()
+    assert(r.isNullAt(0))
+    val e = intercept[Exception] { norm("x", "NFX") }
+    assert(e.getMessage.contains("NFX") || e.getCause != null)
+  }
+}
