@@ -1145,13 +1145,14 @@ object ExtensionProbes {
         .orderBy("doc_id"),
       Some("""WITH w AS (
              |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(lower(trim(text)), '\s+'),
+             |    regexp_split_to_array(trim(text), '\s+'),
              |    x -> x <> '') AS parts
              |  FROM documents),
              |g AS (
              |  SELECT doc_id, gg.i - 1 AS s,
              |    CAST('0x' || substring(md5('ss_' ||
-             |      array_to_string(list_slice(parts, gg.i, gg.i + 7), ' ')),
+             |      array_to_string(list_transform(
+             |        list_slice(parts, gg.i, gg.i + 7), x -> lower(x)), ' ')),
              |      1, 15) AS BIGINT) AS h
              |  FROM w, (SELECT unnest(generate_series(1, 100000)) AS i) gg
              |  WHERE gg.i <= len(parts) - 7),

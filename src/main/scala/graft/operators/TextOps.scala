@@ -375,8 +375,14 @@ object TextOps {
     *
     * Output: (id, text_clean, n_removed) — n_removed in tokens;
     * documents shorter than k tokens pass through untouched (their
-    * text still re-normalizes to the lowercased single-spaced token
-    * form, so equal inputs produce equal outputs at any k).
+    * text still re-normalizes to the single-spaced token form, so
+    * equal inputs produce equal outputs at any k).
+    *
+    * Casing: span MATCHING is case-insensitive (grams hash the
+    * per-token-lowercased stream — "The Cat" and "the cat" are the
+    * same span), but the surviving text reassembles from the ORIGINAL
+    * tokens, so excision never lowercases what it keeps — the
+    * production contract for a cleaning pass that rewrites text.
     *
     * Contract detail: a token survives iff NO non-first occurrence of
     * a duplicated gram covers it. In self-overlapping periodic text
@@ -388,8 +394,12 @@ object TextOps {
   def exactSpanDedup(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wsCol = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")
-    val toks = docs.select(col(idCol), wsCol.as("ws"))
+    // original tokens for reassembly; per-token lowercase for match
+    // keys (split FIRST so the two arrays stay positionally aligned
+    // even where lowercasing changes a token's length)
+    val woCol = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val toks = docs.select(col(idCol), woCol.as("wo"))
+      .withColumn("ws", transform(col("wo"), w => lower(w)))
     val spanHash = (gram: Column) =>
       conv(substring(md5(concat(lit("ss_"), gram)), 1, 15), 16, 10).cast("long")
     val grams = toks.select(col(idCol),
@@ -418,7 +428,7 @@ object TextOps {
     val covered = iv.select(col(idCol),
       explode(sequence(col("s"), col("e") - 1)).as("pos"))
     val removed = iv.groupBy(col(idCol)).agg(sum(col("e") - col("s")).as("n_removed"))
-    val kept = toks.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))
+    val kept = toks.select(col(idCol), posexplode(col("wo")).as(Seq("pos", "w")))
       .join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(concat_ws(" ", transform(

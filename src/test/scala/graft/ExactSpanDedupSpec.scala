@@ -15,15 +15,16 @@ class ExactSpanDedupSpec extends SparkTestBase {
   // --- naive twin: literal grams, direct position marking ------------------
 
   private def naive(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+    // original tokens; matching is on the per-token-lowercased stream
     val words = docs.map { case (id, t) =>
-      id -> Option(t).map(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      id -> Option(t).map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
     }.toMap
-    // every k-gram occurrence in corpus order
+    // every k-gram occurrence in corpus order (lowercased keys)
     val occs = for {
       (id, ws) <- words.toSeq.sortBy(_._1)
       s <- 0 to ws.length - k
-    } yield (ws.slice(s, s + k).mkString(" "), id, s)
+    } yield (ws.slice(s, s + k).map(_.toLowerCase).mkString(" "), id, s)
     val firsts = occs.groupBy(_._1).view
       .mapValues(_.map(o => (o._2, o._3)).min).toMap
     val counts = occs.groupBy(_._1).view.mapValues(_.size).toMap
@@ -54,6 +55,19 @@ class ExactSpanDedupSpec extends SparkTestBase {
     for (k <- Seq(4, 8)) {
       assert(run(docs, k) === naive(docs, k), s"k=$k")
     }
+  }
+
+  test("mixed-case text survives excision with casing intact; matching is case-insensitive") {
+    val docs = Seq(
+      (1L, "Intro Words Here ALL Rights Reserved Contact Us Terms Apply"),
+      (2L, "Other Content all rights reserved contact us terms APPLY Tail Words"))
+    val out = run(docs, k = 7)
+    // doc 1 keeps everything (first occurrence), ORIGINAL casing intact
+    assert(out(1L) === ((docs.head._2, 0L)))
+    // doc 2 loses the boilerplate span (case-insensitive match with doc
+    // 1's differently-cased copy) but its surviving tokens keep casing
+    assert(out(2L) === (("Other Content Tail Words", 7L)))
+    assert(out === naive(docs, 7))
   }
 
   test("an exact duplicate document is fully excised; the first survives") {
