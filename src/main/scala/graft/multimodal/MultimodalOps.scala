@@ -281,6 +281,190 @@ object MultimodalOps {
     }
   }
 
+  // --- video: AVI/RIFF container with MJPEG frames -----------------------
+
+  /** Parsed AVI container: header metadata + the (offset, length) of
+    * every video-stream chunk in file order. `usPerFrame`/`declFrames`
+    * come from the `avih` header; `frames` from the actual `##dc`/
+    * `##db` chunks present (a truncated file yields fewer frames than
+    * declared — truncation is data, same stance as the audio path). */
+  case class AviInfo(width: Int, height: Int, usPerFrame: Long,
+                     declFrames: Long, frames: Vector[(Int, Int)])
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], o: Int): String = {
+    val cs = new Array[Char](4)
+    var i = 0
+    while (i < 4) { cs(i) = (b(o + i) & 0xff).toChar; i += 1 }
+    new String(cs)
+  }
+
+  /** Parse an AVI/RIFF container from bytes — JDK-only, the same
+    * from-scratch-binary-reader stance as Bufr/Hdf5/Grib2. Walks the
+    * chunk tree iteratively per level with every hostile-input guard
+    * explicit:
+    *  - any chunk whose declared size runs past the buffer ends the
+    *    walk at that level (truncated upload — keep what parsed);
+    *  - declared sizes near 2³² cannot overflow (length math in Long);
+    *  - a zero-size chunk still advances 8 bytes (no infinite loop);
+    *  - LIST recursion is depth-capped;
+    *  - at most `maxFrames` video chunks are collected, so a crafted
+    *    header declaring 2³¹ frames bounds memory at maxFrames tuples.
+    * Returns None when the RIFF/AVI magic is absent. */
+  def parseAvi(bytes: Array[Byte], maxFrames: Int = 1 << 16): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    var width = 0; var height = 0
+    var usPerFrame = 0L; var declFrames = 0L
+    val frames = Vector.newBuilder[(Int, Int)]
+    var nFrames = 0
+    val fileEnd = math.min(bytes.length.toLong, 8L + u32le(bytes, 4)).toInt
+
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && nFrames < maxFrames) {
+        val id = fourcc(bytes, p)
+        val sz = u32le(bytes, p + 4)
+        val dataStart = p + 8
+        if (sz > end.toLong - dataStart) {
+          // declared size overruns the buffer (truncated upload or a
+          // hostile size): descend into what IS there for a LIST —
+          // complete children before the cut still parse — and drop a
+          // truncated leaf; either way this level is done
+          if ((id == "LIST" || id == "RIFF") && depth < 8 && end - dataStart >= 4)
+            walk(dataStart + 4, end, depth + 1)
+          return
+        }
+        val dataEnd = dataStart + sz.toInt
+        id match {
+          case "LIST" | "RIFF" if depth < 8 && sz >= 4 =>
+            walk(dataStart + 4, dataEnd, depth + 1)
+          case "avih" if sz >= 40 =>
+            usPerFrame = u32le(bytes, dataStart)
+            declFrames = u32le(bytes, dataStart + 16)
+            width = u32le(bytes, dataStart + 32).toInt
+            height = u32le(bytes, dataStart + 36).toInt
+          case other if isVideoChunk(other) =>
+            frames += ((dataStart, sz.toInt))
+            nFrames += 1
+          case _ => ()
+        }
+        p = dataEnd + (sz.toInt & 1) // RIFF chunks pad to even
+      }
+    }
+    walk(12, fileEnd, 0)
+    Some(AviInfo(width, height, usPerFrame, declFrames, frames.result()))
+  }
+
+  /** Hand-built minimal AVI-MJPEG container (RIFF → hdrl(avih) +
+    * movi(00dc…)) — the synthesis half of the video path (fixtures and
+    * probes), mirroring [[synthWavPcm16]]. `frames` are the per-frame
+    * payloads (JPEG bytes for real MJPEG; any bytes for container
+    * tests). */
+  def synthAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                    usPerFrame: Long = 33333L): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      if (pad == 1) out.put(0.toByte)
+      out.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(usPerFrame.toInt)  // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length)     // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Contained-frame sampling for AVI payloads: every `everyN`th video
+    * chunk as its own row, `(media_id, frame_idx, n_bytes, frame)` —
+    * the real-container replacement for the fixed-stride
+    * [[sampleFrames]]. Non-AVI payloads yield no rows (their features
+    * come from the byte fallback). Map-side flatMap, zero shuffle; the
+    * per-payload row count is bounded by `maxFrames`. */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyN: Int = 1,
+                        maxFrames: Int = 1 << 16): DataFrame = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1 && maxFrames >= 1)
+    media.flatMap { r =>
+      parseAvi(r.media, maxFrames) match {
+        case Some(info) =>
+          info.frames.indices.by(everyN).map { f =>
+            val (off, len) = info.frames(f)
+            (r.media_id, f, len, r.media.slice(off, off + len))
+          }
+        case None => Seq.empty
+      }
+    }.toDF("media_id", "frame_idx", "n_bytes", "frame")
+  }
+
+  /** Per-video features: container metadata + luminance statistics
+    * over the sampled frames, each decoded through the bomb-guarded
+    * [[decodeImage]] (MJPEG frames are JPEGs — the image path IS the
+    * frame decoder). Undecodable containers fall back to byte-level
+    * features with `container_ok = false`. One partition-parallel
+    * pass, zero shuffle. */
+  case class VideoFeatures(media_id: Long, n_bytes: Int, container_ok: Boolean,
+                           width: Int, height: Int, fps: Double,
+                           n_frames: Long, n_sampled: Int, n_decoded: Int,
+                           mean_luma: Double, mean_entropy: Double)
+
+  def extractVideoFeatures(media: Dataset[MediaRow], everyN: Int = 1,
+                           maxSampled: Int = 64): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1 && maxSampled >= 1)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val nBytes = if (r.media == null) 0 else r.media.length
+        parseAvi(r.media) match {
+          case Some(info) =>
+            val sampled = info.frames.indices.by(everyN).take(maxSampled)
+            var nDec = 0
+            var lumaSum = 0.0
+            var entSum = 0.0
+            sampled.foreach { f =>
+              val (off, len) = info.frames(f)
+              decodeImage(r.media.slice(off, off + len)).foreach { img =>
+                val (mean, entropy, _) = stats8(img.luma.iterator, img.luma.length, 16)
+                nDec += 1; lumaSum += mean; entSum += entropy
+              }
+            }
+            val fps = if (info.usPerFrame > 0) 1e6 / info.usPerFrame else 0.0
+            VideoFeatures(r.media_id, nBytes, container_ok = true,
+              info.width, info.height, fps, info.frames.length.toLong,
+              sampled.length, nDec,
+              if (nDec > 0) lumaSum / nDec else 0.0,
+              if (nDec > 0) entSum / nDec else 0.0)
+          case None =>
+            val (mean, entropy, _) = byteFeatures(r.media)
+            VideoFeatures(r.media_id, nBytes, container_ok = false,
+              0, 0, 0.0, 0L, 0, 0, mean, entropy)
+        }
+      }
+    }
+  }
+
   /** Nearest-neighbor resample of an 8-bit plane. */
   private def nearestResample(src: Array[Int], w: Int, h: Int,
                               outW: Int, outH: Int): Array[Byte] =

@@ -58,5 +58,56 @@ object MediaProbes {
              |  CAST(maxabs AS DOUBLE) / 32768 AS peak,
              |  CAST(clips AS DOUBLE) / cnt AS clipping_frac
              |FROM a ORDER BY media_id""".stripMargin)),
+
+    // The AVI/RIFF container path: each id synthesizes an AVI whose
+    // frame payloads are deterministic ASCII blobs, Spark parses the
+    // container for real (header walk, chunk offsets, every-2nd
+    // sampling, per-media meta) and DuckDB states every output —
+    // frame bytes' md5 included — by the same id arithmetic, ground
+    // truth by construction. The frames are deliberately NOT JPEGs:
+    // n_decoded must stay 0 (garbage frames are data, not images;
+    // the real-JPEG decode path is spec-certified in VideoSpec) ------
+    Probe("x68_video_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val nf = (id % 5 + 1).toInt
+            val frames = (0 until nf).map { f =>
+              val unit = s"v$id-$f;"
+              (unit * (10 + ((id + f) % 7).toInt)).getBytes("US-ASCII")
+            }
+            MultimodalOps.MediaRow(id,
+              MultimodalOps.synthAviMjpeg(frames, 320 + (id % 3).toInt * 16,
+                240, 40000L), "avi", 0, 0)
+          }
+        val fr = MultimodalOps.sampleVideoFrames(media, everyN = 2)
+          .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+            md5(col("frame")).as("frame_md5"))
+        val meta = MultimodalOps.extractVideoFeatures(media, everyN = 2)
+          .select(col("media_id"), col("container_ok"), col("width"),
+            col("height"), col("fps"), col("n_frames"), col("n_sampled"),
+            col("n_decoded"))
+        fr.join(meta, Seq("media_id")).orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 5 + 1 AS nf FROM documents),
+             |f AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fi
+             |      FROM m),
+             |sf AS (SELECT doc_id, nf, fi,
+             |         repeat('v' || doc_id || '-' || fi || ';',
+             |                CAST(10 + (doc_id + fi) % 7 AS INT)) AS payload
+             |       FROM f WHERE fi % 2 = 0)
+             |SELECT doc_id AS media_id,
+             |  CAST(fi AS INT) AS frame_idx,
+             |  CAST(length(payload) AS INT) AS n_bytes,
+             |  md5(payload) AS frame_md5,
+             |  TRUE AS container_ok,
+             |  CAST(320 + (doc_id % 3) * 16 AS INT) AS width,
+             |  240 AS height,
+             |  25.0 AS fps,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST((nf + 1) // 2 AS INT) AS n_sampled,
+             |  0 AS n_decoded
+             |FROM sf ORDER BY media_id, frame_idx""".stripMargin)),
   )
 }
