@@ -71,21 +71,35 @@ object UrlOps {
     * Output: (id, canonical_url, n_in_group) for kept rows —
     * n_in_group is the collapse count (1 = unique; NULL canonical
     * rows report 1). */
-  def urlDedup(docs: DataFrame, urlCol: String = "url",
-               idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val canon = docs.select(col(idCol),
+  private def canonical(docs: DataFrame, urlCol: String, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol),
       canonicalizeUrl(col(urlCol)).as("canonical_url"),
       coalesce(length(col(textCol)), lit(0)).cast("long").as("_len"))
-    val keepers = canon.where(col("canonical_url").isNotNull)
+
+  /** The keeper aggregation alone (canonicalizable rows only) — the
+    * stateful heart of [[urlDedup]], exposed separately because
+    * min(struct)/count are fold-anywhere mergeable: the SAME code runs
+    * as a Structured Streaming aggregation (complete mode), folding
+    * each micro-batch of crawled pages into the keep-set
+    * incrementally. */
+  def urlKeepers(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    canonical(docs, urlCol, idCol, textCol)
+      .where(col("canonical_url").isNotNull)
       .groupBy("canonical_url")
       .agg(min(struct((-col("_len")).as("nl"), col(idCol).as("id"))).as("k"),
            count(lit(1)).as("n_in_group"))
       .select(col("k.id").as(idCol), col("canonical_url"), col("n_in_group"))
-    keepers.unionByName(
-      canon.where(col("canonical_url").isNull)
+
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    urlKeepers(docs, urlCol, idCol, textCol).unionByName(
+      canonical(docs, urlCol, idCol, textCol)
+        .where(col("canonical_url").isNull)
         .select(col(idCol), col("canonical_url"), lit(1L).as("n_in_group")))
-  }
 
   /** Per-domain quota (the RefinedWeb-style host cap): keep at most
     * `maxPerDomain` documents per registrable host, ranked by

@@ -254,6 +254,43 @@ class StreamingSpec extends SparkTestBase {
       3L -> None))
   }
 
+  test("url dedup keeper folds incrementally across micro-batch arrivals") {
+    // x61's keeper is min(struct)/count — fold-anywhere mergeable, so
+    // the SAME operator code runs as a streaming aggregation and two
+    // arrivals must land on the batch answer over the union
+    val landing = Files.createTempDirectory("graft_urldedup").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ud").toString
+    val batch1 = Seq(
+      (1L, "aaaa", "http://dup.com"),
+      (2L, "bb", "http://dup.com/"),        // same canonical, shorter
+      (3L, "c", "http://solo.org/p"))
+    val batch2 = Seq(
+      (4L, "cccccc", "http://www.dup.com"), // same canonical, longest — new keeper
+      (5L, "dd", "http://solo.org/p/"))     // same canonical as 3, longer
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("url", StringType)))
+    batch1.toDF("doc_id", "text", "url").write.mode("append").parquet(landing)
+    val q1 = ForecastStream.runAvailableNow(
+      graft.operators.UrlOps.urlKeepers(
+        spark.readStream.schema(schema).parquet(landing)),
+      "urlk1", ckpt, "complete")
+    assert(q1.collect().map(r => r.getString(1) -> r.getLong(0)).toMap ===
+      Map("http://dup.com" -> 1L, "http://solo.org/p" -> 3L))
+    batch2.toDF("doc_id", "text", "url").write.mode("append").parquet(landing)
+    val q2 = ForecastStream.runAvailableNow(
+      graft.operators.UrlOps.urlKeepers(
+        spark.readStream.schema(schema).parquet(landing)),
+      "urlk2", ckpt, "complete")
+    val got = q2.collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    val batch = graft.operators.UrlOps.urlKeepers(
+        (batch1 ++ batch2).toDF("doc_id", "text", "url"))
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    assert(got === batch)
+    assert(got("http://dup.com") === ((4L, 3L))) // longest capture won across batches
+  }
+
   test("streaming heavy hitters keeps the MG guarantee incrementally") {
     // the Misra-Gries buffer is streaming-aggregation state: each
     // micro-batch reduces into it and the mergeable-summaries bound
