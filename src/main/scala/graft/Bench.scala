@@ -158,6 +158,32 @@ object Bench {
       "prefilter, both-sides-bucketed) are all gated, and the residual " +
       "vs DuckDB at sf0.1 is scheduler floor + single-row-group scan " +
       "granularity. " +
+      "r7 stage-floor audit of the five remaining weak probes (the r6 " +
+      "ask), measured with graft.tools.StageProfile at sf0.1 local[32], " +
+      "steady-state runs: all five carry the SAME floor signature the " +
+      "contamination family proved - per-stage task walls sum to a " +
+      "small fraction of probe wall, the remainder is inter-job driver " +
+      "gaps, and the kernel stages run as 1 task because sf0.1 tables " +
+      "are single-row-group files. x22_lsh_topk: 6 AQE jobs, every " +
+      "stage 1 task of 21-141ms, task sum 0.23s vs wall 0.77-1.04s. " +
+      "x23_ivf_topk: 9 jobs, stages 23-73ms, task sum 0.37s vs wall " +
+      "1.23s (cell-pruned join tree = more exchanges = more jobs; the " +
+      "pruning is the 100 TB design). x64_token_budget: 7 jobs, task " +
+      "sum 0.40s vs wall 0.82s - the extra jobs ARE the " +
+      "global-window-avoidance design (bucketed partial sums + driver " +
+      "boundary pick + boundary-bucket window, 3 bounded actions, " +
+      "plan-gated no global window). w01_windfield_e2e: 6 jobs, task " +
+      "sum 0.27s vs wall 0.64-1.07s; the physics itself is proven at " +
+      "volume (BenchWindfield pushes 871M pair rows in 28.2s - the " +
+      "same plan at 1800x the probe's row count costs 40x the probe " +
+      "wall, i.e. the probe measures the floor, not the kernel). " +
+      "d09_equal_timestep: 4 jobs, task sum 0.54s vs wall 0.85s with " +
+      "one 317ms single-task spline-window stage - per-(storm,member) " +
+      "partitions parallelize when the input is more than one row " +
+      "group. Per the r5-established acceptance criterion " +
+      "(task-time << wall + no dangerous shape + volume evidence " +
+      "where applicable), all five are floor-bound: no plan lever " +
+      "remains at sf0.1 that would not distort the 100 TB shape. " +
       "r3 regression root cause: the r3 all-probes-upfront warmup " +
       "overflowed spark.sql.codegen.cache.maxEntries (default 100), so " +
       "multi-stage probes recompiled generated classes inside their timing " +
@@ -242,7 +268,20 @@ object Bench {
       "(~18% - the term explode + count aggregation dominates, not the " +
       "hash). The model stays numBuckets-bounded (65k rows) and " +
       "broadcasts either way, so the cost is the term scan, not the " +
-      "model - the shape that holds at 100 TB."
+      "model - the shape that holds at 100 TB. " +
+      "r7 additions (recorded 2026-08-13, local[32]): BPE driver-dict " +
+      "honesty under the Unicode prelude (graft.tools.BpeDictProfile, " +
+      "synthetic wide-unicode corpus of 3-codepoint CJK words - every " +
+      "word a fresh type, the worst case the new prelude exposes): at " +
+      "7.75M true word types the 2^20 cap trips and the collected " +
+      "dictionary costs 84.5 MB of driver heap (~80 B/type) after a " +
+      "10.4s distributed count - bounded and safe on any real driver. " +
+      "The binding constraint is the merge LOOP, not the collect: " +
+      "0.63 s/merge at the 2^20-capped dict vs 0.14 s/merge at 250k " +
+      "types vs 3 ms/merge at 14k (each round recounts pairs over the " +
+      "dict), so wide-unicode large-vocab training should trim the " +
+      "dict via maxWordTypes/minPairCount - documented on Bpe.train " +
+      "and spec-tested (the cap warning path included)."
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm":"$warmMode","notes":"$notes","volume_notes":"$volumeNotes"}""")
     spark.stop()
   }

@@ -223,6 +223,21 @@ class BpeSpec extends SparkTestBase {
     BpeOps.compile(Bpe.train(docs.toDF("text"), numMerges = 4)) // must not throw
   }
 
+  test("maxWordTypes cap: deterministic truncation, loud warning, well-formed output") {
+    import spark.implicits._
+    // counts: aa=3, bb=2, cc/dd/ee/ff/gg=1 → the cap keeps the
+    // deterministic top-3 by (count desc, word asc): aa, bb, cc
+    val docs = Seq("aa bb aa cc dd", "ee ff gg bb aa").toDF("text")
+    val got = Bpe.train(docs, numMerges = 5, maxWordTypes = 3)
+    assert(Option(Bpe.lastCapWarning.get()).exists(_.contains("maxWordTypes=3")))
+    assert(got === Bpe.trainOnDict(
+      Array("aa" -> 3L, "bb" -> 2L, "cc" -> 1L), numMerges = 5))
+    BpeOps.compile(got) // capped training still yields a well-formed table
+    // uncapped run clears the warning
+    Bpe.train(docs, numMerges = 1, maxWordTypes = 100)
+    assert(Bpe.lastCapWarning.get() === null)
+  }
+
   test("minPairCount stops training; merges persist through a DataFrame round-trip") {
     import spark.implicits._
     val docs = Seq("ab ab ab", "cd")
