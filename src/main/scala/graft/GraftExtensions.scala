@@ -185,6 +185,10 @@ object GraftExtensions {
       graft.expressions.BpeTokenIds(t, graft.expressions.BpeOps.resolve(k.toString),
         graft.expressions.BpeVocab.resolve(v.toString)) }),
 
+    // bpe_unmap(text): invert the GPT-2 byte-level mapping (mapped
+    // codepoints → bytes → UTF-8) — the byte-level detokenize tail.
+    ("bpe_unmap", 1, { case Seq(t) => graft.expressions.BpeUnmap(t) }),
+
     // xgb_score(features, path-literal): scores the reference's
     // operational xgboost artifact (parsed from its RDS) in codegen.
     // A "<mem:…>" tag instead of a path resolves a freshly-trained

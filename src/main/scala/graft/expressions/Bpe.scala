@@ -47,11 +47,60 @@ object BpeOps {
   val PreTokenPattern: String = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]"
   private val PreTok = Pattern.compile(PreTokenPattern)
 
+  /** GPT-2's `bytes_to_unicode` bijection (public formula, Radford et
+    * al. 2019 reference code): printable ASCII and the Latin-1
+    * printables map to themselves; the remaining 68 byte values map to
+    * 256+n in discovery order — so every byte becomes exactly one
+    * PRINTABLE codepoint and a byte-level token is an ordinary string.
+    * Anchors: 0x20 → 'Ġ' (U+0120), 0x0A → 'Ċ' (U+010A), 'a' → 'a'. */
+  val ByteToChar: Array[String] = {
+    val keep = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+    val kept = keep.toSet
+    val out = new Array[String](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (kept(b)) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+    }
+    out
+  }
+  /** Inverse of [[ByteToChar]] (codepoint → byte value). */
+  val CharToByte: Map[Int, Byte] =
+    ByteToChar.zipWithIndex.map { case (s, b) => s.codePointAt(0) -> b.toByte }.toMap
+
+  /** The byte-level space mark: 0x20's mapped char ('Ġ'). */
+  val ByteSpaceMark: String = ByteToChar(0x20)
+
+  /** A word as byte-mapped chars — the byte-level encode starting
+    * state (the word's UTF-8 bytes, each as its mapped codepoint). */
+  def byteInit(word: String): Array[String] = {
+    val bytes = word.getBytes(UTF_8)
+    Array.tabulate(bytes.length)(i => ByteToChar(bytes(i) & 0xff))
+  }
+
+  /** Inverse of the byte-level token stream: mapped chars → bytes →
+    * UTF-8 text. Codepoints outside the mapped alphabet are a contract
+    * violation (impossible for kernel-produced tokens) and throw. */
+  def unmap(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val b = CharToByte.getOrElse(cp, throw new IllegalArgumentException(
+        f"bpe_unmap: codepoint U+$cp%04X is not in the byte-level alphabet"))
+      out.write(b & 0xff)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
   /** A compiled, validated merge table. Serializable — rides to
     * executors inside the expression like a literal. ~10k merges is
     * ~100 KB; the per-thread encoded-word cache is rebuilt lazily on
     * each executor. */
-  final class BpeTable(val lhs: Array[String], val rhs: Array[String])
+  final class BpeTable(val lhs: Array[String], val rhs: Array[String],
+                       val byteLevel: Boolean = false)
       extends Serializable {
     require(lhs.length == rhs.length,
       s"merge table sides differ: ${lhs.length} vs ${rhs.length}")
@@ -96,7 +145,8 @@ object BpeOps {
     * loudly: a side longer than one codepoint that no earlier merge
     * produces could make the rank-order contract diverge from classic
     * BPE, so it is refused rather than silently tolerated. */
-  def compile(merges: Seq[(String, String)]): BpeTable = {
+  def compile(merges: Seq[(String, String)],
+              byteLevel: Boolean = false): BpeTable = {
     val produced = scala.collection.mutable.HashSet.empty[String]
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       def ok(s: String): Boolean =
@@ -106,7 +156,7 @@ object BpeOps {
           "each side must be a single codepoint or the product of an earlier merge")
       produced += l + r
     }
-    new BpeTable(merges.map(_._1).toArray, merges.map(_._2).toArray)
+    new BpeTable(merges.map(_._1).toArray, merges.map(_._2).toArray, byteLevel)
   }
 
   // Driver-side registry so the table can be named by a literal key in
@@ -149,7 +199,7 @@ object BpeOps {
     * run / digit / mark), so the rescan loop is O(len²) with len ≈
     * 5–15 — cheaper than any index structure at this size. */
   private[expressions] def encodeWord(word: String, table: BpeTable): Array[String] = {
-    var toks = initialTokens(word)
+    var toks = if (table.byteLevel) byteInit(word) else initialTokens(word)
     if (toks.length < 2 || table.numMerges == 0) return toks
     val ranks = table.rank
     var progress = -1
@@ -219,13 +269,14 @@ object BpeOps {
   def encode(text: UTF8String, table: BpeTable, spaceMark: Boolean): ArrayData = {
     val s = text.toString
     val m = PreTok.matcher(s)
+    val markStr = if (table.byteLevel) ByteSpaceMark else " "
     val out = new java.util.ArrayList[UTF8String](s.length / 4 + 4)
     while (m.find()) {
       val mark = spaceMark && m.start() > 0 && s.charAt(m.start() - 1) == ' '
       val toks = table.cached(m.group())
       var i = 0
       while (i < toks.length) {
-        val marked = if (mark && i == 0) " " + toks(i) else toks(i)
+        val marked = if (mark && i == 0) markStr + toks(i) else toks(i)
         out.add(UTF8String.fromBytes(marked.getBytes(UTF_8)))
         i += 1
       }
@@ -324,5 +375,25 @@ case class BpeTokenIds(child: Expression, table: BpeOps.BpeTable,
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+/** bpe_unmap(text) → text: invert the GPT-2 byte-level mapping —
+  * mapped codepoints back to bytes, reassembled as UTF-8. With
+  * byte-level space-marked tokens, `bpe_unmap(concat(tokens))`
+  * reproduces the normalized input exactly (the byte-level lossless
+  * round trip). Map-only codegen. */
+case class BpeUnmap(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_unmap expects a string input, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    BpeOps.unmap(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.BpeOps$$.MODULE$$.unmap($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeUnmap =
     copy(child = newChild)
 }

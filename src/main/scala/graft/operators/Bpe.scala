@@ -58,7 +58,8 @@ object Bpe {
     * minutes-scale training — the 100 TB of TEXT is still touched by
     * exactly one aggregation either way. */
   def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 100,
-            minPairCount: Long = 1L, maxWordTypes: Int = 1 << 20): Seq[(String, String)] = {
+            minPairCount: Long = 1L, maxWordTypes: Int = 1 << 20,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0 && maxWordTypes > 0)
     val counts = docs
       .select(explode(preTokens(col(textCol))).as("w"))
@@ -73,7 +74,7 @@ object Bpe {
       lastCapWarning.set(msg)
       org.apache.log4j.Logger.getLogger(getClass).warn(msg)
     } else lastCapWarning.set(null)
-    trainOnDict(counts, numMerges, minPairCount)
+    trainOnDict(counts, numMerges, minPairCount, byteLevel)
   }
 
   /** The merge loop over an in-memory word-frequency dictionary.
@@ -81,9 +82,12 @@ object Bpe {
     * each chosen merge is applied as one left-to-right pass per word —
     * the same pass semantics the encode kernel contracts to. */
   def trainOnDict(dict: Array[(String, Long)], numMerges: Int,
-                  minPairCount: Long = 1L): Seq[(String, String)] = {
+                  minPairCount: Long = 1L,
+                  byteLevel: Boolean = false): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] =
-      dict.map { case (w, f) => (BpeOps.initialTokens(w), f) }
+      dict.map { case (w, f) =>
+        (if (byteLevel) BpeOps.byteInit(w) else BpeOps.initialTokens(w), f)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var k = 0
     var exhausted = false
@@ -144,22 +148,29 @@ object Bpe {
   // (bench warmups, probe re-runs) reuse the registered table instead
   // of growing the registry
   private val tableKeys =
-    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], String]()
+    new java.util.concurrent.ConcurrentHashMap[(Seq[(String, String)], Boolean), String]()
+  private def tableKey(merges: Seq[(String, String)], byteLevel: Boolean): String =
+    tableKeys.computeIfAbsent((merges.toList, byteLevel),
+      k => BpeOps.register(BpeOps.compile(k._1, k._2)))
 
   /** Token array of `text` under `merges` (compiled + validated once
     * per distinct merge list). Map-only codegen'd scan — see
-    * [[graft.expressions.BpeOps]] for the contract. */
+    * [[graft.expressions.BpeOps]] for the contract. With `byteLevel`,
+    * the GPT-2 byte-level alphabet: pre-tokens start as their UTF-8
+    * bytes mapped to printable codepoints (merges then cross
+    * multi-byte character boundaries within a pre-token, the GPT-2
+    * regime) and the space mark is 'Ġ' (0x20's mapped char). */
   def tokens(text: Column, merges: Seq[(String, String)],
-             spaceMark: Boolean = false): Column = {
-    val key = tableKeys.computeIfAbsent(merges.toList,
-      m => BpeOps.register(BpeOps.compile(m)))
-    call_function("bpe_tokens", text, lit(key), lit(spaceMark))
-  }
+             spaceMark: Boolean = false,
+             byteLevel: Boolean = false): Column =
+    call_function("bpe_tokens", text, lit(tableKey(merges, byteLevel)),
+      lit(spaceMark))
 
   /** Real-token count (the exact replacement for the `preTokenCount`
     * proxy; null text stays null). */
-  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
-    size(tokens(text, merges))
+  def tokenCount(text: Column, merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): Column =
+    size(tokens(text, merges, spaceMark = false, byteLevel = byteLevel))
 
   /** Inverse of [[tokens]] with `spaceMark = true`: space-marked
     * tokens carry their word boundary, so plain concatenation
@@ -170,6 +181,20 @@ object Bpe {
     // operator is the exact inverse (tokens(null) is null)
     when(toks.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("", toks))
+
+  /** Byte-level inverse: concatenate space-marked byte-level tokens,
+    * then unmap codepoints back to UTF-8 bytes — `detokenizeBytes ∘
+    * tokens(byteLevel = true, spaceMark = true)` is the identity on
+    * normalized text, including multi-byte characters whose bytes
+    * were split across merges. */
+  def detokenizeBytes(toks: Column): Column =
+    when(toks.isNull, lit(null).cast("string"))
+      .otherwise(call_function("bpe_unmap", concat_ws("", toks)))
+
+  /** The byte-level base alphabet: all 256 mapped byte chars in UTF-8
+    * byte order — fixed, corpus-independent (contrast [[baseChars]]). */
+  def byteBase: Seq[String] =
+    graft.expressions.BpeOps.ByteToChar.toSeq.sortWith(utf8Compare(_, _) < 0)
 
   /** Distinct initial codepoints of the corpus pre-tokens, in UTF-8
     * byte order — the vocabulary's base alphabet. Derived from the
@@ -203,13 +228,13 @@ object Bpe {
     * with a vocabulary built by [[baseChars]]+[[vocab]] over the same
     * corpus, no -1 can occur. */
   def tokenIds(text: Column, merges: Seq[(String, String)],
-               vocabTokens: Seq[String]): Column = {
-    val tKey = tableKeys.computeIfAbsent(merges.toList,
-      m => BpeOps.register(BpeOps.compile(m)))
+               vocabTokens: Seq[String],
+               byteLevel: Boolean = false): Column = {
     val vKey = vocabKeys.computeIfAbsent(vocabTokens.toList,
       v => graft.expressions.BpeVocab.register(
         new graft.expressions.BpeVocab(v.toArray)))
-    call_function("bpe_token_ids", text, lit(tKey), lit(vKey))
+    call_function("bpe_token_ids", text, lit(tableKey(merges, byteLevel)),
+      lit(vKey))
   }
 
   /** Ranked merges as a DataFrame (merge_rank, lhs, rhs) — persist as

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.expressions.BpeOps
 import graft.sources.Tables
 
 /** Certification probes for the BPE tokenizer (graft.operators.Bpe):
@@ -39,6 +40,20 @@ object BpeProbes {
     "a" -> "l", "i" -> "s", "i" -> "t", "o" -> "u", "a" -> "r",
     "s" -> "t", "l" -> "e", "h" -> "e", "s" -> "e", "th" -> "at",
     "e" -> "d", "c" -> "o", "d" -> "e", "m" -> "e", "w" -> "h")
+
+  /** Byte-level fixtures: `bm`/`bu` map text through GPT-2's
+    * bytes_to_unicode (the mapping itself is pinned by published
+    * anchors in BpeSpec — Ġ for 0x20, Ċ for 0x0A); the fixed merge
+    * table fuses é's two UTF-8 bytes and 世's three back into
+    * whole-character tokens, the byte-crossing regime char-level BPE
+    * cannot express. */
+  private[graft] def bm(s: String): String = BpeOps.byteInit(s).mkString
+  val FixedByteMerges: Seq[(String, String)] = {
+    val e = BpeOps.byteInit("é")
+    val w = BpeOps.byteInit("世")
+    Seq("t" -> "h", "th" -> "e", e(0) -> e(1),
+      w(0) -> w(1), (w(0) + w(1)) -> w(2))
+  }
 
   // --- SQL fragments -----------------------------------------------------
 
@@ -320,5 +335,62 @@ object BpeProbes {
               |SELECT doc_id, lang, n_tokens, start_offset,
               |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_id
               |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // GPT-2 BYTE-LEVEL BPE: pre-tokens start as their UTF-8 bytes
+    // mapped through bytes_to_unicode, merges cross multi-byte
+    // character boundaries, and bpe_unmap inverts the stream. Text is
+    // synthesized from a bounded multilingual alphabet so the oracle
+    // can restate the byte mapping as literal replaces; the merge
+    // chain and token extraction reuse the x50 mirror machinery over
+    // byte units, and the round-trip column's oracle is the
+    // normalized text itself (any byte dropped, reordered or
+    // mis-unmapped diverges) ----------------------------------------
+    Probe("x69_bpe_byte_level",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val id = col("doc_id")
+        val base = when(id % 5 === 0, "the theatre")
+          .when(id % 5 === 1, "café déjà vu")
+          .when(id % 5 === 2, "世界 hello 世界")
+          .when(id % 5 === 3, "naïve, test!")
+          .otherwise("mixed é世 end")
+        val text = TextOps.normalizeText(
+          concat(base, lit(" "), (id % 100).cast("string")))
+        val toks = Bpe.tokens(text, FixedByteMerges,
+          spaceMark = false, byteLevel = true)
+        val marked = Bpe.tokens(text, FixedByteMerges,
+          spaceMark = true, byteLevel = true)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            array_join(toks, "|").as("tokens_str"),
+            Bpe.detokenizeBytes(marked).as("text_rt"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val mapChain = Seq("é", "à", "ï", "世", "界")
+          .foldLeft("x") { (acc, c) => s"replace($acc, '$c', '${bm(c)}')" }
+        val synth = "CASE doc_id % 5 WHEN 0 THEN 'the theatre' " +
+          "WHEN 1 THEN 'café déjà vu' WHEN 2 THEN '世界 hello 世界' " +
+          "WHEN 3 THEN 'naïve, test!' ELSE 'mixed é世 end' END " +
+          "|| ' ' || CAST(doc_id % 100 AS VARCHAR)"
+        val enc = mergeChainSql(
+          s"""(array_to_string(list_transform(string_split(t, ' '),
+             |    seg -> array_to_string(list_transform(
+             |      regexp_extract_all(seg, '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]'),
+             |      x -> regexp_replace($mapChain, '(.)', '$E\\1$F', 'g')), '$G')), ' '))""".stripMargin,
+          FixedByteMerges)
+        s"""WITH nrm AS (SELECT doc_id,
+           |  lower(trim(regexp_replace(regexp_replace($synth,
+           |    '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g'))) AS t
+           |  FROM documents),
+           |fin AS (SELECT doc_id, t, $enc AS f FROM nrm),
+           |tl AS (SELECT doc_id, t,
+           |         regexp_extract_all(f, '$E([^$F]*)$F', 1) AS l FROM fin)
+           |SELECT doc_id, CAST(len(l) AS INT) AS n_tokens,
+           |  array_to_string(l, '|') AS tokens_str,
+           |  t AS text_rt
+           |FROM tl ORDER BY doc_id""".stripMargin
+      }),
   )
 }

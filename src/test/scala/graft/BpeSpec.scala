@@ -338,6 +338,68 @@ class BpeSpec extends SparkTestBase {
     assert(e.getMessage.contains("duplicate token"))
   }
 
+  // --- byte level ---------------------------------------------------------
+
+  test("byte-level mapping: published GPT-2 anchors pin the table") {
+    assert(BpeOps.ByteToChar(0x20) === "Ġ") // space → Ġ
+    assert(BpeOps.ByteToChar(0x0A) === "Ċ") // newline → Ċ
+    assert(BpeOps.ByteToChar('a'.toInt) === "a") // printable ASCII fixed
+    assert(BpeOps.ByteToChar(0xC3) === "Ã") // Latin-1 printable fixed
+    assert(BpeOps.CharToByte.size === 256)       // bijection
+    // multi-byte chars split into one mapped unit per UTF-8 byte
+    assert(BpeOps.byteInit("é").length === 2)
+    assert(BpeOps.byteInit("世").length === 3)
+    assert(BpeOps.byteInit("🙂").length === 4)
+    // unmap inverts, including astral text and spaces
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = "café 世界 🙂 done"
+    assert(BpeOps.unmap(
+      UTF8String.fromString(BpeOps.byteInit(t).mkString)).toString === t)
+  }
+
+  test("byte-level merges fuse bytes across character boundaries; round trip is exact") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "café café"), (2L, "世界 the 世界"), (3L, "plain ascii"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        Bpe.tokens(col("text"), BpeProbes.FixedByteMerges,
+          spaceMark = false, byteLevel = true).as("toks"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    // é's two mapped bytes fused into ONE token by the (Ã,©)-rank merge
+    val eTok = graft.operators.BpeProbes.bm("é")
+    assert(toks(1L) === Seq("c", "a", "f", eTok, "c", "a", "f", eTok))
+    // 世's three bytes fused; 界's three stay single units (no merge)
+    assert(toks(2L).take(4) === Seq(graft.operators.BpeProbes.bm("世")) ++
+      BpeOps.byteInit("界"))
+    assert(toks(4L) === null)
+    // byte-level lossless round trip incl. the Ġ space mark
+    val rt = docs.where(col("text").isNotNull).select(col("doc_id"),
+        Bpe.detokenizeBytes(Bpe.tokens(col("text"), BpeProbes.FixedByteMerges,
+          spaceMark = true, byteLevel = true)).as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt === Map(1L -> "café café", 2L -> "世界 the 世界",
+      3L -> "plain ascii"))
+  }
+
+  test("byte-level trainer learns byte-crossing merges; ids use the fixed 256 base") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq("ééé ééé", "ééé").toDF("text")
+    val merges = Bpe.train(docs, numMerges = 2, byteLevel = true)
+    val e = BpeOps.byteInit("é")
+    // most frequent pair is é's byte pair; next fuses éé
+    assert(merges.head === (e(0) -> e(1)))
+    assert(merges(1) === (e.mkString -> e.mkString))
+    // ids over the corpus-independent 256-char base: no UNK possible
+    val voc = Bpe.vocab(Bpe.byteBase, merges)
+    val ids = docs.select(Bpe.tokenIds(col("text"), merges, voc,
+        byteLevel = true).as("ids"))
+      .collect().flatMap(_.getSeq[Int](0))
+    assert(ids.forall(_ >= 0))
+  }
+
   // --- plan shape ---------------------------------------------------------
 
   test("bpe_tokens projection is map-only: no exchange, codegen'd") {
