@@ -670,7 +670,7 @@ object ExtensionProbes {
              |  FROM documents),
              |r AS (
              |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(aug,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
              |    'https?://[^\s]+', '<URL>', 'g'),
              |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
              |  FROM a)

@@ -33,8 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object PiiOps {
 
-  /** RFC-5322-ish address, the pragmatic crawl subset. */
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}"
+  /** RFC-5322-ish address, the pragmatic crawl subset. Quantifiers are
+    * BOUNDED to the RFC limits (64-char local part, 253-char domain,
+    * 24-char TLD) — not just correctness hygiene: an unbounded
+    * `[…._]+@` class backtracks O(len) at every start position, which
+    * a 100 KB run of dots turns into a measured ~60 s executor stall
+    * on ONE row; the bounds cap backtracking per position at the
+    * quantifier ceiling (HostileInputSpec detonates both patterns). */
+  val EmailPattern =
+    "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9][A-Za-z0-9.-]{0,251}\\.[A-Za-z]{2,24}"
 
   /** Dotted-quad IPv4 with explicit dot/word guards. A plain `\b`
     * cannot keep version strings out: `\b` holds between a digit and

@@ -252,8 +252,11 @@ object TextOps {
     * order is part of the contract (emails before digit runs, so an
     * address's digits don't get double-rewritten). */
   def redactPii(text: Column): Column = {
+    // bounded quantifiers (RFC limits) — an unbounded local-part class
+    // backtracks O(len) per start position and a dot-run detonator
+    // stalls an executor core (see PiiOps.EmailPattern / HostileInputSpec)
     val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\\.[A-Za-z]{2,24}", "<EMAIL>")
     val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
     regexp_replace(url, "[0-9]{7,}", "<NUM>")
   }

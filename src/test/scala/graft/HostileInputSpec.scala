@@ -103,6 +103,37 @@ class HostileInputSpec extends AnyFunSuite {
     assert(MultimodalOps.decodeImage(null).isEmpty)
   }
 
+  test("regex text operators: pathological inputs terminate fast (no catastrophic backtracking)") {
+    // the PII/HTML patterns run inside per-row codegen over untrusted
+    // crawl text — a quantifier arrangement with exponential
+    // backtracking would stall an executor core on one hostile row.
+    // All quantifier nests are bounded by construction; prove it on
+    // the classic detonators.
+    import java.util.regex.Pattern
+    val patterns = Seq(
+      graft.operators.PiiOps.Ipv4Pattern,
+      graft.operators.PiiOps.PhonePattern,
+      graft.operators.PiiOps.EmailPattern,
+      graft.operators.TextOps.BlockTagPattern,
+      graft.operators.TextOps.PreTokenPattern).map(Pattern.compile)
+    val inputs = Seq(
+      "1." * 50000,            // dotted digits that never form a quad
+      "+1 " + "11 " * 20000,   // endless separator-group chain
+      "+" + "1" * 100000,      // huge contiguous digit run
+      "a@" * 50000,            // email-ish churn, host never completes
+      "<" * 100000,            // unclosed tags
+      "<!--" + "x" * 50000,    // unclosed comment body
+      "." * 100000)
+    for (p <- patterns; in <- inputs) {
+      val t0 = System.nanoTime()
+      val m = p.matcher(in)
+      while (m.find()) ()
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(ms < 2000,
+        s"pattern '${p.pattern().take(30)}…' took ${ms}ms on a ${in.length}-char detonator")
+    }
+  }
+
   test("RDS: truncations and corrupted magic fail cleanly") {
     bytesOf(rdsPath) match {
       case None => cancel("reference RDS artifact not present")
