@@ -261,7 +261,16 @@ object Bpe {
     * text reassembled from space-marked tokens (ltrim'd, so a chunk
     * starting mid-document drops the word-boundary space). Documents
     * shorter than `size` tokens (including empty/null text) yield
-    * exactly one chunk. Map-side explode, no shuffle. */
+    * exactly one chunk. Map-side explode, no shuffle.
+    *
+    * Deliberately CHAR-LEVEL tokens only: under the byte-level mode a
+    * chunk boundary can land mid-character (an unfused multi-byte
+    * char's units split across chunks — exactly how real byte-level
+    * LLM context windows behave), and the reassembled `chunk_text`
+    * would hold invalid UTF-8. Budgeting by byte-level counts works
+    * today (`tokenCount(byteLevel = true)` feeds any budget column);
+    * text-reassembling chunking stays on the char-level tokenizer
+    * where every token is whole codepoints. */
   def chunkByTokens(docs: DataFrame, merges: Seq[(String, String)],
                     size: Int, overlap: Int = 0,
                     idCol: String = "doc_id",
