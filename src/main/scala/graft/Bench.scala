@@ -113,7 +113,7 @@ object Bench {
       "manifest = 1.00x - parity holds on the suite GROWN by the " +
       "Unicode-prelude re-certification and four new probes (r6: " +
       "0.87-1.22x on 98 queries; r5 1.1-1.5x on 86). The Unicode " +
-      "\\p{L} prelude costs nothing measurable: x50 encode stays " +
+      "letter-class prelude costs nothing measurable: x50 encode stays " +
       "0.05s, x51 train 0.32s, x55 0.30s, x56 0.30s. The r7 cleanup " +
       "probes are sub-0.1s map-only scans in BOTH engines (x65 " +
       "normalize 0.05s, x66 pii 0.06s, x67 html 0.05s - regex chains " +
@@ -299,7 +299,15 @@ object Bench {
     // them — while the long notes/queries live up front. The complete
     // line is also persisted to BENCH_SELF.json (best effort) so the
     // full per-query map survives tail truncation.
-    val line = s"""{"queries":$qs,"warm":"$warmMode","notes":"$notes","volume_notes":"$volumeNotes","metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    // JSON-escape the free-text fields — a stray backslash or quote in
+    // builder-authored notes must not invalidate the metric line
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val line = s"""{"queries":$qs,"warm":"$warmMode","notes":"${esc(notes)}","volume_notes":"${esc(volumeNotes)}","metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
     catch { case _: Exception => () }

@@ -19,12 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Tokenization contract (engine-portable, mirrored verbatim by the
   * DuckDB oracle):
-  *  - pre-tokens: the GPT-2-style prelude `\p{L}+|\p{N}|[^\p{L}\p{N}\s]`
-  *    (same pattern as `TextOps.preTokenCount`), matched in order —
-  *    Unicode-category classes, so "café", Cyrillic and CJK words stay
-  *    whole words instead of shattering into per-codepoint pre-tokens
-  *    (Java `\p{L}`/`\p{N}` and DuckDB RE2's agree codepoint-for-
-  *    codepoint, including astral letters and Nl/No numerals);
+  *  - pre-tokens: the GPT-2-style prelude — letter runs `\p{L}+`,
+  *    single numerals `\p{N}`, single marks (same pattern as
+  *    `TextOps.preTokenCount`), matched in order. Unicode-category
+  *    classes keep "café", Cyrillic and CJK words whole instead of
+  *    shattering into per-codepoint pre-tokens, and the whitespace
+  *    exclusion is the EXPLICIT class `[\t\n\x0B\f\r ]` rather than
+  *    `\s` — Java's `\s` includes U+000B where RE2's does not, so the
+  *    explicit class is what makes the Java and DuckDB readings agree
+  *    codepoint-for-codepoint (astral letters and Nl/No numerals
+  *    included);
   *  - each pre-token starts as its Unicode CODEPOINTS (not UTF-16
   *    units, so non-BMP text tokenizes the same here and in RE2);
   *  - merges apply strictly in RANK ORDER, each rank as ONE
@@ -44,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeOps {
 
-  val PreTokenPattern: String = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]"
+  val PreTokenPattern: String = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
   private val PreTok = Pattern.compile(PreTokenPattern)
 
   /** GPT-2's `bytes_to_unicode` bijection (public formula, Radford et
@@ -64,9 +68,15 @@ object BpeOps {
     }
     out
   }
-  /** Inverse of [[ByteToChar]] (codepoint → byte value). */
-  val CharToByte: Map[Int, Byte] =
-    ByteToChar.zipWithIndex.map { case (s, b) => s.codePointAt(0) -> b.toByte }.toMap
+  /** Inverse of [[ByteToChar]] as a flat array indexed by codepoint
+    * (max mapped codepoint is 256+67 = 323): [[unmap]] runs per row
+    * inside codegen, where an array index beats a boxed map probe.
+    * -1 marks codepoints outside the alphabet. */
+  val CharToByte: Array[Int] = {
+    val out = Array.fill(324)(-1)
+    ByteToChar.zipWithIndex.foreach { case (s, b) => out(s.codePointAt(0)) = b }
+    out
+  }
 
   /** The byte-level space mark: 0x20's mapped char ('Ġ'). */
   val ByteSpaceMark: String = ByteToChar(0x20)
@@ -87,9 +97,10 @@ object BpeOps {
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      val b = CharToByte.getOrElse(cp, throw new IllegalArgumentException(
-        f"bpe_unmap: codepoint U+$cp%04X is not in the byte-level alphabet"))
-      out.write(b & 0xff)
+      val b = if (cp < CharToByte.length) CharToByte(cp) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        f"bpe_unmap: codepoint U+$cp%04X is not in the byte-level alphabet")
+      out.write(b)
       i += Character.charCount(cp)
     }
     UTF8String.fromBytes(out.toByteArray)

@@ -70,7 +70,7 @@ object BpeProbes {
   private def encInitSql(t: String): String =
     s"""array_to_string(list_transform(string_split($t, ' '),
        |    seg -> array_to_string(list_transform(
-       |      regexp_extract_all(seg, '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]'),
+       |      regexp_extract_all(seg, '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]'),
        |      x -> regexp_replace(x, '(.)', '$E\\1$F', 'g')), '$G')), ' ')""".stripMargin
 
   /** Chained replace applying `merges` in rank order. */
@@ -110,7 +110,7 @@ object BpeProbes {
     val head =
       s"""nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
          |wraw AS (SELECT unnest(regexp_extract_all(t,
-         |         '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]')) AS w0 FROM nrm),
+         |         '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]')) AS w0 FROM nrm),
          |s0 AS MATERIALIZED (
          |  SELECT w0, regexp_replace(w0, '(.)', '$E\\1$F', 'g') AS w, COUNT(*) AS f
          |  FROM wraw GROUP BY 1)""".stripMargin
@@ -152,7 +152,7 @@ object BpeProbes {
   private def trainedCountSql(numMerges: Int): String = {
     val tail =
       s"""docw AS (SELECT doc_id, unnest(regexp_extract_all(t,
-         |           '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]')) AS w0 FROM nrm),
+         |           '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]')) AS w0 FROM nrm),
          |cnts AS (SELECT w0,
          |           length(w) - length(replace(w, '$E', '')) AS k
          |         FROM s$numMerges),
@@ -220,7 +220,7 @@ object BpeProbes {
           .map { case ((l, r), i) => s"('${l + r}', $i)" }.mkString(", ")
         s"""WITH nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
            |wt AS (SELECT DISTINCT unnest(regexp_extract_all(t,
-           |         '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]')) AS w FROM nrm),
+           |         '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]')) AS w FROM nrm),
            |bc AS (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS tok FROM wt),
            |vb AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS id FROM bc),
            |nb AS (SELECT COUNT(*) AS n FROM vb),
@@ -377,7 +377,7 @@ object BpeProbes {
         val enc = mergeChainSql(
           s"""(array_to_string(list_transform(string_split(t, ' '),
              |    seg -> array_to_string(list_transform(
-             |      regexp_extract_all(seg, '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]'),
+             |      regexp_extract_all(seg, '\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]'),
              |      x -> regexp_replace($mapChain, '(.)', '$E\\1$F', 'g')), '$G')), ' '))""".stripMargin,
           FixedByteMerges)
         s"""WITH nrm AS (SELECT doc_id,

@@ -94,7 +94,7 @@ object ExtensionProbes {
       Some("""SELECT doc_id,
              |  CASE WHEN length(trim(text)) = 0 THEN 0
              |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-             |  len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\s]')) AS pre_tokens
+             |  len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\p{L}\p{N}\t\n\x0B\f\r ]')) AS pre_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // TextOps.qualityScore ----------------------------------------------

@@ -61,12 +61,17 @@ object PiiOps {
   val Ipv4Pattern =
     "(^|[^0-9A-Za-z._])((?:[0-9]{1,3}\\.){3}[0-9]{1,3})(\\.[^0-9]|\\.$|[^0-9A-Za-z._]|$)"
 
-  /** International phone: `+` then 8–15 digits total — contiguous, or
-    * country code (1–3) + optional parenthesized area code + 2–4 digit
-    * groups with single separators, with group shapes chosen so every
-    * alternative carries at least 8 digits (`+1 415 555 2671`,
-    * `+44 20 7946 0958`, `+79161234567` all match; a 5-digit price
-    * range like `+5 10-20` cannot). */
+  /** International phone: `+` then AT LEAST 8 digits — contiguous
+    * (8–15, the E.164 ceiling), or country code (1–3) + optional
+    * parenthesized area code + 2–4 digit groups with single
+    * separators, with group shapes chosen so every alternative
+    * carries at least 8 digits (`+1 415 555 2671`, `+44 20 7946 0958`,
+    * `+79161234567` all match; a 5-digit price range like `+5 10-20`
+    * cannot). The grouped alternatives bound each GROUP, not the
+    * total: a separator chain can reach ~23 digits before the group
+    * count caps it — a deliberate recall/precision trade (real-world
+    * formats vary too much to bound the grouped total at 15 without
+    * losing them). */
   val PhonePattern =
     "\\+(?:[0-9]{8,15}" +
       "|[0-9]{1,3}[ .-]?(?:\\([0-9]{1,4}\\)[ .-]?)?" +

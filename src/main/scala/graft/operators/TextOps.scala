@@ -29,8 +29,11 @@ object TextOps {
     * ("café", Cyrillic, CJK) count as letter runs, not one pre-token
     * per codepoint — this is the unit of account for every token
     * budget in the suite, and a multilingual crawl is mostly
-    * non-ASCII. Java and DuckDB RE2 agree codepoint-for-codepoint. */
-  val PreTokenPattern = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\s]"
+    * non-ASCII. The whitespace exclusion is the explicit class
+    * `[\t\n\x0B\f\r ]`, not `\s`: Java's `\s` includes U+000B where
+    * RE2's does not, and the explicit class is what makes the Java
+    * and DuckDB readings agree codepoint-for-codepoint. */
+  val PreTokenPattern = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
   def preTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PreTokenPattern), lit(0)))
 

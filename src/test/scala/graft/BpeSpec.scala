@@ -345,7 +345,7 @@ class BpeSpec extends SparkTestBase {
     assert(BpeOps.ByteToChar(0x0A) === "Ċ") // newline → Ċ
     assert(BpeOps.ByteToChar('a'.toInt) === "a") // printable ASCII fixed
     assert(BpeOps.ByteToChar(0xC3) === "Ã") // Latin-1 printable fixed
-    assert(BpeOps.CharToByte.size === 256)       // bijection
+    assert(BpeOps.CharToByte.count(_ >= 0) === 256) // bijection
     // multi-byte chars split into one mapped unit per UTF-8 byte
     assert(BpeOps.byteInit("é").length === 2)
     assert(BpeOps.byteInit("世").length === 3)

@@ -24,7 +24,8 @@ class ExactSpanDedupSpec extends SparkTestBase {
     val occs = for {
       (id, ws) <- words.toSeq.sortBy(_._1)
       s <- 0 to ws.length - k
-    } yield (ws.slice(s, s + k).map(_.toLowerCase).mkString(" "), id, s)
+    } yield (ws.slice(s, s + k)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).mkString(" "), id, s)
     val firsts = occs.groupBy(_._1).view
       .mapValues(_.map(o => (o._2, o._3)).min).toMap
     val counts = occs.groupBy(_._1).view.mapValues(_.size).toMap
