@@ -222,6 +222,58 @@ object CurationProbes {
              |SELECT doc_id, score, n_tokens FROM c
              |WHERE cum <= 12000 ORDER BY doc_id""".stripMargin)),
 
+    // Sampling.scoreBuckets ∘ TextOps.lmScore: CCNet's head/middle/
+    // tail quality tiers — LM-score every document (the x43-certified
+    // scorer, trained on the even docs), then bucket per language by
+    // exact score percentiles. The oracle re-derives the scoring chain
+    // AND the per-group quantile thresholds independently ------------
+    Probe("x70_ccnet_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (contexts, bigrams, vocab) =
+          TextOps.bigramCounts(docs.where(col("doc_id") % 2 === 0))
+        val scored = TextOps.lmScore(docs, contexts, bigrams, vocab, k = 1.0)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        Sampling.scoreBuckets(scored, "lm_score", "lang")
+          .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok0 AS (
+             |  SELECT doc_id, g.i AS pos, parts[g.i] AS w
+             |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS parts
+             |        FROM documents),
+             |       (SELECT unnest(generate_series(1, 100000)) AS i) g
+             |  WHERE g.i <= len(parts) AND parts[g.i] <> ''),
+             |bg AS (
+             |  SELECT doc_id, w1, w2 FROM (
+             |    SELECT doc_id, w AS w1,
+             |      LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |    FROM tok0) WHERE w2 IS NOT NULL),
+             |ref AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+             |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM ref GROUP BY 1, 2),
+             |c AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok0 WHERE doc_id % 2 = 0),
+             |s AS (
+             |  SELECT bg.doc_id,
+             |    ROUND(AVG(LN((COALESCE(b.c12, 0) + 1.0) /
+             |                 (COALESCE(c.c1, 0) + 1.0 * v.v))), 6) AS lm_score
+             |  FROM bg LEFT JOIN b USING (w1, w2) LEFT JOIN c USING (w1)
+             |  CROSS JOIN v GROUP BY 1),
+             |sc AS (
+             |  SELECT d.doc_id, d.lang, s.lm_score
+             |  FROM documents d LEFT JOIN s USING (doc_id)),
+             |th AS (
+             |  SELECT lang, quantile_cont(lm_score, 0.9) AS qh,
+             |    quantile_cont(lm_score, 0.5) AS qm
+             |  FROM sc GROUP BY lang)
+             |SELECT sc.doc_id, sc.lang, sc.lm_score,
+             |  CASE WHEN sc.lm_score IS NULL THEN 'tail'
+             |       WHEN sc.lm_score >= th.qh THEN 'head'
+             |       WHEN sc.lm_score >= th.qm THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM sc JOIN th USING (lang)
+             |ORDER BY sc.doc_id""".stripMargin)),
+
     // graft.expressions.UnicodeNormalize: NFC over the real corpus
     // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
     // NFKC over synthesized normalization-unstable graphemes — the

@@ -39,6 +39,38 @@ object Sampling {
       .where(col(metricCol) >= col("q_lo") && col(metricCol) <= col("q_hi"))
   }
 
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per
+    * group, the top `headFrac` of documents by `scoreCol` are "head",
+    * the next `midFrac` "middle", the rest "tail" — the quality tiers
+    * CCNet ships (scored there by LM perplexity; any score column
+    * works, e.g. [[TextOps.lmScore]] where HIGHER mean log-probability
+    * = cleaner = head). Null scores land in "tail" (unscorable docs).
+    *
+    * Thresholds are per-group EXACT interpolated percentiles
+    * (`percentile(score, 1-headFrac)` / `percentile(score,
+    * 1-headFrac-midFrac)`, nulls ignored) and labels are plain
+    * comparisons with ties taking the better bucket — so the
+    * partition is reproducible on any engine, unlike a
+    * row-number-over-sorted-group formulation, and costs one grouped
+    * aggregation plus a broadcast of the group-cardinality threshold
+    * table instead of a per-group sort of the corpus. */
+  def scoreBuckets(df: DataFrame, scoreCol: String, groupCol: String,
+                   headFrac: Double = 0.1, midFrac: Double = 0.4,
+                   bucketCol: String = "bucket"): DataFrame = {
+    require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
+      s"need 0 < headFrac, 0 <= midFrac, headFrac+midFrac < 1: $headFrac/$midFrac")
+    val th = df.groupBy(groupCol).agg(
+      expr(s"percentile($scoreCol, ${1 - headFrac})").as("_q_head"),
+      expr(s"percentile($scoreCol, ${1 - headFrac - midFrac})").as("_q_mid"))
+    df.join(broadcast(th), Seq(groupCol), "left")
+      .withColumn(bucketCol,
+        when(col(scoreCol).isNull, "tail")
+          .when(col(scoreCol) >= col("_q_head"), "head")
+          .when(col(scoreCol) >= col("_q_mid"), "middle")
+          .otherwise("tail"))
+      .drop("_q_head", "_q_mid")
+  }
+
   /** Keep ~fraction of rows, decided by an md5 hash of the id —
     * deterministic on any engine/cluster, no RNG. */
   def deterministicSample(df: DataFrame, fraction: Double,
