@@ -274,6 +274,36 @@ object CurationProbes {
              |FROM sc JOIN th USING (lang)
              |ORDER BY sc.doc_id""".stripMargin)),
 
+    // Similarity.quantizeInt8 + cosineTopKInt8: scalar int8 embedding
+    // quantization (the 4x memory lever next to PQ's 16x). Scales
+    // cancel in cosine, so every intermediate is an exact whole
+    // number and the oracle re-derives codes and similarities with no
+    // rounding step anywhere ----------------------------------------
+    Probe("x71_int8_ann",
+      (s, d) => Similarity.cosineTopKInt8(
+          Similarity.quantizeInt8(Tables.embeddings(s, d)), queryId = 3, k = 10)
+        .orderBy(col("sim").desc, col("vec_id")),
+      Some("""WITH qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+             |    embedding
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+             |  FROM qz),
+             |q AS (SELECT codes AS cq FROM c WHERE vec_id = 3),
+             |sim AS (
+             |  SELECT c.vec_id,
+             |    list_dot_product(c.codes, q.cq) /
+             |      (sqrt(list_dot_product(c.codes, c.codes)) *
+             |       sqrt(list_dot_product(q.cq, q.cq))) AS sim
+             |  FROM c, q WHERE c.vec_id <> 3)
+             |SELECT vec_id, sim FROM sim
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // graft.expressions.UnicodeNormalize: NFC over the real corpus
     // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
     // NFKC over synthesized normalization-unstable graphemes — the

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity.quantizeInt8 / cosineTopKInt8 (x71): scalar int8
+  * embedding quantization — code bounds, reconstruction error, zero
+  * vectors, and recall against the exact cosine path. */
+class Int8AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("codes stay in [-127,127]; reconstruction error is within scale/2") {
+    val qz = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir))
+    val joined = qz.join(Tables.embeddings(spark, sfDir), "vec_id")
+      .select(col("vec_id"), col("q_scale"),
+        zip_with(col("q_codes"), col("embedding"),
+          (c, v) => abs(c.cast("double") * col("q_scale") - v.cast("double")))
+          .as("err"),
+        array_max(transform(col("q_codes"), c => abs(c.cast("int")))).as("cmax"))
+    val r = joined.agg(max(col("cmax")),
+      max(array_max(col("err")) / col("q_scale"))).head()
+    assert(r.getInt(0) <= 127)
+    assert(r.getDouble(1) <= 0.5 + 1e-9) // |v̂ - v| ≤ scale/2 per component
+  }
+
+  test("zero vector quantizes to zero codes without dividing by zero") {
+    val df = Seq((1L, Array.fill(8)(0.0f)), (2L, Array(1.0f, -2.0f, 0.5f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](2)).toMap
+    assert(qz(1L).forall(_ == 0))
+    assert(qz(2L)(1) === (-127).toByte) // maxabs component hits full scale
+  }
+
+  test("int8 top-k recall vs exact cosine is high on the real corpus") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val approx = Similarity.cosineTopKInt8(
+        Similarity.quantizeInt8(embs), queryId = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.cosineTopK(embs, queryId = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((approx & exact).size >= 8, s"recall too low: $approx vs $exact")
+  }
+}
