@@ -336,6 +336,60 @@ object BpeProbes {
               |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_id
               |FROM o ORDER BY doc_id""".stripMargin)),
 
+    // TOKEN-SIDE FLAGSHIP: the x38 analogue for the tokenizer DAG —
+    // normalize → exact dedup (md5 keeper) → REAL-token counting
+    // under the fixed table → global token-budget fill (longest
+    // first) → per-language sequence packing, certified id-for-id
+    // against ONE DuckDB mirror that chains the x15/x05/x50/x64/x53
+    // machinery. Every stage was certified alone; this certifies the
+    // composition, the shape a real assemble-a-training-set job runs
+    Probe("x72_token_pipeline",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextOps.normalizeText(col("text")).as("text"))
+        val keep = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = docs.join(keep.select("doc_id"), Seq("doc_id"))
+        val counted = deduped.select(col("doc_id"), col("lang"),
+          Bpe.tokenCount(col("text"), FixedMerges).cast("long").as("n_toks"))
+        val sel = Sampling.tokenBudgetSelect(
+          counted.withColumn("score", col("n_toks").cast("double")),
+          budget = 30000L, scoreCol = "score", tokenCol = "n_toks")
+        Sampling.packSequences(
+            sel.join(counted.select("doc_id", "lang"), Seq("doc_id"))
+              .select(col("doc_id"), col("lang"),
+                col("n_tokens").cast("int").as("n_tokens")),
+            budget = 512, tokenCol = "n_tokens", shardCol = "lang")
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("start_offset"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val enc = mergeChainSql(s"(${encInitSql("t")})", FixedMerges)
+        s"""WITH nrm AS (SELECT doc_id, lang, $nrmSql AS t FROM documents),
+           |k AS (SELECT MIN(doc_id) AS doc_id FROM nrm GROUP BY md5(t)),
+           |ded AS (SELECT nrm.* FROM nrm JOIN k USING (doc_id)),
+           |cnt AS (SELECT doc_id, lang, ${nTokensSql(enc)} AS n0 FROM ded),
+           |sel AS (
+           |  SELECT doc_id, lang, n0 FROM (
+           |    SELECT doc_id, lang, n0,
+           |      SUM(n0) OVER (ORDER BY CAST(n0 AS DOUBLE) DESC, doc_id
+           |                    ROWS UNBOUNDED PRECEDING) AS cum
+           |    FROM cnt)
+           |  WHERE cum <= 30000),
+           |o AS (
+           |  SELECT doc_id, lang, n0 AS n_tokens,
+           |    CAST(COALESCE(SUM(n0) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS start_offset
+           |  FROM sel)
+           |SELECT doc_id, lang, n_tokens, start_offset,
+           |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_id
+           |FROM o ORDER BY doc_id""".stripMargin
+      }),
+
     // GPT-2 BYTE-LEVEL BPE: pre-tokens start as their UTF-8 bytes
     // mapped through bytes_to_unicode, merges cross multi-byte
     // character boundaries, and bpe_unmap inverts the stream. Text is
