@@ -44,17 +44,82 @@ object Similarity {
     * rounding step at all. */
   def cosineTopKInt8(quantized: DataFrame, queryId: Long, k: Int,
                      idCol: String = "vec_id"): DataFrame = {
-    def idot(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
     val q = quantized.where(col(idCol) === queryId)
       .select(col("q_codes").as("_cq"))
     quantized.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol),
-        (idot(col("q_codes"), col("_cq")).cast("double") /
-          (sqrt(idot(col("q_codes"), col("q_codes")).cast("double")) *
-           sqrt(idot(col("_cq"), col("_cq")).cast("double")))).as("sim"))
+      .select(col(idCol), int8Cosine(col("q_codes"), col("_cq")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Pure-integer Σ aᵢ·bᵢ over int8 code arrays — every partial sum is
+    * an exactly-representable whole number, so the result is
+    * bit-identical on any engine and under any partitioning. */
+  private def idot(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+    lit(0L), (acc, x) => acc + x)
+
+  /** Integer-cosine of int8 code arrays (scales cancel — see
+    * [[cosineTopKInt8]]). */
+  private def int8Cosine(codes: Column, qCodes: Column): Column =
+    idot(codes, qCodes).cast("double") /
+      (sqrt(idot(codes, codes).cast("double")) *
+        sqrt(idot(qCodes, qCodes).cast("double")))
+
+  /** Persist an int8 IVF index at `path` — [[quantizeInt8]]'s 4×
+    * memory lever composed with the partition-pruned at-rest layout of
+    * `IvfIndex.writeIndex`/`PqIndex.writeIndex`:
+    *   codes/cell=N/  (vec_id, q_scale, q_codes) — tinyint codes
+    *   centroids/     (cell, centroid)           — the coarse quantizer
+    * Cells come from the same deterministic hash-init + one-Lloyd-step
+    * quantizer the certified IVF probes mirror in SQL; build cost is
+    * paid once and amortized over every future query. At 100 TB a
+    * query reads ~nprobe/nlist of a codes table 4× smaller than the
+    * raw vectors — and because integer cosine needs no rerank against
+    * the raw vectors for its own contract, the raw corpus is never
+    * touched at query time. */
+  def writeInt8Index(embs: DataFrame, path: String, nlist: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val cents = IvfIndex.meanCentroids(
+      IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+    val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
+    quantizeInt8(embs, idCol, vecCol)
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Int8 cosine top-k against the on-disk index for an explicit query
+    * vector: quantize the query driver-side with the identical
+    * floor(+0.5) rule, rank the (tiny) centroid table against the RAW
+    * query, turn the nprobe nearest cells into a file-level partition
+    * filter on the codes scan, and rank survivors by pure-integer
+    * cosine. Integer arithmetic survives partitioning exactly, so the
+    * result is bit-identical to [[cosineTopKInt8]] restricted to the
+    * probed cells — certification carries to the at-rest path
+    * unchanged. `excludeId` drops an indexed vector (pass the query's
+    * own id when querying by an indexed vector). */
+  def topKInt8FromIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, query: Seq[Double], k: Int,
+                        nprobe: Int, excludeId: Option[Long] = None,
+                        idCol: String = "vec_id"): DataFrame = {
+    val scale = math.max(
+      query.iterator.map(math.abs).foldLeft(0.0)(math.max), 1e-30) / 127.0
+    val qLit = array(query.map(x => lit(math.floor(x / scale + 0.5).toLong)): _*)
+    val qRaw = array(query.map(lit): _*)
+    val cells = spark.read.parquet(s"$path/centroids")
+      .withColumn("qdist", IvfIndex.sqDist(qRaw, col("centroid")))
+      .orderBy(col("qdist").asc, col("cell").asc)
+      .limit(nprobe)
+      .select(col("cell").cast("long")).collect().map(_.getLong(0))
+    // literal IN-list on the partition column → PartitionFilters prune
+    // code directories before any file is opened
+    val scored = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cells.toSeq: _*))
+    excludeId.fold(scored)(id => scored.where(col(idCol) =!= id))
+      .select(col(idCol), int8Cosine(col("q_codes"), qLit).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

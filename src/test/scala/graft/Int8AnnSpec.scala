@@ -43,4 +43,48 @@ class Int8AnnSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert((approx & exact).size >= 8, s"recall too low: $approx vs $exact")
   }
+
+  test("at-rest index: bit-identical to full-scan int8 cosine within probed " +
+      "cells, and the cell selection is a file-level partition filter") {
+    import graft.operators.IvfIndex
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_int8_idx").toString
+    Similarity.writeInt8Index(embs, dir, nlist = 8)
+    val q = embs.where(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val df = Similarity.topKInt8FromIndex(spark, dir, q, k = 10, nprobe = 6,
+      excludeId = Some(3L))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // reference: the certified full-scan path restricted to the same
+    // probed cells, derived independently of the index files
+    val cents = IvfIndex.meanCentroids(
+      IvfIndex.hashCells(embs, 8), "cell0", "embedding")
+    val probed = cents
+      .withColumn("qdist", org.apache.spark.sql.functions.round(
+        Similarity.dot(array(q.map(lit): _*), array(q.map(lit): _*)) -
+          lit(2.0) * Similarity.dot(array(q.map(lit): _*), col("centroid")) +
+          Similarity.dot(col("centroid"), col("centroid")), 6))
+      .orderBy(col("qdist").asc, col("cell").asc).limit(6)
+      .select("cell")
+    val inCells = IvfIndex.assign(embs, cents)
+      .join(probed, "cell").select("vec_id", "embedding")
+    val want = Similarity.cosineTopKInt8(
+        Similarity.quantizeInt8(inCells.unionByName(
+          embs.where(col("vec_id") === 3).select("vec_id", "embedding")).distinct()),
+        queryId = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(java.lang.Double.doubleToLongBits(a) ===
+        java.lang.Double.doubleToLongBits(b), s"$a != $b")
+    }
+
+    // plan gate: the nprobe cell selection must arrive as a file-level
+    // PartitionFilters entry on the codes scan — the shape that reads
+    // ~nprobe/nlist of the corpus at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"expected cell partition filter on the codes scan:\n$plan")
+  }
 }
