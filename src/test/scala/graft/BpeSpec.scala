@@ -294,6 +294,20 @@ class BpeSpec extends SparkTestBase {
     assert(out.head().getString(4) === "a b c d")
   }
 
+  test("chunkByTokens refuses a byte-level-trained merge table") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "café society")).toDF("doc_id", "text")
+    // the space mark Ġ (U+0120) is in every realistic byte-level table
+    val e = intercept[IllegalArgumentException] {
+      Bpe.chunkByTokens(docs, Seq(("Ġ", "s")), size = 4)
+    }
+    assert(e.getMessage.contains("byte-level"))
+    // char-level tables with non-ASCII (but unmapped) chars still pass
+    val charMerges = Bpe.train(docs, numMerges = 5)
+    assert(Bpe.chunkByTokens(docs, charMerges, size = 4).count() > 0)
+  }
+
   // --- token ids -----------------------------------------------------------
 
   test("tokenIds: ids round-trip through the vocabulary, UNK is -1") {
