@@ -208,7 +208,39 @@ object Bench {
       "(PqIndex.trainedTables), so repeat runs measure the query " +
       "path: steady-state wall 1.2-1.3s, back under the ~2s bar, " +
       "values bit-identical (x27 re-certified against the DuckDB " +
-      "mirror this round)."
+      "mirror this round). " +
+      "r8 sf1 HONESTY RUN (the r7 ask): graft.tools.ScaleData builds a " +
+      "10x corpus from sf0.1 (key-shifted copies, every table written " +
+      "as 32 parquet files so scans can actually parallelize), full " +
+      "115-probe suite run at both SFs same-session. The ex-weak five " +
+      "scale SUBLINEARLY at 10x data, closing their floor arguments " +
+      "with measurements: x22 0.57->1.59s (2.8x), x23 0.66->1.26s " +
+      "(1.9x), x64 0.63->0.81s (1.3x), w01 0.91->0.97s (1.1x), d09 " +
+      "0.51->1.04s (2.0x). The r8 two-phase percentile probes hold " +
+      "their shape (x21 1.6x, x70 1.4x at 10x data - the sf0.1 wall " +
+      "rose vs the old percentile-aggregate formulation because the " +
+      "design spends bounded extra jobs to avoid the O(group-size) " +
+      "aggregate buffer; the scaling curve is the point). The at-rest " +
+      "indexes are flat (x27 1.0x, x73 1.0x - cached codebook / " +
+      "partition-pruned cells). The contamination family grows 8-18x " +
+      "at 10x data, which is WORKLOAD, not plan: naive replication " +
+      "duplicates every text 10x on both join sides, so shingle-match " +
+      "pairs grow ~100x; StageProfile on x16 at sf1 shows the " +
+      "shingle+join stage running 32 tasks all-cores-busy (5.4-7.1s " +
+      "of a 9.1-12.4s wall) where sf0.1 ran it as 1 task - the " +
+      "single-row-group floor claim is now measured, not argued. " +
+      "The honesty run also caught a REAL scale-killer invisible at " +
+      "sf0.1: x54 audio decode grew 17.6x (0.32->5.5s) despite a " +
+      "fully-parallel 32-task stage; jstack showed 30/32 tasks " +
+      "BLOCKED in javax.sound's per-call provider lookup " +
+      "(SoftMidiAudioFileReader -> MidiSystem.getMidiFileReaders -> " +
+      "JDK13Services.getProviders, synchronized and uncached in " +
+      "JDK17). Fix: resolve the AudioFileReader SPI providers once " +
+      "per JVM, try the standard RIFF/AIFF/AU readers first, and gate " +
+      "the MIDI reader behind a 4-byte MThd header check. x54 at sf1 " +
+      "drops 5.5s -> 0.21s (0.9x vs sf0.1 - perfect parallel " +
+      "scaling), decode semantics unchanged (x54 re-certified, " +
+      "AudioSpec/HostileInputSpec green)."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
     val volumeNotes = "BenchWindfield 52 members x 47,241 centroids: " +
@@ -305,7 +337,16 @@ object Bench {
       "identical, so the delta IS the bytes_to_unicode mapping): 1M " +
       "docs / 96.7M tokens encode in 1.54s byte-level vs 1.56s " +
       "char-level - the mapping is free, and byte-level token " +
-      "accounting at 100 TB stays scan-bound."
+      "accounting at 100 TB stays scan-bound. " +
+      "r8 additions (recorded 2026-08-14, local[32]): the BPE merge " +
+      "loop is now INCREMENTAL (global pair-count map + pair->word " +
+      "index, per-merge deltas over only the words containing the " +
+      "chosen pair - bit-identical tables, spec-pinned): BpeDictProfile " +
+      "on the same 7.7M-type wide-unicode corpus at the 2^20 cap runs " +
+      "200 merges in 2.65s = 13 ms/merge vs the r7 recount loop's " +
+      "0.63 s/merge - 48x, so a GPT-2-scale 32k-merge vocabulary costs " +
+      "~7 min of driver loop instead of ~6 h, with the same bounded " +
+      "84.4 MB dict heap and one distributed aggregation over the text."
     // ONE JSON line per the driver contract. Key order matters beyond
     // style: the round driver keeps only the LAST ~2000 characters of
     // output (BENCH_r*.json "tail"), so the headline metric/value/sf

@@ -161,13 +161,59 @@ object MultimodalOps {
     * Normalization divides by 2^(bits−1) (a power of two, so PCM16
     * round-trips bit-exactly through the double domain — what lets the
     * DuckDB oracle recompute features from the sample formula). */
+  /** The `javax.sound.sampled` SPI providers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-runs provider lookup under a
+    * process-global lock on EVERY call (JDK17's
+    * `JDK13Services.getProviders` is synchronized and uncached), which
+    * serializes multi-core decode — the r8 sf1 honesty run measured
+    * the 32-task decode stage at ~60× the single-thread per-row cost
+    * from exactly this contention. Same providers, same parsing, no
+    * global lock. The readers (WaveFileReader etc.) are stateless
+    * parsers, safe to share across tasks. */
+  private lazy val audioReaders
+      : Seq[(javax.sound.sampled.spi.AudioFileReader, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .iterator().asScala.toList
+    // standard RIFF/AIFF/AU readers first; the MIDI-synthesizer reader
+    // last AND flagged — its format sniff re-enters the globally-locked
+    // MidiSystem provider lookup on every call (jstack during the sf1
+    // run: 30 of 32 decode tasks BLOCKED in
+    // SoftMidiAudioFileReader → MidiSystem.getMidiFileReaders →
+    // JDK13Services.getProviders), so it only runs on payloads whose
+    // 4-byte header actually says MIDI
+    val (midi, std) = all.partition(_.getClass.getName.toLowerCase.contains("midi"))
+    std.map((_, false)) ++ midi.map((_, true))
+  }
+
+  private def looksLikeMidi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'M' && bytes(1) == 'T' &&
+      bytes(2) == 'h' && bytes(3) == 'd'
+
+  private def audioStream(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    audioReaders.foreach { case (r, midiOnly) =>
+      if (!midiOnly || looksLikeMidi(bytes)) {
+        in.mark(bytes.length)
+        try return r.getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+        }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed provider recognizes the payload")
+  }
+
   def decodeAudio(bytes: Array[Byte],
                   maxSamples: Long = 16L * 1024 * 1024): Option[DecodedAudio] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     if (bytes == null || bytes.length < 12) return None
     try {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = audioStream(bytes)
       try {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
@@ -289,7 +335,8 @@ object MultimodalOps {
     * `##db` chunks present (a truncated file yields fewer frames than
     * declared — truncation is data, same stance as the audio path). */
   case class AviInfo(width: Int, height: Int, usPerFrame: Long,
-                     declFrames: Long, frames: Vector[(Int, Int)])
+                     declFrames: Long, frames: Vector[(Int, Int)],
+                     codec: String)
 
   private def u32le(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
@@ -318,6 +365,7 @@ object MultimodalOps {
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
     var width = 0; var height = 0
     var usPerFrame = 0L; var declFrames = 0L
+    var codec = ""  // fccHandler of the first vids stream header
     val frames = Vector.newBuilder[(Int, Int)]
     var nFrames = 0
     val fileEnd = math.min(bytes.length.toLong, 8L + u32le(bytes, 4)).toInt
@@ -345,6 +393,12 @@ object MultimodalOps {
         id match {
           case "LIST" | "RIFF" if depth < 8 && sz >= 4 =>
             walk(dataStart + 4, dataEnd, depth + 1)
+          case "strh" if sz >= 8 && codec.isEmpty &&
+              fourcc(bytes, dataStart) == "vids" =>
+            // the video stream's codec fourcc — an AVI whose frames
+            // are NOT MJPEG (DivX etc.) must be distinguishable from
+            // a corrupt-MJPEG file, so the tag rides the parse
+            codec = fourcc(bytes, dataStart + 4).trim
           case "avih" if sz >= 40 =>
             usPerFrame = u32le(bytes, dataStart)
             declFrames = u32le(bytes, dataStart + 16)
@@ -359,7 +413,7 @@ object MultimodalOps {
       }
     }
     walk(12, fileEnd, 0)
-    Some(AviInfo(width, height, usPerFrame, declFrames, frames.result()))
+    Some(AviInfo(width, height, usPerFrame, declFrames, frames.result(), codec))
   }
 
   /** Hand-built minimal AVI-MJPEG container (RIFF → hdrl(avih) +
@@ -368,7 +422,8 @@ object MultimodalOps {
     * payloads (JPEG bytes for real MJPEG; any bytes for container
     * tests). */
   def synthAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
-                    usPerFrame: Long = 33333L): Array[Byte] = {
+                    usPerFrame: Long = 33333L,
+                    codec: Option[String] = None): Array[Byte] = {
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length & 1
       val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
@@ -388,7 +443,18 @@ object MultimodalOps {
       .putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0)
       .array()
-    val hdrl = list("hdrl", chunk("avih", avih))
+    // optional stream header (strl → strh) carrying the codec fourcc;
+    // None keeps the byte layout of older fixtures unchanged
+    val strl = codec.fold(Array.emptyByteArray) { c =>
+      val fcc = (c + "    ").take(4)
+      val strh = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("vids".getBytes("US-ASCII"))
+        .put(fcc.getBytes("US-ASCII"))
+        .array()
+      list("strl", chunk("strh", strh))
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
     val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val out = java.nio.ByteBuffer.allocate(8 + body.length)
@@ -426,7 +492,7 @@ object MultimodalOps {
     * features with `container_ok = false`. One partition-parallel
     * pass, zero shuffle. */
   case class VideoFeatures(media_id: Long, n_bytes: Int, container_ok: Boolean,
-                           width: Int, height: Int, fps: Double,
+                           codec: String, width: Int, height: Int, fps: Double,
                            n_frames: Long, n_sampled: Int, n_decoded: Int,
                            mean_luma: Double, mean_entropy: Double)
 
@@ -452,14 +518,14 @@ object MultimodalOps {
             }
             val fps = if (info.usPerFrame > 0) 1e6 / info.usPerFrame else 0.0
             VideoFeatures(r.media_id, nBytes, container_ok = true,
-              info.width, info.height, fps, info.frames.length.toLong,
+              info.codec, info.width, info.height, fps, info.frames.length.toLong,
               sampled.length, nDec,
               if (nDec > 0) lumaSum / nDec else 0.0,
               if (nDec > 0) entSum / nDec else 0.0)
           case None =>
             val (mean, entropy, _) = byteFeatures(r.media)
             VideoFeatures(r.media_id, nBytes, container_ok = false,
-              0, 0, 0.0, 0L, 0, 0, mean, entropy)
+              "", 0, 0, 0.0, 0L, 0, 0, mean, entropy)
         }
       }
     }

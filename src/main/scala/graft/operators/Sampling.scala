@@ -159,23 +159,46 @@ object Sampling {
     * each language into equal thirds — pass 1.0/3 twice for that. */
   def scoreBuckets(df: DataFrame, scoreCol: String, groupCol: String,
                    headFrac: Double = 0.1, midFrac: Double = 0.4,
-                   bucketCol: String = "bucket"): DataFrame = {
+                   bucketCol: String = "bucket"): DataFrame =
+    labelByThresholds(df,
+      scoreBucketThresholds(df, scoreCol, groupCol, headFrac, midFrac),
+      scoreCol, groupCol, bucketCol)
+
+  /** The per-group threshold table of [[scoreBuckets]]: `(groupCol,
+    * _q_head, _q_mid)` — exact interpolated percentiles at
+    * `1-headFrac` / `1-headFrac-midFrac` via
+    * [[groupPercentilesExact]]. Group-cardinality-sized; persist it to
+    * tier future arrivals against a fixed reference corpus. */
+  def scoreBucketThresholds(df: DataFrame, scoreCol: String, groupCol: String,
+                            headFrac: Double = 0.1,
+                            midFrac: Double = 0.4): DataFrame = {
     require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
       s"need 0 < headFrac, 0 <= midFrac, headFrac+midFrac < 1: $headFrac/$midFrac")
-    val qs = groupPercentilesExact(df, scoreCol, groupCol,
-      Seq(1 - headFrac, 1 - headFrac - midFrac))
-    val th = qs.groupBy("_g").agg(
+    groupPercentilesExact(df, scoreCol, groupCol,
+        Seq(1 - headFrac, 1 - headFrac - midFrac))
+      .groupBy("_g").agg(
         max(when(col("_pi") === 0, col("_q"))).as("_q_head"),
         max(when(col("_pi") === 1, col("_q"))).as("_q_mid"))
       .withColumnRenamed("_g", groupCol)
-    df.join(broadcast(th), Seq(groupCol), "left")
+  }
+
+  /** The pure-projection labeling stage of [[scoreBuckets]]: apply a
+    * precomputed threshold table to rows — one broadcast join plus
+    * comparisons, no aggregation — so it runs UNCHANGED on a
+    * structured stream (tier new arrivals with thresholds trained on
+    * the reference corpus; StreamingSpec pins the batch≡stream
+    * equality). Ties take the better bucket; null scores and groups
+    * absent from the threshold table land in "tail". */
+  def labelByThresholds(df: DataFrame, thresholds: DataFrame,
+                        scoreCol: String, groupCol: String,
+                        bucketCol: String = "bucket"): DataFrame =
+    df.join(broadcast(thresholds), Seq(groupCol), "left")
       .withColumn(bucketCol,
         when(col(scoreCol).isNull, "tail")
           .when(col(scoreCol) >= col("_q_head"), "head")
           .when(col(scoreCol) >= col("_q_mid"), "middle")
           .otherwise("tail"))
       .drop("_q_head", "_q_mid")
-  }
 
   /** Keep ~fraction of rows, decided by an md5 hash of the id —
     * deterministic on any engine/cluster, no RNG. */

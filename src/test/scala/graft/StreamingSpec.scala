@@ -254,6 +254,62 @@ class StreamingSpec extends SparkTestBase {
       3L -> None))
   }
 
+  test("int8 quantization runs unchanged on a stream and equals batch") {
+    val landing = Files.createTempDirectory("graft_int8docs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_int8").toString
+    val rows = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector edge
+      (3L, Array(3.0f, 4.0f, -5.0f, 1.5f)))
+    rows.toDF("vec_id", "embedding").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    // quantizeInt8 is a pure projection — map-only on a stream
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("q_scale"), r.getSeq[Byte](2).toList)).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.Similarity.quantizeInt8(stream), "int8", ckpt, "append"))
+    val batch = render(graft.operators.Similarity.quantizeInt8(
+      rows.toDF("vec_id", "embedding")))
+    assert(got === batch)
+    assert(got(2L)._2.forall(_ == 0))
+  }
+
+  test("score-tier labeling streams against reference-corpus thresholds") {
+    // the deployment shape of scoreBuckets on unbounded data: the
+    // threshold table is trained once on the reference corpus (a
+    // grouped aggregation), and the LABELING stage is a pure
+    // broadcast-join projection that tiers each new arrival — so the
+    // same operator code runs on the stream, equal to batch labels
+    val landing = Files.createTempDirectory("graft_tierdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_tier").toString
+    val reference = (1L to 10L).map(i => (i, "en", i.toDouble)) ++
+      Seq((11L, "fr", 100.0), (12L, "fr", 200.0))
+    val arrivals = Seq((21L, "en", 9.5), (22L, "en", 5.7), (23L, "en", 1.0),
+      (24L, "fr", 150.0), (25L, "de", 7.0))  // de: unseen group → tail
+    val th = graft.operators.Sampling.scoreBucketThresholds(
+      reference.toDF("doc_id", "lang", "score"), "score", "lang")
+    arrivals.toDF("doc_id", "lang", "score").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("score", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.Sampling.labelByThresholds(stream, th, "score", "lang"),
+      "tiers", ckpt, "append"))
+    val batch = render(graft.operators.Sampling.labelByThresholds(
+      arrivals.toDF("doc_id", "lang", "score"), th, "score", "lang"))
+    assert(got === batch)
+    // en thresholds from the reference corpus: q_head=9.1, q_mid=5.5
+    assert(got === Map(21L -> "head", 22L -> "middle", 23L -> "tail",
+      24L -> "middle", 25L -> "tail"))
+  }
+
   test("url dedup keeper folds incrementally across micro-batch arrivals") {
     // x61's keeper is min(struct)/count — fold-anywhere mergeable, so
     // the SAME operator code runs as a streaming aggregation and two

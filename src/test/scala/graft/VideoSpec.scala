@@ -51,6 +51,32 @@ class VideoSpec extends SparkTestBase {
     assert(fr.toSeq === Seq(0, 2))
   }
 
+  test("non-MJPEG AVI surfaces its codec fourcc instead of an " +
+      "indistinguishable empty decode") {
+    // a DivX-style AVI: valid container, strh declares the codec, and
+    // the frame payloads are NOT JPEGs — decode must report the codec
+    // so downstream can tell "unsupported codec" from "corrupt MJPEG"
+    val divx = MultimodalOps.synthAviMjpeg(
+      Seq(Array[Byte](1, 2, 3, 4), Array[Byte](5, 6)), 64, 48, 40000L,
+      codec = Some("DIV3"))
+    val info = MultimodalOps.parseAvi(divx).get
+    assert(info.codec === "DIV3" && info.frames.length === 2)
+    val media = Seq(
+      MediaRow(1L, divx, "avi", 0, 0),
+      MediaRow(2L, MultimodalOps.synthAviMjpeg(
+        Seq(grayJpeg(16, 16, 90)), 16, 16, 40000L, codec = Some("MJPG")),
+        "avi", 0, 0),
+      // legacy strh-less fixture: codec is empty, everything else works
+      MediaRow(3L, MultimodalOps.synthAviMjpeg(
+        Seq(grayJpeg(16, 16, 90)), 16, 16, 40000L), "avi", 0, 0)).toDS()
+    val out = MultimodalOps.extractVideoFeatures(media)
+      .collect().map(v => v.media_id -> v).toMap
+    assert(out(1L).container_ok && out(1L).codec === "DIV3")
+    assert(out(1L).n_frames === 2L && out(1L).n_decoded === 0)
+    assert(out(2L).codec === "MJPG" && out(2L).n_decoded === 1)
+    assert(out(3L).codec === "" && out(3L).n_decoded === 1)
+  }
+
   test("non-AVI payloads fall back to byte features, container_ok=false") {
     val media = Seq(
       MediaRow(1L, "definitely not a riff".getBytes, "txt", 0, 0),
