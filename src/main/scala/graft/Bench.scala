@@ -240,7 +240,17 @@ object Bench {
       "the MIDI reader behind a 4-byte MThd header check. x54 at sf1 " +
       "drops 5.5s -> 0.21s (0.9x vs sf0.1 - perfect parallel " +
       "scaling), decode semantics unchanged (x54 re-certified, " +
-      "AudioSpec/HostileInputSpec green)."
+      "AudioSpec/HostileInputSpec green). x37 got the x27 treatment " +
+      "plus two structural fixes: IvfIndex.assign's per-id row_number " +
+      "window is now a partial-aggregable min(struct) argmin (map-side " +
+      "combine over corpus x nlist rows - the 100 TB shape; also " +
+      "serves x23/x41/x73 index builds), and ivfPqTopK scores " +
+      "nprobe-pruned candidates through the fused pq_adc kernel with " +
+      "the per-corpus cached codebook. sf1 wall 4.36s -> 2.4s; sf0.1 " +
+      "steady-state 1.7s with the accepted floor signature (10 " +
+      "bounded jobs, task sum 0.84s, single-task stages on the " +
+      "single-row-group file); all six IVF/PQ-family probes " +
+      "re-certified hash-equal."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
     val volumeNotes = "BenchWindfield 52 members x 47,241 centroids: " +

@@ -1206,7 +1206,8 @@ object ExtensionProbes {
         graft.GraftExtensions.register(s)
         val embs = Tables.embeddings(s, d)
         val approx = PqIndex.ivfPqTopK(embs, queryId = 3, k = 10,
-          nlist = 8, nprobe = 6, shortlist = 60, m = 32, ksub = 16, dim = 64)
+          nlist = 8, nprobe = 6, shortlist = 60, m = 32, ksub = 16, dim = 64,
+          cacheKey = Some(d))
         val exact = Similarity.cosineTopK(embs, queryId = 3, k = 10)
         val ok = approx.select("vec_id")
           .join(exact.select("vec_id"), "vec_id")

@@ -73,16 +73,21 @@ object IvfIndex {
     round(Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, c) +
       Similarity.dot(c, c), 6)
 
-  /** Assign every vector to its nearest centroid. */
+  /** Assign every vector to its nearest centroid. Argmin as
+    * min(struct(dist, cell, vec)): lexicographic struct order = min
+    * distance, ties to the lower cell — the same contract as a
+    * row_number window but PARTIAL-AGGREGABLE (map-side combine per
+    * id, no per-id sort), the shape that survives corpus × nlist rows
+    * at 100 TB. The vector rides in the struct's never-compared tail
+    * slot ((dist, cell) is unique per id), avoiding a join-back. */
   def assign(embs: DataFrame, centroids: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("dist").asc, col("cell").asc)
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embs.crossJoin(broadcast(centroids))
       .withColumn("dist", sqDist(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
-  }
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist"), col("cell"), col(vecCol))).as("_best"))
+      .select(col(idCol), col(s"_best.$vecCol").as(vecCol),
+        col("_best.cell").as("cell"))
 
   /** IVF top-k with the deterministic quantizer, fully DataFrame-native:
     * rank cells by centroid distance to the query, keep nprobe, exact

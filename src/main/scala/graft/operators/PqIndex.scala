@@ -365,7 +365,10 @@ object PqIndex {
                 nlist: Int, nprobe: Int, shortlist: Int,
                 m: Int, ksub: Int, dim: Int,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                cacheKey: Option[String] = None): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
     val cents = IvfIndex.meanCentroids(
       IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
     val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
@@ -376,21 +379,37 @@ object PqIndex {
       .withColumn("rn", row_number().over(cellRank))
       .where(col("rn") <= nprobe)
       .select("cell")
-    val candidates = assigned.join(broadcast(probeCells), "cell")
-      .select(col(idCol))
-    val d = partitionedDims(embs, dim / m, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
-      // codes are id-partitioned, so only the (pruned) candidate-id
-      // side moves here; never broadcast it — at full scale it is
-      // nprobe/nlist of the whole corpus
-      val codes = encodeFromDims(d, cb, idCol)
-        .join(candidates, Seq(idCol))
-      val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
-      val short = adcShortlist(codes, table, queryId, shortlist, idCol)
-        .localCheckpoint()
-      rerank(short, embs, queryId, k, idCol, vecCol)
-    } finally d.unpersist(blocking = false)
+    // PQ side: collected codebook + query table, cached per corpus
+    // like adcTopK (training is deterministic in the input)
+    def train(): (Array[Double], Array[Double]) = {
+      val d = partitionedDims(embs, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
+        val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
+        collectTables(cb, table, m, ksub, dsub)
+      } finally d.unpersist(blocking = false)
+    }
+    val (cbArr, qtArr) = cacheKey match {
+      case Some(key) => trainedTables.computeIfAbsent(
+        (s"ivfpq:$key", queryId, m, ksub, dim), _ => train())
+      case None => train()
+    }
+    // fused scan over the nprobe-pruned candidates only: pq_adc
+    // encodes + ADC-scores each surviving vector in one codegen pass
+    // (bit-identical to the relational encode→join→sum path — see
+    // PqAdcScore); the cell join stays a broadcast of nprobe cell ids,
+    // so nothing corpus-sized ever moves
+    val spark = embs.sparkSession
+    graft.GraftExtensions.register(spark)
+    val adist = call_function("pq_adc",
+      col(vecCol).cast("array<double>"), lit(cbArr), lit(qtArr),
+      lit(m), lit(ksub), lit(dsub))
+    val short = assigned.join(broadcast(probeCells), "cell")
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), adist.as("adist"))
+      .orderBy(col("adist").asc, col(idCol).asc)
+      .limit(shortlist)
+    rerank(short, embs, queryId, k, idCol, vecCol)
   }
 }
