@@ -229,6 +229,16 @@ object Bench {
       "shingle+join stage running 32 tasks all-cores-busy (5.4-7.1s " +
       "of a 9.1-12.4s wall) where sf0.1 ran it as 1 task - the " +
       "single-row-group floor claim is now measured, not argued. " +
+      "Cross-engine honesty on that artifact: warm 32-thread DuckDB " +
+      "runs the same contamination mirrors on the same sf1 files in " +
+      "2.9-4.5s vs Spark's 9-15s - a pipelined in-process hash join " +
+      "streams the 100x-duplicated intermediate where Spark " +
+      "materializes it through an exchange; at organic 10x growth " +
+      "(no duplicate blowup) the intermediate grows ~10x and sf0.1 " +
+      "parity applies. The production order already avoids the shape: " +
+      "dedup runs BEFORE contamination scans, and the flagship x38 - " +
+      "which dedups first inside the probe - wins 2x at sf1 (16-17s " +
+      "vs DuckDB 32-34s on the identical mirror). " +
       "The honesty run also caught a REAL scale-killer invisible at " +
       "sf0.1: x54 audio decode grew 17.6x (0.32->5.5s) despite a " +
       "fully-parallel 32-task stage; jstack showed 30/32 tasks " +
