@@ -76,9 +76,18 @@ object Bench {
     // are warm-run timings on the same files.
     val warmDir = "/root/testdata/sf0.001"
     val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    // Full materialization, NOT df.count(): a count() re-optimizes
+    // with zero output columns, and Catalyst's unique-key outer-join
+    // elimination then deletes the probe's actual work — x57's count
+    // plan collapsed to a bare parquet scan (its densify tail is
+    // `docs.select(id).join(scored, "left")` with scored unique on id),
+    // so its bench number measured nothing. toRdd runs the physical
+    // plan AS WRITTEN, every column of every row.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     if (warmMode == "suite" && canWarm)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     // Timed pass: deterministic (sorted) execution order for stable
     // round-over-round numbers. Each probe is timed as the MIN of two
@@ -92,11 +101,11 @@ object Bench {
     // warm-run DuckDB proxy timings.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmMode == "inter" && canWarm)
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       val sec = (1 to 2).map { _ =>
         val (cc0, gc0) = (compileCount, gcMillis)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         val s = (System.nanoTime() - t0) / 1e9
         if (diag) System.err.println(
           f"DIAG $name%-28s ${s}%8.3fs compiles=${compileCount - cc0}%3d gc=${gcMillis - gc0}%4dms")

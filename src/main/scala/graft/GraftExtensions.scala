@@ -148,6 +148,9 @@ object GraftExtensions {
         litInt("winnowing_fps", w)) }),
     ("word_counts", 1, { case Seq(t) =>
       graft.expressions.WordCounts(t) }),
+    ("rolling_fingerprint", 1, { case Seq(t) =>
+      graft.expressions.RollingFingerprint(t,
+        graft.operators.TextOps.FingerprintMod) }),
     // unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD'): the form is a
     // plan-time constant (selects the generated code path).
     ("unicode_normalize", 2, { case Seq(t,

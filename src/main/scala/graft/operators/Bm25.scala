@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene
+  * always-positive idf variant) — the "pull every document matching
+  * this query" primitive of corpus audit tooling: find contaminated
+  * docs by benchmark keywords, inspect what the crawl says about a
+  * topic, build weak-supervision seed sets. No reference analogue —
+  * an LLM-pipeline extension operator (SURVEY.md §2.15).
+  *
+  *   idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *   score(d)   = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+  *
+  * Scale shape: the per-document work (tokenize, count, keep only the
+  * query's terms) is ONE map-only pass over the corpus — the
+  * `word_counts` codegen kernel yields `map<word,tf>` per row, `dl` is
+  * a lambda fold over its values, and `map_filter` drops every
+  * non-query term BEFORE anything leaves the scan, so the only rows
+  * that reach a shuffle are (doc, query-term) hits: ≤ |terms| rows per
+  * matching document, zero for the (at 100 TB, overwhelming) majority
+  * of documents that match nothing. df is a ≤|terms|-row aggregate of
+  * those hits, broadcast back; the final per-doc score is one grouped
+  * sum over the hit rows. Corpus-level N/avgdl ride a 1-row broadcast.
+  * Top-k is `TakeOrderedAndProject` — per-partition heaps, no global
+  * sort.
+  */
+object Bm25 {
+
+  /** (id, dl, word, tf) hit rows: one per (document, query term) with
+    * the document's total token length alongside — a single map-only
+    * projection off the `word_counts` kernel. Documents containing no
+    * query term emit nothing. */
+  def termHits(docs: DataFrame, terms: Seq[String],
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val termLits = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
+    docs
+      .select(col(idCol), call_function("word_counts", col(textCol)).as("_wc"))
+      .select(col(idCol),
+        aggregate(map_values(col("_wc")), lit(0L), (acc, x) => acc + x).as("dl"),
+        explode(map_filter(col("_wc"),
+          (k, _) => array_contains(termLits, k))).as(Seq("word", "tf")))
+  }
+
+  /** (id, bm25, n_hit) for every document matching ≥1 query term.
+    * `bm25` is rounded to 6 decimals (the float sum over a document's
+    * matched terms is order-sensitive; same policy as lmScore). */
+  def scores(docs: DataFrame, terms: Seq[String],
+             k1: Double = 1.2, b: Double = 0.75,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hits = termHits(docs, terms, idCol, textCol)
+    // Corpus stats: N and avgdl over ALL documents (not just matches).
+    // One aggregate-only scan, 1 row, broadcast — the idiom x22/x43
+    // use for corpus-level scalars.
+    val stats = docs
+      .select(TextOps.wsTokenCount(col(textCol)).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("_dl")).as("avgdl"))
+    // df per query term from the hit rows ((id, word)-unique by
+    // construction, so a plain COUNT) — ≤ |terms| rows, broadcast.
+    val df = hits.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    hits
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("_contrib", idf * tfNorm)
+      .groupBy(col(idCol))
+      .agg(round(sum("_contrib"), 6).as("bm25"), count(lit(1)).as("n_hit"))
+  }
+
+  /** Top-k documents by BM25 (deterministic tie-break on the id):
+    * `orderBy.limit` → TakeOrderedAndProject, the distributed top-k
+    * physical op — no single-partition window, no global sort. */
+  def topK(docs: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scores(docs, terms, k1, b, idCol, textCol)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+}

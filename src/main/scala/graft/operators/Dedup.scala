@@ -39,13 +39,18 @@ object Dedup {
     * the default distinct. */
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
                textCol: String = "text", dedupe: Boolean = true): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val exploded = docs
-      .withColumn("shingle", explode(
+    // the word array binds once per row (TextOps.bindOnce) — captured
+    // inline, the shingle lambda re-split the text per shingle,
+    // turning every consumer of this builder O(tokens²)
+    val shingleArr = TextOps.bindOnce(split(trim(col(textCol)), "\\s+")) {
+      words =>
         when(size(words) < n, array(concat_ws(" ", words)))
           .otherwise(transform(
             sequence(lit(0), size(words) - n),
-            i => concat_ws(" ", slice(words, i + 1, lit(n)))))))
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+    val exploded = docs
+      .withColumn("shingle", explode(shingleArr))
       .select(col(idCol), col("shingle"))
     if (dedupe) exploded.distinct() else exploded
   }

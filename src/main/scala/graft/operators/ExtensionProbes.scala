@@ -141,9 +141,12 @@ object ExtensionProbes {
 
     // TextOps.fingerprint -----------------------------------------------
     Probe("x04_fingerprint",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        graft.GraftExtensions.register(s)   // rolling_fingerprint kernel
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
       Some(s"""WITH n AS (
               |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
               |  FROM documents)

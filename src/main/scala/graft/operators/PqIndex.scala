@@ -149,30 +149,8 @@ object PqIndex {
               cacheKey: Option[String] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    def train(): (Array[Double], Array[Double]) = {
-      // explode + id-partition ONCE, only for the index build:
-      // codebook and query table are broadcast-join + partition-local
-      // aggregation over this cached frame
-      val d = partitionedDims(embs, dsub, idCol, vecCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
-        val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
-        collectTables(cb, table, m, ksub, dsub)
-      } finally d.unpersist(blocking = false)
-    }
-    // Training is deterministic in the input, so repeated calls over
-    // the same corpus (bench warmups, probe re-runs) reuse the
-    // collected codebook + query table instead of re-running the
-    // Lloyd step — same contract as the trained-BPE table cache
-    // (Bpe.tableKeys). Callers opt in by naming the corpus; entries
-    // are m·ksub·dim doubles (KBs), bounded by distinct (corpus,
-    // query, geometry) tuples.
-    val (cbArr, qtArr) = cacheKey match {
-      case Some(key) => trainedTables.computeIfAbsent(
-        (key, queryId, m, ksub, dim), _ => train())
-      case None => train()
-    }
+    val (cbArr, qtArr) =
+      builtTables(embs, queryId, m, ksub, dim, idCol, vecCol, cacheKey)
     // fused scan: pq_adc encodes + ADC-scores each vector in one
     // codegen pass (values bit-identical to the relational
     // encode→join→sum path — see PqAdcScore); shortlist is a
@@ -191,6 +169,59 @@ object PqIndex {
 
   private val trainedTables = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Int, Int, Int), (Array[Double], Array[Double])]()
+
+  // The codebook is a function of (corpus, geometry) ONLY — the query
+  // never enters the Lloyd step — so it caches one level above the
+  // per-query distance tables. Collected ROWS (plain data, not a
+  // DataFrame) so entries survive across sessions; m·ksub·dim doubles
+  // per entry (KBs).
+  private val codebookStore = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int),
+    (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
+  /** Codebook + per-query ADC distance table, collected for the fused
+    * kernel, with two cache levels (opt-in via `cacheKey`, the
+    * trained-BPE-table contract — training is deterministic in the
+    * input): the CODEBOOK caches per (corpus, m, ksub, dim) — the
+    * expensive part, one dims-explode + Lloyd step over the corpus —
+    * and the (codebook, query table) pair per (corpus, query,
+    * geometry). A second query against an indexed corpus pays only a
+    * tiny dims-join over its own subvectors (the round-7 shape where
+    * the cache was keyed by query retrained the full codebook per
+    * distinct query id — measured as x37's 4.6s regression). Shared by
+    * [[adcTopK]] and [[ivfPqTopK]]: both train on the full corpus, so
+    * the same (corpus, query, geometry) tuple yields the same tables. */
+  private def builtTables(embs: DataFrame, queryId: Long, m: Int, ksub: Int,
+                          dim: Int, idCol: String, vecCol: String,
+                          cacheKey: Option[String]): (Array[Double], Array[Double]) = {
+    val dsub = dim / m
+    def cbData(): (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]) = {
+      // explode + id-partition ONCE, only for the codebook build
+      val d = partitionedDims(embs, dsub, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cb = codebookFromDims(d, ksub, idCol)
+        (cb.schema, cb.collect())
+      } finally d.unpersist(blocking = false)
+    }
+    def build(): (Array[Double], Array[Double]) = {
+      val (schema, rows) = cacheKey match {
+        case Some(key) =>
+          codebookStore.computeIfAbsent((key, m, ksub, dim), _ => cbData())
+        case None => cbData()
+      }
+      val cb = embs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      val table = queryTableFromDims(
+        dims(embs.where(col(idCol) === queryId), dsub, idCol, vecCol), cb)
+      collectTables(cb, table, m, ksub, dsub)
+    }
+    cacheKey match {
+      case Some(key) => trainedTables.computeIfAbsent(
+        (key, queryId, m, ksub, dim), _ => build())
+      case None => build()
+    }
+  }
 
   /** Flatten the (tiny) codebook and query table for the fused kernel:
     * cb slot (s·ksub + c)·dsub + w, qt slot s·ksub + c; NaN in qt marks
@@ -379,22 +410,12 @@ object PqIndex {
       .withColumn("rn", row_number().over(cellRank))
       .where(col("rn") <= nprobe)
       .select("cell")
-    // PQ side: collected codebook + query table, cached per corpus
-    // like adcTopK (training is deterministic in the input)
-    def train(): (Array[Double], Array[Double]) = {
-      val d = partitionedDims(embs, dsub, idCol, vecCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
-        val table = queryTableFromDims(d.where(col(idCol) === queryId), cb)
-        collectTables(cb, table, m, ksub, dsub)
-      } finally d.unpersist(blocking = false)
-    }
-    val (cbArr, qtArr) = cacheKey match {
-      case Some(key) => trainedTables.computeIfAbsent(
-        (s"ivfpq:$key", queryId, m, ksub, dim), _ => train())
-      case None => train()
-    }
+    // PQ side: the two-level table cache shared with adcTopK — both
+    // train the codebook on the FULL corpus (cell membership must not
+    // change code semantics), so the same (corpus, query, geometry)
+    // yields the same tables and the cache namespace is unified
+    val (cbArr, qtArr) =
+      builtTables(embs, queryId, m, ksub, dim, idCol, vecCol, cacheKey)
     // fused scan over the nprobe-pruned candidates only: pq_adc
     // encodes + ADC-scores each surviving vector in one codegen pass
     // (bit-identical to the relational encode→join→sum path — see

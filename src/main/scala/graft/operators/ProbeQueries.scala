@@ -404,7 +404,7 @@ object ProbeQueries {
   def allProbes: Seq[Probe] =
     probes ++ DomainProbes.probes ++ PipelineProbes.probes ++
       ExtensionProbes.probes ++ BpeProbes.probes ++ MediaProbes.probes ++
-      CurationProbes.probes ++
+      CurationProbes.probes ++ SelectionProbes.probes ++
       WindfieldProbe.probes ++ LandfallProbe.probes ++ XgbProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -26,13 +26,25 @@ object QualityClassifier {
     * bigrams ("w1 w2"), as one array — built map-only from the word
     * array (no per-doc window; the bigram of position i is a lambda
     * over the slice, not a shuffle). Null text → null array (explodes
-    * to nothing downstream). */
+    * to nothing downstream).
+    *
+    * The word array is BOUND ONCE per row through a lambda variable
+    * (`transform` over a 1-element wrapper): expression subtrees
+    * inside a higher-order-function lambda are re-evaluated per
+    * ELEMENT, and common-subexpression elimination does not reach
+    * into lambda bodies — with `ws` inlined at its three use sites
+    * the bigram lambda re-ran split+filter for every bigram, turning
+    * tokenization O(tokens²) per document (measured 14× on the
+    * sf0.1 documents table). A lambda-variable reference is a slot
+    * read, so this shape is O(tokens). */
   def termArray(text: Column): Column = {
     val ws = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
-    val bigrams = transform(
-      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      (w, i) => concat(w, lit(" "), element_at(ws, i + lit(2))))
-    concat(ws, bigrams)
+    element_at(
+      transform(array(ws), wsv =>
+        concat(wsv, transform(
+          slice(wsv, lit(1), greatest(size(wsv) - 1, lit(0))),
+          (w, i) => concat(w, lit(" "), element_at(wsv, i + lit(2)))))),
+      1)
   }
 
   /** The hashing trick: term → [0, numBuckets), via the first 28 bits
@@ -47,9 +59,10 @@ object QualityClassifier {
     * model), so the certified-against-DuckDB probe uses md5 and the
     * 100 TB deployment flips the flag; train and score must agree. */
   def hashedFeature(term: Column, numBuckets: Int,
-                    fastHash: Boolean = false): Column =
-    if (fastHash) pmod(xxhash64(lit("qc_"), term), lit(numBuckets.toLong))
-    else conv(substring(md5(concat(lit("qc_"), term)), 1, 7), 16, 10)
+                    fastHash: Boolean = false,
+                    salt: String = "qc_"): Column =
+    if (fastHash) pmod(xxhash64(lit(salt), term), lit(numBuckets.toLong))
+    else conv(substring(md5(concat(lit(salt), term)), 1, 7), 16, 10)
       .cast("long") % numBuckets
 
   private def featureRows(docs: DataFrame, numBuckets: Int,

@@ -358,4 +358,48 @@ object Sampling {
         coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
       .withColumn("pack_id", floor(col("start_offset") / budget))
   }
+
+  /** Cluster-balanced sampling: cap every embedding-space cluster at
+    * `perCell` members — the diversity-preserving downsample of the
+    * SemDeDup/D4-style curation recipes (near-identical web boilerplate
+    * concentrates in a few clusters; balancing keeps the tail). The
+    * clusters are the deterministic IVF coarse cells (md5-init →
+    * one Lloyd mean step → round-6 argmin, [[IvfIndex]]), so the
+    * whole pipeline is engine-mirrorable; within a cell the keeper set
+    * is the lowest `perCell` by salted-md5 rank (content-independent,
+    * reproducible under any partitioning), ties on the id.
+    *
+    * Scale shape: assignment is the partial-aggregable min(struct)
+    * argmin (no per-id sort); the per-cell cap is the two-phase
+    * top-k of [[UrlOps.domainQuota]] — a LOCAL (cell, hash-bucket)
+    * window caps any cell at preBuckets×perCell rows before the global
+    * per-cell window, so one mega-cluster (the 100 TB failure mode:
+    * billions of boilerplate near-dups in one cell) never lands on a
+    * single reducer. Output: the kept rows with `cell` and
+    * `rank_in_cell`. */
+  def clusterBalancedSample(embs: DataFrame, nlist: Int, perCell: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            salt: String = "cbs_",
+                            preBuckets: Int = 64): DataFrame = {
+    require(nlist > 0, s"nlist must be positive: $nlist")
+    require(perCell > 0, s"perCell must be positive: $perCell")
+    require(preBuckets > 0, s"preBuckets must be positive: $preBuckets")
+    val cents = IvfIndex.meanCentroids(
+      IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+    val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
+    val rnd = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 7), 16, 10).cast("long")
+    val order = Seq(rnd.asc, col(idCol).asc)
+    val local = Window
+      .partitionBy(col("cell"), pmod(hash(col(idCol)), lit(preBuckets)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col("cell")).orderBy(order: _*)
+    assigned
+      .withColumn("_lrn", row_number().over(local))
+      .where(col("_lrn") <= perCell)
+      .drop("_lrn")
+      .withColumn("rank_in_cell", row_number().over(global))
+      .where(col("rank_in_cell") <= perCell)
+  }
 }

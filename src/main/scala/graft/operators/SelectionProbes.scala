@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Certification probes for the retrieval/selection operators
+  * (x74–x76): BM25 keyword retrieval, DSIR importance resampling,
+  * cluster-balanced sampling. Each oracle re-derives the operator's
+  * full semantics in SQL — tokenization, hashing, smoothing, ranking —
+  * so the hash compare certifies the math end-to-end, not just row
+  * counts.
+  */
+object SelectionProbes {
+
+  /** The tok0 CTE shared by x74/x75: (doc_id, pos, w) lowercased
+    * whitespace tokens — the same derivation x43/x57 certify against
+    * the `word_counts` kernel / termArray. */
+  private val tokSql =
+    """SELECT doc_id, g.i AS pos, parts[g.i] AS w
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS parts
+      |        FROM documents),
+      |       (SELECT unnest(generate_series(1, 100000)) AS i) g
+      |  WHERE g.i <= len(parts) AND parts[g.i] <> ''""".stripMargin
+
+  val probes: Seq[Probe] = Seq(
+
+    // Bm25.scores: corpus keyword retrieval — Lucene-variant idf,
+    // k1/b length normalization. The oracle recomputes dl, df, N,
+    // avgdl and the per-term contributions independently. "zzz"
+    // exercises the absent-term path (no hits → no df row → no
+    // contribution on either engine) --------------------------------
+    Probe("x74_bm25",
+      (s, d) => {
+        graft.GraftExtensions.register(s)   // word_counts resolution
+        Bm25.scores(Tables.documents(s, d),
+            Seq("spark", "vector", "customer", "zzz"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok0 AS ($tokSql),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok0 GROUP BY 1),
+              |stats AS (
+              |  SELECT COUNT(*) AS n_docs, AVG(t.dl) AS avgdl FROM (
+              |    SELECT d.doc_id, COALESCE(dl.dl, 0) AS dl
+              |    FROM documents d LEFT JOIN dl USING (doc_id)) t),
+              |hits AS (
+              |  SELECT doc_id, w AS word, COUNT(*) AS tf FROM tok0
+              |  WHERE w IN ('spark', 'vector', 'customer', 'zzz')
+              |  GROUP BY 1, 2),
+              |df AS (SELECT word, COUNT(*) AS df FROM hits GROUP BY 1),
+              |s AS (
+              |  SELECT h.doc_id,
+              |    ROUND(SUM(
+              |      LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+              |      h.tf * (1.2 + 1) /
+              |      (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+              |      AS bm25,
+              |    COUNT(*) AS n_hit
+              |  FROM hits h JOIN df USING (word) JOIN dl USING (doc_id)
+              |  CROSS JOIN stats GROUP BY 1)
+              |SELECT doc_id, bm25, n_hit FROM s ORDER BY doc_id""".stripMargin)),
+
+    // DSIR (Xie et al. 2023): target = doc_id%5=0, raw = the rest.
+    // The oracle re-derives hashed word+bigram features (salt
+    // 'dsir_'), both smoothed bucket distributions DENSE over all
+    // 4096 buckets, the per-doc log importance weight, the
+    // deterministic Gumbel perturbation, and the top-100 selection —
+    // the whole resampling pipeline certified end-to-end ------------
+    Probe("x75_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val target = docs.where(col("doc_id") % 5 === 0)
+        val raw = docs.where(col("doc_id") % 5 =!= 0)
+        val lr = Dsir.logRatios(
+          Dsir.bucketCounts(target, numBuckets = 4096),
+          Dsir.bucketCounts(raw, numBuckets = 4096),
+          numBuckets = 4096)
+        val w = Dsir.importanceWeights(raw, lr, numBuckets = 4096)
+        Dsir.gumbelTopK(w, k = 100).orderBy("doc_id")
+      },
+      Some(s"""WITH tok0 AS ($tokSql),
+              |bg AS (
+              |  SELECT doc_id, w1 || ' ' || w2 AS term FROM (
+              |    SELECT doc_id, w AS w1,
+              |      LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              |    FROM tok0) WHERE w2 IS NOT NULL),
+              |terms AS (
+              |  SELECT doc_id, w AS term FROM tok0
+              |  UNION ALL SELECT doc_id, term FROM bg),
+              |feat AS (
+              |  SELECT doc_id,
+              |    CAST('0x' || substring(md5('dsir_' || term), 1, 7) AS BIGINT)
+              |      % 4096 AS f
+              |  FROM terms),
+              |tcnt AS (SELECT f, COUNT(*) AS c FROM feat WHERE doc_id % 5 = 0 GROUP BY 1),
+              |rcnt AS (SELECT f, COUNT(*) AS c FROM feat WHERE doc_id % 5 <> 0 GROUP BY 1),
+              |tot AS (SELECT (SELECT SUM(c) FROM tcnt) AS t_tot,
+              |               (SELECT SUM(c) FROM rcnt) AS r_tot),
+              |lr AS (
+              |  SELECT r.range AS f,
+              |    LN((COALESCE(tc.c, 0) + 1.0) / (tot.t_tot + 4096.0)) -
+              |    LN((COALESCE(rc.c, 0) + 1.0) / (tot.r_tot + 4096.0)) AS lr
+              |  FROM range(4096) r
+              |  LEFT JOIN tcnt tc ON tc.f = r.range
+              |  LEFT JOIN rcnt rc ON rc.f = r.range
+              |  CROSS JOIN tot),
+              |s AS (
+              |  SELECT fe.doc_id, ROUND(SUM(lr.lr), 6) AS logw, COUNT(*) AS n_terms
+              |  FROM feat fe JOIN lr USING (f)
+              |  WHERE fe.doc_id % 5 <> 0 GROUP BY 1),
+              |w AS (
+              |  SELECT d.doc_id, COALESCE(s.logw, 0.0) AS logw,
+              |    COALESCE(s.n_terms, 0) AS n_terms
+              |  FROM documents d LEFT JOIN s USING (doc_id)
+              |  WHERE d.doc_id % 5 <> 0),
+              |g AS (
+              |  SELECT doc_id, logw, n_terms,
+              |    ROUND(logw - LN(-LN(
+              |      (CAST('0x' || substring(md5('dsir_g_' || CAST(doc_id AS VARCHAR)), 1, 7)
+              |        AS BIGINT) + 0.5) / 268435456.0)), 6) AS gumbel_key
+              |  FROM w),
+              |sel AS (
+              |  SELECT * FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+              |SELECT doc_id, logw, n_terms, gumbel_key
+              |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // Sampling.clusterBalancedSample: per-cluster cap over the
+    // deterministic IVF cells (the x23 quantizer: md5 init cells, one
+    // round-6 Lloyd mean step, round-6 argmin with ties to the lower
+    // cell), keeper = lowest salted-md5 rank. perCell=40 of ~62/cell
+    // is a real cut. The oracle rebuilds the quantizer and the
+    // single-window rank the two-phase implementation must match ----
+    Probe("x76_cluster_sample",
+      (s, d) => {
+        graft.GraftExtensions.register(s)   // graft_dot_product resolution
+        Sampling.clusterBalancedSample(Tables.embeddings(s, d),
+            nlist = 8, perCell = 40)
+          .select(col("vec_id"), col("cell"), col("rank_in_cell"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM dims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |ranked AS (
+             |  SELECT vec_id, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+             |      CAST('0x' || substring(md5('cbs_' || CAST(vec_id AS VARCHAR)), 1, 7)
+             |        AS BIGINT) ASC, vec_id ASC) AS rk
+             |  FROM assigned)
+             |SELECT vec_id, cell, CAST(rk AS INT) AS rank_in_cell
+             |FROM ranked WHERE rk <= 40 ORDER BY vec_id""".stripMargin)),
+  )
+}

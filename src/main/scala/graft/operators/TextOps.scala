@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Evaluate `c` ONCE per row and pass it to `f` as a lambda
+    * variable. Subtrees captured inside higher-order-function lambdas
+    * are re-evaluated PER ELEMENT (common-subexpression elimination
+    * does not reach into lambda bodies), so an O(len) array expression
+    * referenced inside a `transform` turns the projection O(len²) —
+    * measured as x04's 74s wall (a regex normalize re-run per
+    * CHARACTER) and a 14× tokenization slowdown in termArray. Binding
+    * through a 1-element transform makes every reference a slot read. */
+  private[graft] def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Canonical text normalization for dedup/cleaning pipelines:
     * strip control characters, collapse runs of whitespace to single
     * spaces, trim, lowercase. Idempotent. */
@@ -264,16 +275,16 @@ object TextOps {
     regexp_replace(url, "[0-9]{7,}", "<NUM>")
   }
 
-  def fingerprint(text: Column): Column = {
-    val normalized = regexp_replace(lower(text), "[^a-z0-9 ]", "")
-    // guard: sequence(1, 0) would generate a DESCENDING [1,0] sequence
-    when(length(normalized) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(normalized)),
-          i => ascii(normalized.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, c) => (acc * 31L + c) % FingerprintMod))
-  }
+  /** One-pass codegen kernel; the column formulation
+    * (`aggregate(transform(sequence(1, len), i → ascii(substr(i, 1))),
+    * 0, (acc, c) → (acc·31 + c) % mod)` over
+    * `regexp_replace(lower(text), "[^a-z0-9 ]", "")`) is the contract
+    * the kernel reproduces value-for-value and the x04 oracle mirrors.
+    * The HOF form paid an interpreted lambda dispatch per CHARACTER —
+    * and capturing the normalize inside the lambda re-ran the regex
+    * per character, O(len²): together 74s at sf0.1 vs ~0.1s here. */
+  def fingerprint(text: Column): Column =
+    call_function("rolling_fingerprint", text)
 
   /** Repetition ratio — the duplicate-n-gram fraction used by
     * web-corpus quality filters (boilerplate and keyword-stuffed pages
@@ -288,13 +299,17 @@ object TextOps {
     * n-gram occurrence. */
   def repetitionRatio(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val sh = when(size(words) < n, array(concat_ws(" ", words)))
-      .otherwise(transform(
-        sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    // words and the shingle array each bind once per row (the inline
+    // capture re-split the text per shingle: O(tokens²))
+    val sh = bindOnce(split(trim(col(textCol)), "\\s+")) { words =>
+      when(size(words) < n, array(concat_ws(" ", words)))
+        .otherwise(transform(
+          sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
     docs.select(col(idCol),
-      (lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      bindOnce(sh)(s =>
+        lit(1.0) - size(array_distinct(s)).cast("double") / size(s).cast("double"))
         .as("rep_ratio"))
   }
 
@@ -456,36 +471,40 @@ object TextOps {
     * map-only projection — the top-bigram count runs as a sorted-array
     * longest-equal-run fold, no explode, no shuffle. */
   /** Fraction of duplicated non-blank parts (0 when none exist). */
-  private[operators] def dupFraction(parts: Column): Column = {
-    val clean = filter(parts, p => length(trim(p)) > 0)
-    when(size(clean) <= 0, 0.0).otherwise(
-      round(lit(1.0) -
-        size(array_distinct(clean)).cast("double") /
-        size(clean).cast("double"), 6))
-  }
+  private[operators] def dupFraction(parts: Column): Column =
+    bindOnce(filter(parts, p => length(trim(p)) > 0)) { clean =>
+      when(size(clean) <= 0, 0.0).otherwise(
+        round(lit(1.0) -
+          size(array_distinct(clean)).cast("double") /
+          size(clean).cast("double"), 6))
+    }
 
   /** Fraction of bigrams taken by the single most frequent bigram —
     * the max multiplicity is a longest-equal-run fold over the sorted
     * bigram array: a pure expression, no explode, no shuffle. */
   private[operators] def topBigramFraction(t: Column): Column = {
     // drop empty split artifacts (text starting with \n or \t yields a
-    // leading "" element)
-    val words = filter(split(trim(t), "\\s+"), w => w =!= "")
-    val bigrams = when(size(words) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
-    val maxRun = aggregate(array_sort(bigrams),
-      struct(lit(null).cast("string").as("prev"),
-        lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(acc.getField("prev") === x,
-          acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    when(size(bigrams) <= 0, 0.0)
-      .otherwise(round(maxRun.cast("double") / size(bigrams), 6))
+    // leading "" element); words and bigrams each bind once per row
+    val bigramsE = bindOnce(filter(split(trim(t), "\\s+"), w => w =!= "")) {
+      words =>
+        when(size(words) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(words) - 2),
+            i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+    }
+    bindOnce(bigramsE) { bigrams =>
+      val maxRun = aggregate(array_sort(bigrams),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(acc.getField("prev") === x,
+            acc.getField("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      when(size(bigrams) <= 0, 0.0)
+        .otherwise(round(maxRun.cast("double") / size(bigrams), 6))
+    }
   }
 
   def gopherRepetitionSignals(docs: DataFrame, idCol: String = "doc_id",
@@ -508,11 +527,11 @@ object TextOps {
     * into an EQUI-join: explode each host into its ≤~6 suffixes and
     * join the blocklist on equality, instead of a host-endsWith theta
     * join that cannot hash-partition. */
-  def hostSuffixes(host: Column): Column = {
-    val labels = split(host, "\\.")
-    transform(sequence(lit(1), size(labels)),
-      i => concat_ws(".", slice(labels, i, size(labels))))
-  }
+  def hostSuffixes(host: Column): Column =
+    bindOnce(split(host, "\\.")) { labels =>
+      transform(sequence(lit(1), size(labels)),
+        i => concat_ws(".", slice(labels, i, size(labels))))
+    }
 
   /** Map-only membership twin of [[domainBlocklistFilter]]: TRUE when
     * the URL's host is dropped by the blocklist. Same drop set as the

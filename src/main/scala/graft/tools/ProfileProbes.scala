@@ -24,7 +24,9 @@ object ProfileProbes {
       val fn = SparkEntry.queries(name)
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // full materialization — df.count() lets the optimizer delete
+        // unique-key outer joins (and the probe's work with them)
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[profile] $name%-28s ${ts.map(t => f"$t%.2f").mkString(" ")}")

@@ -66,7 +66,9 @@ object StageProfile {
     (1 to reps).foreach { i =>
       events.synchronized { events.clear() }
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // full materialization — df.count() lets the optimizer delete
+      // unique-key outer joins (and the probe's work with them)
+      fn(spark, sfDir).queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)   // let listener events drain
       println(f"[stageprofile] run $i $name wall=$wall%.2f s")

@@ -384,6 +384,41 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("x74 bm25 plan: model sides broadcast, no product join, distributed top-k") {
+    GraftExtensions.register(spark)
+    val df = graft.operators.Bm25.topK(
+      Tables.documents(spark, sfDir), Seq("spark", "vector"), k = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("x75 dsir map-only scorer: ZERO exchanges — scoring is one projection") {
+    val corpus = Tables.documents(spark, sfDir)
+    val nb = 1 << 10
+    val lut = graft.operators.Dsir.collectRatios(
+      graft.operators.Dsir.logRatios(
+        graft.operators.Dsir.bucketCounts(corpus, nb),
+        graft.operators.Dsir.bucketCounts(corpus, nb), nb), nb)
+    val df = graft.operators.Dsir.importanceWeightsMapOnly(corpus, lut, nb)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"map-only scorer shuffles:\n$p")
+  }
+
+  test("x76 cluster sample plan: partial-agg argmin, pre-bucketed window, no product") {
+    val df = ProbeQueries.queryMap("x76_cluster_sample")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product join:\n$p")
+    assert(p.contains("partial_min"),
+      s"cell assignment lost its map-side combine:\n$p")
+    // the two-phase cap: a (cell, hash-bucket) window runs before the
+    // per-cell window, so no single reducer ever sees a whole cell
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows >= 2, s"two-phase per-cell cap collapsed to one window:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only matching partitions") {
     import graft.sources.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString

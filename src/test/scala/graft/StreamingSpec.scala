@@ -422,4 +422,36 @@ class StreamingSpec extends SparkTestBase {
       .orderBy("time").collect()
     assert(got.length == 2 && got.forall(_.getAs[Double]("precip") == 6.0))
   }
+
+  test("dsir map-only scorer streams against a trained ratio table") {
+    // the deployment shape of DSIR on unbounded ingest: the bucket
+    // ratio table is trained once (two bounded aggregations), collected
+    // to the literal lookup array, and SCORING is a pure projection —
+    // the same operator code runs on the stream, equal to batch
+    val landing = Files.createTempDirectory("graft_dsirdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_dsir").toString
+    val target = Seq((1L, "quality prose words"), (2L, "quality writing here"))
+      .toDF("doc_id", "text")
+    val raw = Seq((10L, "quality prose words"), (11L, "spam click now"),
+      (12L, "")).toDF("doc_id", "text")
+    val nb = 1 << 8
+    val lut = graft.operators.Dsir.collectRatios(
+      graft.operators.Dsir.logRatios(
+        graft.operators.Dsir.bucketCounts(target, nb, fastHash = false),
+        graft.operators.Dsir.bucketCounts(raw, nb, fastHash = false), nb), nb)
+    raw.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("logw"), r.getAs[Long]("n_terms"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.Dsir.importanceWeightsMapOnly(stream, lut, nb),
+      "dsir", ckpt, "append"))
+    val batch = render(graft.operators.Dsir.importanceWeightsMapOnly(raw, lut, nb))
+    assert(got === batch)
+    assert(got(10L)._1 > got(11L)._1, "target-like doc must outweigh spam")
+    assert(got(12L) === ((0.0, 0L)), "empty doc weighs 0")
+  }
 }
