@@ -269,10 +269,68 @@ object Bench {
       "steady-state 1.7s with the accepted floor signature (10 " +
       "bounded jobs, task sum 0.84s, single-task stages on the " +
       "single-row-group file); all six IVF/PQ-family probes " +
-      "re-certified hash-equal."
+      "re-certified hash-equal. " + notesR8
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
-    val volumeNotes = "BenchWindfield 52 members x 47,241 centroids: " +
+    emit(results, total, qs, warmMode, sfDir, notes, volumeNotesVal)
+    spark.stop()
+  }
+
+  // r8 measurement-honesty paragraph — its own val: the cumulative
+  // notes chain grew past the scalac typer's recursion depth as one
+  // expression (StackOverflowError at compile), so it is split here.
+  private val notesR8 =
+    "r8 MEASUREMENT-HONESTY CORRECTION, supersedes every earlier " +
+      "suite-total and per-probe number in these notes: Bench timed " +
+      "probes with df.count(), which re-optimizes the plan with ZERO " +
+      "output columns - Catalyst prunes all projections and deletes " +
+      "unique-key outer joins, so every map-only probe timed a bare " +
+      "parquet scan and probes with densify tails (x57's optimized " +
+      "count plan was literally Aggregate over Relation) timed " +
+      "nothing at all. Bench/ProfileProbes/StageProfile now force " +
+      "queryExecution.toRdd.count() - the plan as written, every " +
+      "column of every row. Honest suite total at sf0.1: ~56s (the " +
+      "count() figure was ~32s); same-session warm 32-thread DuckDB " +
+      "on the identical 118-query oracle manifest (fetchall, same " +
+      "parquet): 28.5s -> ratio ~1.95x, within the 2x bar but NOT the " +
+      "1.00x parity previously reported - that parity was partly an " +
+      "artifact of measuring pruned plans. Honest timing exposed real " +
+      "bugs the fictional numbers hid, all fixed and re-certified " +
+      "this round: (1) subtrees captured inside higher-order-function " +
+      "lambdas re-evaluate PER ELEMENT (no CSE inside lambda bodies) " +
+      "- Dedup.shingles, termArray, repetitionRatio, " +
+      "topBigramFraction re-ran their O(len) split per element, " +
+      "O(len^2) per row; TextOps.bindOnce (bind through a 1-element " +
+      "transform) fixes the family (termArray 14x faster measured). " +
+      "(2) x04 fingerprint re-ran its regex normalize per CHARACTER - " +
+      "74.4s honest wall; now a one-pass codegen kernel " +
+      "(rolling_fingerprint), 0.11s, value-identical contract. " +
+      "(3) CountMin's per-token hash paid MessageDigest.getInstance " +
+      "plus per-byte hex formatting - x40 5.5s -> 0.5s with a " +
+      "thread-local digest and direct top-60-bit arithmetic, " +
+      "bit-identical. (4) PiiOps ran regexp_extract_all AND " +
+      "regexp_replace per category (8 java-regex passes/row); the " +
+      "pii_scan kernel walks each pattern once, redact+count from " +
+      "the same Matcher pass - x66 2.2s -> 1.2s. (5) q07 used the " +
+      "exact Percentile aggregate (the O(column) buffer x21/x70 " +
+      "exist to avoid) - now the two-phase exact machinery, 1.5s -> " +
+      "0.9s. (6) x70 re-derived the bigram window once per counts " +
+      "consumer; the bigram counts table (the at-rest artifact) now " +
+      "materializes once - 2.4s -> 1.5s. Remaining honest gap vs " +
+      "DuckDB decomposes as: ~60 sub-0.5s probes paying Spark's " +
+      "fixed per-query floor (jobs + AQE stage scheduling; DuckDB's " +
+      "in-process pipeline has no such floor - amortizes at scale, " +
+      "sf1 run proves sublinear), kernel/volume-bearing probes at " +
+      "parity or ahead (x38 2.4s vs 3.8s, x24 0.2s vs 2.2s, x56 " +
+      "0.8s vs 1.9s, x12 1.1s vs 1.1s, x57 1.6s vs 1.3s), and x68 " +
+      "whose mirror does not decode video (the real AVI walk + MJPEG " +
+      "decode has no DuckDB counterpart; its 'oracle' checks " +
+      "structure only)."
+    // operational-volume evidence from the dedicated bench mains
+    // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
+  // operational-volume evidence — its own val for the same typer-depth
+  // reason as notesR8
+  private val volumeNotesVal = "BenchWindfield 52 members x 47,241 centroids: " +
       "871,410,798 pair rows, windfield 28.2s; trigger/aggregation tail " +
       "(dedupKeepMax, per-member totals, exceedance cross-agg, " +
       "dref/cerf/start/hi + municipality damage table) 11.4s for 1,674 " +
@@ -376,13 +434,17 @@ object Bench {
       "0.63 s/merge - 48x, so a GPT-2-scale 32k-merge vocabulary costs " +
       "~7 min of driver loop instead of ~6 h, with the same bounded " +
       "84.4 MB dict heap and one distributed aggregation over the text."
-    // ONE JSON line per the driver contract. Key order matters beyond
-    // style: the round driver keeps only the LAST ~2000 characters of
-    // output (BENCH_r*.json "tail"), so the headline metric/value/sf
-    // go LAST in the object — the tail window then always contains
-    // them — while the long notes/queries live up front. The complete
-    // line is also persisted to BENCH_SELF.json (best effort) so the
-    // full per-query map survives tail truncation.
+
+  // ONE JSON line per the driver contract. Key order matters beyond
+  // style: the round driver keeps only the LAST ~2000 characters of
+  // output (BENCH_r*.json "tail"), so the headline metric/value/sf
+  // go LAST in the object — the tail window then always contains
+  // them — while the long notes/queries live up front. The complete
+  // line is also persisted to BENCH_SELF.json (best effort) so the
+  // full per-query map survives tail truncation.
+  private def emit(results: Map[String, Double], total: Double, qs: String,
+                   warmMode: String, sfDir: String, notes: String,
+                   volumeNotes: String): Unit = {
     // JSON-escape the free-text fields — a stray backslash or quote in
     // builder-authored notes must not invalidate the metric line
     def esc(s: String): String = s.flatMap {
@@ -396,6 +458,5 @@ object Bench {
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
     catch { case _: Exception => () }
     println(line)
-    spark.stop()
   }
 }

@@ -151,6 +151,8 @@ object GraftExtensions {
     ("rolling_fingerprint", 1, { case Seq(t) =>
       graft.expressions.RollingFingerprint(t,
         graft.operators.TextOps.FingerprintMod) }),
+    ("pii_scan", 1, { case Seq(t) =>
+      graft.expressions.PiiScan(t) }),
     // unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD'): the form is a
     // plan-time constant (selects the generated code path).
     ("unicode_normalize", 2, { case Seq(t,

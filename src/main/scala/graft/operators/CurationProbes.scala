@@ -232,8 +232,13 @@ object CurationProbes {
         val docs = Tables.documents(s, d)
         val (contexts, bigrams, vocab) =
           TextOps.bigramCounts(docs.where(col("doc_id") % 2 === 0))
+        // materialize the score table once — the deployment shape
+        // (CCNet scores shards to disk, then tiers); without it both
+        // scoreBuckets branches (threshold training + labeling)
+        // re-run the full lmScore window+joins over the corpus
         val scored = TextOps.lmScore(docs, contexts, bigrams, vocab, k = 1.0)
           .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .localCheckpoint()
         Sampling.scoreBuckets(scored, "lm_score", "lang")
           .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
           .orderBy("doc_id")
@@ -428,6 +433,7 @@ object CurationProbes {
     // the regex strings ARE the certified contract ------------------
     Probe("x66_pii_redact",
       (s, d) => {
+        graft.GraftExtensions.register(s)   // pii_scan kernel
         val id = col("doc_id")
         val aug = concat(col("text"),
           lit(" ip "), ((id % 200) + 1).cast("string"),

@@ -46,6 +46,29 @@ object Dsir {
         fastHash, salt = "dsir_").as("f"))
       .groupBy("f").agg(count(lit(1)).as("c"))
 
+  /** One-pass twin of two [[bucketCounts]] calls for the common case
+    * where target and raw are SPLITS OF ONE TABLE (held-out halves,
+    * labeled subsets): featurize once, count both sides with
+    * conditional sums — halves the explode+hash scans. Returns
+    * (targetCounts, rawCounts) with the same (f, c) schema, derived
+    * from one materialized (f, ct, cr) table (bounded at numBuckets
+    * rows). Rows where `isTarget` is null count toward NEITHER side. */
+  def bucketCountsSplit(docs: DataFrame, isTarget: Column,
+                        numBuckets: Int = 1 << 16,
+                        textCol: String = "text",
+                        fastHash: Boolean = false): (DataFrame, DataFrame) = {
+    val both = docs
+      .select(isTarget.as("_t"), explode(QualityClassifier.termArray(col(textCol))).as("term"))
+      .select(col("_t"), QualityClassifier.hashedFeature(col("term"), numBuckets,
+        fastHash, salt = "dsir_").as("f"))
+      .groupBy("f")
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint()
+    (both.where(col("ct") > 0).select(col("f"), col("ct").as("c")),
+      both.where(col("cr") > 0).select(col("f"), col("cr").as("c")))
+  }
+
   /** Per-bucket log importance ratio ln p̂(f) − ln q̂(f) with add-k
     * smoothing, DENSE over all numBuckets buckets (unseen buckets get
     * the smoothing floor): (f, lr). ≤ numBuckets rows — broadcastable

@@ -129,7 +129,15 @@ object ProbeQueries {
     // A11: exact percentile ---------------------------------------------
     Probe("q07_percentile",
       (s, d) => { val t = T(s, d)
-        t.lineitem.agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"))
+        // the two-phase exact percentile (x70's machinery, bit-identical
+        // to the built-in `percentile` aggregate by the spec-pinned
+        // interpolation contract) — the built-in buffers every value of
+        // the group in a TypedImperativeAggregate, an O(column) driver
+        // of both the 1.5s sf0.1 wall and a 100 TB OOM
+        Sampling.groupPercentilesExact(
+            t.lineitem.withColumn("_one", lit(0)),
+            "l_extendedprice", "_one", Seq(0.5))
+          .select(round(col("_q"), 6).as("med_price"))
       },
       Some("SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med_price FROM lineitem")),
 

@@ -69,12 +69,12 @@ object SelectionProbes {
     Probe("x75_dsir_select",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val target = docs.where(col("doc_id") % 5 === 0)
         val raw = docs.where(col("doc_id") % 5 =!= 0)
-        val lr = Dsir.logRatios(
-          Dsir.bucketCounts(target, numBuckets = 4096),
-          Dsir.bucketCounts(raw, numBuckets = 4096),
-          numBuckets = 4096)
+        // one featurize pass counts both distributions (the splits
+        // share the table); values identical to two bucketCounts calls
+        val (tc, rc) = Dsir.bucketCountsSplit(docs,
+          col("doc_id") % 5 === 0, numBuckets = 4096)
+        val lr = Dsir.logRatios(tc, rc, numBuckets = 4096)
         val w = Dsir.importanceWeights(raw, lr, numBuckets = 4096)
         Dsir.gumbelTopK(w, k = 100).orderBy("doc_id")
       },

@@ -164,8 +164,18 @@ object TextOps {
     val bg = toks.withColumn("w2", lead("w", 1).over(w))
       .where(col("w2").isNotNull)
       .select(col("w").as("w1"), col("w2"))
+    // The bigram counts table is THE at-rest artifact of this trainer
+    // (bounded at distinct-bigram rows, far below the corpus), so it
+    // materializes here: without it, every downstream consumer —
+    // contexts, the score join, the threshold branch — re-ran the
+    // per-doc pairing window over the whole reference corpus
+    // (measured as 3 independent ~1.6s single-task window stages in
+    // x70's profile at sf0.1).
     val bigrams = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val contexts = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    // c1 = bigram rows starting with w1 = Σ_w2 c12 — derived from the
+    // materialized table, value-identical to counting bg directly
+    val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = toks.agg(countDistinct("w").as("v"))
     (contexts, bigrams, vocab)
   }

@@ -97,6 +97,18 @@ class SelectionSpec extends SparkTestBase {
     assert(empty._2 === 0.0 && empty._3 === 0L)
   }
 
+  test("dsir bucketCountsSplit equals two separate bucketCounts passes") {
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    val nb = 1 << 9
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (tc, rc) = Dsir.bucketCountsSplit(docs, col("doc_id") % 3 === 0, nb)
+    assert(render(tc) === render(
+      Dsir.bucketCounts(docs.where(col("doc_id") % 3 === 0), nb)))
+    assert(render(rc) === render(
+      Dsir.bucketCounts(docs.where(col("doc_id") % 3 =!= 0), nb)))
+  }
+
   test("dsir gumbelTopK: deterministic, k rows, ordered by perturbed weight") {
     // spread ≫ Gumbel std (~1.28) so weight visibly dominates, while
     // near-tied neighbours can still swap — resampling, not argmax
