@@ -81,4 +81,62 @@ object Bm25 {
     scores(docs, terms, k1, b, idCol, textCol)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** BM25 model of a reference corpus, collected to the driver:
+    * per-term idf (≤ |terms| entries) plus (nDocs, avgdl). Bounded by
+    * construction — the at-rest artifact for [[scoreWithModel]]. */
+  def collectModel(docs: DataFrame, terms: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): (Map[String, Double], Double) = {
+    val hits = termHits(docs, terms, idCol, textCol)
+    val stats = docs.select(TextOps.wsTokenCount(col(textCol)).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("_dl")).as("avgdl"))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val idfs = hits.groupBy("word").agg(count(lit(1)).as("df")).collect()
+      .map { r =>
+        val df = r.getLong(1).toDouble
+        r.getString(0) -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      }.toMap
+    (idfs, avgdl)
+  }
+
+  /** ZERO-shuffle scoring against a trained model: the idf map and
+    * avgdl ride as literals, the per-row work is one `word_counts`
+    * kernel pass plus |terms| map lookups — a pure projection, so it
+    * runs UNCHANGED on a structured stream (score arrivals against a
+    * reference-corpus model; StreamingSpec pins batch≡stream). Emits
+    * EVERY input row (n_hit 0, bm25 0.0 for non-matches — a stream
+    * cannot drop rows retroactively, and the caller filters); on the
+    * matching rows values equal [[scores]] when the model came from
+    * the same corpus (spec-pinned). */
+  def scoreWithModel(docs: DataFrame, idfs: Map[String, Double],
+                     avgdl: Double, k1: Double = 1.2, b: Double = 0.75,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(idfs.nonEmpty, "BM25 model has no terms")
+    val scored = TextOps.bindOnce(call_function("word_counts", col(textCol))) { wc =>
+      TextOps.bindOnce(
+        aggregate(map_values(wc), lit(0L), (acc, x) => acc + x)) { dl =>
+        val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl))
+        val contribs = idfs.toSeq.sortBy(_._1).map { case (t, idf) =>
+          val tf = element_at(wc, lit(t.toLowerCase))
+          struct(
+            coalesce(when(tf.isNotNull,
+              lit(idf) * tf * (lit(k1) + 1.0) / (tf + norm)), lit(0.0)).as("c"),
+            tf.isNotNull.cast("long").as("hit"))
+        }
+        val total = contribs.reduce((a, b2) => struct(
+          (a.getField("c") + b2.getField("c")).as("c"),
+          (a.getField("hit") + b2.getField("hit")).as("hit")))
+        struct(round(total.getField("c"), 6).as("bm25"),
+          total.getField("hit").as("n_hit"))
+      }
+    }
+    docs.select(col(idCol), scored.as("_s"))
+      .select(col(idCol),
+        coalesce(col("_s.bm25"), lit(0.0)).as("bm25"),
+        coalesce(col("_s.n_hit"), lit(0L)).as("n_hit"))
+  }
 }

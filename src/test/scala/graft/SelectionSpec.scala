@@ -57,6 +57,27 @@ class SelectionSpec extends SparkTestBase {
     assert(top(1) === 0L)              // 0 and 1 tie → lower id
   }
 
+  test("bm25 scoreWithModel: map-only scorer equals the corpus-join scorer") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val terms = Seq("spark", "vector", "customer", "zzz")
+    val (idfs, avgdl) = Bm25.collectModel(docs, terms)
+    val joinPath = Bm25.scores(docs, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_hit"))).toMap
+    val mapPath = Bm25.scoreWithModel(docs, idfs, avgdl).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_hit"))).toMap
+    assert(mapPath.size === 120, "map-only scorer must emit every row")
+    joinPath.foreach { case (id, (s, n)) =>
+      assert(mapPath(id)._2 === n)
+      assert(math.abs(mapPath(id)._1 - s) <= 1e-6, s"doc $id: ${mapPath(id)._1} vs $s")
+    }
+    mapPath.filterNot(kv => joinPath.contains(kv._1)).values.foreach { v =>
+      assert(v === ((0.0, 0L)), "non-matching rows score 0")
+    }
+  }
+
   test("dsir: target-like docs get higher importance weights") {
     // target: "good" docs; raw contains good-like and bad-like docs
     val target = (0L to 9L).map(i => (i, "quality prose words " + i % 2))

@@ -423,6 +423,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.length == 2 && got.forall(_.getAs[Double]("precip") == 6.0))
   }
 
+  test("bm25 map-only scorer streams against a trained model") {
+    // deployment shape: idf/avgdl trained once on the reference
+    // corpus, arrivals scored by a pure projection
+    val landing = Files.createTempDirectory("graft_bm25docs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_bm25").toString
+    graft.GraftExtensions.register(spark)
+    val reference = Seq((1L, "spark runs fast"), (2L, "ducks run faster"),
+      (3L, "spark again here now")).toDF("doc_id", "text")
+    val arrivals = Seq((10L, "spark spark ducks"), (11L, "nothing relevant"))
+      .toDF("doc_id", "text")
+    val (idfs, avgdl) = graft.operators.Bm25.collectModel(reference,
+      Seq("spark", "ducks"))
+    arrivals.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bm25"), r.getAs[Long]("n_hit"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.Bm25.scoreWithModel(stream, idfs, avgdl),
+      "bm25", ckpt, "append"))
+    val batch = render(graft.operators.Bm25.scoreWithModel(arrivals, idfs, avgdl))
+    assert(got === batch)
+    assert(got(10L)._2 === 2L && got(10L)._1 > 0.0)
+    assert(got(11L) === ((0.0, 0L)))
+  }
+
   test("dsir map-only scorer streams against a trained ratio table") {
     // the deployment shape of DSIR on unbounded ingest: the bucket
     // ratio table is trained once (two bounded aggregations), collected
