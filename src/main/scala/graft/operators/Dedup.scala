@@ -264,6 +264,42 @@ object Dedup {
       maxShingleDf, broadcastEval)
   }
 
+  /** FRACTIONAL-overlap contamination — the GPT-3/PaLM-style
+    * decontamination rule stated as "drop a train document if ≥
+    * `minFrac` of an eval example's n-grams appear in it", rather
+    * than the absolute-count rule of [[contamination]] (an absolute
+    * cutoff over-flags long eval docs and under-flags short ones; the
+    * fraction normalizes by the eval doc's own n-gram budget).
+    * Output: (eval_id, train_id, n_shared, eval_total, overlap_frac)
+    * for every pair at or above the threshold, overlap_frac =
+    * n_shared / |eval doc's distinct shingles| (filtered on the exact
+    * quotient, rounded to 6 decimals for display).
+    *
+    * Scale shape: identical to [[contamination]] (its pair scan at
+    * minOverlap=1 plus one broadcast join against the
+    * dimension-sized per-eval-doc totals — the totals come free from
+    * the shingle-set ARRAY SIZE, no extra aggregation over the
+    * corpus). Same skew guard. Requires GraftExtensions. */
+  def contaminationFraction(train: DataFrame, eval: DataFrame, n: Int = 3,
+                            minFrac: Double = 0.5, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            maxShingleDf: Long = Long.MaxValue,
+                            broadcastEval: Boolean = true): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0,
+      s"minFrac must lie in (0,1]: $minFrac")
+    val totals = shingleHashSets(eval, n, idCol, textCol)
+      .select(col(idCol).as("eval_id"),
+        size(col("sh_hashes")).cast("long").as("eval_total"))
+    val frac = col("n_shared").cast("double") / col("eval_total")
+    contamination(train, eval, n, minOverlap = 1L, idCol = idCol,
+        textCol = textCol, maxShingleDf = maxShingleDf,
+        broadcastEval = broadcastEval)
+      .join(broadcast(totals), Seq("eval_id"))
+      .where(frac >= minFrac)
+      .select(col("eval_id"), col("train_id"), col("n_shared"),
+        col("eval_total"), round(frac, 6).as("overlap_frac"))
+  }
+
   /** Contamination against a PRECOMPUTED train shingle table
     * (train_id, h) — at 100 TB the train index is built once,
     * persisted (ideally bucketed by h), and reused across every

@@ -246,6 +246,71 @@ object Sampling {
     * `deterministicSample` so composing the three never correlates.
     * Sources absent from `fractions` default to `defaultFraction`
     * (0 = drop unlisted sources). Map-only, no shuffle. */
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * rebalancing rule of mBERT/XLM-R: sample source i with probability
+    * ∝ n_i^alpha, alpha < 1 flattening the head so low-resource
+    * sources are not drowned — alpha = 0.3 is the XLM-R setting,
+    * alpha = 1 reproduces natural proportions). Where
+    * [[deterministicMixture]] takes per-source fractions as GIVEN,
+    * this derives them from the corpus itself: per-source quota_i =
+    * floor(targetTotal · n_i^alpha / Σ_j n_j^alpha), then keeps the
+    * quota_i members with the lowest salted-md5 rank (ties on the id)
+    * — fully deterministic, reproducible under any partitioning, no
+    * RNG. A source smaller than its quota keeps everything (the
+    * leftover budget is NOT redistributed — document the deviation
+    * rather than iterate). Output: kept rows + (quota,
+    * rank_in_source).
+    *
+    * Scale shape: the per-source counts are one bounded aggregation
+    * (rows = #sources); quotas broadcast back; the per-source top-k
+    * is the [[UrlOps.domainQuota]] two-phase window (a LOCAL
+    * (source, hash-bucket) window caps any source at
+    * preBuckets×quota rows before the global per-source window, so a
+    * dominant source never lands on one reducer).
+    *
+    * Certification note: quota_i passes through pow/floor, so a
+    * last-ulp libm divergence could flip a quota only when
+    * targetTotal·w_i/W lands within ~1e-13 relative of an integer —
+    * the probe pins alpha = 0.5 (sqrt is correctly rounded on every
+    * IEEE engine) and the hash compare holds exactly. */
+  def temperatureMixture(df: DataFrame, targetTotal: Long,
+                         alpha: Double = 0.5,
+                         sourceCol: String = "source",
+                         idCol: String = "doc_id",
+                         salt: String = "tmix_",
+                         preBuckets: Int = 64): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must lie in (0,1]: $alpha")
+    require(preBuckets > 0, s"preBuckets must be positive: $preBuckets")
+    // alpha = 0.5 routes through sqrt, which IEEE 754 requires to be
+    // correctly rounded on every engine; pow carries no such
+    // guarantee, and the quota floor is the one place a last-ulp
+    // divergence could surface as a row-count change
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("n").cast("double"))
+      else pow(col("n").cast("double"), lit(alpha))
+    val w = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .withColumn("w", wExpr)
+    val tot = w.agg(sum("w").as("tw"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        floor(lit(targetTotal.toDouble) * col("w") / col("tw"))
+          .cast("long").as("quota"))
+    val rnd = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 7), 16, 10).cast("long")
+    val order = Seq(rnd.asc, col(idCol).asc)
+    val local = Window
+      .partitionBy(col(sourceCol), pmod(hash(col(idCol)), lit(preBuckets)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col(sourceCol)).orderBy(order: _*)
+    df.join(broadcast(quotas), Seq(sourceCol))
+      .withColumn("_lrn", row_number().over(local))
+      .where(col("_lrn") <= col("quota"))
+      .drop("_lrn")
+      .withColumn("rank_in_source", row_number().over(global))
+      .where(col("rank_in_source") <= col("quota"))
+  }
+
   def deterministicMixture(df: DataFrame, fractions: Map[String, Double],
                            sourceCol: String = "source",
                            idCol: String = "doc_id",

@@ -168,5 +168,106 @@ object SelectionProbes {
              |  FROM assigned)
              |SELECT vec_id, cell, CAST(rk AS INT) AS rank_in_cell
              |FROM ranked WHERE rk <= 40 ORDER BY vec_id""".stripMargin)),
+
+    // TextOps.knScore: interpolated Kneser-Ney bigram LM (D = 0.75,
+    // add-one/V continuation floor), model trained on the even docs,
+    // ALL docs scored. The oracle re-derives the bigram table, the
+    // per-context totals and type counts, the continuation counts,
+    // the piecewise discount/backoff probability and the per-doc mean
+    // log-prob independently — the whole smoothing math certified,
+    // including unseen-context and OOV-word rows ---------------------
+    Probe("x77_kneser_ney",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (_, bigrams, vocab) =
+          TextOps.bigramCounts(docs.where(col("doc_id") % 2 === 0))
+        TextOps.knScore(docs, bigrams, vocab, discount = 0.75)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok0 AS ($tokSql),
+              |bg AS (
+              |  SELECT doc_id, w1, w2 FROM (
+              |    SELECT doc_id, w AS w1,
+              |      LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              |    FROM tok0) WHERE w2 IS NOT NULL),
+              |ref AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+              |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM ref GROUP BY 1, 2),
+              |ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM b GROUP BY 1),
+              |cont AS (SELECT w2, COUNT(*) AS nleft FROM b GROUP BY 1),
+              |tot AS (SELECT COUNT(*) AS t FROM b),
+              |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok0 WHERE doc_id % 2 = 0),
+              |s AS (
+              |  SELECT bg.doc_id,
+              |    ROUND(AVG(LN(CASE WHEN ctx.c1 IS NOT NULL THEN
+              |        GREATEST(COALESCE(b.c12, 0) - 0.75, 0) / ctx.c1
+              |        + 0.75 * ctx.n1p / ctx.c1 *
+              |          ((COALESCE(cont.nleft, 0) + 1.0) / (tot.t + GREATEST(v.v, 1)))
+              |      ELSE (COALESCE(cont.nleft, 0) + 1.0) / (tot.t + GREATEST(v.v, 1))
+              |      END)), 6) AS kn_score,
+              |    COUNT(*) AS n_bigrams
+              |  FROM bg LEFT JOIN b USING (w1, w2) LEFT JOIN ctx USING (w1)
+              |    LEFT JOIN cont USING (w2) CROSS JOIN tot CROSS JOIN v
+              |  GROUP BY 1)
+              |SELECT d.doc_id, s.kn_score, COALESCE(s.n_bigrams, 0) AS n_bigrams
+              |FROM documents d LEFT JOIN s USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Dedup.contaminationFraction: the GPT-3/PaLM fractional
+    // decontamination rule — flag (eval, train) pairs where the
+    // shared distinct trigrams cover >= 10% of the eval doc's own
+    // trigram set. The oracle mirrors the pair counts of x16 plus
+    // the per-eval-doc totals and the quotient threshold -------------
+    Probe("x78_contamination_frac",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val eval = docs.where(col("doc_id") % 2 === 1)
+        Dedup.contaminationFraction(train, eval, n = 3, minFrac = 0.1)
+          .orderBy("eval_id", "train_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(words[g.i:g.i + 2], ' ') AS shingle
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+             |        FROM documents) w,
+             |    (SELECT unnest(generate_series(1, 10000)) AS i) g
+             |  WHERE g.i <= greatest(1, len(words) - 2)),
+             |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 0),
+             |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 2 = 1),
+             |tot AS (SELECT eval_id, COUNT(*) AS eval_total FROM ev GROUP BY 1),
+             |p AS (
+             |  SELECT eval_id, train_id, COUNT(*) AS n_shared
+             |  FROM ev JOIN tr USING (shingle) GROUP BY 1, 2)
+             |SELECT p.eval_id, p.train_id, p.n_shared, tot.eval_total,
+             |  ROUND(CAST(p.n_shared AS DOUBLE) / tot.eval_total, 6) AS overlap_frac
+             |FROM p JOIN tot USING (eval_id)
+             |WHERE CAST(p.n_shared AS DOUBLE) / tot.eval_total >= 0.1
+             |ORDER BY eval_id, train_id""".stripMargin)),
+
+    // Sampling.temperatureMixture: n_i^0.5-proportional source
+    // rebalancing at a 200-doc budget. The oracle re-derives the
+    // per-source counts, sqrt weights, floor quotas, and the salted
+    // per-source rank the two-phase window must reproduce ------------
+    Probe("x79_temperature_mixture",
+      (s, d) => Sampling.temperatureMixture(Tables.documents(s, d),
+          targetTotal = 200, alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("rank_in_source"))
+        .orderBy("doc_id"),
+      Some("""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT source, SQRT(CAST(n AS DOUBLE)) AS w FROM cnt),
+             |tot AS (SELECT SUM(w) AS tw FROM w),
+             |q AS (
+             |  SELECT source, CAST(FLOOR(200.0 * w.w / tot.tw) AS BIGINT) AS quota
+             |  FROM w CROSS JOIN tot),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      CAST('0x' || substring(md5('tmix_' || CAST(doc_id AS VARCHAR)), 1, 7)
+             |        AS BIGINT) ASC, doc_id ASC) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.source, CAST(rk AS INT) AS rank_in_source
+             |FROM r JOIN q USING (source) WHERE rk <= quota
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

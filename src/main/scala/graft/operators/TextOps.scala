@@ -185,18 +185,15 @@ object TextOps {
     * ln((c12 + k) / (c1 + k·V)) averaged over the document's bigrams,
     * rounded to 6 decimals. Gibberish, boilerplate and wrong-language
     * text score low; docs with fewer than 2 tokens get a null score.
-    * Scale shape: one window per document for the bigram pairing (the
-    * per-doc shuffle), then two keyed joins against the counts tables
-    * — plain shuffle joins at any scale; the 1-row vocab broadcasts. */
+    * Scale shape: the doc-side bigram pairing is the map-only
+    * [[docBigrams]] projection (since r8 — previously a per-doc
+    * window sort, a whole extra corpus shuffle), then two keyed joins
+    * against the counts tables — plain shuffle joins at any scale;
+    * the 1-row vocab broadcasts. */
   def lmScore(docs: DataFrame, contexts: DataFrame, bigrams: DataFrame,
               vocab: DataFrame, k: Double = 1.0,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val bg = tokenRows(docs, idCol, textCol)
-      .withColumn("w2", lead("w", 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col(idCol), col("w").as("w1"), col("w2"))
+    val bg = docBigrams(docs, idCol, textCol)
     val scored = bg
       .join(bigrams, Seq("w1", "w2"), "left")
       .join(contexts, Seq("w1"), "left")
@@ -208,6 +205,96 @@ object TextOps {
         (coalesce(col("c1"), lit(0L)) + lit(k) * greatest(col("v"), lit(1L)))))
       .groupBy(col(idCol))
       .agg(round(avg("lp"), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
+
+  /** Map-only per-document bigram pairing: the token array paired
+    * against its own shift — `(id, w1, w2)` rows identical to the
+    * window-lead derivation of [[lmScore]]'s original form, with NO
+    * per-document shuffle (the pairing happens inside the scan
+    * projection; the first exchange a consumer pays is its own join
+    * or agg). The array is bound once ([[bindOnce]]) so the split
+    * does not re-run per element. */
+  private[graft] def docBigrams(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    val arr = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => w =!= "")
+    val pairs = bindOnce(arr) { a =>
+      when(size(a) >= 2,
+        transform(sequence(lit(0), size(a) - 2),
+          i => struct(element_at(a, i + 1).as("w1"),
+                      element_at(a, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    docs.select(col(idCol), explode(pairs).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+  }
+
+  /** Kneser-Ney continuation statistics, derived entirely from the
+    * materialized bigram-counts artifact of [[bigramCounts]] (so they
+    * are vocabulary-bounded, never corpus-sized). Returns
+    * (ctx, cont, tot):
+    * ctx (w1, c1, n1p) — total bigram occurrences starting at w1 and
+    * the number of DISTINCT bigram types starting at w1 (the
+    * discount-mass weight N1+(w1,·));
+    * cont (w2, nleft) — distinct left contexts of w2 (N1+(·,w2), the
+    * continuation count: "how many contexts has this word completed",
+    * the statistic that makes KN beat raw frequency on words like
+    * "francisco" that are frequent but only ever follow "san");
+    * tot — 1 row, the total number of distinct bigram types N1+(··). */
+  def knStats(bigrams: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val ctx  = bigrams.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = bigrams.groupBy("w2").agg(count(lit(1)).as("nleft"))
+    val tot  = bigrams.agg(count(lit(1)).as("t"))
+    (ctx, cont, tot)
+  }
+
+  /** Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995;
+    * Chen & Goodman 1999) — the smoothing family KenLM implements and
+    * CCNet's quality scoring actually uses, here as the relational
+    * upgrade of the add-k [[lmScore]]:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1)·Pcont(w2)
+    *   Pcont(w2) = (N1+(·,w2) + 1)/(N1+(··) + V)
+    *
+    * with absolute discount D (default 0.75, the Chen-Goodman
+    * standard), backing off to Pcont alone for unseen contexts; the
+    * +1/+V add-one floor on the continuation distribution gives OOV
+    * words mass (plain KN assigns them zero and the log explodes).
+    * Output (id, kn_score = round-6 mean log-probability, n_bigrams),
+    * null score for docs with fewer than 2 tokens — the same contract
+    * as [[lmScore]].
+    *
+    * Scale shape: the doc side is the map-only [[docBigrams]] pairing
+    * (no per-doc window shuffle); the model side is three
+    * vocabulary-bounded tables derived once from the at-rest bigram
+    * artifact ([[knStats]]); scoring is three keyed left joins (or
+    * broadcasts when the model fits) + one per-doc aggregation. */
+  def knScore(docs: DataFrame, bigrams: DataFrame, vocab: DataFrame,
+              discount: Double = 0.75,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must lie in (0,1): $discount")
+    val (ctx, cont, tot) = knStats(bigrams)
+    val bg = docBigrams(docs, idCol, textCol)
+    // Pcont: continuation probability with an add-one/V floor. t + v
+    // is exact long arithmetic; the division is a single rounding.
+    val pc = (coalesce(col("nleft"), lit(0L)) + lit(1.0)) /
+      (col("t") + greatest(col("v"), lit(1L)))
+    val seen = greatest(coalesce(col("c12"), lit(0L)) - lit(discount), lit(0.0)) /
+      col("c1") + lit(discount) * col("n1p") / col("c1") * pc
+    val scored = bg
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(when(col("c1").isNotNull, seen).otherwise(pc)))
+      .groupBy(col(idCol))
+      .agg(round(avg("lp"), 6).as("kn_score"),
         count(lit(1)).as("n_bigrams"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .na.fill(0L, Seq("n_bigrams"))

@@ -171,6 +171,40 @@ class PlanQualitySpec extends SparkTestBase {
       s"only the 1-row vocab may broadcast nested-loop:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"counts joins must be hash/merge joins:\n$p")
+    // since r8 the doc-side bigram pairing is map-only — a Window here
+    // means the per-doc sort shuffle crept back in
+    assert(!p.contains("Window"), s"doc-side pairing regressed to a window:\n$p")
+  }
+
+  test("x77 kneser-ney: keyed model joins, 1-row broadcasts only, no corpus window") {
+    val p = planString("x77_kneser_ney")
+    assert(!p.contains("CartesianProduct"), s"kn score must stay keyed:\n$p")
+    // two permitted nested-loops: the 1-row bigram-type total and the
+    // 1-row vocab count
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the two 1-row stats may broadcast nested-loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"model joins must be hash/merge joins:\n$p")
+    assert(!p.contains("Window"), s"doc-side pairing must be map-only:\n$p")
+  }
+
+  test("x78 contamination fraction: totals broadcast, no product join") {
+    val p = planString("x78_contamination_frac")
+    assert(!p.contains("CartesianProduct"), s"pair scan must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed broadcast join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side and totals must broadcast:\n$p")
+  }
+
+  test("x79 temperature mixture: quotas broadcast, two-phase per-source cap") {
+    val p = planString("x79_temperature_mixture")
+    assert(!p.contains("CartesianProduct"), s"quota join must stay keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"quota table must broadcast:\n$p")
+    // the local (source, hash-bucket) window must precede the global
+    // per-source window, so one dominant source never lands whole on
+    // a single reducer
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows >= 2, s"two-phase per-source cap collapsed to one window:\n$p")
   }
 
   test("x44 mixture: map-only, no shuffle, no join") {

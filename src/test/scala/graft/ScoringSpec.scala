@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Kneser-Ney LM scoring and fractional-overlap contamination.
+  * Semantics on constructed corpora where the right answer is
+  * checkable by hand (including a driver-side naive KN twin); the
+  * DuckDB hash certification is x77/x78.
+  */
+class ScoringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Kneser-Ney -------------------------------------------------
+
+  /** Driver-side naive KN twin: same formula, computed with plain
+    * Scala collections over the reference bigram list. */
+  private def naiveKn(ref: Seq[String], doc: String, d: Double): Option[Double] = {
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val refBgs = ref.flatMap(t => toks(t).sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val c12 = refBgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val types = c12.keySet
+    val c1 = refBgs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1p = types.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nleft = types.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val t = types.size.toLong
+    val v = ref.flatMap(toks).distinct.size.toLong
+    def pc(w2: String) = (nleft.getOrElse(w2, 0L) + 1.0) / (t + math.max(v, 1L))
+    val bgs = toks(doc).sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    if (bgs.isEmpty) None
+    else Some(bgs.map { case (w1, w2) =>
+      math.log(c1.get(w1) match {
+        case Some(cw1) =>
+          math.max(c12.getOrElse((w1, w2), 0L) - d, 0.0) / cw1 +
+            d * n1p(w1) / cw1 * pc(w2)
+        case None => pc(w2)
+      })
+    }.sum / bgs.size)
+  }
+
+  private def knOf(ref: Seq[(Long, String)], docs: Seq[(Long, String)],
+                   d: Double = 0.75): Map[Long, (Option[Double], Long)] = {
+    val refDf = ref.toDF("doc_id", "text")
+    val docsDf = docs.toDF("doc_id", "text")
+    val (_, bigrams, vocab) = TextOps.bigramCounts(refDf)
+    TextOps.knScore(docsDf, bigrams, vocab, discount = d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.get(r.fieldIndex("kn_score"))).map(_.asInstanceOf[Double]),
+          r.getAs[Long]("n_bigrams"))))
+      .toMap
+  }
+
+  test("kn score matches the driver-side naive twin, incl. OOV and unseen contexts") {
+    val ref = Seq(1L -> "the cat sat on the mat", 2L -> "the dog sat on the rug",
+      3L -> "a cat and a dog")
+    val docs = Seq(
+      10L -> "the cat sat",            // all bigrams seen
+      11L -> "the zebra sat",          // seen context, OOV continuation
+      12L -> "zebra runs fast",        // unseen contexts throughout
+      13L -> "cat")                    // 1 token: null score
+    val got = knOf(ref, docs)
+    for ((id, text) <- docs) {
+      val expected = naiveKn(ref.map(_._2), text, 0.75)
+      (got(id)._1, expected) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-6, s"doc $id: $a vs $b")
+        case (None, None) => // both null: <2 tokens
+        case (a, b) => fail(s"doc $id nullability mismatch: $a vs $b")
+      }
+    }
+    assert(got(13L) === ((None, 0L)))
+    assert(got(10L)._2 === 2L)
+  }
+
+  test("kn continuation semantics: versatile words beat frozen collocations") {
+    // "francisco" and "common" are equally frequent in the reference,
+    // but francisco only ever follows "san" (1 left context) while
+    // common follows 4 different words. After an unseen context, KN
+    // backs off to the continuation probability, which rewards
+    // versatility — the property that separates KN from add-k.
+    val ref = Seq(
+      1L -> "san francisco san francisco san francisco san francisco",
+      2L -> "very common quite common so common most common")
+    val got = knOf(ref, Seq(10L -> "zzz francisco", 11L -> "zzz common"))
+    assert(got(11L)._1.get > got(10L)._1.get,
+      "KN must score the versatile continuation higher after an unseen context")
+  }
+
+  test("kn discount moves mass: higher D lowers seen-bigram probability") {
+    val ref = Seq(1L -> "a b a b a b a c")
+    val lo = knOf(ref, Seq(10L -> "a b"), d = 0.1)(10L)._1.get
+    val hi = knOf(ref, Seq(10L -> "a b"), d = 0.9)(10L)._1.get
+    assert(lo > hi, "discounting the dominant seen bigram must lower its score")
+  }
+
+  test("docBigrams map-only pairing equals the window-lead derivation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val mapSide = TextOps.docBigrams(docs, "doc_id", "text")
+      .groupBy("doc_id", "w1", "w2").count()
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val windowed = TextOps.tokenRows(docs, "doc_id", "text")
+      .withColumn("w2", lead("w", 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      .groupBy("doc_id", "w1", "w2").count()
+    assert(mapSide.exceptAll(windowed).isEmpty && windowed.exceptAll(mapSide).isEmpty,
+      "pairings diverge")
+    // and the pairing itself must not shuffle (on the raw table — the
+    // limit(200) above injects its own single-partition exchange)
+    val p = TextOps.docBigrams(Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"docBigrams must be map-only:\n$p")
+  }
+
+  // ---- fractional contamination -----------------------------------
+
+  private def fracOf(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+                     minFrac: Double): Map[(Long, Long), (Long, Long, Double)] = {
+    GraftExtensions.register(spark)
+    Dedup.contaminationFraction(train.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), n = 2, minFrac = minFrac).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("eval_total"),
+          r.getAs[Double]("overlap_frac"))))
+      .toMap
+  }
+
+  test("contamination fraction: exact copy = 1.0, half overlap = 0.5, threshold cuts") {
+    val train = Seq(0L -> "alpha beta gamma delta epsilon")
+    val eval = Seq(
+      1L -> "alpha beta gamma delta epsilon",   // identical: frac 1.0
+      2L -> "alpha beta gamma zzz yyy",         // shares {alpha beta, beta gamma} of 4
+      3L -> "unrelated text entirely here")     // no overlap
+    val got = fracOf(train, eval, minFrac = 0.4)
+    assert(got((1L, 0L)) === ((4L, 4L, 1.0)))
+    assert(got((2L, 0L)) === ((2L, 4L, 0.5)))
+    assert(!got.contains((3L, 0L)))
+    // raising the threshold drops the half-overlap pair
+    val strict = fracOf(train, eval, minFrac = 0.6)
+    assert(strict.keySet === Set((1L, 0L)))
+  }
+
+  test("contamination fraction normalizes by eval length where the count rule cannot") {
+    // same absolute overlap (2 shared bigrams) against a short and a
+    // long eval doc: the short one is mostly-contained (frac 2/3),
+    // the long one barely touched (frac 2/9)
+    val train = Seq(0L -> "alpha beta gamma")
+    val evalDocs = Seq(
+      1L -> "alpha beta gamma zzz",                            // 3 bigrams, 2 shared
+      2L -> "alpha beta gamma q w e r t y u")                  // 9 bigrams, 2 shared
+    val got = fracOf(train, evalDocs, minFrac = 0.5)
+    assert(got.keySet === Set((1L, 0L)),
+      "only the mostly-contained short doc may pass a 0.5 fraction")
+    val all = fracOf(train, evalDocs, minFrac = 0.01)
+    assert(all((1L, 0L))._1 === all((2L, 0L))._1,
+      "identical absolute overlap by construction")
+    assert(all((1L, 0L))._3 > all((2L, 0L))._3)
+  }
+
+  test("contamination fraction at minFrac→0 recovers the minOverlap=1 pair set") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val eval = docs.where(col("doc_id") % 2 === 1)
+    def pairs(df: DataFrame) = df.select("eval_id", "train_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.contaminationFraction(train, eval, n = 3, minFrac = 1e-9))
+      === pairs(Dedup.contamination(train, eval, n = 3, minOverlap = 1)))
+  }
+}

@@ -172,4 +172,51 @@ class SelectionSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === naive)
   }
+
+  private def mixDocs(sizes: Map[String, Int]) = {
+    var id = 0L
+    sizes.toSeq.sortBy(_._1).flatMap { case (src, n) =>
+      (1 to n).map { _ => id += 1; (id, src, s"text $id") }
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("temperatureMixture: sqrt quotas hit the floor formula per source") {
+    // sizes 100/25/4 at alpha=0.5 → weights 10/5/2, tw=17
+    val docs = mixDocs(Map("big" -> 100, "mid" -> 25, "small" -> 4))
+    val kept = Sampling.temperatureMixture(docs, targetTotal = 85, alpha = 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") === math.floor(85.0 * 10 / 17).toLong)   // 50
+    assert(bySrc("mid") === math.floor(85.0 * 5 / 17).toLong)    // 25 = all of mid
+    assert(bySrc("small") === 4L, "source smaller than quota keeps everything")
+  }
+
+  test("temperatureMixture: alpha<1 flattens — small source share beats natural") {
+    val docs = mixDocs(Map("big" -> 400, "small" -> 16))
+    val kept = Sampling.temperatureMixture(docs, targetTotal = 100, alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // natural share would give small 100*16/416 ≈ 3.8; sqrt gives
+    // 100*4/24 ≈ 16.6 → every small doc survives
+    assert(kept("small") === 16L)
+    assert(kept("big") === 83L)   // floor(100*20/24)
+    // alpha=1 recovers (floored) natural proportions
+    val nat = Sampling.temperatureMixture(docs, targetTotal = 100, alpha = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat("small") === math.floor(100.0 * 16 / 416).toLong)
+  }
+
+  test("temperatureMixture: deterministic and partitioning-invariant") {
+    val docs = mixDocs(Map("a" -> 50, "b" -> 30))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rank_in_source").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val once = ids(Sampling.temperatureMixture(docs, 40))
+    assert(once === ids(Sampling.temperatureMixture(docs.repartition(13), 40)))
+    assert(once === ids(Sampling.temperatureMixture(docs.coalesce(1), 40)))
+    intercept[IllegalArgumentException](Sampling.temperatureMixture(docs, 0))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(docs, 10, alpha = 1.5))
+  }
 }
