@@ -300,6 +300,89 @@ object Dedup {
         col("eval_total"), round(frac, 6).as("overlap_frac"))
   }
 
+  /** N-gram NOVELTY score — the data-selection signal "how much of
+    * this document's n-gram set is new relative to a reference
+    * corpus" (the inverse view of contamination: selection-by-novelty
+    * picks documents that ADD coverage instead of dropping leaked
+    * ones). Output per doc: (id, n_matched, n_shingles, novelty =
+    * 1 − matched/total distinct shingles), novelty null when the doc
+    * has no shingles. Exact semantics.
+    *
+    * Scale shape: the reference distincts once (the at-rest artifact
+    * — persist it bucketed by h and reuse, exactly like the x42
+    * shingle index); scoring explodes the doc shingles ONCE carrying
+    * the set size alongside, one keyed join on the 60-bit hash, one
+    * per-doc agg. For a zero-shuffle scoring pass see
+    * [[noveltyScoreBloom]]. Requires GraftExtensions. */
+  def noveltyScore(docs: DataFrame, ref: DataFrame, n: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val refH = shingleHashSets(ref, n, idCol, textCol)
+      .select(explode(col("sh_hashes")).as("h")).distinct()
+      .withColumn("m", lit(1L))
+    val ex = shingleHashSets(docs, n, idCol, textCol)
+      .select(col(idCol), size(col("sh_hashes")).cast("long").as("n_shingles"),
+        explode(col("sh_hashes")).as("h"))
+    val agg = ex.join(refH, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(first("n_shingles").as("n_shingles"),
+        coalesce(sum("m"), lit(0L)).as("n_matched"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          lit(1.0) - col("n_matched").cast("double") / col("n_shingles"))
+          .as("novelty"))
+  }
+
+  /** Build a Bloom filter over the reference corpus's shingle hashes
+    * for [[noveltyScoreBloom]]. `expectedItems` skips the sizing
+    * count pass when the caller knows the reference's shingle volume
+    * (at 100 TB you do — it is the row count of the persisted shingle
+    * index); left None, one extra counting pass sizes it exactly.
+    * At fpp=0.01 the filter costs ~1.2 GB per 10^9 distinct shingles
+    * — broadcastable for reference sets up to low billions. */
+  def buildShingleBloom(ref: DataFrame, n: Int = 3, fpp: Double = 0.01,
+                        expectedItems: Option[Long] = None,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Array[Byte] = {
+    val rh = shingleHashSets(ref, n, idCol, textCol)
+      .select(explode(col("sh_hashes")).as("h"))
+    // duplicate insertions don't change a bloom; sizing by the
+    // non-distinct row count only buys a lower fpp
+    val items = expectedItems.getOrElse(rh.count())
+    val bloom = rh.stat.bloomFilter("h", math.max(items, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** ZERO-SHUFFLE novelty scoring against a prebuilt reference Bloom
+    * filter ([[buildShingleBloom]]): shingle, probe and count inside
+    * one projection — no explode survives the plan, no join, no agg,
+    * so it runs unchanged on a stream. One-sided error: Bloom false
+    * positives OVERCOUNT matches, so the bloom novelty is a LOWER
+    * bound on the exact novelty, short by at most ~fpp of the doc's
+    * shingles (spec-pinned) — the safe direction for selection (a doc
+    * kept for novelty really is novel at least that much... and a doc
+    * dropped as redundant might have been marginally fresher). */
+  def noveltyScoreBloom(docs: DataFrame, bloomBytes: Array[Byte], n: Int = 3,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        call_function("shingle_hashes", col(textCol), lit(n)).as("sh"))
+      .select(col(idCol),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(filter(col("sh"), h =>
+          call_function("bloom_might_contain", lit(bloomBytes), h)))
+          .cast("long").as("n_matched"))
+      .select(col(idCol), col("n_matched"), col("n_shingles"),
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_matched").cast("double") / col("n_shingles"))
+          .as("novelty"))
+
   /** Contamination against a PRECOMPUTED train shingle table
     * (train_id, h) — at 100 TB the train index is built once,
     * persisted (ideally bucketed by h), and reused across every

@@ -269,5 +269,40 @@ object SelectionProbes {
              |SELECT r.doc_id, r.source, CAST(rk AS INT) AS rank_in_source
              |FROM r JOIN q USING (source) WHERE rk <= quota
              |ORDER BY doc_id""".stripMargin)),
+
+    // Dedup.noveltyScore: per-doc fraction of trigrams NOT present in
+    // the reference corpus (selection-by-novelty). The oracle
+    // re-derives the reference distinct set, the per-doc totals, the
+    // matched counts and the quotient. No ROUND on novelty: the
+    // quotient is pure deterministic per-row arithmetic ---------------
+    Probe("x80_novelty",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        Dedup.noveltyScore(docs.where(col("doc_id") % 2 === 1),
+            docs.where(col("doc_id") % 2 === 0), n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    array_to_string(words[g.i:g.i + 2], ' ') AS shingle
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+             |        FROM documents) w,
+             |    (SELECT unnest(generate_series(1, 10000)) AS i) g
+             |  WHERE g.i <= greatest(1, len(words) - 2)),
+             |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+             |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+             |t AS (
+             |  SELECT ev.doc_id, COUNT(*) AS n_shingles,
+             |    CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_matched
+             |  FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+             |  GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(t.n_matched, 0) AS n_matched,
+             |  COALESCE(t.n_shingles, 0) AS n_shingles,
+             |  CASE WHEN t.n_shingles > 0 THEN
+             |    1.0 - CAST(t.n_matched AS DOUBLE) / t.n_shingles END AS novelty
+             |FROM documents d LEFT JOIN t USING (doc_id)
+             |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin)),
   )
 }

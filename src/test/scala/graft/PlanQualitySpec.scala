@@ -196,6 +196,13 @@ class PlanQualitySpec extends SparkTestBase {
       s"eval side and totals must broadcast:\n$p")
   }
 
+  test("x80 novelty: one keyed join on the hash, no product, no window") {
+    val p = planString("x80_novelty")
+    assert(!p.contains("CartesianProduct"), s"novelty join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed broadcast join:\n$p")
+    assert(!p.contains("Window"), s"novelty needs no window:\n$p")
+  }
+
   test("x79 temperature mixture: quotas broadcast, two-phase per-source cap") {
     val p = planString("x79_temperature_mixture")
     assert(!p.contains("CartesianProduct"), s"quota join must stay keyed:\n$p")

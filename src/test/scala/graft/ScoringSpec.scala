@@ -162,6 +162,55 @@ class ScoringSpec extends SparkTestBase {
     assert(all((1L, 0L))._3 > all((2L, 0L))._3)
   }
 
+  // ---- novelty ----------------------------------------------------
+
+  test("novelty score: all-seen 0, all-new 1, mixed exact quotient") {
+    GraftExtensions.register(spark)
+    val ref = Seq(0L -> "alpha beta gamma delta").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "alpha beta gamma delta",      // bigrams... n=2: all 3 seen
+      2L -> "zz yy xx ww",                 // all new
+      3L -> "alpha beta qq rr")            // {alpha beta, beta qq, qq rr}: 1 of 3 seen
+    val got = Dedup.noveltyScore(docs.toDF("doc_id", "text"), ref, n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matched"), r.getAs[Long]("n_shingles"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) === ((3L, 3L, 0.0)))
+    assert(got(2L) === ((0L, 3L, 1.0)))
+    assert(got(3L) === ((1L, 3L, 1.0 - 1.0 / 3.0)))
+  }
+
+  test("bloom novelty is a lower bound on exact novelty; tight at tiny fpp; map-only") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val ev = docs.where(col("doc_id") % 2 === 1)
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.get(r.fieldIndex("novelty"))).map(_.asInstanceOf[Double]))
+      .toMap
+    val exact = render(Dedup.noveltyScore(ev, ref, n = 3))
+    // tiny fpp: the bloom answer should coincide with exact here
+    val tight = render(Dedup.noveltyScoreBloom(ev,
+      Dedup.buildShingleBloom(ref, n = 3, fpp = 1e-6), n = 3))
+    assert(tight === exact, "fpp=1e-6 bloom diverged from exact on this corpus")
+    // hostile fpp: matches only ever OVERcount → novelty never above exact
+    val loose = render(Dedup.noveltyScoreBloom(ev,
+      Dedup.buildShingleBloom(ref, n = 3, fpp = 0.5), n = 3))
+    exact.foreach { case (id, e) =>
+      (loose(id), e) match {
+        case (Some(l), Some(x)) => assert(l <= x + 1e-12, s"doc $id: $l > $x")
+        case (l, x) => assert(l.isDefined === x.isDefined)
+      }
+    }
+    // and the bloom scorer must plan as one shuffle-free projection
+    val p = Dedup.noveltyScoreBloom(docs,
+        Dedup.buildShingleBloom(ref, n = 3, fpp = 0.01), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bloom novelty must be map-only:\n$p")
+    assert(!p.contains("Join"), s"bloom novelty must not join:\n$p")
+  }
+
   test("contamination fraction at minFrac→0 recovers the minOverlap=1 pair set") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, sfDir).limit(300)

@@ -451,6 +451,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got(11L) === ((0.0, 0L)))
   }
 
+  test("bloom novelty scorer streams against a reference filter") {
+    // deployment shape: the reference shingle bloom built once, every
+    // arriving doc scored by a pure projection — no join, no state
+    val landing = Files.createTempDirectory("graft_novdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_nov").toString
+    graft.GraftExtensions.register(spark)
+    val ref = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val arrivals = Seq((10L, "alpha beta gamma delta"),
+      (11L, "completely fresh content here")).toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup.buildShingleBloom(ref, n = 2, fpp = 1e-6)
+    arrivals.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matched"), r.getAs[Double]("novelty"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.Dedup.noveltyScoreBloom(stream, bloom, n = 2),
+      "novelty", ckpt, "append"))
+    assert(got === render(
+      graft.operators.Dedup.noveltyScoreBloom(arrivals, bloom, n = 2)))
+    assert(got(10L)._2 === 0.0, "fully-covered doc must score 0 novelty")
+    assert(got(11L)._2 === 1.0, "fully-fresh doc must score 1 novelty")
+  }
+
   test("dsir map-only scorer streams against a trained ratio table") {
     // the deployment shape of DSIR on unbounded ingest: the bucket
     // ratio table is trained once (two bounded aggregations), collected
