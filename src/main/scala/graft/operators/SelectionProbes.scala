@@ -304,5 +304,60 @@ object SelectionProbes {
              |    1.0 - CAST(t.n_matched AS DOUBLE) / t.n_shingles END AS novelty
              |FROM documents d LEFT JOIN t USING (doc_id)
              |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin)),
+
+    // LogisticQuality: trained LR curation head — 5 rounds of
+    // full-batch gradient descent over rational features, then score.
+    // The oracle unrolls the ENTIRE training trajectory CTE-for-CTE
+    // (per-round round-6 gradient averages pin the only
+    // order-sensitive doubles), so the hash compare certifies the
+    // trained weights AND the scoring pass end-to-end ----------------
+    Probe("x81_logistic_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = LogisticQuality.train(docs.where(col("doc_id") % 2 === 0),
+          col("doc_id") % 4 === 0, lr = 0.5, iters = 5)
+        LogisticQuality.score(docs, w).orderBy("doc_id")
+      },
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""g$k AS (
+             |  SELECT ROUND(AVG(p - y), 6) AS d0, ROUND(AVG((p - y) * x1), 6) AS d1,
+             |         ROUND(AVG((p - y) * x2), 6) AS d2, ROUND(AVG((p - y) * x3), 6) AS d3
+             |  FROM (SELECT tr.*, 1.0e0/(1.0e0 + EXP(-(b0 + b1*x1 + b2*x2 + b3*x3))) AS p
+             |        FROM tr CROSS JOIN w${k - 1})),
+             |w$k AS (
+             |  SELECT b0 - 0.5e0*d0 AS b0, b1 - 0.5e0*d1 AS b1,
+             |         b2 - 0.5e0*d2 AS b2, b3 - 0.5e0*d3 AS b3
+             |  FROM w${k - 1} CROSS JOIN g$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(length(text) AS DOUBLE) AS len,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS spaces,
+           |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+           |  FROM documents),
+           |feat AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 4 = 0 THEN 1.0e0 ELSE 0.0e0 END AS y,
+           |    GREATEST(0.0e0, LEAST(1.0e0,
+           |      (CASE WHEN len > 0 THEN alpha / len ELSE 0.0e0 END) * 0.5e0 +
+           |      GREATEST(0.0e0, 1.0e0 - ABS((CASE WHEN len > 0 THEN spaces / len
+           |        ELSE 0.0e0 END) - 1.0e0/6.0e0) * 3.0e0) * 0.3e0 +
+           |      (1.0e0 - (CASE WHEN len > 0 THEN punct / len ELSE 0.0e0 END)) * 0.2e0))
+           |      AS x1,
+           |    CAST(tok AS DOUBLE) / (CAST(tok AS DOUBLE) + 100.0e0) AS x2,
+           |    CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 1000.0e0) AS x3
+           |  FROM q),
+           |tr AS (SELECT y, x1, x2, x3 FROM feat WHERE doc_id % 2 = 0),
+           |w0 AS (SELECT 0.0e0 AS b0, 0.0e0 AS b1, 0.0e0 AS b2, 0.0e0 AS b3),
+           |$iters
+           |SELECT f.doc_id,
+           |  ROUND(1.0e0/(1.0e0 + EXP(-(b0 + b1*f.x1 + b2*f.x2 + b3*f.x3))), 6)
+           |    AS p_quality
+           |FROM feat f CROSS JOIN w5 ORDER BY f.doc_id""".stripMargin
+      }),
   )
 }

@@ -203,6 +203,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), s"novelty needs no window:\n$p")
   }
 
+  test("x81 logistic quality: scoring pass is join-free and window-free") {
+    // (training runs eagerly when the probe is built — its per-round
+    // aggregations are separate jobs; this gates the SCORING plan)
+    val p = planString("x81_logistic_quality")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Window"), s"scoring needs no window:\n$p")
+  }
+
   test("x79 temperature mixture: quotas broadcast, two-phase per-source cap") {
     val p = planString("x79_temperature_mixture")
     assert(!p.contains("CartesianProduct"), s"quota join must stay keyed:\n$p")

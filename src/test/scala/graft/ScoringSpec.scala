@@ -117,6 +117,72 @@ class ScoringSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"docBigrams must be map-only:\n$p")
   }
 
+  // ---- trained logistic quality filter ----------------------------
+
+  test("logistic quality: learns a separable corpus, orders the classes") {
+    import graft.operators.LogisticQuality
+    // label 1 = prose-like, label 0 = punctuation garbage: the quality
+    // feature separates them, so 5 GD rounds must order the classes
+    val good = (0L until 40L).map(i =>
+      (i, "a clean readable sentence with ordinary words number " + i, 60L, 1))
+    val bad = (100L until 140L).map(i =>
+      (i, "@@## $$%% ^^&& !!(( ))++ " + i, 25L, 0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "n_chars", "label")
+    val w = LogisticQuality.train(docs, col("label") === 1, lr = 0.5, iters = 50)
+    val scored = LogisticQuality.score(docs, w)
+      .join(docs.select("doc_id", "label"), "doc_id")
+      .groupBy("label").agg(avg("p_quality").as("p")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scored(1) > scored(0) + 0.1,
+      s"classes not separated: ${scored(1)} vs ${scored(0)}")
+  }
+
+  test("logistic quality: Spark training equals a driver-side naive twin") {
+    import graft.operators.LogisticQuality
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val w = LogisticQuality.train(docs, col("doc_id") % 3 === 0,
+      lr = 0.5, iters = 5)
+    // naive twin: collect the (bit-identical, rational) features, run
+    // the same rounded-gradient GD in plain Scala
+    val f = docs.select(col("doc_id"),
+        (col("doc_id") % 3 === 0).cast("double").as("y"),
+        graft.operators.TextOps.qualityScore(col("text")).as("x1"),
+        (graft.operators.TextOps.wsTokenCount(col("text")).cast("double") /
+          (graft.operators.TextOps.wsTokenCount(col("text")).cast("double") +
+            lit(100.0))).as("x2"),
+        (col("n_chars").cast("double") /
+          (col("n_chars").cast("double") + lit(1000.0))).as("x3"))
+      .collect().map(r => (r.getDouble(1),
+        Array(1.0, r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    def round6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var wN = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 5) {
+      val g = Array.fill(4)(0.0)
+      f.foreach { case (y, x) =>
+        val p = 1.0 / (1.0 + math.exp(-(wN(0) * x(0) + wN(1) * x(1) +
+          wN(2) * x(2) + wN(3) * x(3))))
+        for (j <- 0 until 4) g(j) += (p - y) * x(j)
+      }
+      wN = Array.tabulate(4)(j => wN(j) - 0.5 * round6(g(j) / f.length))
+    }
+    // tolerance: the twin's sequential gradient sum can differ from
+    // Spark's partition-ordered sum by a last ulp pre-round; a 6th-
+    // decimal flip in one round moves a weight by 0.5e-6
+    w.zip(wN).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(math.abs(a - b) <= 1e-5, s"weight $j: $a vs $b")
+    }
+  }
+
+  test("logistic quality scoring is a map-only projection") {
+    import graft.operators.LogisticQuality
+    val p = LogisticQuality.score(Tables.documents(spark, sfDir),
+        Array(0.1, 0.2, 0.3, 0.4))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scoring must be map-only:\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+  }
+
   // ---- fractional contamination -----------------------------------
 
   private def fracOf(train: Seq[(Long, String)], eval: Seq[(Long, String)],

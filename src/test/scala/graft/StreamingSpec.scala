@@ -477,6 +477,31 @@ class StreamingSpec extends SparkTestBase {
     assert(got(11L)._2 === 1.0, "fully-fresh doc must score 1 novelty")
   }
 
+  test("logistic quality scorer streams against trained weights") {
+    // deployment shape: the LR head trained once (4 doubles), every
+    // arriving doc scored by a pure projection
+    val landing = Files.createTempDirectory("graft_lrdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_lr").toString
+    val train = Seq((0L, "a clean readable sentence here", 40L, 1),
+      (1L, "@@## $$%% ^^&&", 14L, 0)).toDF("doc_id", "text", "n_chars", "label")
+    val w = graft.operators.LogisticQuality.train(train,
+      col("label") === 1, lr = 0.5, iters = 20)
+    val arrivals = Seq((10L, "plain words in a row", 20L),
+      (11L, "!!!! ???? ****", 14L)).toDF("doc_id", "text", "n_chars")
+    arrivals.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("p_quality")).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.LogisticQuality.score(stream, w),
+      "lrquality", ckpt, "append"))
+    assert(got === render(graft.operators.LogisticQuality.score(arrivals, w)))
+    assert(got(10L) > got(11L), "prose must outscore punctuation garbage")
+  }
+
   test("dsir map-only scorer streams against a trained ratio table") {
     // the deployment shape of DSIR on unbounded ingest: the bucket
     // ratio table is trained once (two bounded aggregations), collected
