@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Certification probes for the corpus-cleaning rule operators
+  * (x82–x83): the C4 page/line rules and frequency-threshold
+  * boilerplate removal. The synthetic corpus has no line structure or
+  * punctuation, so each probe synthesizes a deterministic multi-line
+  * page from the document text (the x36 pattern) with every rule
+  * exercised: kept lines, dropped lines, and page-level drops, at the
+  * threshold boundaries.
+  */
+object CleaningProbes {
+
+  val probes: Seq[Probe] = Seq(
+
+    // TextOps.c4Signals: the C4 cleaning rules (Raffel et al. 2020).
+    // Page construction per doc:
+    //   line1 text[1..60]+'.'  — kept (terminal punct, many words)
+    //   line2 text[61..90]     — dropped (no terminal punct)
+    //   line3 'short.'         — dropped (< 3 words)
+    //   line4 javascript line (doc_id%7=0) — dropped by the word rule;
+    //         else a 7-word '?' line — kept
+    //   line5 'Lorem Ipsum …' (doc_id%11=0) — kept as a LINE but the
+    //         page drops via has_lorem; else a '!' line — kept
+    //   line6 'body { … }' (doc_id%13=0) — dropped line AND page brace
+    //   line7 (doc_id%17=0) a kept line carrying the bad word
+    // keep=true for pages hit by none of the rules (n_sentences 3 ≥ 3);
+    // %7 pages fail the sentence floor (2 < 3) — every rule decides
+    // some page ------------------------------------------------------
+    Probe("x82_c4_rules",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val aug = docs.select(col("doc_id"), concat(
+          substring(col("text"), 1, 60), lit("."), lit("\n"),
+          substring(col("text"), 61, 30), lit("\n"),
+          lit("short."), lit("\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("Please enable JavaScript to view comments."))
+            .otherwise(lit("the quick brown fox jumps high today?")), lit("\n"),
+          when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sit amet."))
+            .otherwise(lit("a perfectly normal closing line!")), lit("\n"),
+          when(col("doc_id") % 13 === 0, lit("body { margin: 0 }"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("\nbadword7 is right here today.")).otherwise(lit("")))
+          .as("text"))
+        TextOps.c4Signals(aug, badWords = Seq("badword7"),
+            minWordsPerLine = 3, minSentences = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 60) || '.' || chr(10) ||
+             |    substr(text, 61, 30) || chr(10) ||
+             |    'short.' || chr(10) ||
+             |    CASE WHEN doc_id % 7 = 0
+             |         THEN 'Please enable JavaScript to view comments.'
+             |         ELSE 'the quick brown fox jumps high today?' END || chr(10) ||
+             |    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+             |         ELSE 'a perfectly normal closing line!' END || chr(10) ||
+             |    CASE WHEN doc_id % 13 = 0 THEN 'body { margin: 0 }' ELSE '' END ||
+             |    CASE WHEN doc_id % 17 = 0
+             |         THEN chr(10) || 'badword7 is right here today.' ELSE '' END
+             |      AS t
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, t,
+             |    list_transform(string_split(t, chr(10)), x -> trim(x)) AS lines,
+             |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+             |      x -> regexp_matches(x, '[.!?"]$')
+             |       AND len(regexp_extract_all(x, '[^\t\n\x0B\f\r ]+')) >= 3
+             |       AND NOT regexp_matches(lower(x),
+             |             '(?:^|[^a-z0-9])javascript(?:[^a-z0-9]|$)')) AS kept
+             |  FROM a),
+             |c AS (
+             |  SELECT doc_id, t, lines, kept,
+             |    array_to_string(kept, chr(10)) AS clean_text,
+             |    (length(array_to_string(kept, chr(10))) -
+             |     length(regexp_replace(array_to_string(kept, chr(10)),
+             |       '[.!?]', '', 'g')))::BIGINT AS n_sentences,
+             |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+             |    (contains(t, '{') OR contains(t, '}')) AS has_brace,
+             |    list_has_any(regexp_extract_all(lower(t), '[a-z0-9]+'),
+             |      ['badword7']) AS has_bad_word
+             |  FROM k)
+             |SELECT doc_id, clean_text,
+             |  len(lines)::BIGINT AS n_lines,
+             |  len(kept)::BIGINT AS n_kept,
+             |  n_sentences, has_lorem, has_brace, has_bad_word,
+             |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+             |    AND NOT has_bad_word) AS keep
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // TextOps.lineFrequencyFilter: boilerplate = a line in ≥ 3
+    // distinct docs, removed from ALL of them. Page construction:
+    //   line1 text[1..50]            — organic (usually unique)
+    //   line2 universal footer       — df = N → dropped everywhere
+    //   line3 %4=0 social banner (df = N/4 ≥ 3 → dropped);
+    //         else text[51..90]      — organic
+    //   line4 ''                     — trivial, always kept
+    //   line5 'pair <id div 2>'      — df = 2 < 3 → kept (boundary)
+    //   line6 'trio <id div 3>'      — df = 3 → dropped (boundary) ----
+    Probe("x83_line_frequency",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val aug = docs.select(col("doc_id"), concat(
+          substring(col("text"), 1, 50), lit("\n"),
+          lit("subscribe to our newsletter"), lit("\n"),
+          when(col("doc_id") % 4 === 0, lit("follow us on social media"))
+            .otherwise(substring(col("text"), 51, 40)), lit("\n"),
+          lit("\n"),
+          lit("pair "), expr("CAST(doc_id DIV 2 AS STRING)"), lit("\n"),
+          lit("trio "), expr("CAST(doc_id DIV 3 AS STRING)")).as("text"))
+        TextOps.lineFrequencyFilter(aug, minDocs = 3).orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 50) || chr(10) ||
+             |    'subscribe to our newsletter' || chr(10) ||
+             |    CASE WHEN doc_id % 4 = 0 THEN 'follow us on social media'
+             |         ELSE substr(text, 51, 40) END || chr(10) ||
+             |    chr(10) ||
+             |    'pair ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+             |    'trio ' || CAST(doc_id // 3 AS VARCHAR) AS t
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line
+             |  FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM a),
+             |       (SELECT unnest(generate_series(1, 6)) AS i) g
+             |  WHERE g.i <= len(parts)),
+             |boiler AS (
+             |  SELECT line FROM l WHERE length(trim(line)) >= 1
+             |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+             |kept AS (
+             |  SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             |    COUNT(*) AS n_kept
+             |  FROM l WHERE line NOT IN (SELECT line FROM boiler)
+             |  GROUP BY doc_id)
+             |SELECT a.doc_id,
+             |  COALESCE(k.clean_text, '') AS clean_text,
+             |  COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+             |  (6 - COALESCE(k.n_kept, 0))::BIGINT AS n_dropped
+             |FROM a LEFT JOIN kept k ON a.doc_id = k.doc_id
+             |ORDER BY a.doc_id""".stripMargin)),
+  )
+}

@@ -473,6 +473,59 @@ object TextOps {
                      textCol: String = "text"): DataFrame =
     lineDedup(docs, idCol, textCol, minDedupLen = 1, sep = "\n\n")
 
+  /** Frequency-threshold line removal — the boilerplate filter the
+    * RefinedWeb/MassiveWeb pipelines run alongside first-occurrence
+    * dedup: a line occurring in at least `minDocs` DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, share buttons) and is
+    * removed from ALL documents — unlike [[lineDedup]], which keeps
+    * the first occurrence (dedup targets CONTENT that happens to
+    * repeat; this targets template text that was never content).
+    * Trivial lines (trimmed length < `minDedupLen`) are exempt, as in
+    * [[lineDedup]], so paragraph separators survive.
+    *
+    * Returns (idCol, clean_text, n_kept, n_dropped) for every input
+    * document.
+    *
+    * Scale shape: (1) document frequency per line is a
+    * `count_distinct` aggregation, which Spark plans as two keyed
+    * stages — partial dedup of (line, doc) map-side, then a partial-
+    * merging count per line — so neither a billion-copies-in-one-doc
+    * line nor a line in a billion docs concentrates on one reducer;
+    * (2) the over-threshold line table (typically tiny — only lines
+    * crossing `minDocs`) anti-joins the exploded corpus, sized by AQE
+    * (broadcast in the normal case: the corpus side never shuffles
+    * for the decision); (3) reassembly is the same high-cardinality
+    * per-document groupBy as [[lineDedup]]. */
+  def lineFrequencyFilter(docs: DataFrame, minDocs: Int,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          minDedupLen: Int = 1, sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
+    val trivial = length(trim(col("line"))) < minDedupLen
+    val boiler = lines.where(!trivial)
+      .groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .where(col("df") >= minDocs)
+      .select("line")
+    // trivial lines can never appear in `boiler` (it is built from the
+    // non-trivial side), so the anti-join keeps them unconditionally
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** ExactSubstr-style span dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"): every duplicated
     * k-token span keeps only its FIRST corpus occurrence
@@ -770,6 +823,117 @@ object TextOps {
     "(?i)</?(?:p|div|br|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|thead|tbody|" +
       "blockquote|pre|hr|section|article|aside|header|footer|nav|form|" +
       "fieldset|figure|figcaption|main|address)\\b[^>]*>"
+
+  // --- C4 cleaning rules (Raffel et al. 2020) ---------------------------
+
+  /** The word "javascript" with non-alphanumeric boundaries — C4 drops
+    * any LINE containing it (a boilerplate "enable JavaScript" tell).
+    * Explicit boundary classes, not `\b`, so the Java and RE2/DuckDB
+    * readings agree. Applied to lowercased lines. */
+  val C4JavascriptPattern = "(?:^|[^a-z0-9])javascript(?:[^a-z0-9]|$)"
+
+  /** Word runs for the per-line word count: maximal non-whitespace
+    * runs over the explicit whitespace class (see [[PreTokenPattern]]
+    * for why not `\s`). */
+  val WordRunPattern = "[^\\t\\n\\x0B\\f\\r ]+"
+
+  /** C4 page-cleaning signals (Raffel et al. 2020 §2.2 — the rules
+    * that produced C4 from Common Crawl; reference: the public
+    * TensorFlow-datasets `c4_utils.py`), re-expressed as ONE map-only
+    * projection:
+    *
+    * LINE rules (lines = `\n`-split, space-trimmed):
+    *   - kept only if it ends in a terminal punctuation mark
+    *     (`.` `!` `?` `"`);
+    *   - kept only if it has ≥ `minWordsPerLine` words;
+    *   - dropped if it contains the word "javascript"
+    *     (case-insensitive, [[C4JavascriptPattern]]).
+    *
+    * PAGE rules (on the RAW text, as in the paper):
+    *   - `has_lorem` — the phrase "lorem ipsum" (lowercased);
+    *   - `has_brace` — a curly bracket (`{` or `}`);
+    *   - `has_bad_word` — any `[a-z0-9]+` token of the lowercased
+    *     text is on `badWords` (C4 uses the public "List of Dirty,
+    *     Naughty, Obscene or Otherwise Bad Words"; single-word
+    *     entries here — multi-word phrases belong to the
+    *     Aho-Corasick keyword scan).
+    *   - `n_sentences` — terminal marks (`.` `!` `?`) in the CLEANED
+    *     text, the deterministic sentence-count proxy for the paper's
+    *     "fewer than `minSentences` sentences" page rule (counted
+    *     after line filtering, as C4 does).
+    *
+    * `keep` = n_sentences ≥ minSentences ∧ ¬has_lorem ∧ ¬has_brace ∧
+    * ¬has_bad_word. Output: (id, clean_text, n_lines, n_kept,
+    * n_sentences, has_lorem, has_brace, has_bad_word, keep) — one row
+    * per input document, dropped pages included, so the decision
+    * itself is auditable (and certifiable) corpus-wide.
+    *
+    * Scale shape: ZERO shuffle — the line split/filter/reassembly are
+    * higher-order array functions inside the scan projection
+    * ([[bindOnce]]-pinned so nothing re-evaluates per element), page
+    * signals are single regexp/contains passes. Composes with
+    * [[lineDedup]] (which C4 also applies, at the three-sentence-span
+    * level — [[exactSpanDedup]] is the span-level sibling here). */
+  def c4Signals(docs: DataFrame, badWords: Seq[String] = Nil,
+                minWordsPerLine: Int = 3, minSentences: Int = 5,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withC4Columns(docs, badWords, minWordsPerLine, minSentences, textCol)
+      .select(col(idCol),
+        col("_l.clean_text").as("clean_text"),
+        col("_l.n_lines").as("n_lines"),
+        col("_l.n_kept").as("n_kept"),
+        col("_l.n_sentences").as("n_sentences"),
+        col("_p.has_lorem").as("has_lorem"),
+        col("_p.has_brace").as("has_brace"),
+        col("_p.has_bad_word").as("has_bad_word"),
+        col("_keep").as("keep"))
+
+  private def withC4Columns(docs: DataFrame, badWords: Seq[String],
+                            minWordsPerLine: Int, minSentences: Int,
+                            textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lineStruct = bindOnce(transform(split(t, "\n"), l => trim(l))) { lines =>
+      val kept0 = filter(lines, l =>
+        l.rlike("[.!?\"]$") &&
+          size(regexp_extract_all(l, lit(WordRunPattern), lit(0))) >= minWordsPerLine &&
+          !lower(l).rlike(C4JavascriptPattern))
+      bindOnce(kept0) { kept =>
+        bindOnce(concat_ws("\n", kept)) { ct =>
+          struct(
+            ct.as("clean_text"),
+            size(lines).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept"),
+            (length(ct) - length(regexp_replace(ct, "[.!?]", "")))
+              .cast("long").as("n_sentences"))
+        }
+      }
+    }
+    val pageStruct = bindOnce(lower(t)) { lt =>
+      struct(
+        lt.contains("lorem ipsum").as("has_lorem"),
+        (t.contains("{") || t.contains("}")).as("has_brace"),
+        (if (badWords.isEmpty) lit(false)
+         else arrays_overlap(regexp_extract_all(lt, lit("[a-z0-9]+"), lit(0)),
+           lit(badWords.toArray))).as("has_bad_word"))
+    }
+    docs.withColumn("_l", lineStruct)
+      .withColumn("_p", pageStruct)
+      .withColumn("_keep",
+        col("_l.n_sentences") >= minSentences && !col("_p.has_lorem") &&
+          !col("_p.has_brace") && !col("_p.has_bad_word"))
+  }
+
+  /** Apply [[c4Signals]]: surviving pages with their line-filtered
+    * text (the page's other columns are preserved). Same zero-shuffle
+    * shape — the signals are computed inline, filtered, and dropped;
+    * no join back. */
+  def c4Filter(docs: DataFrame, badWords: Seq[String] = Nil,
+               minWordsPerLine: Int = 3, minSentences: Int = 5,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withC4Columns(docs, badWords, minWordsPerLine, minSentences, textCol)
+      .where(col("_keep"))
+      .withColumn(textCol, col("_l.clean_text"))
+      .drop("_l", "_p", "_keep")
 
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each

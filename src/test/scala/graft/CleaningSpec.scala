@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Edge-case certification for the corpus-cleaning rule operators the
+  * oracle probes (x82/x83) sample statistically: C4 line/page rules one
+  * by one at their boundaries, and frequency-threshold boilerplate
+  * removal against a hand-checked corpus.
+  */
+class CleaningSpec extends SparkTestBase {
+
+  private def sigRow(text: String, bad: Seq[String] = Nil,
+                     minWords: Int = 3, minSent: Int = 5): Row = {
+    import spark.implicits._
+    TextOps.c4Signals(Seq((1L, text)).toDF("doc_id", "text"),
+      badWords = bad, minWordsPerLine = minWords, minSentences = minSent)
+      .head()
+  }
+  private def clean(text: String): String =
+    sigRow(text).getAs[String]("clean_text")
+
+  // --- C4 line rules ------------------------------------------------------
+
+  test("c4: lines kept only with terminal punctuation") {
+    val t = "good solid line.\nalso fine here!\nquestion line maybe?\n" +
+      "quoted line ends\"\nno terminal punct\ntrailing comma line,"
+    assert(clean(t) ===
+      "good solid line.\nalso fine here!\nquestion line maybe?\nquoted line ends\"")
+  }
+
+  test("c4: minimum words per line") {
+    val t = "one two three.\ntwo words.\nshort."
+    assert(clean(t) === "one two three.")
+    val r = sigRow("a b.\nc d.", minWords = 2)
+    assert(r.getAs[String]("clean_text") === "a b.\nc d.")
+  }
+
+  test("c4: javascript word rule respects boundaries") {
+    assert(clean("Please enable JavaScript to continue.") === "")
+    assert(clean("use javascript: alert right now.") === "")
+    // no boundary → not the word → kept
+    assert(clean("the javascripty library rocks today.") ===
+      "the javascripty library rocks today.")
+  }
+
+  test("c4: lines are trimmed before evaluation and reassembly") {
+    assert(clean("   padded line here.   \nplain line stays.") ===
+      "padded line here.\nplain line stays.")
+  }
+
+  // --- C4 page rules ------------------------------------------------------
+
+  test("c4: lorem ipsum page drop is case-insensitive") {
+    val r = sigRow("LOREM IPSUM dolor sit amet.", minSent = 1)
+    assert(r.getAs[Boolean]("has_lorem") && !r.getAs[Boolean]("keep"))
+  }
+
+  test("c4: either curly bracket drops the page") {
+    assert(sigRow("clean page without braces here.").getAs[Boolean]("has_brace") === false)
+    assert(sigRow("open { only").getAs[Boolean]("has_brace"))
+    assert(sigRow("close } only").getAs[Boolean]("has_brace"))
+  }
+
+  test("c4: bad-word matching is token-exact on the raw page") {
+    val bad = Seq("badword7")
+    // punctuation-adjacent still a token hit
+    assert(sigRow("we said badword7.", bad = bad).getAs[Boolean]("has_bad_word"))
+    // substring of a longer token is NOT a hit
+    assert(!sigRow("we said xbadword7 aloud.", bad = bad).getAs[Boolean]("has_bad_word"))
+    // raw-page rule: the word counts even on a line the line rules drop
+    assert(sigRow("badword7", bad = bad).getAs[Boolean]("has_bad_word"))
+    // empty list never hits
+    assert(!sigRow("anything at all.").getAs[Boolean]("has_bad_word"))
+  }
+
+  test("c4: sentence floor counts terminal marks in the CLEANED text") {
+    // the dropped no-punct line contributes nothing; 2 marks < 3
+    val r = sigRow("first sentence here. second one follows!\nno punct filler",
+      minSent = 3)
+    assert(r.getAs[Long]("n_sentences") === 2L && !r.getAs[Boolean]("keep"))
+    val r2 = sigRow("first sentence here. second one follows! third arrives?",
+      minSent = 3)
+    assert(r2.getAs[Long]("n_sentences") === 3L && r2.getAs[Boolean]("keep"))
+  }
+
+  test("c4Filter: keeps surviving pages' other columns, rewrites text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a keeper page right here. with two sentences kept!", "web"),
+      (2L, "has a brace { so the page drops. even with sentences!", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.c4Filter(docs, minSentences = 2).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("doc_id") === 1L)
+    assert(out.head.getAs[String]("source") === "web")
+    assert(out.head.getAs[String]("text") ===
+      "a keeper page right here. with two sentences kept!")
+  }
+
+  test("c4Signals plan is map-only (zero exchanges)") {
+    import spark.implicits._
+    val docs = Seq((1L, "x.")).toDF("doc_id", "text")
+    val p = TextOps.c4Signals(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"c4Signals must be a pure projection:\n$p")
+  }
+
+  // --- lineFrequencyFilter ------------------------------------------------
+
+  private def freqCorpus = {
+    import spark.implicits._
+    Seq(
+      (0L, "unique zero\nshared footer\npair a\n\nsolo"),
+      (1L, "unique one\nshared footer\npair a\n\nsolo two"),
+      (2L, "unique two\nshared footer\nother\n\nsolo three"),
+      (3L, "unique three\nshared footer\nother two\n\nsolo four"))
+      .toDF("doc_id", "text")
+  }
+
+  test("lineFrequencyFilter: threshold boundary — df >= minDocs drops everywhere") {
+    val out = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // 'shared footer' df=4 >= 3 → gone from ALL docs (no first-keeper)
+    assert(out.forall(!_.getAs[String]("clean_text").contains("shared footer")))
+    // 'pair a' df=2 < 3 → kept in both
+    assert(out(0).getAs[String]("clean_text").contains("pair a"))
+    assert(out(1).getAs[String]("clean_text").contains("pair a"))
+    // blank separator line (trivial) survives everywhere
+    assert(out.forall(_.getAs[String]("clean_text").contains("\n\n")))
+    assert(out(0).getAs[String]("clean_text") === "unique zero\npair a\n\nsolo")
+    assert(out(0).getAs[Long]("n_kept") === 4L)
+    assert(out(0).getAs[Long]("n_dropped") === 1L)
+  }
+
+  test("lineFrequencyFilter: at minDocs=2 the pair line also drops") {
+    val out = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") === "unique zero\n\nsolo")
+    assert(out(1).getAs[String]("clean_text") === "unique one\n\nsolo two")
+  }
+
+  test("lineFrequencyFilter: all-dropped doc yields empty text, counts intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "common line"), (1L, "common line"), (2L, "common line"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lineFrequencyFilter(docs, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[String]("clean_text") === ""))
+    assert(out.forall(_.getAs[Long]("n_kept") === 0L))
+    assert(out.forall(_.getAs[Long]("n_dropped") === 1L))
+  }
+
+  test("lineFrequencyFilter: within-doc repeats count once toward df") {
+    import spark.implicits._
+    // 'rep' appears 3× in ONE doc: distinct-doc frequency is 1 → kept
+    val docs = Seq((0L, "rep\nrep\nrep"), (1L, "other line"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lineFrequencyFilter(docs, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") === "rep\nrep\nrep")
+  }
+
+  test("lineFrequencyFilter plan: no product joins, distinct agg partials map-side") {
+    val p = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"product join in lineFrequencyFilter:\n$p")
+    // the count_distinct plans as two keyed stages with map-side partials
+    assert(p.contains("partial_count(distinct") || p.contains("HashAggregate"),
+      s"expected two-stage distinct aggregation:\n$p")
+  }
+}

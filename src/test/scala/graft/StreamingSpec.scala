@@ -278,6 +278,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L)._2.forall(_ == 0))
   }
 
+  test("c4 cleaning rules run unchanged on a stream and equal batch") {
+    // c4Signals is a pure projection (zero-shuffle by plan gate), so
+    // the same operator code filters an unbounded crawl as it lands
+    val landing = Files.createTempDirectory("graft_c4docs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_c4").toString
+    val rows = Seq(
+      (1L, "a clean keeper page here. second sentence closes it!"),
+      (2L, "page with a brace { inside. still two sentences here!"),
+      (3L, "no terminal punctuation at all"),
+      (4L, "Lorem ipsum dolor sit amet. consectetur adipiscing elit!"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Boolean]("keep"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.TextOps.c4Signals(stream, minSentences = 2),
+      "c4", ckpt, "append"))
+    val batch = render(graft.operators.TextOps.c4Signals(
+      rows.toDF("doc_id", "text"), minSentences = 2))
+    assert(got === batch)
+    assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2 && !got(4L)._2)
+  }
+
   test("score-tier labeling streams against reference-corpus thresholds") {
     // the deployment shape of scoreBuckets on unbounded data: the
     // threshold table is trained once on the reference corpus (a
