@@ -190,6 +190,14 @@ object GraftExtensions {
       graft.expressions.BpeTokenIds(t, graft.expressions.BpeOps.resolve(k.toString),
         graft.expressions.BpeVocab.resolve(v.toString)) }),
 
+    // keyword_counts(text, automaton-key-literal): one-pass
+    // Aho-Corasick multi-pattern occurrence counts (all occurrences,
+    // overlapping included), array<int> in pattern-declaration order.
+    ("keyword_counts", 2, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.KeywordCounts(t,
+        graft.expressions.AhoCorasickOps.resolve(k.toString)) }),
+
     // bpe_unmap(text): invert the GPT-2 byte-level mapping (mapped
     // codepoints → bytes → UTF-8) — the byte-level detokenize tail.
     ("bpe_unmap", 1, { case Seq(t) => graft.expressions.BpeUnmap(t) }),

@@ -146,5 +146,48 @@ object CleaningProbes {
              |  (6 - COALESCE(k.n_kept, 0))::BIGINT AS n_dropped
              |FROM a LEFT JOIN kept k ON a.doc_id = k.doc_id
              |ORDER BY a.doc_id""".stripMargin)),
+
+    // TextOps.keywordTag / the keyword_counts Aho-Corasick kernel:
+    // ALL-occurrence (overlapping) counts for a dictionary containing
+    // nested patterns ("an" inside "scan"), a single-char pattern
+    // ("t", matched inside every word containing it), space-crossing
+    // phrases, and an absent word. The oracle counts each pattern by
+    // brute-force position enumeration — the O(len·patterns) scan the
+    // automaton replaces with one O(len) pass -----------------------
+    Probe("x84_keyword_scan",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val kws = Seq("scan", "an", "fast table", "value part", "t", "zzzq")
+        TextOps.keywordTag(Tables.documents(s, d), kws)
+          .select(col("doc_id"),
+            element_at(col("kw_counts"), 1).as("c_scan"),
+            element_at(col("kw_counts"), 2).as("c_an"),
+            element_at(col("kw_counts"), 3).as("c_fast_table"),
+            element_at(col("kw_counts"), 4).as("c_value_part"),
+            element_at(col("kw_counts"), 5).as("c_t"),
+            element_at(col("kw_counts"), 6).as("c_absent"),
+            col("n_hits"),
+            size(col("matched")).as("n_matched"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def cnt(p: String): String =
+          s"len(list_filter(generate_series(1, length(text) - ${p.length} + 1), " +
+            s"i -> substr(text, i, ${p.length}) = '$p'))"
+        val names = Seq("c_scan" -> "scan", "c_an" -> "an",
+          "c_fast_table" -> "fast table", "c_value_part" -> "value part",
+          "c_t" -> "t", "c_absent" -> "zzzq")
+        val cols = names.map { case (n, p) => s"${cnt(p)} AS $n" }.mkString(",\n  ")
+        val total = names.map(_._1).mkString(" + ")
+        val matched = names.map { case (n, _) => s"CASE WHEN $n > 0 THEN 1 ELSE 0 END" }
+          .mkString(" + ")
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |  $cols
+           |  FROM documents)
+           |SELECT doc_id, c_scan, c_an, c_fast_table, c_value_part, c_t,
+           |  c_absent, ($total) AS n_hits, ($matched) AS n_matched
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -935,6 +935,44 @@ object TextOps {
       .withColumn(textCol, col("_l.clean_text"))
       .drop("_l", "_p", "_keep")
 
+  // --- Aho-Corasick keyword scan ----------------------------------------
+
+  // one registered automaton per distinct keyword list, not per call
+  // (the Bpe.tableKeys pattern)
+  private val acKeys =
+    new java.util.concurrent.ConcurrentHashMap[List[String], String]()
+  private def acKey(keywords: Seq[String]): String =
+    acKeys.computeIfAbsent(keywords.toList,
+      _ => graft.expressions.AhoCorasickOps.register(
+        graft.expressions.AhoCorasickOps.compile(keywords)))
+
+  /** Per-pattern occurrence counts (ALL occurrences, overlapping
+    * included) via the one-pass Aho-Corasick `keyword_counts` kernel —
+    * the FlashText-style dictionary tagger: bad-word lists, topic
+    * lexicons, brand-safety terms at thousands-of-entries scale where
+    * a regex alternation is quadratic or rejected outright. Returns
+    * array<int> in `keywords` declaration order. Matching is
+    * case-sensitive char equality — lower the text column (and pass
+    * lowercased keywords) for the usual case-insensitive setup.
+    * Requires [[graft.GraftExtensions]] registered on the session. */
+  def keywordCounts(text: Column, keywords: Seq[String]): Column =
+    call_function("keyword_counts", text, lit(acKey(keywords)))
+
+  /** Dictionary tagging over a corpus: per document, the per-keyword
+    * counts plus total hits and the matched keywords (declaration
+    * order). ZERO shuffle — one kernel pass per document inside the
+    * scan projection. */
+  def keywordTag(docs: DataFrame, keywords: Seq[String],
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val kwArr = lit(keywords.toArray)
+    docs.select(col(idCol),
+        keywordCounts(col(textCol), keywords).as("kw_counts"))
+      .select(col(idCol), col("kw_counts"),
+        aggregate(col("kw_counts"), lit(0), (a, x) => a + x).as("n_hits"),
+        filter(kwArr, (_, i) => element_at(col("kw_counts"), i + 1) > 0)
+          .as("matched"))
+  }
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them
