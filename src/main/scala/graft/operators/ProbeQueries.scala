@@ -413,7 +413,7 @@ object ProbeQueries {
     probes ++ DomainProbes.probes ++ PipelineProbes.probes ++
       ExtensionProbes.probes ++ BpeProbes.probes ++ MediaProbes.probes ++
       CurationProbes.probes ++ SelectionProbes.probes ++
-      CleaningProbes.probes ++
+      CleaningProbes.probes ++ EmbeddingProbes.probes ++
       WindfieldProbe.probes ++ LandfallProbe.probes ++ XgbProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -278,6 +278,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L)._2.forall(_ == 0))
   }
 
+  test("pca projection streams against a fitted component") {
+    // the deployment shape: fit once on the reference corpus (one
+    // aggregation), then projectPc1 — a pure projection against the
+    // model's literal arrays — scores arrivals on the stream unchanged
+    val landing = Files.createTempDirectory("graft_pcadocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_pca").toString
+    val ref = (1 to 50).map { i =>
+      (i.toLong, Array((i % 7 - 3).toFloat, (i % 5 - 2).toFloat, i.toFloat / 50))
+    }
+    val arrivals = Seq((101L, Array(1f, -1f, 0.5f)), (102L, Array(-2f, 0f, 0.1f)))
+    val model = graft.operators.EmbeddingOps.fitPcaTopComponent(
+      ref.toDF("vec_id", "embedding"), dim = 3)
+    arrivals.toDF("vec_id", "embedding").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.EmbeddingOps.projectPc1(stream, model),
+      "pca", ckpt, "append"))
+    val batch = render(graft.operators.EmbeddingOps.projectPc1(
+      arrivals.toDF("vec_id", "embedding"), model))
+    assert(got === batch && got.size === 2)
+  }
+
   test("c4 cleaning rules run unchanged on a stream and equal batch") {
     // c4Signals is a pure projection (zero-shuffle by plan gate), so
     // the same operator code filters an unbounded crawl as it lands
