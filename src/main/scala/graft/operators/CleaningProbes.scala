@@ -189,5 +189,65 @@ object CleaningProbes {
            |  c_absent, ($total) AS n_hits, ($matched) AS n_matched
            |FROM c ORDER BY doc_id""".stripMargin
       }),
+
+    // Dedup.duplicationWeights: soft dedup — every copy survives with
+    // weight 1/n_copies. 20-char prefixes of the word-salad corpus
+    // collide heavily, giving a spread of multiplicities; weight is
+    // one IEEE division, no rounding pin --------------------------------
+    Probe("x86_duplication_weights",
+      (s, d) => {
+        val aug = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("text"))
+        Dedup.duplicationWeights(aug)
+          .select(col("doc_id"), col("n_copies"), col("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, substr(text, 1, 20) AS t FROM documents),
+             |c AS (SELECT t, COUNT(*) AS n_copies FROM a GROUP BY t)
+             |SELECT a.doc_id, c.n_copies,
+             |  CAST(1.0 AS DOUBLE) / c.n_copies AS weight
+             |FROM a JOIN c USING (t) ORDER BY a.doc_id""".stripMargin)),
+
+    // TextOps.chunkBySentences: sentence-aware RAG chunking — spans
+    // never split mid-sentence, chunk assignment by cumulative-offset
+    // integer division (the x31 packing contract). The synthesized
+    // page has ., !, ? sentences plus an unterminated tail; short
+    // documents degrade to punctuation-only "sentences", exercising
+    // the trim/empty rules ---------------------------------------------
+    Probe("x87_sentence_chunks",
+      (s, d) => {
+        val aug = Tables.documents(s, d).select(col("doc_id"), concat(
+          substring(col("text"), 1, 50), lit(". "),
+          substring(col("text"), 51, 35), lit("! "),
+          substring(col("text"), 86, 45), lit("? "),
+          lit("and a trailing tail")).as("text"))
+        TextOps.chunkBySentences(aug, size = 60)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 50) || '. ' || substr(text, 51, 35) || '! ' ||
+             |    substr(text, 86, 45) || '? ' || 'and a trailing tail' AS t
+             |  FROM documents),
+             |s0 AS (
+             |  SELECT doc_id, g.i - 1 AS pos, trim(parts[g.i]) AS sentence
+             |  FROM (SELECT doc_id,
+             |          regexp_extract_all(t, '[^.!?]+[.!?]*') AS parts FROM a),
+             |       (SELECT unnest(generate_series(1, 8)) AS i) g
+             |  WHERE g.i <= len(parts)),
+             |s AS (SELECT * FROM s0 WHERE length(sentence) > 0),
+             |c AS (
+             |  SELECT doc_id, pos, sentence,
+             |    COALESCE(SUM(length(sentence)) OVER (
+             |      PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before
+             |  FROM s)
+             |SELECT doc_id, CAST(cum_before // 60 AS INT) AS chunk_idx,
+             |  string_agg(sentence, ' ' ORDER BY pos) AS chunk,
+             |  COUNT(*) AS n_sentences,
+             |  length(string_agg(sentence, ' ' ORDER BY pos)) AS chunk_chars
+             |FROM c GROUP BY doc_id, chunk_idx
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
   )
 }

@@ -30,6 +30,35 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Soft dedup: duplicate DOWN-WEIGHTING instead of dropping. Every
+    * copy of an exactly-repeated document survives with sampling
+    * weight 1/n_copies, so the expected training mass of repeated
+    * content equals one copy while preserving corpus diversity — the
+    * "soft" alternative (e.g. SoftDeDup, Xue et al. 2024) to
+    * [[exactDedup]]'s hard keeper rule; the weight column feeds any
+    * downstream weighted sampler ([[Sampling]] mixtures) or a
+    * loss-weighting training loader.
+    *
+    * Output: every input row + (n_copies, weight = 1/n_copies).
+    *
+    * Scale shape: multiplicity is one groupBy on the content hash
+    * (COUNT partial-aggregates map-side, so a billion-copy document
+    * collapses per-partition before the shuffle); the join back keys
+    * the corpus by the same hash — there the billion copies DO meet
+    * one reducer's partition, which is exactly the shape AQE skew-join
+    * splitting handles (sort-merge, probe side split, single-row build
+    * replicated). weight = 1.0/k is one IEEE division — identical on
+    * any engine, no rounding pin needed. */
+  def duplicationWeights(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val withHash = docs.withColumn("_h", md5(col(textCol)))
+    val counts = withHash.groupBy(col("_h"))
+      .agg(count(lit(1)).as("n_copies"))
+    withHash.join(counts, Seq("_h"))
+      .drop("_h")
+      .withColumn("weight", lit(1.0) / col("n_copies"))
+  }
+
   // ---- shingling -------------------------------------------------------
 
   /** Word n-gram shingles, one row per (id, shingle). Set

@@ -776,6 +776,58 @@ object TextOps {
         length(col("chunk")).as("chunk_chars"))
   }
 
+  /** Sentence spans: maximal runs of non-terminal characters plus
+    * their trailing terminal-punctuation run (`[^.!?]+[.!?]*`), each
+    * space-trimmed — engine-portable (no lookbehind, which RE2
+    * rejects). Text with no non-punctuation content yields no
+    * sentences. */
+  val SentencePattern = "[^.!?]+[.!?]*"
+
+  /** Sentence-aware chunking for embedding/RAG pipelines: the
+    * [[chunkByChars]] sibling that never splits mid-sentence.
+    * Sentences are assigned to fixed-budget chunks by cumulative
+    * offset — sentence s joins chunk `floor(chars_before_s / size)` —
+    * the same deterministic prefix-sum contract as
+    * `Sampling.packSequences` (x31/x53), so a chunk may overflow
+    * `size` by at most one sentence rather than truncating it.
+    * Output: (id, chunk_idx, chunk, n_sentences, chunk_chars); a
+    * document with no sentence content emits NO chunks (unlike
+    * chunkByChars' ≥1-chunk contract — documented asymmetry: there is
+    * no sentence to put in the chunk).
+    *
+    * Scale shape: sentence extraction is map-only; the cumulative
+    * offset is one window over (doc, position) — per-document
+    * partitions, high-cardinality, unskewed; reassembly is one
+    * groupBy (doc, chunk). Two keyed shuffles, no products — the x31
+    * shape. */
+  def chunkBySentences(docs: DataFrame, size: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(size > 0, s"size must be positive: $size")
+    import org.apache.spark.sql.expressions.Window
+    val sent = docs.select(col(idCol),
+        posexplode(transform(
+          regexp_extract_all(coalesce(col(textCol), lit("")),
+            lit(SentencePattern), lit(0)),
+          s => trim(s))).as(Seq("pos", "sentence")))
+      .where(length(col("sentence")) > 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sent
+      .withColumn("cum_before",
+        coalesce(sum(length(col("sentence"))).over(w), lit(0L)))
+      // integer division (not double-divide-then-cast: double→int
+      // casts TRUNCATE here and ROUND in DuckDB — div is exact both)
+      .withColumn("chunk_idx", expr(s"CAST(cum_before DIV $size AS INT)"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sentence")))),
+          s => s.getField("sentence"))).as("chunk"),
+        count(lit(1)).as("n_sentences"))
+      .withColumn("chunk_chars", length(col("chunk")))
+  }
+
   /** HTML → text extraction for crawl processing: the step between a
     * fetched page and every text operator above. Removal order is part
     * of the contract — comments, then script/style BLOCKS (their text

@@ -164,6 +164,60 @@ class CleaningSpec extends SparkTestBase {
     assert(out(0).getAs[String]("clean_text") === "rep\nrep\nrep")
   }
 
+  // --- duplicationWeights (soft dedup) ------------------------------------
+
+  test("duplicationWeights: every copy kept, weights sum to one per text") {
+    import spark.implicits._
+    val docs = Seq((1L, "dup"), (2L, "dup"), (3L, "dup"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicationWeights(docs)
+      .orderBy("doc_id").collect()
+    assert(out.length === 4) // nothing dropped
+    assert(out.take(3).forall(r => r.getAs[Long]("n_copies") === 3L &&
+      r.getAs[Double]("weight") === 1.0 / 3))
+    assert(out(3).getAs[Double]("weight") === 1.0)
+    // expected mass of the duplicated content = one copy
+    val mass = out.filter(_.getAs[String]("text") == "dup")
+      .map(_.getAs[Double]("weight")).sum
+    assert(math.abs(mass - 1.0) < 1e-12)
+  }
+
+  // --- chunkBySentences ---------------------------------------------------
+
+  test("chunkBySentences never splits a sentence and packs by offset") {
+    import spark.implicits._
+    // sentences of 10 chars each ("aaaaaaaaa."), budget 25:
+    // cum_before 0,10,20 → chunk 0; 30,40 → chunk 1
+    val text = (1 to 5).map(_ => "aaaaaaaaa.").mkString(" ")
+    val out = graft.operators.TextOps.chunkBySentences(
+        Seq((1L, text)).toDF("doc_id", "text"), size = 25)
+      .orderBy("chunk_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("chunk") ===
+      "aaaaaaaaa. aaaaaaaaa. aaaaaaaaa.")
+    assert(out(0).getAs[Long]("n_sentences") === 3L)
+    assert(out(1).getAs[Long]("n_sentences") === 2L)
+    // a chunk may overflow the budget by at most one sentence
+    assert(out.forall(_.getAs[Int]("chunk_chars") < 25 + 11))
+  }
+
+  test("chunkBySentences: oversized single sentence stays whole") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.chunkBySentences(
+      Seq((1L, ("long " * 30).trim + ".")).toDF("doc_id", "text"), size = 20)
+      .collect()
+    assert(out.length === 1 && out.head.getAs[Int]("chunk_chars") === 150)
+  }
+
+  test("chunkBySentences: no sentence content emits no chunks") {
+    import spark.implicits._
+    val docs = Seq((1L, "..."), (2L, ""), (3L, "real sentence here."))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.chunkBySentences(docs, size = 50)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(3L))
+  }
+
   test("lineFrequencyFilter plan: no product joins, distinct agg partials map-side") {
     val p = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 3)
       .queryExecution.executedPlan.toString
