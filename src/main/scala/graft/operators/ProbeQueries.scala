@@ -414,6 +414,7 @@ object ProbeQueries {
       ExtensionProbes.probes ++ BpeProbes.probes ++ MediaProbes.probes ++
       CurationProbes.probes ++ SelectionProbes.probes ++
       CleaningProbes.probes ++ EmbeddingProbes.probes ++
+      IngestProbes.probes ++
       WindfieldProbe.probes ++ LandfallProbe.probes ++ XgbProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
