@@ -109,5 +109,144 @@ object MediaProbes {
              |  CAST((nf + 1) // 2 AS INT) AS n_sampled,
              |  0 AS n_decoded
              |FROM sf ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // PerceptualHash.phashes: dHash/aHash over formula rasters — each
+    // doc synthesizes a w×h luminance plane from an integer formula,
+    // Spark hashes through the real raster path (9×8 / 8×8 integer
+    // nearest resample, comparison bits, MSB-first packing), and the
+    // oracle re-derives every SAMPLED pixel directly from the formula
+    // (the resample index math re-done in SQL) and re-packs the four
+    // 16-bit bands — an off-by-one in the grid, the packing order, or
+    // the integer mean diverges the hash ------------------------------
+    Probe("x89_phash",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = 16 + (id % 5).toInt; val h = 12 + (id % 3).toInt
+            val luma = Array.tabulate(w * h) { i =>
+              val y = i / w; val x = i % w
+              ((id * 31 + x * x * 7 + y * y * 13 + x * y * 5) % 256).toByte
+            }
+            graft.multimodal.MultimodalOps.MediaRow(id, luma, "raster8", w, h)
+          }
+        val hashes = graft.multimodal.PerceptualHash.phashes(media)
+        def band(c: String, b: Int) =
+          shiftrightunsigned(col(c), 48 - 16 * b).bitwiseAND(lit(0xFFFFL))
+        hashes.select(col("media_id"), col("decoded"),
+            band("dhash", 0).as("d0"), band("dhash", 1).as("d1"),
+            band("dhash", 2).as("d2"), band("dhash", 3).as("d3"),
+            band("ahash", 0).as("a0"), band("ahash", 1).as("a1"),
+            band("ahash", 2).as("a2"), band("ahash", 3).as("a3"))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 3 AS h
+             |           FROM documents),
+             |xy AS (SELECT a.x, b.y
+             |       FROM (SELECT unnest(generate_series(0, 7)) AS x) a,
+             |            (SELECT unnest(generate_series(0, 7)) AS y) b),
+             |dbit AS (
+             |  SELECT doc_id, y // 2 AS band,
+             |    CASE WHEN (doc_id*31 + (((x+1)*w) // 9)*(((x+1)*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + (((x+1)*w) // 9)*((y*h) // 8)*5) % 256 >
+             |              (doc_id*31 + ((x*w) // 9)*((x*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 9)*((y*h) // 8)*5) % 256
+             |         THEN 1 << (15 - ((y % 2) * 8 + x)) ELSE 0 END AS v
+             |  FROM g, xy),
+             |dband AS (SELECT doc_id, band, SUM(v) AS bv FROM dbit GROUP BY 1, 2),
+             |asamp AS (
+             |  SELECT doc_id, x, y,
+             |    (doc_id*31 + ((x*w) // 8)*((x*w) // 8)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 8)*((y*h) // 8)*5) % 256 AS p
+             |  FROM g, xy),
+             |amean AS (SELECT doc_id, SUM(p) // 64 AS mean FROM asamp GROUP BY 1),
+             |abit AS (
+             |  SELECT s.doc_id, s.y // 2 AS band,
+             |    CASE WHEN s.p >= m.mean
+             |         THEN 1 << (15 - ((s.y % 2) * 8 + s.x)) ELSE 0 END AS v
+             |  FROM asamp s JOIN amean m ON m.doc_id = s.doc_id),
+             |aband AS (SELECT doc_id, band, SUM(v) AS bv FROM abit GROUP BY 1, 2)
+             |SELECT g.doc_id AS media_id, TRUE AS decoded,
+             |  CAST(d0.bv AS BIGINT) AS d0, CAST(d1.bv AS BIGINT) AS d1,
+             |  CAST(d2.bv AS BIGINT) AS d2, CAST(d3.bv AS BIGINT) AS d3,
+             |  CAST(a0.bv AS BIGINT) AS a0, CAST(a1.bv AS BIGINT) AS a1,
+             |  CAST(a2.bv AS BIGINT) AS a2, CAST(a3.bv AS BIGINT) AS a3
+             |FROM g
+             |JOIN dband d0 ON d0.doc_id = g.doc_id AND d0.band = 0
+             |JOIN dband d1 ON d1.doc_id = g.doc_id AND d1.band = 1
+             |JOIN dband d2 ON d2.doc_id = g.doc_id AND d2.band = 2
+             |JOIN dband d3 ON d3.doc_id = g.doc_id AND d3.band = 3
+             |JOIN aband a0 ON a0.doc_id = g.doc_id AND a0.band = 0
+             |JOIN aband a1 ON a1.doc_id = g.doc_id AND a1.band = 1
+             |JOIN aband a2 ON a2.doc_id = g.doc_id AND a2.band = 2
+             |JOIN aband a3 ON a3.doc_id = g.doc_id AND a3.band = 3
+             |ORDER BY media_id""".stripMargin)),
+
+    // PerceptualHash.nearDupPairs: banded Hamming near-dup over the
+    // same formula rasters with PLANTED near-duplicates — every
+    // doc_id%10==0 (>0) renders doc_id-1's image with its top-left
+    // pixel bumped by one grey level, so (id-1, id) pairs sit at
+    // Hamming ≤ 2 and must surface through the band join; organic
+    // band collisions exercise the exact Hamming filter -------------
+    Probe("x90_phash_neardup",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val base = if (id % 10 == 0 && id > 0) id - 1 else id
+            val bump = if (id % 10 == 0 && id > 0) 1 else 0
+            val w = 16 + (base % 5).toInt; val h = 12 + (base % 3).toInt
+            val luma = Array.tabulate(w * h) { i =>
+              val y = i / w; val x = i % w
+              val v = (base * 31 + x * x * 7 + y * y * 13 + x * y * 5) % 256
+              (if (i == 0) (v + bump) % 256 else v).toByte
+            }
+            graft.multimodal.MultimodalOps.MediaRow(id, luma, "raster8", w, h)
+          }
+        val hashes = graft.multimodal.PerceptualHash.phashes(media)
+        graft.multimodal.PerceptualHash.nearDupPairs(hashes, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+             |         THEN doc_id - 1 ELSE doc_id END AS base,
+             |    CASE WHEN doc_id % 10 = 0 AND doc_id > 0 THEN 1 ELSE 0 END AS bump
+             |  FROM documents),
+             |g AS (SELECT doc_id, base, bump,
+             |        16 + base % 5 AS w, 12 + base % 3 AS h FROM ids),
+             |xy AS (SELECT a.x, b.y
+             |       FROM (SELECT unnest(generate_series(0, 7)) AS x) a,
+             |            (SELECT unnest(generate_series(0, 7)) AS y) b),
+             |dbit AS (
+             |  SELECT doc_id, y // 2 AS band,
+             |    CASE WHEN
+             |      ((base*31 + (((x+1)*w) // 9)*(((x+1)*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + (((x+1)*w) // 9)*((y*h) // 8)*5) % 256 +
+             |       CASE WHEN (((x+1)*w) // 9) = 0 AND ((y*h) // 8) = 0
+             |            THEN bump ELSE 0 END) % 256 >
+             |      ((base*31 + ((x*w) // 9)*((x*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 9)*((y*h) // 8)*5) % 256 +
+             |       CASE WHEN ((x*w) // 9) = 0 AND ((y*h) // 8) = 0
+             |            THEN bump ELSE 0 END) % 256
+             |    THEN 1 << (15 - ((y % 2) * 8 + x)) ELSE 0 END AS v
+             |  FROM g, xy),
+             |bands AS (SELECT doc_id, band, SUM(v) AS bv FROM dbit GROUP BY 1, 2),
+             |wide AS (
+             |  SELECT doc_id,
+             |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+             |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+             |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+             |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             |  FROM bands GROUP BY doc_id),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT c.id_a, c.id_b,
+             |    bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
+             |    bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+             |      AS hamming
+             |  FROM cand c
+             |  JOIN wide wa ON wa.doc_id = c.id_a
+             |  JOIN wide wb ON wb.doc_id = c.id_b)
+             |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+             |FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
   )
 }
