@@ -69,5 +69,61 @@ object IngestProbes {
              |  FROM documents)
              |SELECT * FROM r0 UNION ALL SELECT * FROM r1
              |ORDER BY doc_id, rec_idx""".stripMargin)),
+
+    // Robots.rulesTable + robotsFilter (RFC 9309): 20 synthesized
+    // per-host policies exercising group selection (an otherbot group
+    // that must be ignored, '*'-fallback hosts), wildcard patterns,
+    // the $ end anchor, longest-match-wins with Allow tiebreak, an
+    // empty robots.txt, and a host with NO robots row (both ⇒
+    // allowed). Spark PARSES the text; the oracle states each
+    // decision from the policy formula — a parser or matcher bug
+    // flips a decision and the hash ----------------------------------
+    Probe("x91_robots",
+      (s, d) => {
+        import s.implicits._
+        val robotsTxt = (0 until 20).filter(_ != 18).map { k =>
+          val uaLine = if (k % 5 == 4) "User-agent: *"
+                       else "User-agent: graftbot"
+          val txt = if (k == 19) "" else
+            s"# crawl policy\nUser-agent: otherbot\nDisallow: /\n\n" +
+              s"$uaLine\nDisallow: /private*\nAllow: /private/ok$$\n" +
+              s"Disallow: /p${k % 3}/\n" +
+              (if (k % 2 == 1) "Allow: /tmp/f\n" else "") +
+              "Disallow: /tmp/\n"
+          (s"h$k.test", txt)
+        }.toDF("host", "robots_txt")
+        val rules = Robots.rulesTable(robotsTxt, "GraftBot")
+        val k = (col("doc_id") % 20).cast("string")
+        val d3 = (col("doc_id") % 3).cast("string")
+        val path = when(col("doc_id") % 7 === 0, lit("/"))
+          .when(col("doc_id") % 7 === 1, lit("/public/a"))
+          .when(col("doc_id") % 7 === 2, lit("/private/x"))
+          .when(col("doc_id") % 7 === 3, lit("/private/ok"))
+          .when(col("doc_id") % 7 === 4, lit("/private/okay"))
+          .when(col("doc_id") % 7 === 5, concat(lit("/p"), d3, lit("/z")))
+          .otherwise(lit("/tmp/file"))
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("http://h"), k, lit(".test"), path).as("url"))
+        Robots.robotsFilter(urls, rules).orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, doc_id % 20 AS k, doc_id % 7 AS p,
+             |         doc_id % 3 AS d3
+             |  FROM documents)
+             |SELECT doc_id,
+             |  'http://h' || k || '.test' ||
+             |    CASE p WHEN 0 THEN '/' WHEN 1 THEN '/public/a'
+             |           WHEN 2 THEN '/private/x' WHEN 3 THEN '/private/ok'
+             |           WHEN 4 THEN '/private/okay'
+             |           WHEN 5 THEN '/p' || d3 || '/z'
+             |           ELSE '/tmp/file' END AS url,
+             |  'h' || k || '.test' AS host,
+             |  CASE WHEN k IN (18, 19) THEN TRUE
+             |       WHEN p = 2 THEN FALSE
+             |       WHEN p = 4 THEN FALSE
+             |       WHEN p = 5 THEN d3 <> (k % 3)
+             |       WHEN p = 6 THEN k % 2 = 1
+             |       ELSE TRUE END AS allowed
+             |FROM u ORDER BY doc_id""".stripMargin)),
   )
 }

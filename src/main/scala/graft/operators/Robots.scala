@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) for crawl-corpus curation:
+  * parse per-host `robots.txt` into a rules table once, then decide
+  * every URL relationally — the politeness filter a Common Crawl
+  * pipeline applies before a page may enter the corpus (alongside the
+  * [[TextOps.domainBlocklistFilter]] policy layer).
+  *
+  * Semantics implemented (the RFC's matching core):
+  *  - group selection: groups whose `User-agent` token equals ours
+  *    (case-insensitive) win; the `*` groups apply only when no
+  *    specific group exists;
+  *  - rule match: case-sensitive path patterns with `*` wildcards and
+  *    an optional `$` end anchor;
+  *  - decision: the LONGEST matching pattern wins; at equal length
+  *    Allow beats Disallow; no matching rule (or no robots.txt at
+  *    all) ⇒ allowed; empty-value `Disallow:` disallows nothing.
+  *
+  * Scale shape: parsing is a mapPartitions kernel over the
+  * domain-cardinality robots table (tiny next to the corpus); the
+  * decision is one host-keyed join (rules-per-host fan-out, tens of
+  * rows) + a per-URL `max_by(struct(len, allow))` aggregation — both
+  * partial-aggregable, no products, no UDF in the match (the pattern
+  * compiles to an anchored regex evaluated by `rlike`).
+  */
+object Robots {
+
+  /** One parsed rule: `regex` is the compiled anchored pattern
+    * (`^escaped`, `*`→`.*`, trailing `$` kept as anchor), `patLen`
+    * the RFC specificity (raw pattern length). */
+  final case class RobotsRule(host: String, ruleIdx: Int, pattern: String,
+                              regex: String, allow: Boolean, patLen: Int)
+
+  /** Translate a robots path pattern to the Java-∩-RE2 regex both
+    * engines evaluate identically. */
+  private[operators] def patternRegex(p: String): String = {
+    val endAnchor = p.endsWith("$")
+    val body = if (endAnchor) p.dropRight(1) else p
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (endAnchor) sb.append('$')
+    sb.toString
+  }
+
+  /** Parse one robots.txt for one user-agent: group selection per the
+    * RFC (specific groups beat `*`; a `User-agent` line after rules
+    * starts a new group; several adjacent UA lines share a group;
+    * comments stripped; keys case-insensitive). */
+  def parseRules(txt: String, userAgent: String): Seq[(String, Boolean)] = {
+    val ua = userAgent.toLowerCase
+    // accumulate (agents, rules) groups
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[(String, Boolean)])]
+    var inAgents = false
+    (if (txt == null) "" else txt).split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgents || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty))
+              inAgents = true
+            }
+            groups.last._1 += value.toLowerCase
+          case "allow" | "disallow" =>
+            inAgents = false
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += ((value, key == "allow"))
+            // empty value: "Disallow:" disallows nothing; "Allow:"
+            // allows nothing — both are no-ops
+          case _ => inAgents = false // crawl-delay, sitemap, …
+        }
+      }
+    }
+    val specific = groups.filter(_._1.contains(ua))
+    val chosen = if (specific.nonEmpty) specific
+                 else groups.filter(_._1.contains("*"))
+    chosen.flatMap(_._2.toSeq).toSeq
+  }
+
+  /** Parse a (host, robots_txt) table into the rules table —
+    * mapPartitions, domain-cardinality. */
+  def rulesTable(robots: DataFrame, userAgent: String,
+                 hostCol: String = "host",
+                 txtCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol), col(txtCol)).as[(String, String)]
+      .flatMap { case (host, txt) =>
+        parseRules(txt, userAgent).zipWithIndex.map { case ((p, allow), i) =>
+          RobotsRule(host, i, p, patternRegex(p), allow, p.length)
+        }
+      }.toDF()
+  }
+
+  /** Decide every URL against the rules table: allowed unless the
+    * longest matching rule for its host disallows (ties → Allow).
+    * Output: (idCol, url, host, allowed). */
+  def robotsFilter(urls: DataFrame, rules: DataFrame,
+                   idCol: String = "doc_id",
+                   urlCol: String = "url"): DataFrame = {
+    val host = TextOps.extractHost(col(urlCol))
+    // path = everything from the first '/' after the authority; "/"
+    // when absent (the RFC's default path)
+    val afterScheme = regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val slash = instr(afterScheme, "/")
+    val path = when(slash === 0, lit("/"))
+      .otherwise(substring_index_expr(afterScheme, slash))
+    val u = urls.select(col(idCol), col(urlCol), host.as("host"),
+      path.as("_path"))
+    val joined = u.join(rules, Seq("host"), "left")
+      .withColumn("_m",
+        col("regex").isNotNull && regexp_like(col("_path"), col("regex")))
+    joined
+      .groupBy(col(idCol))
+      .agg(
+        first(col(urlCol)).as(urlCol),
+        first(col("host")).as("host"),
+        coalesce(
+          max_by(col("allow"),
+            when(col("_m"), struct(col("patLen"), col("allow").cast("int")))),
+          lit(true)).as("allowed"))
+  }
+
+  // substring from a dynamic 1-based position to the end
+  private def substring_index_expr(c: org.apache.spark.sql.Column,
+                                   pos: org.apache.spark.sql.Column) =
+    substring(c, pos, length(c) - pos + 1)
+}
