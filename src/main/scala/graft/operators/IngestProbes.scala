@@ -125,5 +125,143 @@ object IngestProbes {
              |       WHEN p = 6 THEN k % 2 = 1
              |       ELSE TRUE END AS allowed
              |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // The CRAWL FLAGSHIP: the whole ingestion family composed
+    // end-to-end — WARC framing → response records → robots decision
+    // (x91's policies) → HTTP body → stripHtml (x67's chain) → C4
+    // rules (x82's rules) — certified id-for-id against ONE DuckDB
+    // mirror that re-derives robots decisions from the policy
+    // formula, the page text through the verbatim stripHtml regex
+    // chain, and the line/page rules through the x82 lambda mirror.
+    // Every stage is individually certified (x88/x91/x67/x82); this
+    // certifies their COMPOSITION, the crawl analogue of x38/x72 ----
+    Probe("x92_crawl_pipeline",
+      (s, d) => {
+        import s.implicits._
+        // per-host robots (the x91 policy formula)
+        val robotsTxt = (0 until 20).filter(_ != 18).map { kk =>
+          val uaLine = if (kk % 5 == 4) "User-agent: *"
+                       else "User-agent: graftbot"
+          val txt = if (kk == 19) "" else
+            s"# crawl policy\nUser-agent: otherbot\nDisallow: /\n\n" +
+              s"$uaLine\nDisallow: /private*\nAllow: /private/ok$$\n" +
+              s"Disallow: /p${kk % 3}/\n" +
+              (if (kk % 2 == 1) "Allow: /tmp/f\n" else "") +
+              "Disallow: /tmp/\n"
+          (s"h$kk.test", txt)
+        }.toDF("host", "robots_txt")
+        val rules = Robots.rulesTable(robotsTxt, "graftbot")
+        // per-doc WARC response whose body is an HTML page
+        val files = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val path = (id % 7) match {
+              case 0 => "/"
+              case 1 => "/public/a"
+              case 2 => "/private/x"
+              case 3 => "/private/ok"
+              case 4 => "/private/okay"
+              case 5 => s"/p${id % 3}/z"
+              case _ => "/tmp/file"
+            }
+            val html = s"<html><body><h1>Title ${id % 7}</h1>" +
+              s"<p>${text.take(60)} ok.</p>" +
+              s"<p>${text.slice(60, 90)} go!</p>" +
+              (if (id % 11 == 0) "<p>lorem ipsum filler text.</p>" else "") +
+              (if (id % 13 == 0) "<p>code { x }</p>" else "") +
+              "<script>var x = 1;</script></body></html>"
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+              html).getBytes("UTF-8")
+            (id, graft.sources.Warc.buildRecord("response",
+              s"<urn:uuid:$id>", s"http://h${id % 20}.test$path",
+              "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response", http))
+          }.toDF("file_id", "content")
+        val recs = graft.sources.Warc.records(files)
+          .where(col("warc_type") === "response" && col("parse_ok"))
+        val allowed = Robots.robotsFilter(
+            recs.select(col("file_id").as("doc_id"),
+              col("target_uri").as("url")), rules)
+          .where(col("allowed")).select("doc_id")
+        val pstr = decode(col("payload"), "UTF-8")
+        val pages = recs.select(col("file_id").as("doc_id"),
+            TextOps.stripHtml(
+              substring(pstr, instr(pstr, "\r\n\r\n") + 4, lit(1 << 20)))
+              .as("text"))
+          .join(allowed, Seq("doc_id"))
+        TextOps.c4Signals(pages, minWordsPerLine = 3, minSentences = 2)
+          .select("doc_id", "clean_text", "n_lines", "n_kept",
+            "n_sentences", "keep")
+          .orderBy("doc_id")
+      },
+      Some {
+        val block = TextOps.BlockTagPattern
+        s"""WITH u AS (
+           |  SELECT doc_id, text, doc_id % 20 AS k, doc_id % 7 AS p,
+           |         doc_id % 3 AS d3
+           |  FROM documents),
+           |al AS (
+           |  SELECT doc_id, text FROM u
+           |  WHERE CASE WHEN k IN (18, 19) THEN TRUE
+           |             WHEN p = 2 THEN FALSE
+           |             WHEN p = 4 THEN FALSE
+           |             WHEN p = 5 THEN d3 <> (k % 3)
+           |             WHEN p = 6 THEN k % 2 = 1
+           |             ELSE TRUE END),
+           |a AS (
+           |  SELECT doc_id,
+           |    '<html><body><h1>Title ' || CAST(doc_id % 7 AS VARCHAR) ||
+           |    '</h1><p>' || substr(text, 1, 60) || ' ok.</p>' ||
+           |    '<p>' || substr(text, 61, 30) || ' go!</p>' ||
+           |    CASE WHEN doc_id % 11 = 0
+           |         THEN '<p>lorem ipsum filler text.</p>' ELSE '' END ||
+           |    CASE WHEN doc_id % 13 = 0
+           |         THEN '<p>code { x }</p>' ELSE '' END ||
+           |    '<script>var x = 1;</script></body></html>' AS h
+           |  FROM al),
+           |s1 AS (SELECT doc_id,
+           |  regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM a),
+           |s2 AS (SELECT doc_id,
+           |  regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM s1),
+           |s3 AS (SELECT doc_id,
+           |  regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s2),
+           |s4 AS (SELECT doc_id,
+           |  regexp_replace(h, '$block', chr(10), 'g') AS h FROM s3),
+           |s5 AS (SELECT doc_id,
+           |  regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM s4),
+           |s6 AS (SELECT doc_id,
+           |  replace(replace(replace(replace(replace(replace(h,
+           |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |    '&#39;', CHR(39)), '&amp;', '&') AS h FROM s5),
+           |s7 AS (SELECT doc_id,
+           |  regexp_replace(h, '[ \\t\\x0B\\f\\r]+', ' ', 'g') AS h FROM s6),
+           |s8 AS (SELECT doc_id,
+           |  trim(regexp_replace(h, ' ?\\n[ \\n]*', chr(10), 'g'),
+           |       ' ' || chr(10)) AS t FROM s7),
+           |kk AS (
+           |  SELECT doc_id, t,
+           |    list_transform(string_split(t, chr(10)), x -> trim(x)) AS lines,
+           |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+           |      x -> regexp_matches(x, '[.!?"]$$')
+           |       AND len(regexp_extract_all(x, '[^\\t\\n\\x0B\\f\\r ]+')) >= 3
+           |       AND NOT regexp_matches(lower(x),
+           |             '(?:^|[^a-z0-9])javascript(?:[^a-z0-9]|$$)')) AS kept
+           |  FROM s8),
+           |c AS (
+           |  SELECT doc_id, t, lines, kept,
+           |    array_to_string(kept, chr(10)) AS clean_text,
+           |    (length(array_to_string(kept, chr(10))) -
+           |     length(regexp_replace(array_to_string(kept, chr(10)),
+           |       '[.!?]', '', 'g')))::BIGINT AS n_sentences,
+           |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+           |    (contains(t, '{') OR contains(t, '}')) AS has_brace
+           |  FROM kk)
+           |SELECT doc_id, clean_text,
+           |  len(lines)::BIGINT AS n_lines,
+           |  len(kept)::BIGINT AS n_kept,
+           |  n_sentences,
+           |  (n_sentences >= 2 AND NOT has_lorem AND NOT has_brace) AS keep
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
   )
 }
