@@ -325,7 +325,33 @@ object Bench {
       "0.8s vs 1.9s, x12 1.1s vs 1.1s, x57 1.6s vs 1.3s), and x68 " +
       "whose mirror does not decode video (the real AVI walk + MJPEG " +
       "decode has no DuckDB counterpart; its 'oracle' checks " +
-      "structure only)."
+      "structure only). " + notesR8c
+
+  // r8 continuation (crawl/cleaning family) — its own val, same
+  // typer-depth reason as notesR8; LAZY because notesR8 (declared
+  // above) references it during object init
+  private lazy val notesR8c =
+    "r8 continuation (recorded 2026-08-14, local[32]): 134-probe " +
+      "suite, Spark 80.4s vs warm 32-thread DuckDB 45.5-46.7s on the " +
+      "identical oracle manifest = 1.74x, inside the 2x bar; the " +
+      "residual is still the fixed per-query floor (now ~75 probes " +
+      "under 0.5s, each paying job+AQE scheduling that DuckDB's " +
+      "in-process pipeline does not). The 11 new probes " +
+      "(x82-x92: C4 rules, line frequency, keyword scan, PCA, soft " +
+      "dedup, sentence chunks, WARC, phash pair, robots, crawl " +
+      "flagship) cost 5.3s combined on the Spark side, all " +
+      "floor-bound (0.15-1.27s each). Kernel-vs-mirror highlights: " +
+      "x84 Aho-Corasick 0.15s vs 1.37s DuckDB - one O(len) automaton " +
+      "pass vs the mirror's O(len x patterns) positional enumeration, " +
+      "9x and growing with dictionary size; x85 PCA 0.28s vs 0.69s " +
+      "(one moment-aggregation pass + driver loop vs the relational " +
+      "covariance join + 8 unrolled matvec CTEs); x90 phash near-dup " +
+      "1.27s carries a 97k-pair band join at sf0.1 (mirror 0.29s " +
+      "derives hashes from the image formula - it does not resample " +
+      "pixels). Caveat recorded per the x68 rule: x88/x92 mirrors " +
+      "derive fields/decisions from construction formulas while the " +
+      "Spark side PARSES the WARC bytes and robots text, so those " +
+      "per-probe ratios overstate DuckDB."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
   // operational-volume evidence — its own val for the same typer-depth
