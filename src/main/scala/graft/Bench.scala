@@ -351,7 +351,21 @@ object Bench {
       "pixels). Caveat recorded per the x68 rule: x88/x92 mirrors " +
       "derive fields/decisions from construction formulas while the " +
       "Spark side PARSES the WARC bytes and robots text, so those " +
-      "per-probe ratios overstate DuckDB."
+      "per-probe ratios overstate DuckDB. sf1 honesty run for the " +
+      "new family (tools.ScaleData 10x key-shifted multi-file " +
+      "tables, same session protocol as the r8 run): every new probe " +
+      "scales SUBLINEARLY at 10x data - x82 c4 0.53s (1.1x: pure " +
+      "scan parallelism), x91 robots 0.66s (1.7x), x88 warc 0.72s " +
+      "(2.3x), x84 keywords 0.37s (2.5x), x85 pca 0.68s (2.4x), x87 " +
+      "sentences 0.99s (2.7x), x92 crawl flagship 2.0s (3.0x), x83 " +
+      "line-frequency 1.62s (3.1x), x86 soft dedup 0.79s (3.3x), " +
+      "x89 phash 3.18s (5.2x), x90 phash near-dup 9.19s (7.2x - not " +
+      "a plan problem: ScaleData's key-shifted copies repeat the " +
+      "image formula every lcm(256,15)=3840 ids, so 50k images " +
+      "contain ~13-member exact-duplicate classes whose PAIR count " +
+      "grows quadratically in the copy count; the banded join emits " +
+      "exactly those pairs, which is the operator doing its job on " +
+      "a duplicate-heavy corpus)."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
   // operational-volume evidence — its own val for the same typer-depth
