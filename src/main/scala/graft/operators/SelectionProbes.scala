@@ -359,5 +359,65 @@ object SelectionProbes {
            |    AS p_quality
            |FROM feat f CROSS JOIN w5 ORDER BY f.doc_id""".stripMargin
       }),
+
+    // LangId: trained multiclass NB language ID over hashed char
+    // trigrams — trained on the even-id half (labels = the corpus
+    // lang column), every document scored for all five languages,
+    // argmax with the score-then-lang tie-break. The oracle
+    // re-derives normalization, trigram extraction, the md5 bucket
+    // hash, per-(feature, lang) counts, add-1 smoothing, the
+    // document-count prior, and the deterministic argmax ------------
+    Probe("x93_langid_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (counts, totals) = LangId.train(
+          docs.where(col("doc_id") % 2 === 0), numBuckets = 4096)
+        LangId.predict(docs, counts, totals, numBuckets = 4096)
+          .orderBy("doc_id")
+      },
+      Some("""WITH norm AS (
+             |  SELECT doc_id, lang,
+             |    lower(trim(regexp_replace(regexp_replace(text,
+             |      '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, substr(t, gg.i, 3) AS gram
+             |  FROM norm, (SELECT unnest(generate_series(1, 100000)) AS i) gg
+             |  WHERE gg.i <= length(t) - 2),
+             |feat AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substring(md5('lid_' || gram), 1, 7) AS BIGINT)
+             |      % 4096 AS f
+             |  FROM g),
+             |tr AS (
+             |  SELECT f.f, n.lang FROM feat f JOIN norm n USING (doc_id)
+             |  WHERE f.doc_id % 2 = 0),
+             |cnt AS (SELECT f, lang, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+             |lt AS (
+             |  SELECT tg.lang, tg.t_grams, nd.n_docs FROM
+             |    (SELECT lang, COUNT(*) AS t_grams FROM tr GROUP BY 1) tg
+             |    JOIN (SELECT lang, COUNT(*) AS n_docs FROM documents
+             |          WHERE doc_id % 2 = 0 GROUP BY 1) nd USING (lang)),
+             |tot AS (SELECT SUM(n_docs) AS total FROM lt),
+             |pl AS (
+             |  SELECT feat.doc_id, l.lang,
+             |    ROUND(LN(CAST(l.n_docs AS DOUBLE) /
+             |             (SELECT CAST(total AS DOUBLE) FROM tot)) +
+             |      SUM(LN((COALESCE(cnt.c, 0) + 1.0) /
+             |              (l.t_grams + 1.0 * 4096))), 6) AS score,
+             |    COUNT(*) AS n_grams
+             |  FROM feat CROSS JOIN lt l
+             |  LEFT JOIN cnt ON cnt.f = feat.f AND cnt.lang = l.lang
+             |  GROUP BY feat.doc_id, l.lang, l.t_grams, l.n_docs),
+             |best AS (
+             |  SELECT doc_id, lang, score, n_grams,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, lang DESC) AS rn
+             |  FROM pl)
+             |SELECT d.doc_id, b.lang AS lang_pred, b.score AS lid_score,
+             |  COALESCE(b.n_grams, 0) AS n_grams
+             |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+             |  USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 }
