@@ -480,4 +480,34 @@ class PlanQualitySpec extends SparkTestBase {
       "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
       s"no partition filter pushed:\n$p")
   }
+
+  test("x90 phash near-dup plan: banded equi-join, never all-pairs") {
+    val p = ProbeQueries.queryMap("x90_phash_neardup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs join in phash near-dup:\n$p")
+  }
+
+  test("x92 crawl flagship plan: projections + keyed joins, no products") {
+    val p = ProbeQueries.queryMap("x92_crawl_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"product join in the crawl flagship:\n$p")
+  }
+
+  test("x93 langid scoring plan: model joins broadcast, no shuffle join") {
+    val docs = Tables.documents(spark, sfDir)
+    val (counts, totals) = graft.operators.LangId.train(
+      docs.where(col("doc_id") % 2 === 0), numBuckets = 1 << 10)
+    val p = graft.operators.LangId.predict(docs, counts, totals,
+        numBuckets = 1 << 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"product join in langid:\n$p")
+    // model joins (counts, totals × langs) broadcast; the only
+    // sort-merge join allowed is the final doc-keyed null-densify
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"model join not broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"model join fell back to shuffle:\n$p")
+  }
 }

@@ -278,6 +278,62 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L)._2.forall(_ == 0))
   }
 
+  test("keyword tagging streams against a compiled automaton") {
+    // the dictionary tagger is a pure projection against a
+    // driver-compiled automaton — the same operator code tags an
+    // unbounded stream (badword filtering as pages land)
+    graft.GraftExtensions.register(spark)
+    val landing = Files.createTempDirectory("graft_kwdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_kw").toString
+    val rows = Seq((1L, "the fast table scan is fast"),
+      (2L, "nothing to see"), (3L, "fast table fast table"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    val kws = Seq("fast table", "scan")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[Int](1).toList, r.getAs[Int]("n_hits"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.TextOps.keywordTag(stream, kws), "kw", ckpt, "append"))
+    val batch = render(graft.operators.TextOps.keywordTag(
+      rows.toDF("doc_id", "text"), kws))
+    assert(got === batch)
+    assert(got(1L) === (List(1, 1), 2) && got(3L) === (List(2, 0), 2))
+  }
+
+  test("perceptual hashing streams over landing media") {
+    // phashes is a typed map — zero state, so image fingerprinting
+    // runs on the ingest stream and feeds incremental near-dedup
+    val landing = Files.createTempDirectory("graft_phdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ph").toString
+    def raster(id: Long): Array[Byte] =
+      Array.tabulate(16 * 12) { i =>
+        val y = i / 16; val x = i % 16
+        ((id * 31 + x * x * 7 + y * y * 13) % 256).toByte
+      }
+    val rows = Seq(1L, 2L, 3L).map(id =>
+      (id, raster(id), "raster8", 16, 12))
+    rows.toDF("media_id", "media", "format", "width", "height")
+      .write.mode("append").parquet(landing)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("media", BinaryType),
+      StructField("format", StringType), StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+      .as[graft.multimodal.MultimodalOps.MediaRow]
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("dhash"), r.getAs[Long]("ahash"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.multimodal.PerceptualHash.phashes(stream), "ph", ckpt, "append"))
+    val batch = render(graft.multimodal.PerceptualHash.phashes(
+      rows.toDF("media_id", "media", "format", "width", "height")
+        .as[graft.multimodal.MultimodalOps.MediaRow]))
+    assert(got === batch && got.size === 3)
+  }
+
   test("pca projection streams against a fitted component") {
     // the deployment shape: fit once on the reference corpus (one
     // aggregation), then projectPc1 — a pure projection against the
