@@ -190,6 +190,12 @@ object GraftExtensions {
       graft.expressions.BpeTokenIds(t, graft.expressions.BpeOps.resolve(k.toString),
         graft.expressions.BpeVocab.resolve(v.toString)) }),
 
+    // regexp_like_cached(str, pattern): regexp_like for non-literal
+    // patterns with a per-JVM compile cache (joined-column patterns
+    // recompile per row in stock Spark — see RegexCachedOps).
+    ("regexp_like_cached", 2, { case Seq(s, p) =>
+      graft.expressions.RegexpLikeCached(s, p) }),
+
     // keyword_counts(text, automaton-key-literal): one-pass
     // Aho-Corasick multi-pattern occurrence counts (all occurrences,
     // overlapping included), array<int> in pattern-declaration order.
