@@ -249,5 +249,82 @@ object CleaningProbes {
              |  length(string_agg(sentence, ' ' ORDER BY pos)) AS chunk_chars
              |FROM c GROUP BY doc_id, chunk_idx
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // TextOps.htmlSignals: link-density boilerplate tells on a
+    // synthesized page whose anchor/script weight varies by doc —
+    // the oracle rebuilds the page, counts tags/links with the same
+    // regexes, re-runs the verbatim stripHtml chain for text_chars,
+    // and sums anchor/script inner lengths --------------------------
+    Probe("x95_html_signals",
+      (s, d) => {
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><body><h1>Head</h1><p>"),
+          substring(col("text"), 1, 80),
+          lit("</p><a href=\"/x\">nav one</a><a href=\"/y\">nav two</a>"),
+          when(id % 3 === 0,
+            lit("<a href=\"/z\">an extra much longer navigation link text</a>"))
+            .otherwise(lit("")),
+          lit("<script>var t = 1;</script>"),
+          when(id % 5 === 0, lit("<style>.x{color:red}</style>"))
+            .otherwise(lit("")),
+          lit("<div>"), substring(col("text"), 81, 40),
+          lit("</div></body></html>"))
+        TextOps.htmlSignals(
+            Tables.documents(s, d).select(col("doc_id"), html.as("html")))
+          .orderBy("doc_id")
+      },
+      Some {
+        val block = TextOps.BlockTagPattern
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |    '<html><body><h1>Head</h1><p>' || substr(text, 1, 80) ||
+           |    '</p><a href="/x">nav one</a><a href="/y">nav two</a>' ||
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN '<a href="/z">an extra much longer navigation link text</a>'
+           |      ELSE '' END ||
+           |    '<script>var t = 1;</script>' ||
+           |    CASE WHEN doc_id % 5 = 0 THEN '<style>.x{color:red}</style>'
+           |         ELSE '' END ||
+           |    '<div>' || substr(text, 81, 40) || '</div></body></html>' AS h
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, h,
+           |  regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a),
+           |s2 AS (SELECT doc_id, h,
+           |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM s1),
+           |s3 AS (SELECT doc_id, h,
+           |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s2),
+           |s4 AS (SELECT doc_id, h,
+           |  regexp_replace(t, '$block', chr(10), 'g') AS t FROM s3),
+           |s5 AS (SELECT doc_id, h,
+           |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s4),
+           |s6 AS (SELECT doc_id, h,
+           |  replace(replace(replace(replace(replace(replace(t,
+           |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |    '&#39;', CHR(39)), '&amp;', '&') AS t FROM s5),
+           |s7 AS (SELECT doc_id, h,
+           |  regexp_replace(t, '[ \\t\\x0B\\f\\r]+', ' ', 'g') AS t FROM s6),
+           |s8 AS (SELECT doc_id, h,
+           |  trim(regexp_replace(t, ' ?\\n[ \\n]*', chr(10), 'g'),
+           |       ' ' || chr(10)) AS t FROM s7),
+           |m AS (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(h, '<[^>]*>')) AS n_tags,
+           |    len(regexp_extract_all(h, '(?is)<a\\b[^>]*>')) AS n_links,
+           |    length(t) AS text_chars,
+           |    CAST(COALESCE(list_sum(list_transform(
+           |      regexp_extract_all(h, '(?is)<a[^>]*>(.*?)</a>', 1),
+           |      x -> length(x))), 0) AS BIGINT) AS link_text_chars,
+           |    CAST(COALESCE(list_sum(list_transform(
+           |      regexp_extract_all(h,
+           |        '(?is)<(?:script|style)[^>]*>(.*?)</(?:script|style)>', 1),
+           |      x -> length(x))), 0) AS BIGINT) AS script_chars
+           |  FROM s8)
+           |SELECT doc_id, n_tags, n_links, text_chars, link_text_chars,
+           |  script_chars,
+           |  ROUND(CAST(link_text_chars AS DOUBLE) /
+           |        GREATEST(text_chars, 1), 6) AS link_density
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
   )
 }

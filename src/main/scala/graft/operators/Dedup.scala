@@ -473,6 +473,78 @@ object Dedup {
     train.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** SPAN-level decontamination: excise every k-token span of a train
+    * document that appears verbatim (case-insensitive per token) in
+    * the eval/benchmark set, keeping the REST of the document — the
+    * surgical alternative to [[decontaminate]]'s whole-document drop
+    * (a long document quoting one benchmark question should lose the
+    * quote, not the document; the doc-drop rule is for documents that
+    * ARE benchmark copies). The mechanics are [[TextOps.exactSpanDedup]]
+    * with the keeper table replaced by the eval gram set — and NO
+    * keeper exemption: every matching occurrence is removed, because
+    * eval text must survive nowhere.
+    *
+    * Output: (idCol, text_clean, n_removed) for every train document
+    * (text re-normalizes to the single-spaced token form, like
+    * exactSpanDedup).
+    *
+    * Scale shape: eval grams distinct to a benchmark-sized hash set
+    * (one aggregation); corpus grams are map-only; the match is one
+    * semi join sized by AQE (broadcast in the normal clean-corpus
+    * case); interval merge is the per-document gaps-and-islands
+    * window (high-cardinality, unskewed); rebuild one groupBy. */
+  def decontaminateSpans(train: DataFrame, eval: DataFrame, k: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         evalTextCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanHash = (gram: Column) =>
+      conv(substring(md5(concat(lit("sd_"), gram)), 1, 15), 16, 10).cast("long")
+    def gramRows(df: DataFrame, id: Column, tc: String): DataFrame = {
+      val toks = df.select(id.as("_gid"),
+          filter(split(trim(col(tc)), "\\s+"), w => w =!= "").as("wo"))
+        .withColumn("ws", transform(col("wo"), w => lower(w)))
+      toks.select(col("_gid"), posexplode(
+        when(size(col("ws")) >= k,
+          transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+            i => spanHash(array_join(slice(col("ws"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("s", "h")))
+    }
+    val evalHashes = gramRows(eval, lit(0L), evalTextCol)
+      .select("h").distinct()
+    val matches = gramRows(train, col(idCol), textCol)
+      .join(evalHashes, Seq("h"), "left_semi")
+      .select(col("_gid").as(idCol), col("s"), (col("s") + k).as("e"))
+    val ord = Window.partitionBy(idCol).orderBy("s")
+    val iv = matches
+      .withColumn("prev_max",
+        max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1)
+            .otherwise(0))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val covered = iv.select(col(idCol),
+      explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val removed = iv.groupBy(col(idCol))
+      .agg(sum(col("e") - col("s")).as("n_removed"))
+    val toks = train.select(col(idCol),
+      posexplode(filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""))
+        .as(Seq("pos", "w")))
+    val kept = toks
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w"))).as("text_clean"))
+    train.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Decontaminate THROUGH the persisted shingle index — the 100 TB
     * composition: the corpus was shingled once ([[writeShingleIndex]]);
     * the cleaning pass consumes that table instead of re-shingling

@@ -419,5 +419,80 @@ object SelectionProbes {
              |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
              |  USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Dedup.decontaminateSpans: SPAN-level benchmark excision — the
+    // eval set is a 12-word window (words 5..16) of every 10th
+    // document, so those documents (and any doc sharing one of the
+    // five 8-gram windows) lose exactly the matching spans while the
+    // rest of their text survives. The oracle re-derives eval
+    // windows, 8-gram hashes, the semi join, the gaps-and-islands
+    // interval merge, and the positional rebuild --------------------
+    Probe("x94_decontaminate_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val evalDf = docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"),
+            array_join(slice(
+              filter(split(trim(col("text")), "\\s+"), w => w =!= ""),
+              5, 12), " ").as("text"))
+        Dedup.decontaminateSpans(docs, evalDf, k = 8).orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'),
+             |    x -> x <> '') AS parts
+             |  FROM documents),
+             |ev AS (
+             |  SELECT doc_id, list_slice(parts, 5, 16) AS parts
+             |  FROM w WHERE doc_id % 10 = 0),
+             |eh AS (
+             |  SELECT DISTINCT
+             |    CAST('0x' || substring(md5('sd_' ||
+             |      array_to_string(list_transform(
+             |        list_slice(parts, gg.i, gg.i + 7), x -> lower(x)), ' ')),
+             |      1, 15) AS BIGINT) AS h
+             |  FROM ev, (SELECT unnest(generate_series(1, 100000)) AS i) gg
+             |  WHERE gg.i <= len(parts) - 7),
+             |g AS (
+             |  SELECT doc_id, gg.i - 1 AS s,
+             |    CAST('0x' || substring(md5('sd_' ||
+             |      array_to_string(list_transform(
+             |        list_slice(parts, gg.i, gg.i + 7), x -> lower(x)), ' ')),
+             |      1, 15) AS BIGINT) AS h
+             |  FROM w, (SELECT unnest(generate_series(1, 100000)) AS i) gg
+             |  WHERE gg.i <= len(parts) - 7),
+             |dup AS (
+             |  SELECT g.doc_id, g.s, g.s + 8 AS e
+             |  FROM g JOIN eh ON g.h = eh.h),
+             |iv AS (
+             |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM (
+             |    SELECT doc_id, s, e,
+             |      SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY doc_id ORDER BY s
+             |              ROWS UNBOUNDED PRECEDING) AS grp
+             |    FROM (SELECT doc_id, s, e,
+             |            MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |          FROM dup))
+             |  GROUP BY doc_id, grp),
+             |cov AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM iv),
+             |rem AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_removed
+             |        FROM iv GROUP BY doc_id),
+             |tok AS (
+             |  SELECT doc_id, gg.i - 1 AS pos, parts[gg.i] AS w
+             |  FROM w, (SELECT unnest(generate_series(1, 100000)) AS i) gg
+             |  WHERE gg.i <= len(parts)),
+             |kept AS (
+             |  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text_clean
+             |  FROM tok t LEFT JOIN cov c
+             |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+             |  WHERE c.doc_id IS NULL
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(kept.text_clean, '') AS text_clean,
+             |  COALESCE(rem.n_removed, 0) AS n_removed
+             |FROM documents d
+             |LEFT JOIN kept USING (doc_id) LEFT JOIN rem USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 }

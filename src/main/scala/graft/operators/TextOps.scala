@@ -1025,6 +1025,44 @@ object TextOps {
           .as("matched"))
   }
 
+  /** HTML STRUCTURAL quality signals — the link-density family of
+    * boilerplate tells (jusText/trafilatura's decision features):
+    * a page whose visible text is mostly anchor text is navigation,
+    * not content, no matter what the words say. Computed on the RAW
+    * html (before [[stripHtml]]), one map-only projection:
+    *
+    *  - `n_tags`, `n_links` — tag and `<a>` counts;
+    *  - `text_chars` — length of the [[stripHtml]] extraction;
+    *  - `link_text_chars` — total RAW length inside `<a>…</a>` spans
+    *    (nested markup counts toward it — the ratio is a signal, not
+    *    an exact rendering);
+    *  - `link_density` — link_text_chars / max(text_chars, 1),
+    *    round-6 (the one double);
+    *  - `script_chars` — bytes inside script/style blocks (template
+    *    weight).
+    *
+    * Every pattern is in the Java∩RE2 subset, so the oracle runs the
+    * same chain verbatim. */
+  def htmlSignals(docs: DataFrame, idCol: String = "doc_id",
+                  htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    val linkInner = regexp_extract_all(h, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+    val scriptBlocks = regexp_extract_all(h,
+      lit("(?is)<(?:script|style)[^>]*>(.*?)</(?:script|style)>"), lit(1))
+    val sumLens = (arr: Column) =>
+      aggregate(transform(arr, s => length(s)), lit(0), (a, x) => a + x)
+    docs.select(col(idCol),
+        size(regexp_extract_all(h, lit("<[^>]*>"), lit(0))).as("n_tags"),
+        size(regexp_extract_all(h, lit("(?is)<a\\b[^>]*>"), lit(0)))
+          .as("n_links"),
+        length(stripHtml(h)).as("text_chars"),
+        sumLens(linkInner).as("link_text_chars"),
+        sumLens(scriptBlocks).as("script_chars"))
+      .withColumn("link_density",
+        round(col("link_text_chars").cast("double") /
+          greatest(col("text_chars"), lit(1)).cast("double"), 6))
+  }
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them

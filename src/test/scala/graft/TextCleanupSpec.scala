@@ -136,4 +136,36 @@ class TextCleanupSpec extends SparkTestBase {
     val e = intercept[Exception] { norm("x", "NFX") }
     assert(e.getMessage.contains("NFX") || e.getCause != null)
   }
+
+  // --- TextOps.htmlSignals ------------------------------------------------
+
+  private def signals(html: String) = {
+    import spark.implicits._
+    TextOps.htmlSignals(Seq((1L, html)).toDF("doc_id", "html")).head()
+  }
+
+  test("htmlSignals: nav pages score high link density, articles low") {
+    val nav = signals("<div><a href=a>Home</a><a href=b>About</a>" +
+      "<a href=c>Contact</a></div>")
+    assert(nav.getAs[Double]("link_density") > 0.8)
+    assert(nav.getAs[Int]("n_links") === 3)
+    val art = signals("<p>A long body of real article text that goes on " +
+      "for quite a while without any links at all.</p>")
+    assert(art.getAs[Double]("link_density") === 0.0)
+  }
+
+  test("htmlSignals: script/style weight counted, excluded from text") {
+    val r = signals("<p>tiny</p><script>var much_longer_payload = 12345;" +
+      "</script><style>.a{b:c}</style>")
+    assert(r.getAs[Int]("script_chars") > 30)
+    assert(r.getAs[Int]("text_chars") === 4)
+  }
+
+  test("htmlSignals: empty and tagless inputs are well-defined") {
+    val r = signals("")
+    assert(r.getAs[Int]("n_tags") === 0 && r.getAs[Double]("link_density") === 0.0)
+    val plain = signals("just plain text")
+    assert(plain.getAs[Int]("text_chars") === 15 &&
+      plain.getAs[Int]("n_links") === 0)
+  }
 }
