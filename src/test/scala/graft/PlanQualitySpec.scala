@@ -495,6 +495,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"product join in the crawl flagship:\n$p")
   }
 
+  test("x94 span decontamination plan: semi join + islands window, no products") {
+    val p = ProbeQueries.queryMap("x94_decontaminate_spans")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"product join in span decontamination:\n$p")
+    assert(p.contains("LeftSemi"), s"eval match lost its semi join:\n$p")
+  }
+
   test("x93 langid scoring plan: model joins broadcast, no shuffle join") {
     val docs = Tables.documents(spark, sfDir)
     val (counts, totals) = graft.operators.LangId.train(

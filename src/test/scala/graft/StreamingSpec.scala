@@ -278,6 +278,53 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L)._2.forall(_ == 0))
   }
 
+  test("crawl ingestion streams: WARC files land, cleaned pages append") {
+    // the incremental deployment of the x92 DAG: WARC streams arrive
+    // in a landing directory; parse → HTTP body → stripHtml → C4 are
+    // all per-row (flatMap + projections), so the SAME operator code
+    // runs as an append-mode stream with exactly-once file semantics
+    val landing = Files.createTempDirectory("graft_warcland").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_warc").toString
+    def warcOf(id: Long, html: String): Array[Byte] = {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        html).getBytes("UTF-8")
+      graft.sources.Warc.buildRecord("response", s"<urn:uuid:$id>",
+        s"http://h.test/$id", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response", http)
+    }
+    val rows = Seq(
+      (1L, warcOf(1L, "<p>A first clean sentence here.</p>" +
+        "<p>And then a second one follows!</p>")),
+      (2L, warcOf(2L, "<p>Page with lorem ipsum inside it.</p>" +
+        "<p>Which must therefore be dropped!</p>")),
+      (3L, warcOf(3L, "<p>no terminal punctuation page</p>")))
+    rows.toDF("file_id", "content").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("file_id", LongType),
+      StructField("content", BinaryType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val pstr = decode(col("payload"), "UTF-8")
+      graft.operators.TextOps.c4Signals(
+        graft.sources.Warc.records(df)
+          .where(col("warc_type") === "response" && col("parse_ok"))
+          .select(col("file_id").as("doc_id"),
+            graft.operators.TextOps.stripHtml(
+              substring(pstr, instr(pstr, "\r\n\r\n") + 4, lit(1 << 20)))
+              .as("text")),
+        minSentences = 2)
+    }
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Boolean]("keep"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      pipeline(stream), "crawl", ckpt, "append"))
+    val batch = render(pipeline(rows.toDF("file_id", "content")))
+    assert(got === batch && got.size === 3)
+    assert(got(1L)._2 && !got(2L)._2 && !got(3L)._2)
+    assert(got(1L)._1 ===
+      "A first clean sentence here.\nAnd then a second one follows!")
+  }
+
   test("keyword tagging streams against a compiled automaton") {
     // the dictionary tagger is a pure projection against a
     // driver-compiled automaton — the same operator code tags an
