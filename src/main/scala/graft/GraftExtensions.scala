@@ -190,6 +190,13 @@ object GraftExtensions {
       graft.expressions.BpeTokenIds(t, graft.expressions.BpeOps.resolve(k.toString),
         graft.expressions.BpeVocab.resolve(v.toString)) }),
 
+    // unigram_tokens(text, model-key-literal): unigram-LM Viterbi
+    // segmentation under a registered trained model (UnigramLm).
+    ("unigram_tokens", 2, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.UnigramTokens(t,
+        graft.expressions.UnigramOps.resolve(k.toString)) }),
+
     // regexp_like_cached(str, pattern): regexp_like for non-literal
     // patterns with a per-JVM compile cache (joined-column patterns
     // recompile per row in stock Spark — see RegexCachedOps).

@@ -414,7 +414,7 @@ object ProbeQueries {
       ExtensionProbes.probes ++ BpeProbes.probes ++ MediaProbes.probes ++
       CurationProbes.probes ++ SelectionProbes.probes ++
       CleaningProbes.probes ++ EmbeddingProbes.probes ++
-      IngestProbes.probes ++
+      IngestProbes.probes ++ TokenizerProbes.probes ++
       WindfieldProbe.probes ++ LandfallProbe.probes ++ XgbProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

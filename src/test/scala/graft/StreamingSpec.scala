@@ -278,6 +278,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L)._2.forall(_ == 0))
   }
 
+  test("unigram segmentation streams against a trained model") {
+    graft.GraftExtensions.register(spark)
+    val landing = Files.createTempDirectory("graft_ulmdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ulm").toString
+    val model = graft.operators.UnigramLm.trainOnTypes(
+      Seq(("sing", 50L), ("ring", 40L), ("wing", 30L)),
+      vocabSize = 8, maxPieceLen = 3, emRounds = 2, minCount = 2)
+    val rows = Seq((1L, "sing wing"), (2L, "ring sing ring"))
+    rows.toDF("doc_id", "text").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_pieces"), r.getAs[String]("seg"))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.UnigramLm.segmentDocs(stream, model),
+      "ulm", ckpt, "append"))
+    val batch = render(graft.operators.UnigramLm.segmentDocs(
+      rows.toDF("doc_id", "text"), model))
+    assert(got === batch && got.size === 2)
+    assert(got(1L)._2.contains("ing"))
+  }
+
   test("crawl ingestion streams: WARC files land, cleaned pages append") {
     // the incremental deployment of the x92 DAG: WARC streams arrive
     // in a landing directory; parse → HTTP body → stripHtml → C4 are
