@@ -365,7 +365,18 @@ object Bench {
       "contain ~13-member exact-duplicate classes whose PAIR count " +
       "grows quadratically in the copy count; the banded join emits " +
       "exactly those pairs, which is the operator doing its job on " +
-      "a duplicate-heavy corpus). Operational volume for the crawl " +
+      "a duplicate-heavy corpus). FINAL r8 suite numbers (138 " +
+      "probes, 2026-08-14): Spark 85.9s vs warm 32-thread DuckDB " +
+      "47.4-48.2s on the identical oracle manifest = 1.81x, inside " +
+      "the 2x bar; the five probes added after the 134-probe " +
+      "snapshot (x93-x96) are trained-model probes whose oracles " +
+      "re-derive full training. x93 langid was the round's one " +
+      "honest-timing catch: the first formulation fanned every " +
+      "trigram OCCURRENCE x5 languages into the model join (12.3s); " +
+      "per-document feature multiplicities now aggregate first and " +
+      "only distinct (doc, feature) rows fan out - 5.4s, " +
+      "re-certified at three scales with the mirror moved to the " +
+      "same multiplicity formulation. Operational volume for the crawl " +
       "DAG (BenchCrawl, 2026-08-14, local[32]): 1M pages synthesized " +
       "as concatenated per-record gzip WARC streams (352 MB gz, 50 " +
       "pages/stream) - WARC gunzip+framing 3.6s (~280k pages/s), " +

@@ -69,22 +69,27 @@ object LangId {
     * language code (max(struct(score, lang)) — deterministic and
     * engine-mirrorable). Documents without features predict null.
     *
-    * Shape: terms × L language rows (L is tiny) left-join the
-    * broadcast model, one (doc, lang) aggregation, one per-doc max —
-    * all partial-aggregable; the corpus scans once. */
+    * Shape: per-document feature MULTIPLICITIES aggregate first (one
+    * keyed shuffle; repeated trigrams collapse — a document's
+    * distinct-trigram count is a fraction of its length), and only
+    * the distinct (doc, f) rows fan out × L languages into the
+    * broadcast-model join (measured 12.3s → ~5s at sf0.1 vs the
+    * per-occurrence fan-out); then one (doc, lang) aggregation and
+    * one per-doc max — all partial-aggregable, corpus scanned once. */
   def predict(docs: DataFrame, counts: DataFrame, totals: DataFrame,
               numBuckets: Int = 1 << 16, n: Int = 3, k: Double = 1.0,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val totalDocs = totals.agg(sum("n_docs")).head.getLong(0).toDouble
     val terms = featureRows(docs, numBuckets, n, idCol, textCol)
+      .groupBy(col(idCol), col("f")).agg(count(lit(1)).as("m"))
     val perLang = terms
       .crossJoin(broadcast(totals))
       .join(broadcast(counts), Seq("f", "lang"), "left")
       .groupBy(col(idCol), col("lang"))
       .agg(
-        sum(log((coalesce(col("c"), lit(0L)) + lit(k)) /
+        sum(col("m") * log((coalesce(col("c"), lit(0L)) + lit(k)) /
           (col("t_grams") + lit(k) * numBuckets))).as("ll"),
-        count(lit(1)).as("n_grams"),
+        sum(col("m")).as("n_grams"),
         first(col("n_docs")).as("n_docs"))
       .withColumn("score",
         round(log(col("n_docs") / totalDocs) + col("ll"), 6))

@@ -389,6 +389,8 @@ object SelectionProbes {
              |    CAST('0x' || substring(md5('lid_' || gram), 1, 7) AS BIGINT)
              |      % 4096 AS f
              |  FROM g),
+             |fcnt AS (
+             |  SELECT doc_id, f, COUNT(*) AS m FROM feat GROUP BY 1, 2),
              |tr AS (
              |  SELECT f.f, n.lang FROM feat f JOIN norm n USING (doc_id)
              |  WHERE f.doc_id % 2 = 0),
@@ -400,15 +402,15 @@ object SelectionProbes {
              |          WHERE doc_id % 2 = 0 GROUP BY 1) nd USING (lang)),
              |tot AS (SELECT SUM(n_docs) AS total FROM lt),
              |pl AS (
-             |  SELECT feat.doc_id, l.lang,
+             |  SELECT fc.doc_id, l.lang,
              |    ROUND(LN(CAST(l.n_docs AS DOUBLE) /
              |             (SELECT CAST(total AS DOUBLE) FROM tot)) +
-             |      SUM(LN((COALESCE(cnt.c, 0) + 1.0) /
+             |      SUM(fc.m * LN((COALESCE(cnt.c, 0) + 1.0) /
              |              (l.t_grams + 1.0 * 4096))), 6) AS score,
-             |    COUNT(*) AS n_grams
-             |  FROM feat CROSS JOIN lt l
-             |  LEFT JOIN cnt ON cnt.f = feat.f AND cnt.lang = l.lang
-             |  GROUP BY feat.doc_id, l.lang, l.t_grams, l.n_docs),
+             |    CAST(SUM(fc.m) AS BIGINT) AS n_grams
+             |  FROM fcnt fc CROSS JOIN lt l
+             |  LEFT JOIN cnt ON cnt.f = fc.f AND cnt.lang = l.lang
+             |  GROUP BY fc.doc_id, l.lang, l.t_grams, l.n_docs),
              |best AS (
              |  SELECT doc_id, lang, score, n_grams,
              |    ROW_NUMBER() OVER (PARTITION BY doc_id
