@@ -376,7 +376,12 @@ object Bench {
       "per-document feature multiplicities now aggregate first and " +
       "only distinct (doc, feature) rows fan out - 5.4s, " +
       "re-certified at three scales with the mirror moved to the " +
-      "same multiplicity formulation. Operational volume for the crawl " +
+      "same multiplicity formulation. sf1 (10x) walls for the four: " +
+      "x93 8.8s (1.6x), x94 spans 2.26s (1.4x), x95 html 0.58s " +
+      "(0.9x - pure scan parallelism), x96 unigram 0.94s (1.0x: " +
+      "training is bounded by the word-TYPE dictionary, not corpus " +
+      "size, and segmentation is one map pass - the tokenizer cost " +
+      "model that carries to 100 TB). Operational volume for the crawl " +
       "DAG (BenchCrawl, 2026-08-14, local[32]): 1M pages synthesized " +
       "as concatenated per-record gzip WARC streams (352 MB gz, 50 " +
       "pages/stream) - WARC gunzip+framing 3.6s (~280k pages/s), " +
