@@ -197,6 +197,13 @@ object GraftExtensions {
       graft.expressions.UnigramTokens(t,
         graft.expressions.UnigramOps.resolve(k.toString)) }),
 
+    // unigram_token_ids(text, model-key-literal): segment + map to
+    // sorted-vocabulary ids in one pass (UNK → -1).
+    ("unigram_token_ids", 2, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.UnigramTokenIds(t,
+        graft.expressions.UnigramOps.resolve(k.toString)) }),
+
     // regexp_like_cached(str, pattern): regexp_like for non-literal
     // patterns with a per-JVM compile cache (joined-column patterns
     // recompile per row in stock Spark — see RegexCachedOps).

@@ -56,3 +56,55 @@ case class UnigramTokens(child: Expression, model: UnigramLm.Model)
   override protected def withNewChildInternal(newChild: Expression): UnigramTokens =
     copy(child = newChild)
 }
+
+/** `unigram_token_ids(text, model-key-literal)` → array<int>: segment
+  * and map each piece to its vocabulary id in the SAME pass — the
+  * interchange form a training pipeline ships (the BpeTokenIds
+  * sibling). The id contract: vocabulary pieces sorted ascending,
+  * ids 0..V−1; an unknown-character fallback piece (absent from the
+  * vocabulary) maps to −1 (UNK), which happens only on corpora other
+  * than the training one. */
+object UnigramIdOps {
+  /** Piece → id table derived once per model (sorted-piece contract),
+    * cached per model instance. */
+  private val idTables =
+    new ConcurrentHashMap[UnigramLm.Model, java.util.HashMap[String, Integer]]()
+  private def idsOf(m: UnigramLm.Model): java.util.HashMap[String, Integer] =
+    idTables.computeIfAbsent(m, { mm =>
+      val h = new java.util.HashMap[String, Integer]()
+      mm.scores.keys.toSeq.sorted.zipWithIndex.foreach { case (p, i) =>
+        h.put(p, i)
+      }
+      h
+    })
+
+  def tokenIds(text: UTF8String, model: UnigramLm.Model): GenericArrayData = {
+    val ids = idsOf(model)
+    val out = Seq.newBuilder[Integer]
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    ws.split(text.toString.trim).foreach { w =>
+      if (w.nonEmpty)
+        UnigramLm.viterbi(w, model).foreach { p =>
+          val id = ids.get(p)
+          out += (if (id == null) Integer.valueOf(-1) else id)
+        }
+    }
+    new GenericArrayData(out.result().map(_.intValue).toArray[Any])
+  }
+}
+
+case class UnigramTokenIds(child: Expression, model: UnigramLm.Model)
+    extends TextKernelExpr {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramIdOps.tokenIds(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ulmModel", model,
+      "graft.operators.UnigramLm.Model")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.UnigramIdOps$$.MODULE$$.tokenIds($c, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramTokenIds =
+    copy(child = newChild)
+}

@@ -32,11 +32,34 @@ object TokenizerProbes {
           .orderBy("doc_id")
       },
       Some(unigramSql(maxLen = 8, maxPieceLen = 3, vocabSize = 20,
-        minCount = 2)))
+        minCount = 2))),
+
+    // UnigramLm.tokenIds / the unigram_token_ids kernel: segment and
+    // resolve to sorted-vocabulary ids in one pass. The oracle
+    // re-derives the SAME training as x96 and additionally the id
+    // contract (vocabulary pieces sorted ascending, ids 0..V−1),
+    // mapping every piece of every document positionally ------------
+    Probe("x97_unigram_token_ids",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = UnigramLm.train(docs, vocabSize = 20,
+          maxPieceLen = 3, emRounds = 1, minCount = 2)
+        graft.GraftExtensions.register(s)
+        docs.select(col("doc_id"),
+            UnigramLm.tokenIds(col("text"), model).as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).as("n_ids"),
+            md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+              .as("ids_md5"))
+          .orderBy("doc_id")
+      },
+      Some(unigramSql(maxLen = 8, maxPieceLen = 3, vocabSize = 20,
+        minCount = 2, ids = true)))
   )
 
   private def unigramSql(maxLen: Int, maxPieceLen: Int,
-                         vocabSize: Int, minCount: Int): String = {
+                         vocabSize: Int, minCount: Int,
+                         ids: Boolean = false): String = {
     val dp1 = dpSqlSimple("d1", "ssc", "sunk", maxLen, maxPieceLen)
     val dp2 = dpSqlSimple("d2", "fsc", "funk", maxLen, maxPieceLen)
     s"""WITH tok AS (
@@ -97,17 +120,40 @@ object TokenizerProbes {
        |d2_b0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS path
        |          FROM ty),
        |$dp2,
-       |docseg AS (
-       |  SELECT tok.doc_id,
-       |    string_agg(f.path, ' ' ORDER BY tok.pos) AS seg,
-       |    CAST(SUM(f.np) AS INT) AS n_pieces
-       |  FROM tok JOIN d2_fin f ON f.w = tok.w
-       |  GROUP BY tok.doc_id)
-       |SELECT d.doc_id,
-       |  COALESCE(ds.n_pieces, 0) AS n_pieces,
-       |  md5(COALESCE(ds.seg, '')) AS seg_md5
-       |FROM documents d LEFT JOIN docseg ds USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |${if (!ids)
+      """docseg AS (
+        |  SELECT tok.doc_id,
+        |    string_agg(f.path, ' ' ORDER BY tok.pos) AS seg,
+        |    CAST(SUM(f.np) AS INT) AS n_pieces
+        |  FROM tok JOIN d2_fin f ON f.w = tok.w
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(ds.n_pieces, 0) AS n_pieces,
+        |  md5(COALESCE(ds.seg, '')) AS seg_md5
+        |FROM documents d LEFT JOIN docseg ds USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    else
+      """vid AS MATERIALIZED (
+        |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS INT)
+        |    AS id
+        |  FROM pruned),
+        |pieces AS (
+        |  SELECT tok.doc_id, tok.pos,
+        |    unnest(string_split(f.path, ' ')) AS piece,
+        |    generate_subscripts(string_split(f.path, ' '), 1) AS k
+        |  FROM tok JOIN d2_fin f ON f.w = tok.w),
+        |docids AS (
+        |  SELECT p.doc_id,
+        |    string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ' '
+        |      ORDER BY p.pos, p.k) AS idstr,
+        |    CAST(COUNT(*) AS INT) AS n_ids
+        |  FROM pieces p LEFT JOIN vid v ON v.piece = p.piece
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(di.n_ids, 0) AS n_ids,
+        |  md5(COALESCE(di.idstr, '')) AS ids_md5
+        |FROM documents d LEFT JOIN docids di USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin}""".stripMargin
   }
 
   /** The DP unroll, final row = the cell at pos = length(w). */

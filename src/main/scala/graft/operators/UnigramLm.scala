@@ -185,6 +185,12 @@ object UnigramLm {
   def tokens(text: Column, model: Model): Column =
     call_function("unigram_tokens", text, lit(modelKey(model)))
 
+  /** Segment + map to sorted-vocabulary ids in ONE pass (the
+    * BpeTokenIds sibling; UNK → −1 for unknown-character fallback
+    * pieces). Requires [[graft.GraftExtensions]] registered. */
+  def tokenIds(text: Column, model: Model): Column =
+    call_function("unigram_token_ids", text, lit(modelKey(model)))
+
   /** Per-document segmentation summary: (id, n_pieces, seg) where
     * `seg` is the piece stream joined with single spaces. */
   def segmentDocs(docs: DataFrame, model: Model,

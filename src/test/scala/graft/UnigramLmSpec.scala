@@ -87,6 +87,23 @@ class UnigramLmSpec extends SparkTestBase {
     }
   }
 
+  test("tokenIds: sorted-vocab contract, UNK -1, pieces round-trip") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val m = model("ab" -> 8, "a" -> 2, "b" -> 2)
+    // sorted vocab: a=0, ab=1, b=2
+    val out = UnigramLm.segmentDocs(
+        Seq((1L, "abb")).toDF("doc_id", "text"), m)
+      .select("seg").head.getString(0)
+    val ids = Seq((1L, "abb"), (2L, "axb")).toDF("doc_id", "text")
+      .select(col("doc_id"), UnigramLm.tokenIds(col("text"), m).as("ids"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(out === "ab b")
+    assert(ids(1L) === List(1, 2))
+    assert(ids(2L) === List(0, -1, 2)) // 'x' is the UNK fallback
+  }
+
   test("empty and blank text segment to nothing") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
