@@ -14,6 +14,21 @@ import graft.sources.Tables
   */
 object CleaningProbes {
 
+  /** Write-once cleaned-corpus artifact for x98, fingerprint-tagged
+    * like the x42 shingle index so repeated runs at one SF reuse it. */
+  private def cleanArtifactTable(s: org.apache.spark.sql.SparkSession,
+                                 d: String,
+                                 signals: org.apache.spark.sql.DataFrame): String = {
+    val fp = signals.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
+    val table = s"graft_x98_clean_$tag"
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_x98_artifact_$tag"
+    if (!s.catalog.tableExists(table))
+      CorpusArtifact.write(signals, dir, table, nShards = 8)
+    table
+  }
+
   val probes: Seq[Probe] = Seq(
 
     // TextOps.c4Signals: the C4 cleaning rules (Raffel et al. 2020).
@@ -146,6 +161,80 @@ object CleaningProbes {
              |  (6 - COALESCE(k.n_kept, 0))::BIGINT AS n_dropped
              |FROM a LEFT JOIN kept k ON a.doc_id = k.doc_id
              |ORDER BY a.doc_id""".stripMargin)),
+
+    // CorpusArtifact: the cleaned corpus AT REST — x82's C4 signals
+    // written partitioned by (keep, shard) and read back through the
+    // keep=true training reader. The oracle re-derives the C4
+    // decisions AND the shard hash; the Spark side answers from the
+    // persisted artifact alone (keep arrives as a PartitionFilter —
+    // plan-gated in CleaningSpec), so a wrong partition layout, a
+    // lossy write, or a drifting shard function all diverge ---------
+    Probe("x98_clean_artifact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val aug = docs.select(col("doc_id"), concat(
+          substring(col("text"), 1, 60), lit("."), lit("\n"),
+          substring(col("text"), 61, 30), lit("\n"),
+          lit("short."), lit("\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("Please enable JavaScript to view comments."))
+            .otherwise(lit("the quick brown fox jumps high today?")), lit("\n"),
+          when(col("doc_id") % 11 === 0, lit("Lorem Ipsum dolor sit amet."))
+            .otherwise(lit("a perfectly normal closing line!")), lit("\n"),
+          when(col("doc_id") % 13 === 0, lit("body { margin: 0 }"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("\nbadword7 is right here today.")).otherwise(lit("")))
+          .as("text"))
+        val signals = TextOps.c4Signals(aug, badWords = Seq("badword7"),
+          minWordsPerLine = 3, minSentences = 3)
+        val table = cleanArtifactTable(s, d, signals)
+        CorpusArtifact.readKept(s, table)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("n_kept"), col("n_sentences"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    substr(text, 1, 60) || '.' || chr(10) ||
+             |    substr(text, 61, 30) || chr(10) ||
+             |    'short.' || chr(10) ||
+             |    CASE WHEN doc_id % 7 = 0
+             |         THEN 'Please enable JavaScript to view comments.'
+             |         ELSE 'the quick brown fox jumps high today?' END || chr(10) ||
+             |    CASE WHEN doc_id % 11 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+             |         ELSE 'a perfectly normal closing line!' END || chr(10) ||
+             |    CASE WHEN doc_id % 13 = 0 THEN 'body { margin: 0 }' ELSE '' END ||
+             |    CASE WHEN doc_id % 17 = 0
+             |         THEN chr(10) || 'badword7 is right here today.' ELSE '' END
+             |      AS t
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, t,
+             |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+             |      x -> regexp_matches(x, '[.!?"]$')
+             |       AND len(regexp_extract_all(x, '[^\t\n\x0B\f\r ]+')) >= 3
+             |       AND NOT regexp_matches(lower(x),
+             |             '(?:^|[^a-z0-9])javascript(?:[^a-z0-9]|$)')) AS kept
+             |  FROM a),
+             |c AS (
+             |  SELECT doc_id, t, kept,
+             |    (length(array_to_string(kept, chr(10))) -
+             |     length(regexp_replace(array_to_string(kept, chr(10)),
+             |       '[.!?]', '', 'g')))::BIGINT AS n_sentences
+             |  FROM k)
+             |SELECT doc_id,
+             |  CAST('0x' || substring(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 7)
+             |       AS BIGINT) % 8 AS shard,
+             |  len(kept)::BIGINT AS n_kept,
+             |  n_sentences
+             |FROM c
+             |WHERE n_sentences >= 3
+             |  AND NOT contains(lower(t), 'lorem ipsum')
+             |  AND NOT (contains(t, '{') OR contains(t, '}'))
+             |  AND NOT list_has_any(regexp_extract_all(lower(t), '[a-z0-9]+'),
+             |        ['badword7'])
+             |ORDER BY doc_id""".stripMargin)),
 
     // TextOps.keywordTag / the keyword_counts Aho-Corasick kernel:
     // ALL-occurrence (overlapping) counts for a dictionary containing

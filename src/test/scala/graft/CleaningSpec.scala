@@ -218,6 +218,51 @@ class CleaningSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(3L))
   }
 
+  // --- CorpusArtifact -----------------------------------------------------
+
+  test("clean artifact: keep=true arrives as a PartitionFilter, not a row filter") {
+    import spark.implicits._
+    import graft.operators.CorpusArtifact
+    val docs = (1L to 40L).map(i => (i, s"doc $i text here.", i % 3 == 0))
+      .toDF("doc_id", "text", "keep")
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact").toString
+    CorpusArtifact.write(docs, dir, "graft_test_artifact", nShards = 4)
+    val kept = CorpusArtifact.readKept(spark, "graft_test_artifact")
+    val p = kept.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*keep".r.findFirstIn(p).isDefined,
+      s"keep decision rescanned as a row filter:\n$p")
+    // round trip: exactly the keep=true rows, all columns intact
+    val got = kept.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val want = docs.where(col("keep")).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === want)
+    // shards deterministic + bounded
+    val shards = kept.select(col("shard").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(shards.forall(s => s >= 0 && s < 4))
+    spark.sql("DROP TABLE IF EXISTS graft_test_artifact")
+  }
+
+  test("clean artifact: overwrite replaces, shard function is stable") {
+    import spark.implicits._
+    import graft.operators.CorpusArtifact
+    val a = Seq((1L, "one.", true), (2L, "two.", false))
+      .toDF("doc_id", "text", "keep")
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact2").toString
+    CorpusArtifact.write(a, dir, "graft_test_artifact2", nShards = 4)
+    val s1 = CorpusArtifact.readKept(spark, "graft_test_artifact2")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    // grow the corpus: existing ids keep their shard (no migration)
+    val b = a.union(Seq((3L, "three.", true)).toDF("doc_id", "text", "keep"))
+    CorpusArtifact.write(b, dir, "graft_test_artifact2", nShards = 4)
+    val s2 = CorpusArtifact.readKept(spark, "graft_test_artifact2")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(s2(1L) === s1(1L))
+    assert(s2.keySet === Set(1L, 3L))
+    spark.sql("DROP TABLE IF EXISTS graft_test_artifact2")
+  }
+
   test("lineFrequencyFilter plan: no product joins, distinct agg partials map-side") {
     val p = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 3)
       .queryExecution.executedPlan.toString
