@@ -129,6 +129,29 @@ object EmbeddingOps {
     PcaModel(n.toLong, mean, v.map(_.toDouble / Micro), lambda)
   }
 
+  /** Matryoshka-style truncation (Kusupati et al. 2022, MRL): keep
+    * the first `dims` coordinates and L2-renormalize — the
+    * dimension/eighth-the-storage lever for embeddings trained with
+    * matryoshka losses (and the standard cheap approximation
+    * otherwise). Zero-vector prefixes renormalize to zero vectors
+    * (not NaN). Map-only; cosine over the truncated vectors is the
+    * certified downstream (x99). The norm is one sqrt over a
+    * left-to-right fold — deterministic given the float inputs. */
+  def truncateNormalize(embs: DataFrame, dims: Int,
+                        vecCol: String = "embedding",
+                        outCol: String = "embedding_t"): DataFrame = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val sliced = slice(col(vecCol), 1, dims)
+    val trunc = graft.operators.TextOps.bindOnce(
+      transform(sliced, x => x.cast("double"))) { t =>
+      graft.operators.TextOps.bindOnce(
+        sqrt(aggregate(t, lit(0.0), (a, x) => a + x * x))) { n =>
+        when(n === 0.0, t).otherwise(transform(t, x => x / n))
+      }
+    }
+    embs.withColumn(outCol, trunc)
+  }
+
   /** Score the corpus on the fitted component: pc1 = round6(Σⱼ (xⱼ −
     * μⱼ)·vⱼ) — a ZERO-shuffle projection (model arrays ride as
     * literals), streams unchanged. */

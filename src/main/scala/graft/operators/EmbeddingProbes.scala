@@ -62,5 +62,39 @@ object EmbeddingProbes {
         EmbeddingOps.projectPc1(embs, model).orderBy("vec_id")
       },
       Some(pcaSql(64, 8))),
+
+    // EmbeddingOps.truncateNormalize + cosine top-k over the
+    // truncated space: the Matryoshka storage lever (keep 16 of 64
+    // dims, renormalize) with the q27 cosine machinery on top — the
+    // oracle re-derives slice, double-cast, L2 normalization with the
+    // zero-vector guard, and the rounded dot-product ranking --------
+    Probe("x99_matryoshka_topk",
+      (s, d) => {
+        val t = EmbeddingOps.truncateNormalize(
+          Tables.embeddings(s, d), dims = 16)
+        val q = t.where(col("vec_id") === 0)
+          .select(col("embedding_t").as("q"))
+        t.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(aggregate(
+              zip_with(col("embedding_t"), col("q"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH tn AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, t,
+             |        SQRT(list_dot_product(t, t)) AS nm FROM tn),
+             |u AS (SELECT vec_id,
+             |        CASE WHEN nm = 0 THEN t
+             |             ELSE list_transform(t, x -> x / nm) END AS u
+             |      FROM n),
+             |q AS (SELECT u AS q FROM u WHERE vec_id = 0)
+             |SELECT vec_id, ROUND(list_dot_product(u.u, q.q), 6) AS sim
+             |FROM u, q WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
   )
 }

@@ -75,6 +75,51 @@ class EmbeddingOpsSpec extends SparkTestBase {
     assert(varPc > varAxis2 * 10, s"pc1 variance $varPc vs axis-2 $varAxis2")
   }
 
+  test("truncateNormalize: unit norms, zero-vector guard, recall vs full dim") {
+    import graft.operators.EmbeddingOps
+    val rnd = new scala.util.Random(31)
+    // DIRECTIONAL clusters (cosine ignores magnitude — additive
+    // offsets would collapse under normalization): cluster c points
+    // along the j%3==c axes, in both kept and dropped dims
+    val rows = (0 until 120).map { i =>
+      val c = i % 3
+      Array.tabulate(8)(j =>
+        ((if (j % 3 == c) 3.0 else 0.0) + rnd.nextGaussian() * 0.3).toFloat)
+    }
+    val df = toDf(rows)
+    val t = EmbeddingOps.truncateNormalize(df, dims = 4)
+    val collected = t.select("vec_id", "embedding_t").collect()
+    collected.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length === 4)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"non-unit norm $n")
+    }
+    // zero prefix stays zero, not NaN
+    val z = EmbeddingOps.truncateNormalize(
+      toDf(Seq(Array(0f, 0f, 1f, 2f))), dims = 2)
+      .select("embedding_t").head.getSeq[Double](0)
+    assert(z === Seq(0.0, 0.0))
+    // truncated top-10 of a query overlaps the full-dim top-10 heavily
+    def top10(vecCol: String, frame: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val q = frame.where(col("vec_id") === 0).select(col(vecCol).as("q"))
+      frame.where(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id"),
+          aggregate(zip_with(col(vecCol), col("q"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    // truncation preserves CLUSTER identity (the retrieval property
+    // that matters; within-cluster fine ranking depends on the
+    // dropped noise dims and legitimately reshuffles)
+    val full = top10("embedding_t",
+      EmbeddingOps.truncateNormalize(df, dims = 8))
+    val trunc = top10("embedding_t", t)
+    assert(full.forall(_ % 3 == 0), s"full-dim neighbors off-cluster: $full")
+    assert(trunc.forall(_ % 3 == 0), s"truncated neighbors off-cluster: $trunc")
+  }
+
   test("degenerate inputs fail loudly") {
     val zeros = toDf((1 to 5).map(_ => Array(0f, 0f)))
     intercept[IllegalArgumentException](
