@@ -365,12 +365,14 @@ object Bench {
       "contain ~13-member exact-duplicate classes whose PAIR count " +
       "grows quadratically in the copy count; the banded join emits " +
       "exactly those pairs, which is the operator doing its job on " +
-      "a duplicate-heavy corpus). FINAL r8 suite numbers (138 " +
-      "probes, 2026-08-14): Spark 85.9s vs warm 32-thread DuckDB " +
-      "47.4-48.2s on the identical oracle manifest = 1.81x, inside " +
-      "the 2x bar; the five probes added after the 134-probe " +
-      "snapshot (x93-x96) are trained-model probes whose oracles " +
-      "re-derive full training. x93 langid was the round's one " +
+      "a duplicate-heavy corpus). FINAL r8 suite numbers (141 " +
+      "probes, 2026-08-14): Spark 90.1s vs warm 32-thread DuckDB " +
+      "56.3-65.2s on the identical oracle manifest = 1.60x, inside " +
+      "the 2x bar (at the interim 138-probe snapshot: 85.9s vs " +
+      "47.4-48.2s = 1.81x; the trained-tokenizer probes x96/x97, " +
+      "whose oracles re-run full hard-EM training as materialized " +
+      "Viterbi DP CTE chains, cost DuckDB more than Spark's bounded " +
+      "driver loop costs us). x93 langid was the round's one " +
       "honest-timing catch: the first formulation fanned every " +
       "trigram OCCURRENCE x5 languages into the model join (12.3s); " +
       "per-document feature multiplicities now aggregate first and " +
