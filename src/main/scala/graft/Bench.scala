@@ -394,10 +394,10 @@ object Bench {
       "10x pages (20k/200k/1M sweep). Two matcher fixes landed from " +
       "this bench: prefix robots rules (the overwhelming real-world " +
       "majority) route through codegen startswith instead of regex, " +
-      "and wildcard rules evaluate through regexp_like_cached - a " +
-      "new kernel with a per-JVM compile cache, because stock Spark " +
-      "recompiles a non-literal (joined-column) regex pattern PER " +
-      "ROW."
+      "and wildcard rules evaluate through robots_glob_match - a " +
+      "linear-time glob kernel (r9; replaced the regexp_like_cached " +
+      "route so an untrusted hostile robots pattern cannot detonate " +
+      "a backtracking regex engine)."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
   // operational-volume evidence — its own val for the same typer-depth

@@ -23,38 +23,23 @@ import org.apache.spark.sql.functions._
   * domain-cardinality robots table (tiny next to the corpus); the
   * decision is one host-keyed join (rules-per-host fan-out, tens of
   * rows) + a per-URL `max_by(struct(len, allow))` aggregation — both
-  * partial-aggregable, no products, no UDF in the match (the pattern
-  * compiles to an anchored regex evaluated by `rlike`).
+  * partial-aggregable, no products, no UDF in the match. Wildcard
+  * rules are matched by the linear-time [[graft.expressions.GlobMatchOps]]
+  * kernel, NOT a translated regex: robots.txt is untrusted input, and
+  * a hostile many-wildcard rule against a backtracking regex engine
+  * stalls an executor core.
   */
 object Robots {
 
-  /** One parsed rule: `regex` is the compiled anchored pattern
-    * (`^escaped`, `*`→`.*`, trailing `$` kept as anchor), `patLen`
-    * the RFC specificity (raw pattern length). `isPrefix` marks rules
-    * with no wildcard and no end anchor — the overwhelming majority
-    * of real robots rules — whose match is a plain `startswith`:
-    * Spark compiles a NON-LITERAL regex pattern per evaluated row
-    * (RLike only caches foldable patterns), so routing prefix rules
-    * through the codegen string op keeps the per-URL cost flat
-    * (measured 3.7s → 0.9s on the 20k-page crawl bench). */
+  /** One parsed rule; `patLen` is the RFC specificity (raw pattern
+    * length). `isPrefix` marks rules with no wildcard and no end
+    * anchor — the overwhelming majority of real robots rules — whose
+    * match is a plain `startswith` codegen string op; the rest route
+    * through the linear glob kernel (also codegen, no per-row
+    * compilation). */
   final case class RobotsRule(host: String, ruleIdx: Int, pattern: String,
-                              regex: String, allow: Boolean, patLen: Int,
+                              allow: Boolean, patLen: Int,
                               isPrefix: Boolean)
-
-  /** Translate a robots path pattern to the Java-∩-RE2 regex both
-    * engines evaluate identically. */
-  private[operators] def patternRegex(p: String): String = {
-    val endAnchor = p.endsWith("$")
-    val body = if (endAnchor) p.dropRight(1) else p
-    val sb = new StringBuilder("^")
-    body.foreach {
-      case '*' => sb.append(".*")
-      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
-      case c => sb.append(c)
-    }
-    if (endAnchor) sb.append('$')
-    sb.toString
-  }
 
   /** Parse one robots.txt for one user-agent: group selection per the
     * RFC (specific groups beat `*`; a `User-agent` line after rules
@@ -98,7 +83,10 @@ object Robots {
   }
 
   /** Parse a (host, robots_txt) table into the rules table —
-    * mapPartitions, domain-cardinality. */
+    * mapPartitions, domain-cardinality. The host key is normalized
+    * (trim + lowercase) to match [[robotsFilter]]'s `extractHost`
+    * output — a mixed-case host here would otherwise silently miss
+    * the join and default its whole domain to allowed. */
   def rulesTable(robots: DataFrame, userAgent: String,
                  hostCol: String = "host",
                  txtCol: String = "robots_txt"): DataFrame = {
@@ -106,8 +94,9 @@ object Robots {
     import spark.implicits._
     robots.select(col(hostCol), col(txtCol)).as[(String, String)]
       .flatMap { case (host, txt) =>
-        parseRules(txt, userAgent).zipWithIndex.map { case ((p, allow), i) =>
-          RobotsRule(host, i, p, patternRegex(p), allow, p.length,
+        if (host == null) Seq.empty[RobotsRule]
+        else parseRules(txt, userAgent).zipWithIndex.map { case ((p, allow), i) =>
+          RobotsRule(host.trim.toLowerCase, i, p, allow, p.length,
             isPrefix = !p.contains('*') && !p.endsWith("$"))
         }
       }.toDF()
@@ -119,23 +108,27 @@ object Robots {
   def robotsFilter(urls: DataFrame, rules: DataFrame,
                    idCol: String = "doc_id",
                    urlCol: String = "url"): DataFrame = {
-    // for the cache-compiled wildcard matcher (idempotent)
+    // for the linear-glob wildcard matcher (idempotent)
     graft.GraftExtensions.register(urls.sparkSession)
     val host = TextOps.extractHost(col(urlCol))
-    // path = everything from the first '/' after the authority; "/"
-    // when absent (the RFC's default path)
+    // path = everything from the first '/' after the authority; when
+    // no path exists, "/" PLUS any "?query" tail (RFC 9309 matches
+    // against path-and-query, so "http://h.test?x=1" is "/?x=1" —
+    // dropping the query would let it slip past a "/*?*" rule)
     val afterScheme = regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val slash = instr(afterScheme, "/")
-    val path = when(slash === 0, lit("/"))
-      .otherwise(substring_index_expr(afterScheme, slash))
+    val qmark = instr(afterScheme, "?")
+    val path = when(slash > 0, substring_index_expr(afterScheme, slash))
+      .when(qmark > 0, concat(lit("/"), substring_index_expr(afterScheme, qmark)))
+      .otherwise(lit("/"))
     val u = urls.select(col(idCol), col(urlCol), host.as("host"),
       path.as("_path"))
     val joined = u.join(rules, Seq("host"), "left")
       .withColumn("_m",
-        col("regex").isNotNull &&
+        col("pattern").isNotNull &&
           when(col("isPrefix"), col("_path").startsWith(col("pattern")))
-            .otherwise(call_function("regexp_like_cached",
-              col("_path"), col("regex"))))
+            .otherwise(call_function("robots_glob_match",
+              col("_path"), col("pattern"))))
     joined
       .groupBy(col(idCol))
       .agg(

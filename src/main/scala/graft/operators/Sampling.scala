@@ -6,23 +6,61 @@ import org.apache.spark.sql.functions._
 
 /** Corpus curation sampling.
   *
-  * `stratifiedByDecile`: bucket rows into quality deciles (ntile over
-  * the score) and keep a per-decile fraction — the usual
-  * quality-weighted downsampling of web corpora. Seeded `sampleBy`
-  * keeps it reproducible on a fixed cluster; for cross-engine
-  * reproducibility use `deterministicSample`, which hashes the id
-  * (md5-derived, engine-portable) instead of drawing randoms.
+  * `stratifiedByDecile`: bucket rows into quality deciles and keep a
+  * per-decile fraction — the usual quality-weighted downsampling of
+  * web corpora. Deciles are THRESHOLD partitions (exact interpolated
+  * percentiles at 0.1…0.9 via [[groupPercentilesExact]], broadcast
+  * back as nine comparisons), NOT `ntile` over a global sort: the
+  * ntile formulation is `Window.orderBy(score)` with no partition key
+  * — ONE task sorts and scans the whole corpus, the exact shape that
+  * dies at 100 TB. The keep decision hashes the tie-break id
+  * (salted md5, engine-portable) instead of drawing randoms, so the
+  * sample is reproducible on any engine and any partitioning.
   */
 object Sampling {
 
+  /** Quality-decile stratified sampling. `fractions` maps decile
+    * (1 = lowest scores … 10 = highest) to its keep fraction (absent
+    * deciles drop). Deciles are threshold partitions: decile d
+    * contains rows with score in (t_{d−1}, t_d] where t_k is the
+    * exact interpolated k/10-percentile — so TIED scores always share
+    * a decile (a deviation from ntile, which splits ties across
+    * buckets by sort position to equalize counts; threshold deciles
+    * are the reproducible contract). Null/NaN scores are dropped
+    * (unscorable). `seed` salts the md5 keep-hash. Output keeps the
+    * input columns plus `decile`. */
   def stratifiedByDecile(df: DataFrame, scoreCol: String,
                          fractions: Map[Int, Double], seed: Long = 42,
                          tieBreak: String = "doc_id"): DataFrame = {
-    val bucketed = df.withColumn("decile",
-      ntile(10).over(Window.orderBy(col(scoreCol), col(tieBreak))))
-    val fr: Map[Any, Double] =
-      (1 to 10).map(d => (d: Any) -> fractions.getOrElse(d, 0.0)).toMap
-    bucketed.stat.sampleBy("decile", fr, seed)
+    require(fractions.keys.forall(d => d >= 1 && d <= 10),
+      s"decile keys must lie in 1..10: ${fractions.keys}")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must lie in [0,1]: $fractions")
+    val s = col(scoreCol).cast("double")
+    // single-group exact percentiles: two-phase bucketed design, no
+    // O(corpus) sort and no O(group) aggregate buffer
+    val qs = groupPercentilesExact(
+        df.select(s.as("_s")).withColumn("_one", lit(1)),
+        "_s", "_one", (1 to 9).map(_ / 10.0))
+      .groupBy("_g")
+      .pivot("_pi", 0 until 9).agg(first("_q"))
+    // decile = 1 + #(thresholds strictly below score); ties at a
+    // threshold take the LOWER decile (score <= t_d ⇒ decile ≤ d)
+    val decile = (0 until 9).foldLeft(lit(1)) { (acc, k) =>
+      acc + when(s > col(k.toString), 1).otherwise(0)
+    }
+    val bucket = conv(substring(
+      md5(concat(lit(s"strat${seed}_"), col(tieBreak).cast("string"))),
+      1, 7), 16, 10).cast("long") % 1000000L
+    val cutoff = (1 to 10).foldLeft(lit(0L)) { (acc, d) =>
+      when(decile === d,
+        math.round(fractions.getOrElse(d, 0.0) * 1000000.0)).otherwise(acc)
+    }
+    df.where(s.isNotNull && !isnan(s))
+      .crossJoin(broadcast(qs.drop("_g")))
+      .withColumn("decile", decile)
+      .where(bucket < cutoff)
+      .drop((0 until 9).map(_.toString): _*)
   }
 
   /** Exact per-group interpolated percentiles WITHOUT Spark's

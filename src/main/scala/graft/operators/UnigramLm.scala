@@ -50,13 +50,33 @@ object UnigramLm {
     Math.round(EmbeddingOps.round6(
       math.log(count.toDouble) - math.log(total.toDouble)) * 1000000L)
 
+  /** Char offsets of each CODEPOINT boundary in `w` (length ncp+1):
+    * segmentation, alphabet seeding, and substring enumeration all
+    * walk codepoints, never UTF-16 units — a piece that split a
+    * surrogate pair would round-trip through `UTF8String.fromString`
+    * as '?', corrupting astral-plane text (emoji, CJK ext-B — common
+    * in web crawls) where SentencePiece segments codepoints. */
+  private[graft] def cpOffsets(w: String): Array[Int] = {
+    val offs = new Array[Int](w.codePointCount(0, w.length) + 1)
+    var i = 0; var k = 0
+    while (i < w.length) {
+      offs(k) = i; k += 1
+      i += Character.charCount(w.codePointAt(i))
+    }
+    offs(k) = w.length
+    offs
+  }
+
   /** Integer-lattice Viterbi over one word: best = (score desc,
     * n_pieces asc, path asc). Single chars absent from the model
     * segment with `unkScore` (= ln(1/total) — the unseen-character
     * fallback, exercised only on corpora other than the training
-    * one). */
+    * one). Positions and piece lengths are CODEPOINTS (see
+    * [[cpOffsets]]); on BMP-only text this is bit-identical to the
+    * old UTF-16 walk. */
   def viterbi(word: String, model: Model): Seq[String] = {
-    val n = word.length
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
     if (n == 0) return Seq.empty
     // best(p): (score, nPieces, path string with ' ' separators)
     val best = new Array[(Long, Int, String)](n + 1)
@@ -69,7 +89,7 @@ object UnigramLm {
       while (j <= maxJ) {
         val prev = best(p - j)
         if (prev != null) {
-          val piece = word.substring(p - j, p)
+          val piece = word.substring(offs(p - j), offs(p))
           val s = model.scores.get(piece) match {
             case Some(v) => Some(v)
             case None => if (j == 1) Some(model.unkScore) else None
@@ -113,30 +133,41 @@ object UnigramLm {
                    maxPieceLen: Int = 4, emRounds: Int = 2,
                    minCount: Long = 2): Model = {
     require(vocabSize >= 0 && maxPieceLen >= 1 && emRounds >= 0)
+    // alphabet/seeding walk CODEPOINTS (cpOffsets) so surrogate pairs
+    // never split into lone-half "characters"
     val alphabet: Map[String, Long] = {
       val m = scala.collection.mutable.Map.empty[String, Long]
       types.foreach { case (w, c) =>
-        w.foreach { ch => m(ch.toString) = m.getOrElse(ch.toString, 0L) + c }
+        val offs = cpOffsets(w)
+        var k = 0
+        while (k < offs.length - 1) {
+          val ch = w.substring(offs(k), offs(k + 1))
+          m(ch) = m.getOrElse(ch, 0L) + c
+          k += 1
+        }
       }
       m.toMap
     }
     // seed: every substring occurrence (overlaps counted), weighted
-    // by type count
+    // by type count; lengths in codepoints
     var counts: Map[String, Long] = {
       val m = scala.collection.mutable.Map.empty[String, Long]
       types.foreach { case (w, c) =>
+        val offs = cpOffsets(w)
+        val ncp = offs.length - 1
         var i = 0
-        while (i < w.length) {
+        while (i < ncp) {
           var l = 1
-          while (l <= maxPieceLen && i + l <= w.length) {
-            val p = w.substring(i, i + l)
+          while (l <= maxPieceLen && i + l <= ncp) {
+            val p = w.substring(offs(i), offs(i + l))
             m(p) = m.getOrElse(p, 0L) + c
             l += 1
           }
           i += 1
         }
       }
-      m.filter { case (p, c) => p.length == 1 || c >= minCount }.toMap
+      m.filter { case (p, c) => p.codePointCount(0, p.length) == 1 ||
+        c >= minCount }.toMap
     }
     def withAlphabet(m: Map[String, Long]): Map[String, Long] =
       alphabet.keys.foldLeft(m)((acc, ch) =>
@@ -157,11 +188,14 @@ object UnigramLm {
       counts = withAlphabet(uses.toMap)
       round += 1
     }
-    // prune multi-char pieces to the budget (count desc, piece asc)
-    val multi = counts.filter(_._1.length > 1).toSeq
+    // prune multi-codepoint pieces to the budget (count desc, piece
+    // asc); the single-CODEPOINT alphabet (incl. astral chars of
+    // UTF-16 length 2) is always kept so segmentation stays total
+    def isSingleCp(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    val multi = counts.filter { case (p, _) => !isSingleCp(p) }.toSeq
       .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
     // final scores re-normalize over the PRUNED table
-    toModel(counts.filter(_._1.length == 1) ++ multi)
+    toModel(counts.filter { case (p, _) => isSingleCp(p) } ++ multi)
   }
 
   /** Corpus-level convenience: type counts → hard-EM model. */

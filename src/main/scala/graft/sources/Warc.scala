@@ -40,7 +40,12 @@ object Warc {
     * what decompressed so far (damage surfaces as parse_ok=false
     * downstream, not a dead task). */
   private[sources] def gunzipAll(raw: Array[Byte], maxBytes: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream(math.min(raw.length * 4, 1 << 20))
+    // size hint in Long: `raw.length * 4` overflows Int for >=512 MB
+    // members, and a negative hint makes the constructor THROW outside
+    // the try — killing the task instead of honoring the clamp contract
+    val hint = math.min(math.min(raw.length.toLong * 4, maxBytes.toLong),
+      1L << 20).toInt
+    val out = new ByteArrayOutputStream(math.max(hint, 64))
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(raw))
       val buf = new Array[Byte](8192)

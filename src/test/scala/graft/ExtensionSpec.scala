@@ -351,6 +351,26 @@ class ExtensionSpec extends SparkTestBase {
       Map(10 -> 1.0), tieBreak = "doc_id")
     assert(strat.count() > 0)
     assert(strat.select("decile").distinct().collect().map(_.getInt(0)).toSet == Set(10))
+    // deterministic: identical keeper set on re-run (hash, not RNG)
+    val strat2 = Sampling.stratifiedByDecile(
+      docs.withColumn("q", $"n_chars".cast("double")), "q",
+      Map(10 -> 1.0), tieBreak = "doc_id")
+    assert(strat.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      strat2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // threshold semantics: decile 10 is exactly the rows above the
+    // exact interpolated 0.9-percentile (ties share the lower decile)
+    val t9 = docs.select($"n_chars".cast("double").as("q"))
+      .agg(expr("percentile(q, 0.9)")).collect()(0).getDouble(0)
+    val minKept = strat.agg(min($"n_chars".cast("double"))).collect()(0).getDouble(0)
+    assert(minKept > t9, s"decile-10 floor $minKept must exceed t9 $t9")
+    val nAbove = docs.where($"n_chars".cast("double") > t9).count()
+    assert(strat.count() == nAbove)
+    // a fraction keeps a proportional, deterministic subset
+    val half = Sampling.stratifiedByDecile(
+      docs.withColumn("q", $"n_chars".cast("double")), "q",
+      Map(10 -> 0.5), tieBreak = "doc_id")
+    val hf = half.count().toDouble / nAbove
+    assert(hf > 0.3 && hf < 0.7, s"half-fraction kept $hf")
   }
 
   test("hashSplit: total partition, ~weights, and no migration under corpus growth") {

@@ -420,6 +420,33 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("stratifiedByDecile plan: no global window, no Percentile, no RNG") {
+    // the old formulation was `ntile(10) over (order by score)` — ONE
+    // task sorts the whole corpus; the rework must route the two-phase
+    // exact percentile machinery and keep every window partitioned
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.Sampling.stratifiedByDecile(
+      docs.withColumn("q", col("n_chars").cast("double")), "q",
+      Map(1 -> 0.5, 10 -> 1.0))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("percentile"),
+      s"exact Percentile aggregate on the corpus path:\n$p")
+    assert(!p.contains("rand("), s"RNG in a deterministic sampler:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty) // the percentile machinery's bounded windows
+    // the single-group trick constant-folds `_g = 1` out of the
+    // partition spec, so gate on the CHILD instead (the x21 rule):
+    // every window sits over a bounded aggregate or a cell-confined
+    // join, never the raw corpus scan
+    windows.foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("Aggregate") || sub.contains("Join"),
+        s"window directly over the raw corpus:\n$w")
+    }
+  }
+
   test("x70 score buckets plan: no exact-Percentile buffer, bounded windows only") {
     val df = ProbeQueries.queryMap("x70_ccnet_buckets")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

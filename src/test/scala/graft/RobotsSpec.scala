@@ -91,6 +91,59 @@ class RobotsSpec extends SparkTestBase {
     assert(decide(txt, "/page"))
   }
 
+  test("query with no path is matched as /?query (RFC path-and-query)") {
+    val txt = "User-agent: graftbot\nDisallow: /*?*\n"
+    assert(!decide(txt, "?x=1"))   // http://h.test?x=1 → /?x=1
+    assert(!decide(txt, "/p?x=1")) // usual shape still matches
+    assert(decide(txt, "/plain"))
+  }
+
+  test("mixed-case host in the robots table still joins (normalized key)") {
+    import spark.implicits._
+    val rules = Robots.rulesTable(
+      Seq((" H.Test ", "User-agent: *\nDisallow: /x/")).toDF("host", "robots_txt"),
+      "graftbot")
+    val urls = Seq((1L, "http://h.test/x/1")).toDF("doc_id", "url")
+    assert(!Robots.robotsFilter(urls, rules).head().getAs[Boolean]("allowed"))
+  }
+
+  test("hostile backtracking pattern is matched in linear time") {
+    // `/*a*a*a…` vs a long non-matching path detonates a backtracking
+    // regex engine super-polynomially; the glob kernel must answer in
+    // milliseconds. 20 stars × 4k path ≈ 80k char ops per (row, rule).
+    val hostile = "/" + ("*a" * 20) + "b$"
+    val path = "/" + ("a" * 4000) + "c"
+    val t0 = System.nanoTime()
+    val txt = s"User-agent: graftbot\nDisallow: $hostile\n"
+    assert(decide(txt, path)) // no match → allowed, and promptly
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 30000, s"hostile pattern took ${ms}ms") // Spark job overhead dominates
+    // and the kernel itself is fast and correct on its own
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val k0 = System.nanoTime()
+    assert(!graft.expressions.GlobMatchOps.robotsMatch(u8(path), u8(hostile)))
+    assert(graft.expressions.GlobMatchOps.robotsMatch(
+      u8("/" + ("a" * 40) + "b"), u8(hostile)))
+    assert((System.nanoTime() - k0) / 1e6 < 1000)
+  }
+
+  test("glob kernel: anchors, prefix semantics, literals, star runs") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def m(s: String, p: String) =
+      graft.expressions.GlobMatchOps.robotsMatch(u8(s), u8(p))
+    assert(m("/a/b/c", "/a/"))        // prefix
+    assert(!m("/a", "/a/"))           // pattern longer than path
+    assert(m("/x.pdf", "/*.pdf$"))    // end anchor
+    assert(!m("/x.pdfz", "/*.pdf$"))
+    assert(m("/x.pdfz", "/*.pdf"))    // no anchor → prefix
+    assert(m("/ab", "/a**b$"))        // star runs collapse
+    assert(m("/aXYb", "/a**b$"))
+    assert(!m("/aXb", "/a.b"))        // '.' literal
+    assert(m("/a$b/c", "/a$b"))       // interior '$' literal
+    assert(m("/anything", "*"))
+    assert(m("", ""))                 // empty pattern matches
+  }
+
   test("decision plan: host-keyed join + one max_by aggregation, no products") {
     import spark.implicits._
     val rules = Robots.rulesTable(

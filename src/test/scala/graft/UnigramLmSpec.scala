@@ -104,6 +104,40 @@ class UnigramLmSpec extends SparkTestBase {
     assert(ids(2L) === List(0, -1, 2)) // 'x' is the UNK fallback
   }
 
+  test("astral-plane text segments by codepoint, never splitting surrogate pairs") {
+    // 😀 = U+1F600 (2 UTF-16 units). A UTF-16-unit viterbi would emit
+    // lone-surrogate pieces that UTF8String mangles to '?'; codepoint
+    // segmentation must keep each emoji whole and round-trip exactly.
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = s"a${emoji}b$emoji"
+    val m = model("a" -> 2, "b" -> 2, emoji -> 5)
+    val pieces = UnigramLm.viterbi(word, m)
+    assert(pieces === Seq("a", emoji, "b", emoji))
+    assert(pieces.mkString === word)
+    // multi-codepoint piece crossing an astral char stays aligned
+    val m2 = model("a" -> 1, "b" -> 1, emoji -> 1, s"a$emoji" -> 50)
+    assert(UnigramLm.viterbi(word, m2) === Seq(s"a$emoji", "b", emoji))
+    // training on astral text: alphabet keeps whole codepoints and
+    // the trained model round-trips through the SQL kernel
+    import spark.implicits._
+    val docs = Seq((1L, s"$word $word ${emoji}x"), (2L, s"x$emoji $word"))
+      .toDF("doc_id", "text")
+    val trained = UnigramLm.train(docs, vocabSize = 8, maxPieceLen = 3,
+      emRounds = 1, minCount = 1)
+    trained.scores.keys.foreach { p =>
+      assert(!(p.length == 1 && Character.isSurrogate(p.charAt(0))),
+        s"lone surrogate piece: ${p.map(_.toInt).mkString(",")}")
+      // every piece round-trips codepoints → String (no unpaired halves)
+      val cps = p.codePoints().toArray
+      assert(new String(cps, 0, cps.length) == p)
+    }
+    val seg = UnigramLm.segmentDocs(docs, trained).orderBy("doc_id")
+      .select("seg").as[String].collect()
+    assert(seg(0).replace(" ", "") == s"$word$word${emoji}x".replace(" ", ""))
+    // no '?' anywhere in the inputs ⇒ any '?' is a mangled surrogate
+    assert(!seg.exists(_.contains('?')))
+  }
+
   test("empty and blank text segment to nothing") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
