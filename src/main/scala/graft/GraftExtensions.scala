@@ -210,6 +210,20 @@ object GraftExtensions {
     ("regexp_like_cached", 2, { case Seq(s, p) =>
       graft.expressions.RegexpLikeCached(s, p) }),
 
+    // robots_glob_match(path, pattern): linear-time RFC 9309 robots
+    // wildcard match — no backtracking engine on untrusted patterns
+    // (see GlobMatchOps).
+    ("robots_glob_match", 2, { case Seq(s, p) =>
+      graft.expressions.RobotsGlobMatch(s, p) }),
+
+    // langid_scores(features, model-key-literal): map-only multiclass
+    // NB language-ID scoring against a registered broadcast model —
+    // struct<lang_pred, lid_score, n_grams> (see LangIdScoreOps).
+    ("langid_scores", 2, { case Seq(f,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.LangIdScores(f,
+        graft.expressions.LangIdScoreOps.resolve(k.toString)) }),
+
     // keyword_counts(text, automaton-key-literal): one-pass
     // Aho-Corasick multi-pattern occurrence counts (all occurrences,
     // overlapping included), array<int> in pattern-declaration order.

@@ -35,9 +35,11 @@ object PiiScanOps {
     Pattern.compile(graft.operators.PiiOps.PhonePattern)
 
   /** Replace every match with `token` (or group1+token+group3 when
-    * `guarded`), returning (result, matches). One Matcher pass. */
-  private def replaceCount(s: String, p: Pattern, token: String,
-                           guarded: Boolean): (String, Int) = {
+    * `guarded`), returning (result, matches). One Matcher pass.
+    * The REFERENCE path — the hand kernels below are fuzz-pinned
+    * bit-equal to it (PiiScanSpec). */
+  private[expressions] def replaceCount(s: String, p: Pattern, token: String,
+                                        guarded: Boolean): (String, Int) = {
     val m = p.matcher(s)
     if (!m.find()) return (s, 0)
     val sb = new java.lang.StringBuilder(s.length)

@@ -101,4 +101,56 @@ object LangId {
     docs.select(col(idCol)).join(best, Seq(idCol), "left")
       .na.fill(0L, Seq("n_grams"))
   }
+
+  /** Collect the trained tables into the dense map-only model:
+    * per-language priors + numBuckets·L smoothed log-likelihoods —
+    * bounded by construction (the PQ-codebook collect class), the
+    * artifact every scoring pass broadcasts. */
+  def collectModel(counts: DataFrame, totals: DataFrame,
+                   numBuckets: Int = 1 << 16,
+                   k: Double = 1.0): graft.expressions.LangIdScoreOps.Model = {
+    val tot = totals.select("lang", "t_grams", "n_docs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(tot.nonEmpty, "no trained languages")
+    val totalDocs = tot.map(_._3).sum.toDouble
+    val langIdx = tot.map(_._1).zipWithIndex.toMap
+    val llr = tot.map { case (_, tg, _) =>
+      // smoothing floor everywhere; observed counts overwrite below.
+      // SAME double expression as predict's per-row formula:
+      // (c + k) / (t_grams + k·D) through Math.log
+      Array.fill(numBuckets)(math.log(k / (tg + k * numBuckets)))
+    }
+    counts.select("f", "lang", "c").collect().foreach { r =>
+      val l = langIdx(r.getString(1))
+      val tg = tot(l)._2
+      llr(l)(r.getLong(0).toInt) =
+        math.log((r.getLong(2) + k) / (tg + k * numBuckets))
+    }
+    graft.expressions.LangIdScoreOps.Model(
+      tot.map(_._1), tot.map(t => math.log(t._3 / totalDocs)), llr)
+  }
+
+  /** The ZERO-shuffle scorer (the x75 `importanceWeightsMapOnly`
+    * pattern): trigram hashing stays in the same certified Spark
+    * expressions as [[predict]], and the per-language fold + argmax
+    * runs inside ONE codegen kernel against the broadcast model — no
+    * terms×L join, no exchange at all. Output row-for-row identical
+    * to [[predict]] (LangIdSpec pins it): (idCol, lang_pred,
+    * lid_score, n_grams). */
+  def predictMapOnly(docs: DataFrame,
+                     model: graft.expressions.LangIdScoreOps.Model,
+                     numBuckets: Int = 1 << 16, n: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val feats = transform(charNgrams(col(textCol), n),
+      g => QualityClassifier.hashedFeature(g, numBuckets,
+        fastHash = false, salt = "lid_"))
+    val key = graft.expressions.LangIdScoreOps.register(model)
+    docs.select(col(idCol),
+        call_function("langid_scores", feats, lit(key)).as("_r"))
+      .select(col(idCol), col("_r.lang_pred").as("lang_pred"),
+        col("_r.lid_score").as("lid_score"), col("_r.n_grams").as("n_grams"))
+  }
 }

@@ -75,7 +75,12 @@ object SelectionProbes {
         val (tc, rc) = Dsir.bucketCountsSplit(docs,
           col("doc_id") % 5 === 0, numBuckets = 4096)
         val lr = Dsir.logRatios(tc, rc, numBuckets = 4096)
-        val w = Dsir.importanceWeights(raw, lr, numBuckets = 4096)
+        // the certified path IS the 100 TB path (r9): the bounded
+        // ratio table collects once and scoring is the zero-shuffle
+        // lookup-array projection — SelectionSpec pins it equal to
+        // the join-shaped reference scorer Dsir.importanceWeights
+        val w = Dsir.importanceWeightsMapOnly(raw,
+          Dsir.collectRatios(lr, 4096), numBuckets = 4096)
         Dsir.gumbelTopK(w, k = 100).orderBy("doc_id")
       },
       Some(s"""WITH tok0 AS ($tokSql),
@@ -372,7 +377,12 @@ object SelectionProbes {
         val docs = Tables.documents(s, d)
         val (counts, totals) = LangId.train(
           docs.where(col("doc_id") % 2 === 0), numBuckets = 4096)
-        LangId.predict(docs, counts, totals, numBuckets = 4096)
+        // the certified path IS the 100 TB path (r9): the bounded
+        // model collects once and scoring is the zero-shuffle codegen
+        // kernel — LangIdSpec pins it row-for-row equal to the
+        // join-shaped reference scorer LangId.predict
+        val model = LangId.collectModel(counts, totals, numBuckets = 4096)
+        LangId.predictMapOnly(docs, model, numBuckets = 4096)
           .orderBy("doc_id")
       },
       Some("""WITH norm AS (

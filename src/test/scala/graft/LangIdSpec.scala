@@ -80,6 +80,48 @@ class LangIdSpec extends SparkTestBase {
       t7.orderBy("lang").collect().toSeq)
   }
 
+  test("map-only scorer is row-for-row identical to the join scorer") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (counts, totals) = LangId.train(
+      docs.where(col("doc_id") % 2 === 0), numBuckets = 4096)
+    val joined = LangId.predict(docs, counts, totals, numBuckets = 4096)
+      .orderBy("doc_id").collect()
+    val model = LangId.collectModel(counts, totals, numBuckets = 4096)
+    val mapOnly = LangId.predictMapOnly(docs, model, numBuckets = 4096)
+      .orderBy("doc_id").collect()
+    assert(joined.length === mapOnly.length)
+    joined.zip(mapOnly).foreach { case (a, b) =>
+      assert(a === b, s"join $a vs map-only $b")
+    }
+    // the real-corpus (meaningful labels) path agrees too, and the
+    // held-out accuracy carries over
+    val train = corpus.where(col("doc_id") % 5 =!= 4)
+    val (c2, t2) = LangId.train(train, numBuckets = 1 << 14)
+    val m2 = LangId.collectModel(c2, t2, numBuckets = 1 << 14)
+    val pred = LangId.predictMapOnly(corpus.where(col("doc_id") % 5 === 4),
+        m2, numBuckets = 1 << 14)
+      .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select("lang", "lang_pred").as[(String, String)].collect()
+    assert(pred.nonEmpty && pred.forall { case (l, p) => l == p })
+    // null/zero contract for featureless docs matches predict's
+    val short = LangId.predictMapOnly(
+      Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text"), m2,
+      numBuckets = 1 << 14).orderBy("doc_id").collect()
+    assert(short.forall(r => r.isNullAt(1) && r.getAs[Long]("n_grams") === 0L))
+  }
+
+  test("map-only scoring plan has zero exchanges") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (counts, totals) = LangId.train(
+      docs.where(col("doc_id") % 2 === 0), numBuckets = 4096)
+    val model = LangId.collectModel(counts, totals, numBuckets = 4096)
+    val p = LangId.predictMapOnly(docs, model, numBuckets = 4096)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"exchange in the map-only scorer:\n$p")
+    assert(!p.contains("Join"), s"join in the map-only scorer:\n$p")
+  }
+
   test("model is bounded by numBuckets x languages") {
     val (counts, _) = LangId.train(corpus, numBuckets = 64)
     assert(counts.count() <= 64L * 3)
