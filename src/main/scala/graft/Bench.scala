@@ -16,6 +16,37 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  /** Other live JVMs on the box — the r8 contamination signature was
+    * the round driver's own correctness/verify JVMs running during
+    * the timed pass. */
+  private def otherJvms: Long = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().iterator().asScala.count { p =>
+      p.pid() != self &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }
+  }
+
+  /** Prior per-probe seconds from the last BENCH_SELF.json at the SAME
+    * sf — the regression baseline for the >3× history check. */
+  private def parseHistory(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      val qStart = s.indexOf("\"queries\":{")
+      if (qStart < 0 || !s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+        "\"([A-Za-z0-9_]+)\":([-0-9.Ee+]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -99,10 +130,72 @@ object Bench {
     // generated-class cache eviction by OTHER probes, and min-of-2 is
     // the honest warm-vs-warm comparison against BASELINE.md's
     // warm-run DuckDB proxy timings.
+    // CONTENTION-PROOFING (r9, after the r8 artifact recorded 170s on
+    // a loaded box where a clean run measures ~87s): (1) a fixed
+    // calibration micro-probe runs between entries — its wall moving
+    // >2x off its quiet-start baseline means ANOTHER process owned the
+    // cores during that window; (2) a probe whose two timed runs
+    // disagree >2x re-runs (min-of-all still recorded, probe flagged);
+    // (3) a probe >3x its last BENCH_SELF number at the same sf
+    // re-runs once and is flagged if still regressed; (4) load average
+    // and the count of other live JVMs are recorded in the JSON, and
+    // the notes' headline number is GENERATED from this run's total so
+    // artifact value and notes cannot diverge.
+    val loadStart = loadAvg
+    val jvmsStart = otherJvms
+    val t = runProbes(spark, sfDir, warmDir, canWarm, warmMode, diag)
+    val qs = t.results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (t.results.nonEmpty) t.results.values.sum else 0.0
+    doEmit(t.results, total, qs, warmMode, sfDir, t.calibBase, t.calibWorst,
+      t.calibSpikes, loadStart, jvmsStart, t.contended, t.regressed)
+    spark.stop()
+  }
+
+  private final case class TimedPass(results: Map[String, Double],
+                                     calibBase: Double, calibWorst: Double,
+                                     contended: Seq[String],
+                                     regressed: Seq[String],
+                                     calibSpikes: Seq[String])
+
+  // the timed pass lives out of main: scalac's cold (pre-JIT) typer
+  // overflows its stack on main's body during CLEAN builds when this
+  // block nests inside it (incremental builds, with a warmed typer,
+  // compiled fine — the nastiest kind of green)
+  private def runProbes(spark: SparkSession, sfDir: String, warmDir: String,
+                        canWarm: Boolean, warmMode: String,
+                        diag: Boolean): TimedPass = {
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    val calibDf = {
+      import org.apache.spark.sql.functions._
+      // bounded per-row values so the ANSI sum cannot overflow Long
+      spark.range(20000000L)
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+        .groupBy(pmod(col("h"), lit(32))).agg(sum("h"))
+    }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      force(calibDf)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // history is per-sf: BENCH_SELF.json only counts when its sf
+    // matches; otherwise the per-sf archive emit() also writes
+    val sfBase = new java.io.File(sfDir).getName
+    val history = {
+      val main = parseHistory("BENCH_SELF.json", sfDir)
+      if (main.nonEmpty) main
+      else parseHistory(s"BENCH_SELF.$sfBase.json", sfDir)
+    }
+    val calibBase = (1 to 3).map(_ => calibrate()).min
+    var calibWorst = calibBase
+    val contendedProbes = scala.collection.mutable.ArrayBuffer[String]()
+    val regressedProbes = scala.collection.mutable.ArrayBuffer[String]()
+    val calibSpikes = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmMode == "inter" && canWarm)
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
-      val sec = (1 to 2).map { _ =>
+      def timed(): Double = {
         val (cc0, gc0) = (compileCount, gcMillis)
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
@@ -110,13 +203,57 @@ object Bench {
         if (diag) System.err.println(
           f"DIAG $name%-28s ${s}%8.3fs compiles=${compileCount - cc0}%3d gc=${gcMillis - gc0}%4dms")
         s
-      }.min
+      }
+      var runs = List(timed(), timed())
+      // min-of-2 back-to-back runs (run 2 measures the plan; see the
+      // warmup rationale above); >2x disagreement above the noise
+      // floor = something else ran during one window — take more runs
+      var extra = 0
+      while (extra < 2 && runs.min > 0.25 &&
+        runs.max / math.max(runs.min, 1e-9) > 2.0) {
+        if (extra == 0) contendedProbes += name
+        runs = timed() :: runs
+        extra += 1
+      }
+      var sec = runs.min
+      history.get(name).foreach { h =>
+        if (sec > 3 * h && sec > 0.5) {
+          sec = math.min(sec, timed())
+          if (sec > 3 * h) regressedProbes += name
+        }
+      }
+      val c = calibrate()
+      calibWorst = math.max(calibWorst, c)
+      if (c > 2 * calibBase) calibSpikes += name
       name -> sec
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val notes = "vs the DuckDB oracle proxy (warm, 32 threads, same " +
+    TimedPass(results, calibBase, calibWorst, contendedProbes.toSeq,
+      regressedProbes.toSeq, calibSpikes.toSeq)
+  }
+
+  private def doEmit(results: Map[String, Double], total: Double, qs: String,
+                     warmMode: String, sfDir: String,
+                     calibBase: Double, calibWorst: Double,
+                     calibSpikes: Seq[String], loadStart: Double,
+                     jvmsStart: Long, contendedProbes: Seq[String],
+                     regressedProbes: Seq[String]): Unit = {
+    // THIS RUN's headline, generated from the measured total so the
+    // artifact's value field and the notes headline are the same
+    // number by construction; historical narrative (earlier rounds'
+    // totals, kept in notesVal) follows it.
+    val thisRun = thisRunNote(total, results.size, sfDir, calibBase,
+      calibWorst, calibSpikes, loadStart, loadAvg, jvmsStart,
+      contendedProbes, regressedProbes)
+    val telemetry = telemetryJson(loadStart, loadAvg, jvmsStart, calibBase,
+      calibWorst, contendedProbes, regressedProbes, calibSpikes)
+    emit(results, total, qs, warmMode, sfDir, thisRun + notesVal,
+      volumeNotesVal, telemetry)
+  }
+
+  // the r1-r8 narrative — out of main for the same typer-depth reason
+  // as notesR8/notesR8c (the expression chain overflowed the scalac
+  // typer when it lived inside main's body)
+  private lazy val notesVal = "vs the DuckDB oracle proxy (warm, 32 threads, same " +
       "parquet, full 109-query suite at sf0.1, timed 2026-08-13 r7): " +
       "Spark 34.7s vs DuckDB 33.6-34.8s warm on the identical oracle " +
       "manifest = 1.00x - parity holds on the suite GROWN by the " +
@@ -270,10 +407,37 @@ object Bench {
       "bounded jobs, task sum 0.84s, single-task stages on the " +
       "single-row-group file); all six IVF/PQ-family probes " +
       "re-certified hash-equal. " + notesR8
-    // operational-volume evidence from the dedicated bench mains
-    // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
-    emit(results, total, qs, warmMode, sfDir, notes, volumeNotesVal)
-    spark.stop()
+
+  // out-of-line (typer-depth: main's expression chain is at the limit)
+  private def thisRunNote(total: Double, n: Int, sfDir: String,
+                          calibBase: Double, calibWorst: Double,
+                          calibSpikes: Seq[String], loadStart: Double,
+                          loadEnd: Double, jvms: Long, contended: Seq[String],
+                          regressed: Seq[String]): String = {
+    def list(xs: Seq[String]) = if (xs.isEmpty) "none" else xs.mkString(",")
+    Seq(
+      f"THIS RUN (the artifact's value field): total $total%.1fs over $n " +
+        f"probes at $sfDir.",
+      f"Contention telemetry: calibration micro-probe base $calibBase%.3fs " +
+        f"worst $calibWorst%.3fs (>2x base during a probe's window = " +
+        s"foreign load; spiked at: ${list(calibSpikes)}),",
+      f"load-avg $loadStart%.1f->$loadEnd%.1f, other JVMs at start $jvms.",
+      s"Probes whose two runs disagreed >2x (re-run, min recorded): " +
+        s"${list(contended)}.",
+      s"Probes >3x their BENCH_SELF history after re-run: ${list(regressed)}.",
+      "Every historical total below is a PRIOR round's run, not this " +
+        "artifact's value. ").mkString(" ")
+  }
+
+  private def telemetryJson(loadStart: Double, loadEnd: Double, jvms: Long,
+                            calibBase: Double, calibWorst: Double,
+                            contended: Seq[String], regressed: Seq[String],
+                            calibSpikes: Seq[String]): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
+      s""""other_jvms":$jvms,"calib_base":$calibBase,""" +
+      s""""calib_worst":$calibWorst,"contended":${arr(contended)},""" +
+      s""""regressed":${arr(regressed)},"calib_spikes":${arr(calibSpikes)}"""
   }
 
   // r8 measurement-honesty paragraph — its own val: the cumulative
@@ -516,7 +680,7 @@ object Bench {
   // full per-query map survives tail truncation.
   private def emit(results: Map[String, Double], total: Double, qs: String,
                    warmMode: String, sfDir: String, notes: String,
-                   volumeNotes: String): Unit = {
+                   volumeNotes: String, telemetry: String): Unit = {
     // JSON-escape the free-text fields — a stray backslash or quote in
     // builder-authored notes must not invalidate the metric line
     def esc(s: String): String = s.flatMap {
@@ -525,9 +689,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val line = s"""{"queries":$qs,"warm":"$warmMode","notes":"${esc(notes)}","volume_notes":"${esc(volumeNotes)}","metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"queries":$qs,"warm":"$warmMode","notes":"${esc(notes)}","volume_notes":"${esc(volumeNotes)}",$telemetry,"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case _: Exception => () }
+    // per-sf archive: a smoke run at another sf must not clobber the
+    // regression-history baseline of the scored sf
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        s"BENCH_SELF.${new java.io.File(sfDir).getName}.json"), line + "\n")
     catch { case _: Exception => () }
     println(line)
   }

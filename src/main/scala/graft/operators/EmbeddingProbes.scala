@@ -96,5 +96,97 @@ object EmbeddingProbes {
              |SELECT vec_id, ROUND(list_dot_product(u.u, q.q), 6) AS sim
              |FROM u, q WHERE vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Matryoshka × at-rest composition (the r8 verdict's ask): the
+    // truncated-normalized vectors (16 of 64 dims — the storage half
+    // of the Matryoshka lever) feed writeInt8Index, so the at-rest
+    // codes table is 1/4 the dims AND int8 — 16× smaller bytes than
+    // the raw floats — and the query still partition-prunes to nprobe
+    // cells. Integer cosine survives partitioning exactly (the x73
+    // argument, carried verbatim to the truncated space); the oracle
+    // composes the x99 truncation CTEs with the x73 index CTEs.
+    // MatryoshkaAtRestSpec gates the file-level PartitionFilters ----
+    Probe("x100_matryoshka_at_rest",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val t = EmbeddingOps.truncateNormalize(
+            Tables.embeddings(s, d), dims = 16)
+          .select(col("vec_id"), col("embedding_t"))
+        val fp = t.agg(count(lit(1)), sum(col("vec_id"))).collect()(0)
+        val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x100_mat_index_$tag"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
+          Similarity.writeInt8Index(t, dir, nlist = 8,
+            vecCol = "embedding_t")
+        val q = t.where(col("vec_id") === 0)
+          .select("embedding_t").head().getSeq[Double](0)
+        Similarity.topKInt8FromIndex(s, dir, q, k = 10, nprobe = 6,
+            excludeId = Some(0L))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH tn AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id, t,
+             |        SQRT(list_dot_product(t, t)) AS nm FROM tn),
+             |u AS (SELECT vec_id,
+             |        CASE WHEN nm = 0 THEN t
+             |             ELSE list_transform(t, x -> x / nm) END AS u
+             |      FROM nrm),
+             |init AS (
+             |  SELECT vec_id, u,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM u),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(u) AS x,
+             |             generate_subscripts(u, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(x), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.u, i.u)
+             |          - 2 * list_dot_product(i.u, c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |q AS (SELECT u AS qv FROM u WHERE vec_id = 0),
+             |probecells AS (
+             |  SELECT cell FROM (
+             |    SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+             |      ROUND(list_dot_product(q.qv, q.qv)
+             |        - 2 * list_dot_product(q.qv, c.c)
+             |        + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM cent c CROSS JOIN q) WHERE rn <= 6),
+             |qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(u, x -> abs(x))), 1e-30)
+             |      / 127.0 AS s,
+             |    u
+             |  FROM u),
+             |codes AS (
+             |  SELECT vec_id,
+             |    list_transform(u, x -> floor(x / s + 0.5)) AS codes
+             |  FROM qz),
+             |qc AS (SELECT codes AS cq FROM codes WHERE vec_id = 0),
+             |sim AS (
+             |  SELECT c.vec_id,
+             |    list_dot_product(c.codes, qc.cq) /
+             |      (sqrt(list_dot_product(c.codes, c.codes)) *
+             |       sqrt(list_dot_product(qc.cq, qc.cq))) AS sim
+             |  FROM codes c
+             |  JOIN assigned a USING (vec_id)
+             |  JOIN probecells p ON a.cell = p.cell
+             |  CROSS JOIN qc
+             |  WHERE c.vec_id <> 0)
+             |SELECT vec_id, sim FROM sim
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
   )
 }
