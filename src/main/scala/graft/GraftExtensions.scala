@@ -216,13 +216,18 @@ object GraftExtensions {
     ("robots_glob_match", 2, { case Seq(s, p) =>
       graft.expressions.RobotsGlobMatch(s, p) }),
 
-    // langid_scores(features, model-key-literal): map-only multiclass
-    // NB language-ID scoring against a registered broadcast model —
-    // struct<lang_pred, lid_score, n_grams> (see LangIdScoreOps).
-    ("langid_scores", 2, { case Seq(f,
-        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
-      graft.expressions.LangIdScores(f,
-        graft.expressions.LangIdScoreOps.resolve(k.toString)) }),
+    // langid_score_text(norm_text, model-key-literal, n, numBuckets):
+    // map-only multiclass NB language-ID scoring against a registered
+    // broadcast model — trigram extraction + salted-md5 bucketing +
+    // per-language fold in ONE kernel call (see LangIdScoreOps) —
+    // struct<lang_pred, lid_score, n_grams>.
+    ("langid_score_text", 4, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType),
+        nE, bE) =>
+      graft.expressions.LangIdScoreText(t,
+        graft.expressions.LangIdScoreOps.resolve(k.toString),
+        litInt("langid_score_text", nE),
+        litInt("langid_score_text", bE)) }),
 
     // keyword_counts(text, automaton-key-literal): one-pass
     // Aho-Corasick multi-pattern occurrence counts (all occurrences,

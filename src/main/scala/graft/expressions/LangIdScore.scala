@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,17 +16,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The trained model is bounded at numBuckets·L log-likelihood doubles
   * plus L priors — broadcastable at any corpus size — so scoring does
-  * not need the terms×L model JOIN of the reference path (distinct
-  * (doc, feature) rows fanned out × languages through a shuffle): it
-  * is ONE projection evaluating this kernel over each document's
-  * hashed-trigram array. Semantics are pinned to `LangId.predict`:
-  * per-language score = round6(prior + Σ_f m_f · llr_lang(f)) with the
-  * multiplicity sum over DISTINCT features in ascending feature order
-  * (a deterministic order; the join path's shuffle order differs, and
+  * not need the terms×L model JOIN of the reference path: it is ONE
+  * projection evaluating this kernel over each document's NORMALIZED
+  * text (normalization stays the certified Spark expression chain).
+  *
+  * The kernel owns trigram extraction and the salted-md5 bucket hash,
+  * NOT per-gram Spark expressions: the expression-chain formulation
+  * (md5 → hex string → substring → conv → cast per gram) measured
+  * 3.7 µs/gram — 5.4 s for the sf0.1 corpus on its single-row-group
+  * scan — where a thread-local digest over the UTF-8 byte window
+  * (the x40 CountMin fix, bit-identical by construction: the first 7
+  * hex digits of md5 ARE the top 28 bits of its first 4 bytes) pays
+  * ~0.2 µs. Windows are CODEPOINT-aligned byte slices, matching
+  * Spark `substr` semantics on UTF8String.
+  *
+  * Per-language score = round6(prior + Σ_f m_f · llr_lang(f)) with
+  * the multiplicity sum over DISTINCT features in ascending feature
+  * order (deterministic; the join path's shuffle order differs, and
   * round-6 is the established absorber — the same policy that
   * certifies the join path against DuckDB's own sum order); argmax
   * ties resolve to the binary-larger language code, `max(struct)`'s
-  * rule. No features → (null, null, 0).
+  * rule. Fewer than n codepoints → (null, null, 0).
   */
 object LangIdScoreOps {
 
@@ -42,12 +51,54 @@ object LangIdScoreOps {
       langs.map(UTF8String.fromString)
   }
 
-  def score(feats: ArrayData, model: Model): InternalRow = {
-    val n = feats.numElements()
-    if (n == 0) return InternalRow(null, null, 0L)
-    val fs = new Array[Long](n)
+  private val SaltBytes = "lid_".getBytes("UTF-8")
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Trigram-hash + score one normalized document. `numBuckets` must
+    * match the model's training bucketing. */
+  def scoreNormText(norm: UTF8String, n: Int, numBuckets: Int,
+                    model: Model): InternalRow = {
+    val bytes = norm.getBytes
+    // codepoint start offsets (UTF-8 lead-byte scan) + end sentinel
+    var cp = 0
     var i = 0
-    while (i < n) { fs(i) = feats.getLong(i); i += 1 }
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) cp += 1
+      i += 1
+    }
+    if (cp < n) return InternalRow(null, null, 0L)
+    val offs = new Array[Int](cp + 1)
+    var k = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(k) = i; k += 1 }
+      i += 1
+    }
+    offs(k) = bytes.length
+    val nGrams = cp - (n - 1)
+    val fs = new Array[Long](nGrams)
+    val md = digests.get()
+    val out = new Array[Byte](16)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(SaltBytes)
+      md.update(bytes, offs(g), offs(g + n) - offs(g))
+      md.digest(out, 0, 16)
+      // first 7 hex digits of the md5 = top 28 bits of bytes 0..3 —
+      // identical to conv(substring(md5_hex, 1, 7), 16, 10)
+      fs(g) = ((((out(0) & 0xFFL) << 20) | ((out(1) & 0xFFL) << 12) |
+        ((out(2) & 0xFFL) << 4) | ((out(3) & 0xFFL) >>> 4))
+        % numBuckets)
+      g += 1
+    }
+    scoreFeatures(fs, model)
+  }
+
+  private def scoreFeatures(fs: Array[Long], model: Model): InternalRow = {
+    val n = fs.length
     java.util.Arrays.sort(fs)
     val L = model.langs.length
     var bestIdx = -1
@@ -91,27 +142,30 @@ object LangIdScoreOps {
   }
 }
 
-/** langid_scores(features, model-key-literal) →
-  * struct<lang_pred, lid_score, n_grams>. */
-case class LangIdScores(child: Expression, model: LangIdScoreOps.Model)
+/** langid_score_text(normalized_text, model-key-literal, n, numBuckets)
+  * → struct<lang_pred, lid_score, n_grams>. */
+case class LangIdScoreText(child: Expression, model: LangIdScoreOps.Model,
+                           n: Int, numBuckets: Int)
     extends UnaryExpression {
+  require(n >= 1 && numBuckets >= 1)
   override def dataType: DataType = StructType(Seq(
     StructField("lang_pred", StringType, nullable = true),
     StructField("lid_score", DoubleType, nullable = true),
     StructField("n_grams", LongType, nullable = false)))
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"langid_scores expects array<bigint> features, got ${t.simpleString}")
+      s"langid_score_text expects a string input, got ${t.simpleString}")
   }
   override protected def nullSafeEval(input: Any): Any =
-    LangIdScoreOps.score(input.asInstanceOf[ArrayData], model)
+    LangIdScoreOps.scoreNormText(input.asInstanceOf[UTF8String], n,
+      numBuckets, model)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("lidModel", model,
       "graft.expressions.LangIdScoreOps.Model")
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.LangIdScoreOps$$.MODULE$$.score($c, $m)")
+      s"graft.expressions.LangIdScoreOps$$.MODULE$$.scoreNormText($c, $n, $numBuckets, $m)")
   }
-  override protected def withNewChildInternal(newChild: Expression): LangIdScores =
+  override protected def withNewChildInternal(newChild: Expression): LangIdScoreText =
     copy(child = newChild)
 }

@@ -132,25 +132,29 @@ object LangId {
   }
 
   /** The ZERO-shuffle scorer (the x75 `importanceWeightsMapOnly`
-    * pattern): trigram hashing stays in the same certified Spark
-    * expressions as [[predict]], and the per-language fold + argmax
-    * runs inside ONE codegen kernel against the broadcast model — no
-    * terms×L join, no exchange at all. Output row-for-row identical
-    * to [[predict]] (LangIdSpec pins it): (idCol, lang_pred,
-    * lid_score, n_grams). */
+    * pattern): text normalizes through the same certified Spark
+    * expression chain as [[predict]], then trigram extraction, the
+    * salted-md5 bucket hash, and the per-language fold + argmax run
+    * inside ONE codegen kernel against the broadcast model — no
+    * terms×L join, no per-gram expression chain (3.7 µs/gram measured
+    * for md5→hex→substring→conv per gram vs ~0.2 µs for the kernel's
+    * thread-local digest — the x40 CountMin fix, bit-identical), no
+    * exchange at all. Output row-for-row identical to [[predict]]
+    * (LangIdSpec pins it): (idCol, lang_pred, lid_score, n_grams). */
   def predictMapOnly(docs: DataFrame,
                      model: graft.expressions.LangIdScoreOps.Model,
                      numBuckets: Int = 1 << 16, n: Int = 3,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
-    val feats = transform(charNgrams(col(textCol), n),
-      g => QualityClassifier.hashedFeature(g, numBuckets,
-        fastHash = false, salt = "lid_"))
     val key = graft.expressions.LangIdScoreOps.register(model)
     docs.select(col(idCol),
-        call_function("langid_scores", feats, lit(key)).as("_r"))
+        call_function("langid_score_text",
+          TextOps.normalizeText(col(textCol)), lit(key), lit(n),
+          lit(numBuckets)).as("_r"))
       .select(col(idCol), col("_r.lang_pred").as("lang_pred"),
-        col("_r.lid_score").as("lid_score"), col("_r.n_grams").as("n_grams"))
+        col("_r.lid_score").as("lid_score"),
+        // null TEXT yields a null struct; predict's contract is 0
+        coalesce(col("_r.n_grams"), lit(0L)).as("n_grams"))
   }
 }
