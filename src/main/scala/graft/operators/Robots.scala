@@ -41,10 +41,27 @@ object Robots {
                               allow: Boolean, patLen: Int,
                               isPrefix: Boolean)
 
+  /** Max robots.txt bytes honored (RFC 9309 §2.5 lets parsers impose a
+    * limit and REQUIRES honoring at least 500 KiB — the Googlebot
+    * figure; content past the cap is ignored, matching its behavior). */
+  val MaxRobotsChars: Int = 512 * 1024
+
+  /** Max pattern length per rule and max rules per host: a hostile
+    * robots.txt is untrusted input, and the linear glob match is
+    * O(path·pattern) — a megabyte-long rule line (or a million rules
+    * fanning out of the decision join) turns "linear" into a stall.
+    * Overlong rules are DROPPED (conservative toward allowed=true, the
+    * RFC's no-rule default); rules beyond the count cap are ignored in
+    * file order, mirroring the byte-cap truncation semantics. */
+  val MaxPatternChars: Int = 4096
+  val MaxRulesPerHost: Int = 5000
+
   /** Parse one robots.txt for one user-agent: group selection per the
     * RFC (specific groups beat `*`; a `User-agent` line after rules
     * starts a new group; several adjacent UA lines share a group;
-    * comments stripped; keys case-insensitive). */
+    * comments stripped; keys case-insensitive). Hostile-input caps
+    * documented on [[MaxRobotsChars]]/[[MaxPatternChars]]/
+    * [[MaxRulesPerHost]]. */
   def parseRules(txt: String, userAgent: String): Seq[(String, Boolean)] = {
     val ua = userAgent.toLowerCase
     // accumulate (agents, rules) groups
@@ -52,7 +69,11 @@ object Robots {
       .empty[(scala.collection.mutable.ArrayBuffer[String],
         scala.collection.mutable.ArrayBuffer[(String, Boolean)])]
     var inAgents = false
-    (if (txt == null) "" else txt).split("\r?\n").foreach { raw =>
+    val bounded = {
+      val t = if (txt == null) "" else txt
+      if (t.length > MaxRobotsChars) t.substring(0, MaxRobotsChars) else t
+    }
+    bounded.split("\r?\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
       if (c > 0) {
@@ -68,10 +89,12 @@ object Robots {
             groups.last._1 += value.toLowerCase
           case "allow" | "disallow" =>
             inAgents = false
-            if (groups.nonEmpty && value.nonEmpty)
+            if (groups.nonEmpty && value.nonEmpty &&
+              value.length <= MaxPatternChars)
               groups.last._2 += ((value, key == "allow"))
             // empty value: "Disallow:" disallows nothing; "Allow:"
-            // allows nothing — both are no-ops
+            // allows nothing — both are no-ops. Overlong patterns
+            // drop (hostile-input cap, see MaxPatternChars).
           case _ => inAgents = false // crawl-delay, sitemap, …
         }
       }
@@ -79,7 +102,7 @@ object Robots {
     val specific = groups.filter(_._1.contains(ua))
     val chosen = if (specific.nonEmpty) specific
                  else groups.filter(_._1.contains("*"))
-    chosen.flatMap(_._2.toSeq).toSeq
+    chosen.flatMap(_._2.toSeq).take(MaxRulesPerHost).toSeq
   }
 
   /** Parse a (host, robots_txt) table into the rules table —

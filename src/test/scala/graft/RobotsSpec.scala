@@ -127,6 +127,30 @@ class RobotsSpec extends SparkTestBase {
     assert((System.nanoTime() - k0) / 1e6 < 1000)
   }
 
+  test("hostile-input caps: oversized file, overlong rule, rule flood") {
+    import graft.operators.Robots._
+    // content past the byte cap is ignored (the RFC's at-least-500KiB
+    // honor floor): a disallow appearing after the cap has no effect
+    val pad = "# " + ("x" * 80) + "\n"
+    val prelude = "User-agent: graftbot\nDisallow: /early/\n"
+    val tail = "User-agent: graftbot\nDisallow: /late/\n"
+    val big = prelude + pad * (MaxRobotsChars / pad.length + 10) + tail
+    val rules = parseRules(big, "graftbot")
+    assert(rules.contains(("/early/", false)))
+    assert(!rules.exists(_._1 == "/late/"))
+    // an overlong pattern drops (conservative toward allowed)
+    val longRule = s"User-agent: graftbot\nDisallow: /${"a" * MaxPatternChars}\n" +
+      "Disallow: /kept/\n"
+    val r2 = parseRules(longRule, "graftbot")
+    assert(r2 === Seq(("/kept/", false)))
+    // a rule flood truncates at the cap in file order
+    val flood = "User-agent: graftbot\n" +
+      (1 to MaxRulesPerHost + 100).map(i => s"Disallow: /p$i/").mkString("\n")
+    val r3 = parseRules(flood, "graftbot")
+    assert(r3.size === MaxRulesPerHost)
+    assert(r3.head === (("/p1/", false)))
+  }
+
   test("glob kernel: anchors, prefix semantics, literals, star runs") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     def m(s: String, p: String) =

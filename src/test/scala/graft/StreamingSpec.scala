@@ -712,4 +712,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got(10L)._1 > got(11L)._1, "target-like doc must outweigh spam")
     assert(got(12L) === ((0.0, 0L)), "empty doc weighs 0")
   }
+
+  test("langid map-only scorer streams against a trained model") {
+    // the deployment shape of language ID on unbounded ingest: the
+    // bounded NB model trains once, collects to the dense broadcast
+    // model, and SCORING is one codegen projection — the same operator
+    // code runs on the stream, equal to batch
+    val landing = Files.createTempDirectory("graft_liddocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_lid").toString
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog today"),
+      ("en", "she was walking through the streets with her friends"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund"),
+      ("de", "sie ging mit ihren freunden durch die alten straßen"))
+      .toDF("lang", "text")
+    val nb = 1 << 12
+    val (counts, totals) = graft.operators.LangId.train(train, numBuckets = nb)
+    val model = graft.operators.LangId.collectModel(counts, totals, nb)
+    val arrivals = Seq((10L, "the dog was walking through the streets"),
+      (11L, "der hund ging durch die alten straßen"),
+      (12L, "ab")).toDF("doc_id", "text")
+    arrivals.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[Long]("n_grams")))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.LangId.predictMapOnly(stream, model, nb),
+      "lidscore", ckpt, "append"))
+    val batch = render(graft.operators.LangId.predictMapOnly(arrivals, model, nb))
+    assert(got === batch)
+    assert(got(10L)._1 === "en")
+    assert(got(11L)._1 === "de")
+    assert(got(12L) === ((null, 0L)), "featureless doc predicts null")
+  }
 }
