@@ -26,10 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null in → null out.
   */
 object GlobMatchOps {
+
+  /** Path chars examined per match. O(path·pattern) needs BOTH sides
+    * bounded: rules are capped at [[graft.operators.Robots.MaxPatternChars]],
+    * and a hostile multi-megabyte URL path is truncated here — 8 KiB
+    * path × 4 KiB pattern × 5000 rules/host is the worst-case budget.
+    * A wildcard match that would need content beyond the cap is
+    * MISSED (conservative toward allowed, the RFC's no-rule default),
+    * and `$`-anchored patterns never match a truncated path (the true
+    * end is not visible — matching the cut point would fabricate
+    * disallows). */
+  val MaxPathChars: Int = 8192
+
   def robotsMatch(pathS: UTF8String, patternS: UTF8String): Boolean = {
-    val s = pathS.toString
+    val full = pathS.toString
+    val truncated = full.length > MaxPathChars
+    val s = if (truncated) full.substring(0, MaxPathChars) else full
     val rawP = patternS.toString
     val anchorEnd = rawP.nonEmpty && rawP.charAt(rawP.length - 1) == '$'
+    if (anchorEnd && truncated) return false
     val p = if (anchorEnd) rawP.substring(0, rawP.length - 1) else rawP
     val n = s.length
     val m = p.length

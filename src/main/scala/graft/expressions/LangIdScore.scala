@@ -46,6 +46,10 @@ object LangIdScoreOps {
   final case class Model(langs: Array[String], priors: Array[Double],
                          llr: Array[Array[Double]]) extends Serializable {
     require(langs.length == priors.length && langs.length == llr.length)
+    require(llr.nonEmpty && llr.forall(_.length == llr.head.length),
+      "ragged llr table")
+    /** The training bucket count — scoring MUST hash mod this. */
+    def numBuckets: Int = llr.head.length
     // UTF8String byte order = Spark's string comparison in max(struct)
     @transient lazy val langsU8: Array[UTF8String] =
       langs.map(UTF8String.fromString)
@@ -129,12 +133,18 @@ object LangIdScoreOps {
   }
 
   private val registry = new ConcurrentHashMap[String, Model]()
+  private val keysByModel = new ConcurrentHashMap[Model, String]()
   private val nextId = new AtomicInteger(0)
-  def register(m: Model): String = {
-    val key = s"mem:lid:${nextId.incrementAndGet()}"
-    registry.put(key, m)
-    key
-  }
+  /** Idempotent per model INSTANCE (case-class equality over Array
+    * fields is reference equality): a long-lived driver scoring
+    * repeatedly with a cached model reuses one registry entry instead
+    * of leaking a numBuckets·L copy per call. */
+  def register(m: Model): String =
+    keysByModel.computeIfAbsent(m, { mm =>
+      val key = s"mem:lid:${nextId.incrementAndGet()}"
+      registry.put(key, mm)
+      key
+    })
   def resolve(key: String): Model = {
     val m = registry.get(key)
     require(m != null, s"no langid model registered under '$key'")
@@ -148,6 +158,10 @@ case class LangIdScoreText(child: Expression, model: LangIdScoreOps.Model,
                            n: Int, numBuckets: Int)
     extends UnaryExpression {
   require(n >= 1 && numBuckets >= 1)
+  require(model.numBuckets == numBuckets,
+    s"model trained with ${model.numBuckets} buckets, scoring with " +
+      s"$numBuckets — silently-wrong buckets (or an out-of-range " +
+      "lookup); pass the training numBuckets")
   override def dataType: DataType = StructType(Seq(
     StructField("lang_pred", StringType, nullable = true),
     StructField("lid_score", DoubleType, nullable = true),

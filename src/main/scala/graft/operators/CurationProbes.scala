@@ -320,15 +320,16 @@ object CurationProbes {
       (s, d) => {
         graft.GraftExtensions.register(s)
         val embs = Tables.embeddings(s, d)
-        // build ONCE per corpus (x41's amortization contract): dir
-        // keyed by sf dir + cheap corpus fingerprint so regenerated
-        // testdata can never serve a stale index
-        val fp = embs.agg(count(lit(1)), sum(col("vec_id"))).collect()(0)
-        val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
+        // build ONCE per corpus (x41's amortization contract):
+        // value-sensitive fingerprint (count+key-sum alone would serve
+        // a stale index for regenerated data with the same id set) +
+        // completion marker gating BOTH outputs (IndexCache doc)
+        val tag = IndexCache.corpusTag("x73", d, embs,
+          Seq("vec_id", "embedding"))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x73_int8_index_$tag"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
+        IndexCache.ensureBuilt(dir) {
           Similarity.writeInt8Index(embs, dir, nlist = 8)
+        }
         val q = embs.where(col("vec_id") === 3)
           .select("embedding").head().getSeq[Float](0).map(_.toDouble)
         Similarity.topKInt8FromIndex(s, dir, q, k = 10, nprobe = 6,

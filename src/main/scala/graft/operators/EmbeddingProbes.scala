@@ -112,13 +112,15 @@ object EmbeddingProbes {
         val t = EmbeddingOps.truncateNormalize(
             Tables.embeddings(s, d), dims = 16)
           .select(col("vec_id"), col("embedding_t"))
-        val fp = t.agg(count(lit(1)), sum(col("vec_id"))).collect()(0)
-        val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
+        // value-sensitive fingerprint, computed once per corpus dir;
+        // completion marker gates BOTH index outputs (IndexCache doc)
+        val tag = IndexCache.corpusTag("x100", d,
+          Tables.embeddings(s, d), Seq("vec_id", "embedding"))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x100_mat_index_$tag"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
+        IndexCache.ensureBuilt(dir) {
           Similarity.writeInt8Index(t, dir, nlist = 8,
             vecCol = "embedding_t")
+        }
         val q = t.where(col("vec_id") === 0)
           .select("embedding_t").head().getSeq[Double](0)
         Similarity.topKInt8FromIndex(s, dir, q, k = 10, nprobe = 6,

@@ -1447,15 +1447,17 @@ object ExtensionProbes {
         val embs = Tables.embeddings(s, d)
         // build ONCE per corpus, then every query — including this
         // probe re-run — reads the index at rest: that amortization IS
-        // the operator's contract. The dir is keyed by the sf dir AND
-        // a cheap corpus fingerprint (count + id sum), so regenerated
-        // testdata at the same path can never serve a stale index.
-        val fp = embs.agg(count(lit(1)), sum(col("vec_id"))).collect()(0)
-        val tag = s"${d.replaceAll("[^A-Za-z0-9]", "_")}_${fp.getLong(0)}_${fp.getLong(1)}"
+        // the operator's contract. Value-sensitive fingerprint +
+        // completion marker (IndexCache doc): count+id-sum alone would
+        // serve a stale index for regenerated data with the same ids,
+        // and codes/_SUCCESS alone trusts a build that crashed before
+        // the other outputs landed.
+        val tag = IndexCache.corpusTag("x41", d, embs,
+          Seq("vec_id", "embedding"))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tag"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
+        IndexCache.ensureBuilt(dir) {
           PqIndex.writeIndex(embs, dir, nlist = 8, m = 32, ksub = 16, dim = 64)
+        }
         val q = embs.where(col("vec_id") === 3)
           .select("embedding").head().getSeq[Float](0).map(_.toDouble)
         PqIndex.topKFromIndex(s, dir, q, k = 10, nprobe = 6, shortlist = 60,

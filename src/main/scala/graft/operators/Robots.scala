@@ -41,9 +41,14 @@ object Robots {
                               allow: Boolean, patLen: Int,
                               isPrefix: Boolean)
 
-  /** Max robots.txt bytes honored (RFC 9309 §2.5 lets parsers impose a
-    * limit and REQUIRES honoring at least 500 KiB — the Googlebot
-    * figure; content past the cap is ignored, matching its behavior). */
+  /** Max robots.txt CHARS honored (RFC 9309 §2.5 lets parsers impose a
+    * limit and requires honoring at least 500 KiB; capping UTF-16
+    * units honors ≥ the byte floor for ASCII and MORE for multibyte
+    * content — over-honoring is compliant, the floor is a minimum).
+    * Content past the cap is ignored, and the trailing PARTIAL line is
+    * dropped with it: a mid-line cut inside
+    * `Disallow: /private-area/…` would otherwise synthesize a
+    * far-broader `/p` prefix rule. */
   val MaxRobotsChars: Int = 512 * 1024
 
   /** Max pattern length per rule and max rules per host: a hostile
@@ -71,7 +76,12 @@ object Robots {
     var inAgents = false
     val bounded = {
       val t = if (txt == null) "" else txt
-      if (t.length > MaxRobotsChars) t.substring(0, MaxRobotsChars) else t
+      if (t.length <= MaxRobotsChars) t
+      else {
+        // drop the truncated partial line (see MaxRobotsChars)
+        val cut = t.lastIndexOf('\n', MaxRobotsChars - 1)
+        t.substring(0, if (cut >= 0) cut else 0)
+      }
     }
     bounded.split("\r?\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -141,8 +151,13 @@ object Robots {
     val afterScheme = regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val slash = instr(afterScheme, "/")
     val qmark = instr(afterScheme, "?")
-    val path = when(slash > 0, substring_index_expr(afterScheme, slash))
-      .when(qmark > 0, concat(lit("/"), substring_index_expr(afterScheme, qmark)))
+    // the '?' branch must win when the query starts BEFORE any '/':
+    // "h.test?next=/admin" has a '/' inside the query value, and
+    // matching against "/admin" instead of "/?next=/admin" would
+    // wrongly disallow the page
+    val path = when(qmark > 0 && (slash === 0 || qmark < slash),
+        concat(lit("/"), substring_index_expr(afterScheme, qmark)))
+      .when(slash > 0, substring_index_expr(afterScheme, slash))
       .otherwise(lit("/"))
     val u = urls.select(col(idCol), col(urlCol), host.as("host"),
       path.as("_path"))

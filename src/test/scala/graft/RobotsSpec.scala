@@ -96,6 +96,47 @@ class RobotsSpec extends SparkTestBase {
     assert(!decide(txt, "?x=1"))   // http://h.test?x=1 → /?x=1
     assert(!decide(txt, "/p?x=1")) // usual shape still matches
     assert(decide(txt, "/plain"))
+    // a '/' INSIDE the query value must not be mistaken for the path:
+    // http://h.test?next=/admin matches as /?next=/admin, not /admin
+    val adm = "User-agent: graftbot\nDisallow: /admin\n"
+    assert(decide(adm, "?next=/admin"))
+    assert(!decide(adm, "/admin/x"))
+  }
+
+  test("truncation at the size cap drops the partial trailing line") {
+    import graft.operators.Robots._
+    // craft a file where the cap lands inside a long Disallow value:
+    // the partial 'Disallow: /p' must NOT become a broad prefix rule
+    val head = "User-agent: graftbot\nDisallow: /early/\n"
+    val filler = "# " + ("y" * 96) + "\n"
+    val nFill = (MaxRobotsChars - head.length - 20) / filler.length
+    val longLine = "Disallow: /private-area/" + ("z" * 400) + "\n"
+    val txt = head + filler * nFill + longLine
+    assert(txt.length > MaxRobotsChars)
+    val rules = parseRules(txt, "graftbot")
+    assert(rules.contains(("/early/", false)))
+    // no synthesized sub-prefix of the cut line survives
+    assert(!rules.exists(r => r._1.startsWith("/p") && r._1 != "/early/"),
+      s"partial-line rule synthesized: $rules")
+  }
+
+  test("glob kernel caps hostile path length; anchors never match truncated paths") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    import graft.expressions.GlobMatchOps._
+    def m(s: String, p: String) = robotsMatch(u8(s), u8(p))
+    val huge = "/" + ("a" * (MaxPathChars * 2))
+    // prefix matches within the cap still hold
+    assert(m(huge, "/a"))
+    assert(m(huge, "/*a"))
+    // an anchored pattern cannot match a truncated path, even when the
+    // truncated prefix happens to end compatibly (no fabricated
+    // disallows), and a miss is conservative-toward-allowed
+    assert(!m(huge, "/*a$"))
+    assert(!m(huge + ".pdf", "/*.pdf$"))
+    // bounded runtime on the hostile product shape
+    val t0 = System.nanoTime()
+    (0 until 50).foreach(_ => m(huge, "/" + ("*a" * 20) + "b"))
+    assert((System.nanoTime() - t0) / 1e6 < 5000)
   }
 
   test("mixed-case host in the robots table still joins (normalized key)") {
