@@ -50,7 +50,65 @@ object EmbeddingProbes {
        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
   }
 
+  /** The deterministic Lloyd loop unrolled as SQL: md5-hash init
+    * cells, then per round a ROUND(AVG,6) centroid CTE and a round-6
+    * argmin re-assignment CTE — the x73 index CTEs iterated, the
+    * clustering sibling of the pcaSql trajectory unroll. */
+  private def kmeansSql(nlist: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT cell, list(cx ORDER BY j) AS c FROM (
+         |    SELECT cell, j, ROUND(AVG(x), 6) AS cx FROM a${r - 1},
+         |      LATERAL (SELECT unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS j)
+         |    GROUP BY cell, j)
+         |  GROUP BY cell),
+         |a$r AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ROUND(list_dot_product(e.v, e.v)
+         |          - 2 * list_dot_product(e.v, c.c)
+         |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+         |    FROM e CROSS JOIN c$r c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |a0 AS (
+       |  SELECT vec_id, v,
+       |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+       |      % $nlist AS cell
+       |  FROM e),
+       |$roundCtes
+       |SELECT a.vec_id, a.cell,
+       |  ROUND(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.c)
+       |    + list_dot_product(c.c, c.c), 6) AS dist
+       |FROM a$rounds a JOIN c$rounds c USING (cell)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val probes: Seq[Probe] = Seq(
+
+    // IvfIndex.lloydIterate: FULL deterministic k-means (3 Lloyd
+    // rounds from the md5-hash init) — the clustering a SemDeDup/D4
+    // curation stack runs before per-cluster dedup/balancing. The
+    // oracle re-derives every round's centroids and re-assignment
+    // CTE-for-CTE plus the final round-6 distance of each vector to
+    // its centroid, so the hash certifies the whole trained
+    // trajectory, not just the last assignment -----------------------
+    Probe("x101_kmeans_rounds",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val (cents, assigned) = IvfIndex.lloydIterate(embs, nlist = 8,
+          rounds = 3)
+        assigned.join(broadcast(cents), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            IvfIndex.sqDist(col("embedding"), col("centroid")).as("dist"))
+          .orderBy("vec_id")
+      },
+      Some(kmeansSql(8, 3))),
 
     // EmbeddingOps.fitPcaTopComponent + projectPc1: one moment
     // aggregation → 8 driver power-iteration rounds → zero-shuffle

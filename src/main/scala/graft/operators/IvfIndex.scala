@@ -69,7 +69,7 @@ object IvfIndex {
   /** Squared euclidean distance via three dot products, rounded to 6
     * decimals so cross-engine float-order noise can't flip an argmin
     * (exact ties then break on the smaller cell id). */
-  private[operators] def sqDist(v: Column, c: Column): Column =
+  private[graft] def sqDist(v: Column, c: Column): Column =
     round(Similarity.dot(v, v) - lit(2.0) * Similarity.dot(v, c) +
       Similarity.dot(c, c), 6)
 
@@ -88,6 +88,48 @@ object IvfIndex {
       .agg(min(struct(col("dist"), col("cell"), col(vecCol))).as("_best"))
       .select(col(idCol), col(s"_best.$vecCol").as(vecCol),
         col("_best.cell").as("cell"))
+
+  /** FULL deterministic Lloyd: `rounds` alternations of
+    * mean-centroids / argmin re-assignment from the md5-hash init —
+    * the real k-means the one-step quantizer above approximates, with
+    * every round engine-mirrorable (round-6 centroid means, round-6
+    * argmin distances with ties to the lower cell — the x23/x73
+    * machinery iterated; a SQL oracle unrolls rounds CTE-for-CTE,
+    * the trained-trajectory certification pattern of the x81 GD and
+    * x85 power-iteration heads). This is the clustering a
+    * SemDeDup/D4-style curation stack actually runs before
+    * per-cluster dedup/balancing.
+    *
+    * Scale shape per round: ONE broadcast of the nlist-row centroid
+    * table + the partial-aggregable min(struct) argmin over
+    * corpus × nlist rows + one bounded (cell, dim) aggregation —
+    * nothing corpus-sized ever sorts or windows, and the loop count
+    * is a constant. Each round's centroid table localCheckpoints
+    * (bounded, ≤ nlist rows) so downstream lineage does not replay
+    * prior rounds' corpus passes.
+    *
+    * A cell that loses every member simply drops out of the next
+    * centroid table (k can shrink — the standard behavior of Lloyd
+    * without re-seeding, preserved for mirrorability). Returns
+    * (centroids, assigned): `(cell, centroid)` + `(idCol, vecCol,
+    * cell)`. `rounds = 1` is exactly `meanCentroids(hashCells) ∘
+    * assign`. */
+  def lloydIterate(embs: DataFrame, nlist: Int, rounds: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(nlist >= 1, s"nlist must be positive: $nlist")
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    var cents = meanCentroids(hashCells(embs, nlist, idCol), "cell0", vecCol)
+      .localCheckpoint()
+    var assigned = assign(embs, cents, idCol, vecCol)
+    var r = 1
+    while (r < rounds) {
+      cents = meanCentroids(assigned, "cell", vecCol).localCheckpoint()
+      assigned = assign(embs, cents, idCol, vecCol)
+      r += 1
+    }
+    (cents, assigned)
+  }
 
   /** IVF top-k with the deterministic quantizer, fully DataFrame-native:
     * rank cells by centroid distance to the query, keep nprobe, exact
