@@ -153,6 +153,11 @@ object GraftExtensions {
         graft.operators.TextOps.FingerprintMod) }),
     ("pii_scan", 1, { case Seq(t) =>
       graft.expressions.PiiScan(t) }),
+    // char_entropy(text): one-pass codepoint-distribution signals —
+    // struct<entropy, top_char_frac, n_distinct_chars, n_chars> (see
+    // CharEntropyOps).
+    ("char_entropy", 1, { case Seq(t) =>
+      graft.expressions.CharEntropy(t) }),
     // unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD'): the form is a
     // plan-time constant (selects the generated code path).
     ("unicode_normalize", 2, { case Seq(t,

@@ -297,6 +297,42 @@ object CleaningProbes {
              |  CAST(1.0 AS DOUBLE) / c.n_copies AS weight
              |FROM a JOIN c USING (t) ORDER BY a.doc_id""".stripMargin)),
 
+    // TextOps.charEntropySignals: codepoint-distribution signals —
+    // entropy, top-character fraction, distinct count — the
+    // compressibility/garbledness tells that need no word structure.
+    // The oracle re-derives per-codepoint counts (string_split by
+    // empty delimiter = codepoints), the round-6 −Σ p·ln p, the max
+    // fraction, and the empty-text zero contract ---------------------
+    Probe("x102_char_entropy",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        TextOps.charEntropySignals(Tables.documents(s, d))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cp AS (
+             |  SELECT doc_id, ch FROM (
+             |    SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |    FROM documents)
+             |  WHERE ch <> ''),
+             |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM cp GROUP BY 1, 2),
+             |n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+             |sig AS (
+             |  SELECT cnt.doc_id,
+             |    ROUND(-SUM((CAST(cnt.c AS DOUBLE) / n.n) *
+             |      LN(CAST(cnt.c AS DOUBLE) / n.n)), 6) AS entropy,
+             |    ROUND(CAST(MAX(cnt.c) AS DOUBLE) / ANY_VALUE(n.n), 6)
+             |      AS top_char_frac,
+             |    CAST(COUNT(*) AS INT) AS n_distinct_chars,
+             |    CAST(ANY_VALUE(n.n) AS BIGINT) AS n_chars
+             |  FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(s.entropy, 0.0) AS entropy,
+             |  COALESCE(s.top_char_frac, 0.0) AS top_char_frac,
+             |  COALESCE(s.n_distinct_chars, 0) AS n_distinct_chars,
+             |  COALESCE(s.n_chars, 0) AS n_chars
+             |FROM documents d LEFT JOIN sig s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // TextOps.chunkBySentences: sentence-aware RAG chunking — spans
     // never split mid-sentence, chunk assignment by cumulative-offset
     // integer division (the x31 packing contract). The synthesized

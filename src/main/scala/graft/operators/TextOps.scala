@@ -1063,6 +1063,25 @@ object TextOps {
           greatest(col("text_chars"), lit(1)).cast("double"), 6))
   }
 
+  /** Character-distribution signals (codepoint entropy, top-character
+    * fraction, distinct count) — the compressibility/garbledness tells
+    * that work WITHOUT word structure (CJK, no-whitespace scripts,
+    * binary-ish junk), complementing the word-shaped repetition
+    * signals. One map-only codegen pass
+    * ([[graft.expressions.CharEntropyOps]]); requires
+    * [[graft.GraftExtensions]] registered. Output columns: entropy,
+    * top_char_frac, n_distinct_chars, n_chars. */
+  def charEntropySignals(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        call_function("char_entropy", col(textCol)).as("_ce"))
+      .select(col(idCol), col("_ce.entropy").as("entropy"),
+        col("_ce.top_char_frac").as("top_char_frac"),
+        col("_ce.n_distinct_chars").as("n_distinct_chars"),
+        col("_ce.n_chars").as("n_chars"))
+  }
+
   /** Single-scan curation profile: every per-document curation metric
     * in ONE map-only projection. At 100 TB the scan is the cost; each
     * metric above is a pure column expression, so computing them

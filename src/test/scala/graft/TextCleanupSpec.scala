@@ -168,4 +168,40 @@ class TextCleanupSpec extends SparkTestBase {
     assert(plain.getAs[Int]("text_chars") === 15 &&
       plain.getAs[Int]("n_links") === 0)
   }
+
+  test("charEntropySignals: boundary shapes and the signal directions") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, ""),                       // empty -> all zeros
+      (2L, "a"),                      // single char: H = 0, top = 1
+      (3L, "aaaaaaaa"),               // repeated filler: H = 0, top = 1
+      (4L, "abcdefgh"),               // uniform 8 chars: H = ln 8
+      (5L, "a" * 99 + "b"),           // near-degenerate
+      (6L, "a\u00f1\ud83d\ude00b"),// codepoints, not UTF-16 units
+      (7L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropySignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((0.0, 0.0, 0, 0L)))
+    assert(out(2L) === ((0.0, 1.0, 1, 1L)))
+    assert(out(3L) === ((0.0, 1.0, 1, 8L)))
+    assert(out(4L)._1 === graft.operators.EmbeddingOps.round6(math.log(8.0)))
+    assert(out(4L)._2 === 0.125 && out(4L)._3 === 8)
+    assert(out(5L)._2 === 0.99 && out(5L)._3 === 2)
+    assert(out(6L)._3 === 4 && out(6L)._4 === 4L) // emoji is ONE char
+    // real prose sits between the degenerate poles
+    assert(out(7L)._1 > out(5L)._1 && out(7L)._2 < 0.3)
+    // deterministic under partitioning (sorted-codepoint accumulation)
+    val a = TextOps.charEntropySignals(docs.repartition(1))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.charEntropySignals(docs.repartition(5))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // map-only: zero exchanges
+    val p = TextOps.charEntropySignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy signals must be map-only:\n$p")
+  }
 }
