@@ -192,6 +192,43 @@ class RobotsSpec extends SparkTestBase {
     assert(r3.head === (("/p1/", false)))
   }
 
+  test("glob kernel fuzz: bit-equal to the translated-regex reference") {
+    // the regex translation the kernel replaced, kept here as the
+    // semantic reference: ^escaped, '*' -> '.*', trailing '$' anchor,
+    // find() = prefix-or-anchored match
+    def refMatch(s: String, p: String): Boolean = {
+      val endAnchor = p.endsWith("$")
+      val body = if (endAnchor) p.dropRight(1) else p
+      val sb = new StringBuilder("^")
+      body.foreach {
+        case '*' => sb.append(".*")
+        case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 =>
+          sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      if (endAnchor) sb.append('$')
+      java.util.regex.Pattern.compile(sb.toString).matcher(s).find()
+    }
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val alphabet = "ab/.*$?-_1"
+    val rnd = new scala.util.Random(20260814)
+    var checked = 0
+    (0 until 120000).foreach { _ =>
+      val path = "/" + (0 until rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pat = (0 until 1 + rnd.nextInt(8))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // keep the reference side off pathological star counts
+      if (pat.count(_ == '*') <= 4) {
+        val got = graft.expressions.GlobMatchOps.robotsMatch(u8(path), u8(pat))
+        val want = refMatch(path, pat)
+        assert(got === want, s"<$path> vs <$pat>: kernel $got regex $want")
+        checked += 1
+      }
+    }
+    assert(checked > 100000)
+  }
+
   test("glob kernel: anchors, prefix semantics, literals, star runs") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     def m(s: String, p: String) =
