@@ -633,7 +633,13 @@ object Bench {
       "table (x93 0.97s, x75 1.08s, x66 0.27s in the same run); the " +
       "suite top is now x58 span dedup 3.25s vs its 1.81s mirror and " +
       "x38 flagship 3.22s vs 5.20s (Spark wins), with the residual " +
-      "still the fixed per-query floor of ~75 sub-0.5s probes."
+      "still the fixed per-query floor of ~75 sub-0.5s probes. " +
+      "Late-r9 operators, measured steady-state min-of-3 at both SFs: " +
+      "x101 full deterministic k-means (3 Lloyd rounds, trajectory-" +
+      "certified) 1.5-2.1s at sf0.1 -> 2.1s at sf1 (1.4x at 10x data " +
+      "- the constant-round loop of bounded broadcast+partial-agg " +
+      "jobs amortizes); x102 char-entropy signals 0.34s -> 0.43s " +
+      "(1.3x, map-only scan parallelism)."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
   // operational-volume evidence — its own val for the same typer-depth
