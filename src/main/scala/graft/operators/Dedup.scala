@@ -804,7 +804,18 @@ object Dedup {
                     vecCol: String = "embedding"): DataFrame = {
     val cents = IvfIndex.meanCentroids(
       IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
-    val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
+    semanticDedupInCells(
+      IvfIndex.assign(embs, cents, idCol, vecCol), tau, idCol, vecCol)
+  }
+
+  /** The within-cell SemDeDup core over an EXISTING (id, vec, cell)
+    * assignment: same-cell pairs above the round-6 cosine threshold
+    * mark the larger id a duplicate. Factored out so any clustering
+    * (one-step quantizer, full Lloyd, at-rest cells) feeds the same
+    * certified decision. */
+  def semanticDedupInCells(assigned: DataFrame, tau: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
     val dups = assigned
       .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
       .join(assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb")),
@@ -816,4 +827,17 @@ object Dedup {
       .join(dups, col(idCol) === col("dup_id"), "left")
       .select(col(idCol), col("cell"), col("dup_id").isNull.as("keep"))
   }
+
+  /** SemDeDup on FULL k-means cells (Abbas et al. 2023 cluster with
+    * real k-means, not a one-step quantizer): [[IvfIndex.lloydIterate]]
+    * rounds, then the same certified within-cell decision. Better
+    * cells concentrate true near-duplicates (and split unrelated mass
+    * apart), so the quadratic within-cell work prunes more dups per
+    * comparison at the same nlist. */
+  def semanticDedupKMeans(embs: DataFrame, nlist: Int, rounds: Int,
+                          tau: Double, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    semanticDedupInCells(
+      IvfIndex.lloydIterate(embs, nlist, rounds, idCol, vecCol)._2,
+      tau, idCol, vecCol)
 }

@@ -54,7 +54,7 @@ object EmbeddingProbes {
     * cells, then per round a ROUND(AVG,6) centroid CTE and a round-6
     * argmin re-assignment CTE — the x73 index CTEs iterated, the
     * clustering sibling of the pcaSql trajectory unroll. */
-  private def kmeansSql(nlist: Int, rounds: Int): String = {
+  private def kmeansCtes(nlist: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""c$r AS (
          |  SELECT cell, list(cx ORDER BY j) AS c FROM (
@@ -80,13 +80,16 @@ object EmbeddingProbes {
        |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
        |      % $nlist AS cell
        |  FROM e),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def kmeansSql(nlist: Int, rounds: Int): String =
+    s"""${kmeansCtes(nlist, rounds)}
        |SELECT a.vec_id, a.cell,
        |  ROUND(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.c)
        |    + list_dot_product(c.c, c.c), 6) AS dist
        |FROM a$rounds a JOIN c$rounds c USING (cell)
        |ORDER BY a.vec_id""".stripMargin
-  }
 
   val probes: Seq[Probe] = Seq(
 
@@ -109,6 +112,30 @@ object EmbeddingProbes {
           .orderBy("vec_id")
       },
       Some(kmeansSql(8, 3))),
+
+    // Dedup.semanticDedupKMeans: SemDeDup on FULL k-means cells (the
+    // Abbas et al. 2023 shape — the paper clusters with real k-means;
+    // x29 certifies the one-step-quantizer variant). The oracle
+    // composes the x101 round CTEs with the x29 within-cell pair
+    // decision over the FINAL assignment ----------------------------
+    Probe("x103_semantic_dedup_kmeans",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Dedup.semanticDedupKMeans(Tables.embeddings(s, d), nlist = 8,
+            rounds = 3, tau = 0.25)
+          .orderBy("vec_id")
+      },
+      Some(s"""${kmeansCtes(8, 3)},
+              |dups AS (
+              |  SELECT DISTINCT b.vec_id AS dup_id
+              |  FROM a3 a JOIN a3 b USING (cell)
+              |  WHERE a.vec_id < b.vec_id
+              |    AND ROUND(list_dot_product(a.v, b.v) /
+              |      (SQRT(list_dot_product(a.v, a.v)) *
+              |       SQRT(list_dot_product(b.v, b.v))), 6) >= 0.25)
+              |SELECT a.vec_id, a.cell, d.dup_id IS NULL AS keep
+              |FROM a3 a LEFT JOIN dups d ON a.vec_id = d.dup_id
+              |ORDER BY a.vec_id""".stripMargin)),
 
     // EmbeddingOps.fitPcaTopComponent + projectPc1: one moment
     // aggregation → 8 driver power-iteration rounds → zero-shuffle
