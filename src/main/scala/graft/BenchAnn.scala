@@ -88,6 +88,26 @@ object BenchAnn {
     val recall = approx.toSet.intersect(exact.toSet).size / 10.0
     require(approx.head == 101L, s"index query missed the planted near-copy: $approx")
 
+    // FULL k-means at volume (r9, IvfIndex.lloydIterate): per-round
+    // cost is corpus × nlist argmin rows + a bounded centroid agg, so
+    // the wall is rounds-linear and row-linear — the evidence that the
+    // trajectory-certified x101 operator carries to real corpora.
+    // Inertia must descend (Lloyd's guarantee) on the clustered space.
+    import graft.operators.IvfIndex
+    def inertia(rounds: Int): (Double, Long, Double) = {
+      // the inertia aggregation inside the timed block forces every
+      // round's corpus pass — lloydIterate alone only BUILDS the plan
+      val ((i, cents), t) = timed {
+        val (c, assigned) = IvfIndex.lloydIterate(embs, nlist, rounds)
+        (assigned.join(broadcast(c), Seq("cell"))
+          .agg(sum(IvfIndex.sqDist(col("embedding"), col("centroid"))))
+          .head().getDouble(0), c)
+      }
+      (i, cents.count(), t)
+    }
+    val (i1, k1, tK1) = inertia(1)
+    val (i3, k3, tK3) = inertia(3)
+
     // codes bytes at rest vs raw vectors: the compression PQ exists for
     val rawBytes = n * dim * 4L
     val codeInts = n * m.toLong
@@ -98,7 +118,11 @@ object BenchAnn {
       s""""query_warm_sec":${f"$tQueryWarm%.2f"},""" +
       s""""recall_at_10":$recall,"nlist":$nlist,"nprobe":$nprobe,""" +
       s""""shortlist":$shortlist,"m":$m,""" +
-      s""""raw_mb":${rawBytes / 1048576},"code_values":$codeInts}""")
+      s""""raw_mb":${rawBytes / 1048576},"code_values":$codeInts,""" +
+      s""""kmeans_r1_sec":${f"$tK1%.2f"},"kmeans_r3_sec":${f"$tK3%.2f"},""" +
+      s""""kmeans_inertia_r1":${f"$i1%.1f"},"kmeans_inertia_r3":${f"$i3%.1f"},""" +
+      s""""kmeans_cells_r1":$k1,"kmeans_cells_r3":$k3}""")
+    require(i3 <= i1 + 1e-3, s"Lloyd inertia rose: $i1 -> $i3")
     spark.stop()
   }
 }
