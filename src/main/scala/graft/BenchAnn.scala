@@ -66,11 +66,17 @@ object BenchAnn {
     }
     require(exact.head == 101L, s"planted near-copy not top-1: $exact")
 
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_ann_$nVecs"
+    // IndexCache (r9): value-sensitive fingerprint + completion marker
+    // — a formula change at the same nVecs must not reuse a stale
+    // index, and a crash between the codes/centroids/codebook writes
+    // must not leave a half-index that later runs trust
+    val tag = graft.operators.IndexCache.corpusTag("benchann",
+      s"mem_$nVecs", embs, Seq("vec_id", "embedding"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_ann_$tag"
     val (_, tBuild) = timed {
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$dir/codes/_SUCCESS")))
+      graft.operators.IndexCache.ensureBuilt(dir) {
         PqIndex.writeIndex(embs, dir, nlist = nlist, m = m, ksub = ksub, dim = dim)
+      }
     }
 
     val q = embs.where(col("vec_id") === 100)
@@ -95,8 +101,11 @@ object BenchAnn {
     // Inertia must descend (Lloyd's guarantee) on the clustered space.
     import graft.operators.IvfIndex
     def inertia(rounds: Int): (Double, Long, Double) = {
-      // the inertia aggregation inside the timed block forces every
-      // round's corpus pass — lloydIterate alone only BUILDS the plan
+      // lloydIterate is PARTLY eager (each round's bounded centroid
+      // table localCheckpoints, which runs that round's corpus pass),
+      // and the final assign + this inertia aggregation are lazy — so
+      // BOTH lloydIterate and the aggregation must sit inside the
+      // timed block for the wall to cover all rounds
       val ((i, cents), t) = timed {
         val (c, assigned) = IvfIndex.lloydIterate(embs, nlist, rounds)
         (assigned.join(broadcast(c), Seq("cell"))

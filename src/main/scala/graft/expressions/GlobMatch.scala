@@ -31,11 +31,22 @@ object GlobMatchOps {
     * bounded: rules are capped at [[graft.operators.Robots.MaxPatternChars]],
     * and a hostile multi-megabyte URL path is truncated here — 8 KiB
     * path × 4 KiB pattern × 5000 rules/host is the worst-case budget.
-    * A wildcard match that would need content beyond the cap is
-    * MISSED (conservative toward allowed, the RFC's no-rule default),
-    * and `$`-anchored patterns never match a truncated path (the true
-    * end is not visible — matching the cut point would fabricate
-    * disallows). */
+    *
+    * DOCUMENTED POLICY for paths beyond the cap (real-world URL
+    * limits sit near 2 KiB; longer is hostile or broken): matching is
+    * BEST-EFFORT on the 8 KiB prefix. A wildcard match needing
+    * content past the cap is missed (that rule does not fire), and
+    * `$`-anchored patterns never match a truncated path (the true end
+    * is not visible — matching the cut point would fabricate
+    * matches). Prefix rules are unaffected (their patterns are
+    * shorter than the cap), so the composite decision in
+    * [[graft.operators.Robots.robotsFilter]] can over- OR under-block
+    * such a path relative to full-path RFC evaluation — e.g. an
+    * anchored Allow that would out-rank a prefix Disallow cannot fire
+    * past the cap. The alternative (unbounded matching) hands an
+    * executor-stall primitive to anyone who crafts long URLs; the
+    * 8 KiB ambiguity is confined to paths no compliant client
+    * emits. */
   val MaxPathChars: Int = 8192
 
   def robotsMatch(pathS: UTF8String, patternS: UTF8String): Boolean = {

@@ -326,10 +326,14 @@ object CleaningProbes {
              |    CAST(ANY_VALUE(n.n) AS BIGINT) AS n_chars
              |  FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id)
              |SELECT d.doc_id,
-             |  COALESCE(s.entropy, 0.0) AS entropy,
-             |  COALESCE(s.top_char_frac, 0.0) AS top_char_frac,
-             |  COALESCE(s.n_distinct_chars, 0) AS n_distinct_chars,
-             |  COALESCE(s.n_chars, 0) AS n_chars
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |       ELSE COALESCE(s.entropy, 0.0) END AS entropy,
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |       ELSE COALESCE(s.top_char_frac, 0.0) END AS top_char_frac,
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |       ELSE COALESCE(s.n_distinct_chars, 0) END AS n_distinct_chars,
+             |  CASE WHEN d.text IS NULL THEN NULL
+             |       ELSE COALESCE(s.n_chars, 0) END AS n_chars
              |FROM documents d LEFT JOIN sig s USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 

@@ -40,7 +40,13 @@ final case class Probe(
 object IndexCache {
   private val tags = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Tag for (probeKey, dir): computed once per JVM per corpus dir. */
+  /** Tag for (probeKey, dir): computed once per JVM per corpus dir.
+    * ASSUMPTION (stated, not hidden): the data at `dir` is immutable
+    * within one JVM — true for every bench/verify/test run, where the
+    * corpus is read-only input. The fingerprint therefore protects
+    * against CROSS-JVM staleness (regenerated testdata between runs);
+    * a harness that rewrites data mid-JVM must call [[invalidate]]
+    * first, or the cached tag will serve the pre-rewrite index. */
   def corpusTag(probeKey: String, dir: String, df: => DataFrame,
                 cols: Seq[String]): String =
     tags.computeIfAbsent(s"$probeKey|$dir", { _ =>
@@ -49,6 +55,10 @@ object IndexCache {
         sum(hash(cols.map(col): _*).cast("long"))).collect()(0)
       s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${r.getLong(0)}_${r.getLong(1)}"
     })
+
+  /** Drop all cached tags — for harnesses that rewrite corpus data
+    * within one JVM (see the [[corpusTag]] assumption). */
+  def invalidate(): Unit = tags.clear()
 
   /** Run `build` unless `dir` already carries the completion marker;
     * write the marker only after `build` returns. */

@@ -78,8 +78,12 @@ object Robots {
       val t = if (txt == null) "" else txt
       if (t.length <= MaxRobotsChars) t
       else {
-        // drop the truncated partial line (see MaxRobotsChars)
-        val cut = t.lastIndexOf('\n', MaxRobotsChars - 1)
+        // drop the truncated partial line (see MaxRobotsChars). The
+        // search INCLUDES index MaxRobotsChars: a newline sitting
+        // exactly at the cap means the final line's content is
+        // entirely within it — dropping that complete rule would
+        // un-disallow a page over an off-by-one.
+        val cut = t.lastIndexOf('\n', MaxRobotsChars)
         t.substring(0, if (cut >= 0) cut else 0)
       }
     }

@@ -179,6 +179,19 @@ class RobotsSpec extends SparkTestBase {
     val rules = parseRules(big, "graftbot")
     assert(rules.contains(("/early/", false)))
     assert(!rules.exists(_._1 == "/late/"))
+    // boundary: a COMPLETE line whose '\n' sits exactly at the cap
+    // index is kept (its content is entirely within the cap) — the
+    // off-by-one that dropped it would un-disallow a page
+    val lastLine = "Disallow: /exact/"
+    val ua2 = "User-agent: graftbot\n"
+    val padLen = MaxRobotsChars - ua2.length - lastLine.length
+    val exact = ua2 + ("#" + "x" * 98 + "\n") * (padLen / 100) +
+      "#" + "y" * (padLen % 100 - 2) + "\n" + lastLine + "\nDisallow: /post/\n"
+    assert(exact.indexOf(lastLine) + lastLine.length === MaxRobotsChars)
+    assert(exact.charAt(MaxRobotsChars) === '\n')
+    val r1b = parseRules(exact, "graftbot")
+    assert(r1b.contains(("/exact/", false)), s"boundary line dropped")
+    assert(!r1b.exists(_._1 == "/post/"))
     // an overlong pattern drops (conservative toward allowed)
     val longRule = s"User-agent: graftbot\nDisallow: /${"a" * MaxPatternChars}\n" +
       "Disallow: /kept/\n"

@@ -203,5 +203,13 @@ class TextCleanupSpec extends SparkTestBase {
     val p = TextOps.charEntropySignals(docs)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"entropy signals must be map-only:\n$p")
+    // null text -> null signals (null is data; distinct from empty's
+    // zeros) - matches the oracle's CASE WHEN text IS NULL contract
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("ab")))
+      .toDF("doc_id", "text")
+    val nr = TextOps.charEntropySignals(withNull).orderBy("doc_id").collect()
+    assert(nr(0).isNullAt(1) && nr(0).isNullAt(2) && nr(0).isNullAt(3) &&
+      nr(0).isNullAt(4), s"null text must yield null signals: ${nr(0)}")
+    assert(!nr(1).isNullAt(1))
   }
 }
