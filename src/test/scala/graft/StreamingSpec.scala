@@ -713,6 +713,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got(12L) === ((0.0, 0L)), "empty doc weighs 0")
   }
 
+  test("char-entropy signals stream unchanged (pure projection)") {
+    val landing = Files.createTempDirectory("graft_entdocs").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ent").toString
+    val arrivals = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"),
+      (3L, ""), (4L, "the quick brown fox")).toDF("doc_id", "text")
+    arrivals.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("entropy"), r.getAs[Double]("top_char_frac"),
+          r.getAs[Long]("n_chars")))).toMap
+    val got = render(ForecastStream.runAvailableNow(
+      graft.operators.TextOps.charEntropySignals(stream),
+      "entsig", ckpt, "append"))
+    assert(got === render(graft.operators.TextOps.charEntropySignals(arrivals)))
+    assert(got(1L)._1 === 0.0 && got(1L)._2 === 1.0)
+    assert(got(3L) === ((0.0, 0.0, 0L)))
+  }
+
   test("langid map-only scorer streams against a trained model") {
     // the deployment shape of language ID on unbounded ingest: the
     // bounded NB model trains once, collects to the dense broadcast
