@@ -91,6 +91,32 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch to an existing int8 IVF index — the INCREMENTAL
+    * INGEST path (at 100 TB the index is never rebuilt): new vectors
+    * are assigned with the index's OWN persisted centroids (the IVF
+    * ingest contract — the coarse quantizer is a versioned artifact;
+    * re-training it would re-home every existing code partition),
+    * quantized with the same floor(+0.5) rule, and appended under
+    * their cell directories. Per-ingest cost is O(batch): one
+    * broadcast of the nlist-row centroid table, one map pass over the
+    * batch, one partitioned append — the existing codes are never
+    * read. Values are bit-identical to an index whose codes were all
+    * written at build time against the same centroids (per-vector
+    * quantization and per-vector assignment don't see other rows), so
+    * certification carries: a query after N appends equals the query
+    * against the all-at-once index (Int8AnnSpec pins it; probe x104
+    * certifies the composition against DuckDB). */
+  def appendToInt8Index(newEmbs: DataFrame, path: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    val spark = newEmbs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
+    quantizeInt8(newEmbs, idCol, vecCol)
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+  }
+
   /** Int8 cosine top-k against the on-disk index for an explicit query
     * vector: quantize the query driver-side with the identical
     * floor(+0.5) rule, rank the (tiny) centroid table against the RAW

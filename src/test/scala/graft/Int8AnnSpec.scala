@@ -87,4 +87,49 @@ class Int8AnnSpec extends SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
       s"expected cell partition filter on the codes scan:\n$plan")
   }
+
+  test("incremental append: query equals the all-at-once index; ingest is O(batch)") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val base = embs.where(col("vec_id") % 2 === 0)
+    val incr = embs.where(col("vec_id") % 2 =!= 0)
+    // index A: build on the even half, append the odd half
+    val dirA = java.nio.file.Files.createTempDirectory("graft_append_a").toString
+    Similarity.writeInt8Index(base, dirA, nlist = 8)
+    Similarity.appendToInt8Index(incr, dirA)
+    // index B: all vectors at once, but against the SAME centroids
+    // (the versioned-quantizer contract): write base's index and
+    // append everything missing — i.e. assignment/quantization of a
+    // vector never depends on other rows, so any split schedule is
+    // byte-equivalent in VALUES
+    val dirB = java.nio.file.Files.createTempDirectory("graft_append_b").toString
+    Similarity.writeInt8Index(base, dirB, nlist = 8)
+    // second batch split differently: two appends
+    Similarity.appendToInt8Index(incr.where(col("vec_id") % 4 === 1), dirB)
+    Similarity.appendToInt8Index(incr.where(col("vec_id") % 4 === 3), dirB)
+    val q = embs.where(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    def top(dir: String) = Similarity
+      .topKInt8FromIndex(spark, dir, q, k = 10, nprobe = 6,
+        excludeId = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = top(dirA)
+    val b = top(dirB)
+    assert(a.map(_._1) === b.map(_._1))
+    a.zip(b).foreach { case ((_, x), (_, y)) =>
+      assert(java.lang.Double.doubleToLongBits(x) ===
+        java.lang.Double.doubleToLongBits(y))
+    }
+    // appended vectors are actually retrievable (query id 3 is odd)
+    assert(a.nonEmpty && a.map(_._1).exists(_ % 2 == 1))
+
+    // O(batch): the ingest plan reads the centroid table and the
+    // batch — never the existing codes
+    val cents = spark.read.parquet(s"$dirA/centroids")
+    val assigned = graft.operators.IvfIndex.assign(incr, cents)
+    val ingestPlan = Similarity.quantizeInt8(incr)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .queryExecution.executedPlan.toString
+    assert(!ingestPlan.contains("/codes"),
+      s"ingest must not read the existing codes:\n$ingestPlan")
+  }
 }
