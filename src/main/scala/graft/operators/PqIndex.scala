@@ -316,6 +316,37 @@ object PqIndex {
     } finally d.unpersist(blocking = false)
   }
 
+  /** Append a batch to an existing IVF-PQ index — the x104 int8
+    * ingest contract applied to PQ: assign against the PERSISTED
+    * centroids and PQ-encode against the PERSISTED codebook (both are
+    * versioned artifacts — retraining either would re-home/re-code
+    * the existing corpus), then append codes and vectors under their
+    * cell directories. O(batch) per ingest: two bounded broadcasts
+    * (nlist centroids, m·ksub codebook rows) + map passes over the
+    * batch; the existing index is never read. Per-vector encoding and
+    * assignment see no other rows, so a query after any append
+    * schedule is bit-identical to the all-at-once index under the
+    * same artifacts (PqAppendSpec pins it). */
+  def appendToIndex(newEmbs: DataFrame, path: String, m: Int, dim: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val spark = newEmbs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
+    val packed = encodeFromDims(
+        partitionedDims(newEmbs, dim / m, idCol, vecCol), cb, idCol)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    packed.join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    assigned.write.partitionBy("cell").mode("append")
+      .parquet(s"$path/vectors")
+  }
+
   /** IVF-PQ top-k against an on-disk index for an explicit query
     * vector: rank the centroid table (driver-side, nlist rows), turn
     * the nprobe nearest cells into partition filters on the codes and
