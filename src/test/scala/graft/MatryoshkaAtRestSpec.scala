@@ -72,4 +72,34 @@ class MatryoshkaAtRestSpec extends SparkTestBase {
     assert(codesBytes < rawBytes / 2,
       s"truncated int8 codes $codesBytes vs raw $rawBytes")
   }
+
+  test("truncated vectors compose with the PQ index path too") {
+    // x99's claim — "composes with every ANN path" — exercised on the
+    // second at-rest machinery: a PQ index over the 16-dim truncated
+    // space builds, partition-prunes, and ranks with usable recall
+    // against the truncated brute-force cosine
+    val t = EmbeddingOps.truncateNormalize(
+        Tables.embeddings(spark, sfDir), dims = 16)
+      .select(col("vec_id"), col("embedding_t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat_pq").toString
+    graft.operators.PqIndex.writeIndex(t, dir, nlist = 8, m = 8, ksub = 16,
+      dim = 16, vecCol = "embedding_t")
+    val q = t.where(col("vec_id") === 0)
+      .select("embedding_t").head().getSeq[Double](0)
+    val df = graft.operators.PqIndex.topKFromIndex(spark, dir, q, k = 10,
+      nprobe = 8, shortlist = 60, excludeId = Some(0L),
+      vecCol = "embedding_t")
+    val approx = df.collect().map(_.getLong(0)).toSet
+    assert(approx.size === 10)
+    // brute truncated cosine within the whole space (nprobe = nlist,
+    // so the only approximation is the PQ shortlist)
+    val exact = Similarity.cosineTopK(t, queryId = 0, k = 10,
+        vecCol = "embedding_t")
+      .collect().map(_.getLong(0)).toSet
+    assert((approx & exact).size >= 8,
+      s"truncated-PQ recall too low: $approx vs $exact")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"expected cell partition filter:\n$plan")
+  }
 }

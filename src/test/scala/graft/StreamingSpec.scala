@@ -713,6 +713,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got(12L) === ((0.0, 0L)), "empty doc weighs 0")
   }
 
+  test("streaming ingest into the at-rest int8 index equals batch build") {
+    // the deployment loop at 100 TB: embeddings arrive as a stream,
+    // each micro-batch appends into the persisted index against the
+    // FROZEN quantizer (appendToInt8Index is per-row, so micro-batch
+    // boundaries cannot change values) — a query then matches the
+    // index built from the same rows all at once
+    val landing = Files.createTempDirectory("graft_annstream").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ann").toString
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    val base = embs.where(col("vec_id") % 2 === 0)
+    val incr = embs.where(col("vec_id") % 2 =!= 0)
+    val dirS = Files.createTempDirectory("graft_annstream_idx").toString
+    val dirB = Files.createTempDirectory("graft_annbatch_idx").toString
+    graft.operators.Similarity.writeInt8Index(base, dirS, nlist = 8)
+    graft.operators.Similarity.writeInt8Index(base, dirB, nlist = 8)
+    graft.operators.Similarity.appendToInt8Index(incr, dirB)
+    // stream the odd half in as (multiple) files → micro-batches
+    incr.repartition(3).write.mode("append").parquet(landing)
+    val schema = embs.schema
+    val q = spark.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToInt8Index(batch, dirS)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val qv = embs.where(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    def top(dir: String) = graft.operators.Similarity
+      .topKInt8FromIndex(spark, dir, qv, k = 10, nprobe = 6,
+        excludeId = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s = top(dirS)
+    val b = top(dirB)
+    assert(s.map(_._1) === b.map(_._1))
+    s.zip(b).foreach { case ((_, x), (_, y)) =>
+      assert(java.lang.Double.doubleToLongBits(x) ===
+        java.lang.Double.doubleToLongBits(y))
+    }
+    assert(s.map(_._1).exists(_ % 2 == 1)) // streamed vectors retrievable
+  }
+
   test("char-entropy signals stream unchanged (pure projection)") {
     val landing = Files.createTempDirectory("graft_entdocs").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_ent").toString
