@@ -302,12 +302,8 @@ object PqIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
-      val packed = encodeFromDims(d, cb, idCol)
-        .groupBy(col(idCol))
-        .agg(transform(
-          array_sort(collect_list(struct(col("subspace"), col("code")))),
-          s => s.getField("code")).as("codes"))
-      packed.join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      packCodes(d, cb, idCol)
+        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
       assigned.write.partitionBy("cell").mode("overwrite")
         .parquet(s"$path/vectors")
@@ -316,35 +312,66 @@ object PqIndex {
     } finally d.unpersist(blocking = false)
   }
 
+  /** The packed-codes construction shared by build and append — ONE
+    * definition so the append≡build bit-identity is structural, not a
+    * convention two copies must keep. */
+  private def packCodes(d: DataFrame, cb: DataFrame,
+                        idCol: String): DataFrame =
+    encodeFromDims(d, cb, idCol)
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
   /** Append a batch to an existing IVF-PQ index — the x104 int8
     * ingest contract applied to PQ: assign against the PERSISTED
     * centroids and PQ-encode against the PERSISTED codebook (both are
     * versioned artifacts — retraining either would re-home/re-code
     * the existing corpus), then append codes and vectors under their
-    * cell directories. O(batch) per ingest: two bounded broadcasts
-    * (nlist centroids, m·ksub codebook rows) + map passes over the
-    * batch; the existing index is never read. Per-vector encoding and
-    * assignment see no other rows, so a query after any append
-    * schedule is bit-identical to the all-at-once index under the
-    * same artifacts (PqAppendSpec pins it). */
-  def appendToIndex(newEmbs: DataFrame, path: String, m: Int, dim: Int,
+    * cell directories. The index GEOMETRY (m, dsub) is DERIVED from
+    * the persisted codebook — caller-supplied numbers could silently
+    * mis-encode the batch — and the batch's vector dimension must
+    * match it. O(batch) per ingest: two bounded broadcasts + map
+    * passes over the batch; the existing index is never read.
+    * Per-vector encoding and assignment see no other rows, so a query
+    * after any append schedule is bit-identical to codes written at
+    * build time under the same artifacts (PqAppendSpec pins it).
+    *
+    * Crash-safety: vectors append BEFORE codes — a kill between the
+    * two leaves vectors rows without codes, which no query path ever
+    * reads (the shortlist is code-driven); the reverse order would
+    * leave shortlist entries that silently drop at the rerank join.
+    * Exactly-once under at-least-once drivers (foreachBatch replays):
+    * pass `doneMarker` (e.g. the micro-batch id) — an append whose
+    * marker file already exists is skipped, making replays no-ops. */
+  def appendToIndex(newEmbs: DataFrame, path: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+                    vecCol: String = "embedding",
+                    doneMarker: Option[String] = None): Unit = {
     val spark = newEmbs.sparkSession
+    val markerPath = doneMarker.map(mk =>
+      java.nio.file.Paths.get(path, s"_append_${mk}_ok"))
+    if (markerPath.exists(java.nio.file.Files.exists(_))) return
+    val head = newEmbs.select(col(vecCol)).head(1)
+    if (head.isEmpty) return // empty micro-batch
     val cents = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
+    // geometry from the persisted artifact, not the caller
+    val geo = cb.agg(max(col("subspace")), max(col("within"))).head()
+    val m = geo.getInt(0) + 1
+    val dsub = geo.getInt(1) + 1
+    val batchDim = head(0).getSeq[Any](0).length
+    require(batchDim == m * dsub,
+      s"batch vectors have dim $batchDim, index expects ${m * dsub} " +
+        s"(m=$m x dsub=$dsub from the persisted codebook)")
     val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
-    val packed = encodeFromDims(
-        partitionedDims(newEmbs, dim / m, idCol, vecCol), cb, idCol)
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("subspace"), col("code")))),
-        s => s.getField("code")).as("codes"))
-    packed.join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
     assigned.write.partitionBy("cell").mode("append")
       .parquet(s"$path/vectors")
+    packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    markerPath.foreach(p => java.nio.file.Files.write(p,
+      Array.emptyByteArray))
   }
 
   /** IVF-PQ top-k against an on-disk index for an explicit query

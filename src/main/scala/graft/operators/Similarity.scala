@@ -105,16 +105,39 @@ object Similarity {
     * quantization and per-vector assignment don't see other rows), so
     * certification carries: a query after N appends equals the query
     * against the all-at-once index (Int8AnnSpec pins it; probe x104
-    * certifies the composition against DuckDB). */
+    * certifies the composition against DuckDB).
+    *
+    * Exactly-once under at-least-once drivers (foreachBatch replays a
+    * micro-batch if the driver dies between the write and the
+    * checkpoint commit): pass `doneMarker` (e.g. the micro-batch id)
+    * — an append whose marker already exists is skipped, so replays
+    * are no-ops and the append≡rebuild bit-identity survives
+    * restarts. Empty batches are no-ops; the batch dimension must
+    * match the index's centroids (a mixed-dimension append would
+    * silently write codes that integer cosine NULLs out — the
+    * [[graft.expressions.DotProduct]] min-length truncation makes the
+    * mistake invisible without this check). */
   def appendToInt8Index(newEmbs: DataFrame, path: String,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Unit = {
+                        vecCol: String = "embedding",
+                        doneMarker: Option[String] = None): Unit = {
     val spark = newEmbs.sparkSession
+    val markerPath = doneMarker.map(mk =>
+      java.nio.file.Paths.get(path, s"_append_${mk}_ok"))
+    if (markerPath.exists(java.nio.file.Files.exists(_))) return
+    val head = newEmbs.select(col(vecCol)).head(1)
+    if (head.isEmpty) return // empty micro-batch
     val cents = spark.read.parquet(s"$path/centroids")
+    val indexDim = cents.select("centroid").head().getSeq[Any](0).length
+    val batchDim = head(0).getSeq[Any](0).length
+    require(batchDim == indexDim,
+      s"batch vectors have dim $batchDim, index centroids have $indexDim")
     val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
     quantizeInt8(newEmbs, idCol, vecCol)
       .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    markerPath.foreach(p => java.nio.file.Files.write(p,
+      Array.emptyByteArray))
   }
 
   /** Int8 cosine top-k against the on-disk index for an explicit query

@@ -95,7 +95,35 @@ class Int8AnnSpec extends SparkTestBase {
     // index A: build on the even half, append the odd half
     val dirA = java.nio.file.Files.createTempDirectory("graft_append_a").toString
     Similarity.writeInt8Index(base, dirA, nlist = 8)
-    Similarity.appendToInt8Index(incr, dirA)
+    // capture the plans the append ACTUALLY executes (a hand-built
+    // replica of the ingest plan cannot fail the O(batch) assertion)
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.appendToInt8Index(incr, dirA)
+      // listener events post asynchronously; poll until they land
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+    } finally spark.listenerManager.unregister(listener)
+    // O(batch): no executed plan SCANNED the existing codes (the
+    // write targets the codes dir; only FileScan lines are inspected)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.flatMap(_.split("\n")).filter(_.contains("FileScan"))
+      .foreach { scan =>
+        assert(!scan.contains("/codes"),
+          s"append scanned the existing codes:\n$scan")
+      }
     // index B: all vectors at once, but against the SAME centroids
     // (the versioned-quantizer contract): write base's index and
     // append everything missing — i.e. assignment/quantization of a
@@ -122,14 +150,23 @@ class Int8AnnSpec extends SparkTestBase {
     // appended vectors are actually retrievable (query id 3 is odd)
     assert(a.nonEmpty && a.map(_._1).exists(_ % 2 == 1))
 
-    // O(batch): the ingest plan reads the centroid table and the
-    // batch — never the existing codes
-    val cents = spark.read.parquet(s"$dirA/centroids")
-    val assigned = graft.operators.IvfIndex.assign(incr, cents)
-    val ingestPlan = Similarity.quantizeInt8(incr)
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .queryExecution.executedPlan.toString
-    assert(!ingestPlan.contains("/codes"),
-      s"ingest must not read the existing codes:\n$ingestPlan")
+    // marker-gated replay (the at-least-once foreachBatch contract):
+    // a second append with the same marker is a no-op
+    val batch1 = incr.where(col("vec_id") === 1)
+    Similarity.appendToInt8Index(batch1, dirB, doneMarker = Some("rb1"))
+    Similarity.appendToInt8Index(batch1, dirB, doneMarker = Some("rb1"))
+    assert(spark.read.parquet(s"$dirB/codes")
+      .where(col("vec_id") === 1).count() === 2L, // 1 original + 1 marked
+      "marked replay must not re-append")
+    // wrong-dimension batch fails fast instead of silently writing
+    // codes that integer cosine NULLs out
+    import spark.implicits._
+    val wrong = Seq((9001L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToInt8Index(wrong, dirB)
+    }
+    assert(e.getMessage.contains("dim"))
+    // empty batch is a no-op
+    Similarity.appendToInt8Index(incr.where(col("vec_id") === -1), dirB)
   }
 }

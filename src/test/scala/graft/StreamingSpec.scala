@@ -729,18 +729,28 @@ class StreamingSpec extends SparkTestBase {
     graft.operators.Similarity.writeInt8Index(base, dirS, nlist = 8)
     graft.operators.Similarity.writeInt8Index(base, dirB, nlist = 8)
     graft.operators.Similarity.appendToInt8Index(incr, dirB)
-    // stream the odd half in as (multiple) files → micro-batches
+    // stream the odd half in as 3 files; maxFilesPerTrigger=1 forces
+    // 3 SEPARATE micro-batches so the multi-append schedule is
+    // actually exercised (without it AvailableNow drains all files in
+    // one batch and this would collapse to the single-append shape)
     incr.repartition(3).write.mode("append").parquet(landing)
     val schema = embs.schema
-    val q = spark.readStream.schema(schema).parquet(landing)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToInt8Index(batch, dirS)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        nBatches.incrementAndGet()
+        // the marker makes an at-least-once replay of this batch a
+        // no-op — the exactly-once contract of the ingest loop
+        graft.operators.Similarity.appendToInt8Index(batch, dirS,
+          doneMarker = Some(id.toString))
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assert(nBatches.get() >= 2, s"expected multiple micro-batches, got ${nBatches.get()}")
     val qv = embs.where(col("vec_id") === 3)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
     def top(dir: String) = graft.operators.Similarity
