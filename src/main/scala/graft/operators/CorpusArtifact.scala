@@ -37,6 +37,37 @@ object CorpusArtifact {
       .mode("overwrite").saveAsTable(table)
   }
 
+  /** Append a batch of newly-curated documents to an existing
+    * artifact — the incremental-ingest contract of the index family
+    * (x104): per-document decisions and the salted shard hash are
+    * pure functions of the row, so appending a batch is value-
+    * identical to having rebuilt with the union (CorpusArtifactSpec
+    * pins it), and a document never migrates shards under growth (the
+    * hashSplit stability argument). O(batch): one map pass + a
+    * partitioned append; the existing corpus is never read. Pass
+    * `doneMarker` (e.g. a micro-batch id) so at-least-once drivers
+    * replay as no-ops. Spark's table catalog does not auto-discover
+    * appended partitions of an external table, so the append repairs
+    * the table metadata (`MSCK REPAIR`) — cheap, metadata-only. */
+  def append(docs: DataFrame, path: String, table: String,
+             nShards: Int = 64, keepCol: String = "keep",
+             idCol: String = "doc_id",
+             doneMarker: Option[String] = None): Unit = {
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"invalid table identifier: $table")
+    val spark = docs.sparkSession
+    val markerPath = doneMarker.map(mk =>
+      java.nio.file.Paths.get(path, s"_append_${mk}_ok"))
+    if (markerPath.exists(java.nio.file.Files.exists(_))) return
+    docs.withColumn("shard", shardOf(col(idCol), nShards))
+      .write.format("parquet")
+      .partitionBy(keepCol, "shard")
+      .mode("append").save(path)
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    markerPath.foreach(p => java.nio.file.Files.write(p,
+      Array.emptyByteArray))
+  }
+
   /** The training reader: surviving documents only — `keep=true`
     * arrives at the scan as a PartitionFilter (directory pruning),
     * not a row filter. */

@@ -263,6 +263,42 @@ class CleaningSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_test_artifact2")
   }
 
+  test("clean artifact: append == rebuild-with-union; markers gate replays") {
+    import spark.implicits._
+    import graft.operators.CorpusArtifact
+    val a = (1L to 20L).map(i => (i, s"doc $i.", i % 3 == 0))
+      .toDF("doc_id", "text", "keep")
+    val b = (21L to 30L).map(i => (i, s"doc $i.", i % 3 == 0))
+      .toDF("doc_id", "text", "keep")
+    // appended artifact
+    val dirA = java.nio.file.Files.createTempDirectory("graft_art_app").toString
+    CorpusArtifact.write(a, dirA, "graft_art_app", nShards = 4)
+    CorpusArtifact.append(b, dirA, "graft_art_app", nShards = 4)
+    // rebuilt-with-union artifact
+    val dirB = java.nio.file.Files.createTempDirectory("graft_art_all").toString
+    CorpusArtifact.write(a.union(b), dirB, "graft_art_all", nShards = 4)
+    def snap(t: String) = spark.table(t)
+      .select(col("doc_id"), col("text"), col("keep"),
+        col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(snap("graft_art_app") === snap("graft_art_all"))
+    // appended keep=true rows still arrive via PartitionFilters
+    val p = CorpusArtifact.readKept(spark, "graft_art_app")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*keep".r.findFirstIn(p).isDefined, p)
+    // marker-gated replay: same batch + same marker is a no-op
+    CorpusArtifact.append(b, dirA, "graft_art_app", nShards = 4,
+      doneMarker = Some("mb1"))
+    val n1 = spark.table("graft_art_app").count()
+    CorpusArtifact.append(b, dirA, "graft_art_app", nShards = 4,
+      doneMarker = Some("mb1"))
+    assert(spark.table("graft_art_app").count() === n1,
+      "marked replay must not re-append")
+    spark.sql("DROP TABLE IF EXISTS graft_art_app")
+    spark.sql("DROP TABLE IF EXISTS graft_art_all")
+  }
+
   test("lineFrequencyFilter plan: no product joins, distinct agg partials map-side") {
     val p = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 3)
       .queryExecution.executedPlan.toString
