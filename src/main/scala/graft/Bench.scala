@@ -773,7 +773,13 @@ object Bench {
       "aggregation (1 round: 4.6s), inertia 5.75M -> 1.47M (3.9x " +
       "tighter cells than the one-step quantizer), 56 of 64 cells " +
       "survive; rounds-linear and row-linear, the certified x101 " +
-      "trajectory at 200x the probe's corpus."
+      "trajectory at 200x the probe's corpus. BenchCrawl re-run on " +
+      "the r9 hardened matcher (1M real gzip WARC pages, same " +
+      "protocol as r8): WARC parse 2.4s, robots decisions vs the " +
+      "1000-host rules table 4.3s (r8 regexp_like_cached route: " +
+      "5.4s - the linear glob kernel with the RFC size caps is both " +
+      "safer AND faster at volume), stripHtml+C4 11.0s, line dedup " +
+      "3.2s with the universal footer still collapsing to ONE keeper."
 
   // ONE JSON line per the driver contract. Key order matters beyond
   // style: the round driver keeps only the LAST ~2000 characters of
