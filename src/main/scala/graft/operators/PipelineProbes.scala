@@ -14,6 +14,45 @@ object PipelineProbes {
 
   val probes: Seq[Probe] = Seq(
 
+    // Dedup.nearDupGroupsDF: the DataFrame label-propagation connected
+    // components (the near-dup group decision) hash-certified — until
+    // r9 this carried only spec+bench evidence. Deterministic edges:
+    // within every 10-id block, ids ≡ 0,1,2 (mod 10) edge to id+1 →
+    // 4-node paths of diameter 3, plus isolated ids. The oracle
+    // unrolls FOUR closed-neighborhood min-label rounds (≥ diameter,
+    // and extra rounds are idempotent at the fixpoint, so the
+    // to-convergence Spark loop and the fixed-round unroll agree
+    // exactly) — the iterative-trajectory certification pattern of
+    // x101/x81/x85 applied to the graph decision -------------------
+    Probe("x105_connected_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val pairs = docs.where(col("doc_id") % 10 < 3)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+        Dedup.nearDupGroupsDF(pairs, docs).orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""l$r AS (
+             |  SELECT i.id,
+             |    LEAST(i.label, COALESCE(MIN(l.label), i.label)) AS label
+             |  FROM l${r - 1} i
+             |  LEFT JOIN e ON e.src = i.id
+             |  LEFT JOIN l${r - 1} l ON l.id = e.dst
+             |  GROUP BY i.id, i.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+           |  WHERE doc_id % 10 < 3),
+           |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |l0 AS (SELECT id, id AS label FROM ids),
+           |$rounds
+           |SELECT id AS doc_id, label AS group_id, id = label AS keep
+           |FROM l4 ORDER BY doc_id""".stripMargin
+      }),
+
     // A6 via Triggers.exceedanceTable: full threshold table in one agg
     Probe("t01_exceedance_table",
       (s, d) => {
