@@ -48,6 +48,16 @@ object MultimodalOps {
     * claiming 30000×30000 would otherwise allocate gigabytes in the
     * executor before any downstream check runs. The dimensions are
     * read from the header WITHOUT decoding pixels. */
+  // ImageIO's default useCache=true backs createImageInputStream with
+  // a FileCacheImageInputStream: every decode WRITES A TEMP FILE —
+  // pure disk churn for payloads that are already in-memory byte
+  // arrays, and the per-decode cost tracks the tmp filesystem's state
+  // (measured: x89 phash drifted 0.6s → 1.9s at sf0.1 and 3.2s → 11s
+  // at sf1 as this box's tmp filled; flipping to the memory cache
+  // restored it). Values are unaffected — only the stream's backing
+  // store changes.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bytes: Array[Byte],
                   maxPixels: Long = 64L * 1024 * 1024): Option[DecodedImage] = {
     if (bytes == null || bytes.length < 8) None
