@@ -779,7 +779,26 @@ object Bench {
       "1000-host rules table 4.3s (r8 regexp_like_cached route: " +
       "5.4s - the linear glob kernel with the RFC size caps is both " +
       "safer AND faster at volume), stripHtml+C4 11.0s, line dedup " +
-      "3.2s with the universal footer still collapsing to ONE keeper."
+      "3.2s with the universal footer still collapsing to ONE keeper. " +
+      "r9 FULL-SUITE sf1 HONESTY RUN (147 probes, ScaleData 10x " +
+      "multi-file tables, steady-state min-of-2): total 264s vs 87.3s " +
+      "at sf0.1 = 3.0x at 10x data, strongly sublinear; the top " +
+      "growers are the documented key-shifted-copy workload families " +
+      "(contamination x16/x42/x46/x49/x35/x78/x38 at 6-16x and " +
+      "semantic dedup x29/x103 at 8-9x: duplicated texts/embeddings " +
+      "grow match PAIRS ~100x - the operator doing its job on a " +
+      "duplicate-saturated corpus; organic growth has no such " +
+      "blowup). The run also caught a REAL scale-killer, the r9 " +
+      "sibling of r8's x54 SPI find: ImageIO's default useCache=true " +
+      "backs every createImageInputStream with a FileCache stream " +
+      "that WRITES A TEMP FILE PER DECODE - pure disk churn for " +
+      "in-memory payloads, and the cost tracks tmp-filesystem state " +
+      "(it is what drifted x89 0.6s->1.9s at sf0.1 and put x68 video " +
+      "at 23.5s at sf1). ImageIO.setUseCache(false) (memory-backed " +
+      "streams, values bit-identical): x89 sf1 10.9s -> 0.68s (16x), " +
+      "x68 sf1 23.5s -> 0.78s (30x), x90 6.8s -> 3.0s; at sf0.1 x89 " +
+      "0.62s, x68 0.54s, x90 0.97s - all back at or under their r8 " +
+      "records, media specs green."
 
   // ONE JSON line per the driver contract. Key order matters beyond
   // style: the round driver keeps only the LAST ~2000 characters of
