@@ -800,7 +800,14 @@ object Bench {
       "streams, values bit-identical): x89 sf1 10.9s -> 0.68s (16x), " +
       "x68 sf1 23.5s -> 0.78s (30x), x90 6.8s -> 3.0s; at sf0.1 x89 " +
       "0.62s, x68 0.54s, x90 0.97s - all back at or under their r8 " +
-      "records, media specs green."
+      "records, media specs green. Post-fix sf1 rerun of the FULL " +
+      "147-probe suite: 208.2s vs 85.4s = 2.44x at 10x data (the " +
+      "pre-fix 264s run that caught the issue carried ~56s of " +
+      "ImageIO temp-file churn); the only >5x growers left are the " +
+      "documented duplicate-blowup contamination/semantic families, " +
+      "and the r9 operators hold flat-to-sublinear (x101 k-means " +
+      "1.59s, x105 components 1.7s, x104 append-index 0.62s, x100 " +
+      "0.44s at sf1)."
 
   // ONE JSON line per the driver contract. Key order matters beyond
   // style: the round driver keeps only the LAST ~2000 characters of
