@@ -39,6 +39,17 @@ object MultimodalOps {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
+  // ImageIO's default useCache=true backs createImageInputStream with
+  // a FileCacheImageInputStream: every decode WRITES A TEMP FILE —
+  // pure disk churn for payloads that are already in-memory byte
+  // arrays, and the per-decode cost tracks the tmp filesystem's state
+  // (measured: x89 phash drifted 0.6s → 1.9s at sf0.1 and 3.2s → 11s
+  // at sf1 as this box's tmp filled; flipping to the memory cache
+  // restored it). Values are unaffected — only the stream's backing
+  // store changes. JVM-global, set at object init (first use of any
+  // decode path).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode an image payload with `javax.imageio` and reduce it to an
     * 8-bit luminance plane (integer Rec.601: (299R+587G+114B+500)/1000
     * — deterministic, no float rounding ambiguity). Returns None when
@@ -48,16 +59,6 @@ object MultimodalOps {
     * claiming 30000×30000 would otherwise allocate gigabytes in the
     * executor before any downstream check runs. The dimensions are
     * read from the header WITHOUT decoding pixels. */
-  // ImageIO's default useCache=true backs createImageInputStream with
-  // a FileCacheImageInputStream: every decode WRITES A TEMP FILE —
-  // pure disk churn for payloads that are already in-memory byte
-  // arrays, and the per-decode cost tracks the tmp filesystem's state
-  // (measured: x89 phash drifted 0.6s → 1.9s at sf0.1 and 3.2s → 11s
-  // at sf1 as this box's tmp filled; flipping to the memory cache
-  // restored it). Values are unaffected — only the stream's backing
-  // store changes.
-  javax.imageio.ImageIO.setUseCache(false)
-
   def decodeImage(bytes: Array[Byte],
                   maxPixels: Long = 64L * 1024 * 1024): Option[DecodedImage] = {
     if (bytes == null || bytes.length < 8) None

@@ -21,8 +21,26 @@ object CorpusArtifact {
     conv(substring(md5(concat(lit("shard_"), id.cast("string"))), 1, 7), 16, 10)
       .cast("long") % nShards
 
+  /** Hadoop-FS marker helpers — markers must live on the SAME
+    * filesystem as the artifact (a java.nio local path silently never
+    * engages for hdfs://s3a:// artifacts), and the marker name is
+    * sanitized so a hostile batch id cannot escape the artifact dir. */
+  private def markerPath(spark: SparkSession, path: String,
+                         mk: String): org.apache.hadoop.fs.Path = {
+    require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+    new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+  }
+  private def fsOf(spark: SparkSession,
+                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val NShardsFile = "_graft_nshards"
+
   /** Write the artifact: all input columns + `shard`, partitioned by
-    * (`keepCol`, shard), registered as an external table. */
+    * (`keepCol`, shard), registered as an external table. The shard
+    * count persists alongside the data (`_graft_nshards`) so
+    * [[append]] can never shard a batch differently from the corpus
+    * it joins. */
   def write(docs: DataFrame, path: String, table: String,
             nShards: Int = 64, keepCol: String = "keep",
             idCol: String = "doc_id"): Unit = {
@@ -35,37 +53,66 @@ object CorpusArtifact {
       .write.format("parquet").option("path", path)
       .partitionBy(keepCol, "shard")
       .mode("overwrite").saveAsTable(table)
+    val meta = new org.apache.hadoop.fs.Path(path, NShardsFile)
+    val fs = fsOf(spark, meta)
+    val out = fs.create(meta, true)
+    try out.write(nShards.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Append a batch of newly-curated documents to an existing
     * artifact — the incremental-ingest contract of the index family
     * (x104): per-document decisions and the salted shard hash are
     * pure functions of the row, so appending a batch is value-
-    * identical to having rebuilt with the union (CorpusArtifactSpec
-    * pins it), and a document never migrates shards under growth (the
-    * hashSplit stability argument). O(batch): one map pass + a
-    * partitioned append; the existing corpus is never read. Pass
-    * `doneMarker` (e.g. a micro-batch id) so at-least-once drivers
-    * replay as no-ops. Spark's table catalog does not auto-discover
-    * appended partitions of an external table, so the append repairs
-    * the table metadata (`MSCK REPAIR`) — cheap, metadata-only. */
+    * identical to having rebuilt with the union (CleaningSpec pins
+    * it), and a document never migrates shards under growth (the
+    * hashSplit stability argument). The shard count is READ from the
+    * artifact's persisted `_graft_nshards` (a caller-supplied number
+    * could silently shard the batch differently from the corpus it
+    * joins). O(batch): one map pass, a partitioned append, and
+    * explicit `ADD PARTITION` registrations for the batch's ≤
+    * 2·nShards (keep, shard) pairs — NOT `MSCK REPAIR`, whose
+    * partition discovery re-lists the whole artifact on every
+    * micro-batch.
+    *
+    * Replay semantics (stated honestly): with `doneMarker` (e.g. the
+    * micro-batch id) a replay AFTER the marker landed is a no-op; a
+    * crash in the window between the data commit and the marker write
+    * can still duplicate that one batch — the classic
+    * non-transactional-sink gap. Readers that cannot tolerate it
+    * dedup by id downstream (one exact-dedup groupBy — the documents
+    * are keyed). */
   def append(docs: DataFrame, path: String, table: String,
-             nShards: Int = 64, keepCol: String = "keep",
-             idCol: String = "doc_id",
+             keepCol: String = "keep", idCol: String = "doc_id",
              doneMarker: Option[String] = None): Unit = {
     require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
       s"invalid table identifier: $table")
     val spark = docs.sparkSession
-    val markerPath = doneMarker.map(mk =>
-      java.nio.file.Paths.get(path, s"_append_${mk}_ok"))
-    if (markerPath.exists(java.nio.file.Files.exists(_))) return
-    docs.withColumn("shard", shardOf(col(idCol), nShards))
-      .write.format("parquet")
+    val marker = doneMarker.map(markerPath(spark, path, _))
+    if (marker.exists(m => fsOf(spark, m).exists(m))) return
+    val meta = new org.apache.hadoop.fs.Path(path, NShardsFile)
+    val metaFs = fsOf(spark, meta)
+    require(metaFs.exists(meta),
+      s"no $NShardsFile at $path — append targets an artifact written " +
+        "by CorpusArtifact.write")
+    val nShards = {
+      val in = metaFs.open(meta)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt
+      finally in.close()
+    }
+    val withShard = docs.withColumn("shard", shardOf(col(idCol), nShards))
+    withShard.write.format("parquet")
       .partitionBy(keepCol, "shard")
       .mode("append").save(path)
-    spark.sql(s"MSCK REPAIR TABLE $table")
-    markerPath.foreach(p => java.nio.file.Files.write(p,
-      Array.emptyByteArray))
+    // register only the batch's partitions — bounded, O(batch)
+    withShard.select(col(keepCol).cast("string"), col("shard").cast("string"))
+      .distinct().collect().foreach { r =>
+        spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
+          s"($keepCol='${r.getString(0)}', shard='${r.getString(1)}')")
+      }
+    spark.catalog.refreshTable(table)
+    marker.foreach(m => fsOf(spark, m).create(m, true).close())
   }
 
   /** The training reader: surviving documents only — `keep=true`

@@ -349,9 +349,16 @@ object PqIndex {
                     vecCol: String = "embedding",
                     doneMarker: Option[String] = None): Unit = {
     val spark = newEmbs.sparkSession
-    val markerPath = doneMarker.map(mk =>
-      java.nio.file.Paths.get(path, s"_append_${mk}_ok"))
-    if (markerPath.exists(java.nio.file.Files.exists(_))) return
+    // marker on the artifact's filesystem + sanitized name; the
+    // data-commit-to-marker crash window can duplicate ONE batch —
+    // see appendToInt8Index's note
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def mfs(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => mfs(m).exists(m))) return
     val head = newEmbs.select(col(vecCol)).head(1)
     if (head.isEmpty) return // empty micro-batch
     val cents = spark.read.parquet(s"$path/centroids")
@@ -370,8 +377,7 @@ object PqIndex {
     packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
       .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-    markerPath.foreach(p => java.nio.file.Files.write(p,
-      Array.emptyByteArray))
+    marker.foreach(m => mfs(m).create(m, true).close())
   }
 
   /** IVF-PQ top-k against an on-disk index for an explicit query

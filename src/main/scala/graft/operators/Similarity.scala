@@ -122,9 +122,19 @@ object Similarity {
                         vecCol: String = "embedding",
                         doneMarker: Option[String] = None): Unit = {
     val spark = newEmbs.sparkSession
-    val markerPath = doneMarker.map(mk =>
-      java.nio.file.Paths.get(path, s"_append_${mk}_ok"))
-    if (markerPath.exists(java.nio.file.Files.exists(_))) return
+    // marker on the ARTIFACT's filesystem (a java.nio local path never
+    // engages for hdfs/s3a artifacts); name sanitized so a hostile
+    // batch id cannot escape the index dir. A crash between the data
+    // commit and the marker write can still duplicate that ONE batch
+    // (the non-transactional-sink gap) — callers who can't tolerate it
+    // dedup by id downstream.
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def fs(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fs(m).exists(m))) return
     val head = newEmbs.select(col(vecCol)).head(1)
     if (head.isEmpty) return // empty micro-batch
     val cents = spark.read.parquet(s"$path/centroids")
@@ -136,8 +146,7 @@ object Similarity {
     quantizeInt8(newEmbs, idCol, vecCol)
       .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-    markerPath.foreach(p => java.nio.file.Files.write(p,
-      Array.emptyByteArray))
+    marker.foreach(m => fs(m).create(m, true).close())
   }
 
   /** Int8 cosine top-k against the on-disk index for an explicit query

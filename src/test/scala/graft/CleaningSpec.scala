@@ -273,7 +273,7 @@ class CleaningSpec extends SparkTestBase {
     // appended artifact
     val dirA = java.nio.file.Files.createTempDirectory("graft_art_app").toString
     CorpusArtifact.write(a, dirA, "graft_art_app", nShards = 4)
-    CorpusArtifact.append(b, dirA, "graft_art_app", nShards = 4)
+    CorpusArtifact.append(b, dirA, "graft_art_app")
     // rebuilt-with-union artifact
     val dirB = java.nio.file.Files.createTempDirectory("graft_art_all").toString
     CorpusArtifact.write(a.union(b), dirB, "graft_art_all", nShards = 4)
@@ -288,10 +288,10 @@ class CleaningSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*keep".r.findFirstIn(p).isDefined, p)
     // marker-gated replay: same batch + same marker is a no-op
-    CorpusArtifact.append(b, dirA, "graft_art_app", nShards = 4,
+    CorpusArtifact.append(b, dirA, "graft_art_app",
       doneMarker = Some("mb1"))
     val n1 = spark.table("graft_art_app").count()
-    CorpusArtifact.append(b, dirA, "graft_art_app", nShards = 4,
+    CorpusArtifact.append(b, dirA, "graft_art_app",
       doneMarker = Some("mb1"))
     assert(spark.table("graft_art_app").count() === n1,
       "marked replay must not re-append")
