@@ -297,6 +297,44 @@ object CleaningProbes {
              |  CAST(1.0 AS DOUBLE) / c.n_copies AS weight
              |FROM a JOIN c USING (t) ORDER BY a.doc_id""".stripMargin)),
 
+    // TextOps.dedupNormalize: the FineWeb-style aggressive minhash
+    // canonicalization — accents stripped (NFD + de-mark ≡ DuckDB
+    // strip_accents for decomposable chars), lowercased, digits→0,
+    // punctuation→space, whitespace collapsed. The synthesized suffix
+    // plants every rule: case, accents (é ï Ä), digits, punctuation.
+    // A near-dup pair differing only in those dimensions must
+    // normalize IDENTICALLY — certified by construction: the suffix
+    // variants collapse to one canonical form --------------------------
+    Probe("x106_dedup_normalize",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val suffix = when(col("doc_id") % 2 === 0,
+            lit(" Café NAÏVE No.42, Ärger!"))
+          .otherwise(lit(" cafe naive no 00 arger"))
+        val aug = Tables.documents(s, d)
+          .select(col("doc_id"), concat(col("text"), suffix).as("t"))
+        aug.select(col("doc_id"),
+            TextOps.dedupNormalize(col("t")).as("norm"))
+          .withColumn("n_chars", length(col("norm")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 2 = 0
+             |         THEN ' Café NAÏVE No.42, Ärger!'
+             |         ELSE ' cafe naive no 00 arger' END AS t
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(regexp_replace(
+             |      lower(strip_accents(t)),
+             |      '\p{Nd}', '0', 'g'),
+             |      '[^\p{L}\p{N}\s]', ' ', 'g'),
+             |      '\s+', ' ', 'g')) AS norm
+             |  FROM a)
+             |SELECT doc_id, norm, CAST(length(norm) AS INT) AS n_chars
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // TextOps.charEntropySignals: codepoint-distribution signals —
     // entropy, top-character fraction, distinct count — the
     // compressibility/garbledness tells that need no word structure.

@@ -29,6 +29,29 @@ object TextOps {
       regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "),
       "\\s+", " ")))
 
+  /** AGGRESSIVE dedup normalization — the FineWeb/Gopher minhash-prep
+    * recipe: near-duplicates that differ only in case, accents,
+    * punctuation, digits, or whitespace must collide, so the
+    * signature input is canonicalized hard BEFORE shingling:
+    * NFD-decompose and strip combining marks (é→e, ñ→n; DuckDB's
+    * `strip_accents` computes the same for decomposable chars),
+    * lowercase, map every decimal digit to 0 (versions/dates/ids
+    * never distinguish near-dups), replace everything that is not a
+    * letter/number/whitespace with a space, collapse whitespace.
+    * Pure column expressions in the engine-portable Java∩RE2 subset
+    * (probe x106); feed the result to `minhash_signature`/
+    * `shingle_hashes` unchanged. NOT for display text — that is
+    * [[normalizeText]]'s job. Requires [[graft.GraftExtensions]]
+    * (the NFD kernel). */
+  def dedupNormalize(text: Column): Column = {
+    val stripped = regexp_replace(
+      call_function("unicode_normalize", text, lit("NFD")),
+      "\\p{Mn}", "")
+    val digits = regexp_replace(lower(stripped), "\\p{Nd}", "0")
+    val punct = regexp_replace(digits, "[^\\p{L}\\p{N}\\s]", " ")
+    trim(regexp_replace(punct, "\\s+", " "))
+  }
+
   /** Whitespace token count (0 for blank text). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)

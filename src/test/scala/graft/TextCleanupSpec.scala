@@ -169,6 +169,32 @@ class TextCleanupSpec extends SparkTestBase {
       plain.getAs[Int]("n_links") === 0)
   }
 
+  test("dedupNormalize: near-dups differing in case/accents/digits/punct collide") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, "The Quick Brown Fox, version 1.2.3 — ran FAST!"),
+      (2L, "the quick brown fox version 0 0 0 ran fast"),
+      (3L, "Thé Qüick Brôwn Fox; Version 9.9.9... ran fast"),
+      (4L, "a genuinely different document here"))
+      .toDF("doc_id", "text")
+    val norm = docs.select(col("doc_id"),
+        TextOps.dedupNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) === norm(2L), s"${norm(1L)} != ${norm(2L)}")
+    assert(norm(1L) === norm(3L), s"${norm(1L)} != ${norm(3L)}")
+    assert(norm(1L) !== norm(4L))
+    assert(norm(1L) === "the quick brown fox version 0 0 0 ran fast")
+    // and therefore identical minhash signatures — the point of the op
+    val sigs = docs.select(col("doc_id"),
+        call_function("minhash_signature",
+          TextOps.dedupNormalize(col("text")), lit(3), lit(16)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L) && sigs(1L) === sigs(3L))
+    assert(sigs(1L) !== sigs(4L))
+  }
+
   test("charEntropySignals: boundary shapes and the signal directions") {
     import spark.implicits._
     import graft.operators.TextOps
