@@ -387,6 +387,32 @@ object Dedup {
     bos.toByteArray
   }
 
+  /** Persist a reference bloom as an at-rest artifact — the filter is
+    * the SHAREABLE curation asset (build once over the reference
+    * corpus, every future ingest/stream scores against the bytes
+    * without touching the reference again), so it belongs on the
+    * artifact filesystem next to the shingle/IVF indexes. Hadoop FS
+    * API: works for any scheme the session can reach. */
+  def writeShingleBloom(spark: org.apache.spark.sql.SparkSession,
+                        bloomBytes: Array[Byte], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(bloomBytes) finally out.close()
+  }
+
+  /** Reload a persisted reference bloom ([[writeShingleBloom]]) —
+    * byte-identical, so every decision downstream is identical to the
+    * build-session's (BloomArtifactSpec pins it). */
+  def readShingleBloom(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
   /** ZERO-SHUFFLE novelty scoring against a prebuilt reference Bloom
     * filter ([[buildShingleBloom]]): shingle, probe and count inside
     * one projection — no explode survives the plan, no join, no agg,
