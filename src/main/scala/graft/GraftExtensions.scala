@@ -163,6 +163,11 @@ object GraftExtensions {
     ("unicode_normalize", 2, { case Seq(t,
         Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
       graft.expressions.UnicodeNormalize(t, f.toString) }),
+    // lower_cp(text): per-codepoint locale-free lowercase — the
+    // engine-portable lowering (Spark's lower is context-sensitive
+    // and default-locale off the ASCII path; see LowerCodepointOps).
+    ("lower_cp", 1, { case Seq(t) =>
+      graft.expressions.LowerCodepoint(t) }),
     // nearest_value(v, values-literal, keys-literal): J9 nearest lookup
     // as a map-only binary search over a broadcast value table.
     ("nearest_value", 3, { case Seq(v,

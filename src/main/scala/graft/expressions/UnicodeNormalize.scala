@@ -57,3 +57,40 @@ case class UnicodeNormalize(child: Expression, formName: String)
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
 }
+
+/** Per-CODEPOINT, locale-free lowercase — `lower_cp(text)`.
+  *
+  * Spark's `lower` routes non-ASCII through `String.toLowerCase`,
+  * which is CONTEXT-SENSITIVE and DEFAULT-LOCALE: Greek 'ΟΣ' lowers
+  * to 'ος' (final sigma) where DuckDB's per-character utf8proc gives
+  * 'οσ'; 'İ' expands to "i"+combining-dot; and a Turkish default
+  * locale maps 'I'→'ı'. `Character.toLowerCase(int)` is the
+  * context-free per-codepoint simple mapping, which matches the
+  * engine-portable behavior ('ΟΣ'→'οσ', 'İ'→'i', 'I'→'i' on any
+  * locale) — the lowercase [[graft.operators.TextOps.dedupNormalize]]
+  * needs for its cross-engine signature-collision contract. */
+object LowerCodepointOps {
+  def lower(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** lower_cp(text) → per-codepoint locale-free lowercase. */
+case class LowerCodepoint(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    LowerCodepointOps.lower(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LowerCodepointOps$$.MODULE$$.lower($c)")
+  override protected def withNewChildInternal(newChild: Expression): LowerCodepoint =
+    copy(child = newChild)
+}

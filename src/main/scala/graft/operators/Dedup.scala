@@ -397,20 +397,32 @@ object Dedup {
                         bloomBytes: Array[Byte], path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // write-then-rename: a crash mid-write must not leave a torn
+    // artifact at the FINAL path that a later session trusts (the
+    // same atomicity stance as the index completion markers)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(bloomBytes) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
   }
 
   /** Reload a persisted reference bloom ([[writeShingleBloom]]) —
     * byte-identical, so every decision downstream is identical to the
-    * build-session's (BloomArtifactSpec pins it). */
+    * build-session's (BloomArtifactSpec pins it). Sized bulk read:
+    * reference blooms run to GBs (~1.2 GB per 10^9 shingles at
+    * fpp=0.01), where a byte-at-a-time DataInput loop would take
+    * minutes against remote storage. */
   def readShingleBloom(spark: org.apache.spark.sql.SparkSession,
                        path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"bloom artifact too large: $len bytes")
+    val buf = new Array[Byte](len.toInt)
     val in = fs.open(p)
-    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-    finally in.close()
+    try in.readFully(0, buf) finally in.close()
+    buf
   }
 
   /** ZERO-SHUFFLE novelty scoring against a prebuilt reference Bloom

@@ -44,10 +44,18 @@ object TextOps {
     * [[normalizeText]]'s job. Requires [[graft.GraftExtensions]]
     * (the NFD kernel). */
   def dedupNormalize(text: Column): Column = {
+    // \p{M} (ALL mark categories), not \p{Mn}: DuckDB's strip_accents
+    // (utf8proc STRIPMARK) also removes spacing/enclosing marks —
+    // Indic vowel signs are Mc, and leaving them here would turn them
+    // into spaces where the oracle deletes them. lower_cp, not lower:
+    // Spark's lower is context-sensitive + default-locale off ASCII
+    // (Greek final sigma, Turkish dotless i) where the oracle lowers
+    // per codepoint.
     val stripped = regexp_replace(
       call_function("unicode_normalize", text, lit("NFD")),
-      "\\p{Mn}", "")
-    val digits = regexp_replace(lower(stripped), "\\p{Nd}", "0")
+      "\\p{M}", "")
+    val digits = regexp_replace(call_function("lower_cp", stripped),
+      "\\p{Nd}", "0")
     val punct = regexp_replace(digits, "[^\\p{L}\\p{N}\\s]", " ")
     trim(regexp_replace(punct, "\\s+", " "))
   }

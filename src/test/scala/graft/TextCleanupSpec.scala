@@ -186,6 +186,15 @@ class TextCleanupSpec extends SparkTestBase {
     assert(norm(1L) === norm(3L), s"${norm(1L)} != ${norm(3L)}")
     assert(norm(1L) !== norm(4L))
     assert(norm(1L) === "the quick brown fox version 0 0 0 ran fast")
+    // engine-portable corners: Greek final-sigma context lowers per
+    // codepoint (matching DuckDB), Turkish dotted capital collapses
+    // to plain i, and Indic SPACING vowel signs (category Mc) strip
+    // like nonspacing accents do
+    val corner = Seq((9L, "\u039f\u03a3 \u0130stanbul \u0915\u0940"))
+      .toDF("doc_id", "text")
+    val c = corner.select(TextOps.dedupNormalize(col("text")))
+      .head().getString(0)
+    assert(c === "\u03bf\u03c3 istanbul \u0915", c.map(_.toInt).mkString(","))
     // and therefore identical minhash signatures — the point of the op
     val sigs = docs.select(col("doc_id"),
         call_function("minhash_signature",
