@@ -195,13 +195,12 @@ object BenchDedup {
     require(exactTop == Set("zthe", "zof", "zand"))
     // LONG-CHAIN worst case for the label-propagation decision path:
     // organic LSH components are shallow (stars/cliques — the 2-round
-    // convergence above), but min-label propagation is O(component
-    // diameter), and the adversarial shape is a long PATH where the
-    // minimum travels one hop per round. 1000 planted chains of
-    // diameter 20 across the 1M-vertex corpus: rounds must track the
-    // diameter (~21 with the convergence-detection round), and the
-    // per-round wall time is the localCheckpoint + join cost curve
-    // that the O(diameter) claim rests on.
+    // convergence above); the adversarial shape is a long PATH where a
+    // hop-only loop moves the minimum one edge per round. The hop+jump
+    // (pointer-halving) rounds must be LOGARITHMIC in the diameter:
+    // 1000 planted chains of diameter 20 across the 1M-vertex corpus
+    // must converge in ~log2(20)+2 ≈ 7 rounds, and the recorded
+    // chain_rounds is the evidence the O(log diameter) claim rests on.
     val chainLen = 21
     val nChains = 1000
     val chainEdges = spark.range(nChains.toLong * (chainLen - 1)).select(
@@ -216,8 +215,9 @@ object BenchDedup {
     }
     require(nChainKeep == n - nChains.toLong * (chainLen - 1),
       s"chain components wrong: $nChainKeep keepers")
-    require(chainRounds >= chainLen - 1,
-      s"diameter-${chainLen - 1} chain converged in $chainRounds rounds?")
+    require(chainRounds <= 10,
+      s"diameter-${chainLen - 1} chain took $chainRounds rounds — " +
+        "expected O(log diameter) ~6 from the hop+jump loop")
     // REAL-TOKENIZER at volume: train a 200-merge BPE table on the
     // full 1M-doc corpus (one distributed word-type aggregation, then
     // the driver merge loop over the ~10k-type dictionary), then

@@ -727,51 +727,100 @@ object Dedup {
   }
 
   /** DataFrame-native connected components — the scale path for
-    * near-dup group resolution. Alternating label propagation: each
-    * round every vertex takes the minimum label in its closed
-    * neighborhood, iterated until a fixpoint. Labels converge to the
-    * component's minimum id (same contract as the GraphX variant),
-    * in O(component diameter) rounds — LSH near-dup components are
-    * shallow (stars/cliques), so this terminates in a handful of
-    * rounds. Runs on DataFrames end to end: AQE handles skewed
-    * high-degree buckets, no RDD serde, `localCheckpoint` truncates
-    * the growing lineage each round.
+    * near-dup group resolution. Each round combines one min-label HOP
+    * (every vertex takes the minimum label in its closed neighborhood)
+    * with one pointer JUMP (label(u) ← label(label(u)), the path-halving
+    * shortcut of pointer-doubling CC algorithms). The hop moves the
+    * component minimum one edge per round; the jump then roughly
+    * doubles how far every vertex already sees — so a diameter-d chain
+    * converges in O(log d) rounds, not O(d). Templated near-dup chains
+    * (page A≈B≈C≈…) are exactly where long diameters appear at 100 TB,
+    * and the default `maxRounds = 50` now covers diameter ~2^49
+    * instead of 49 hops. Labels converge to the component's minimum id
+    * (same contract as the GraphX variant): labels are monotone
+    * non-increasing, always the id of a vertex in the same component
+    * (hop propagates along edges, jump through a component-mate), and
+    * the component minimum keeps its own label — so the hop fixpoint
+    * is labels constant per component at the component min.
+    *
+    * Scale shape per round: one edge⋈label join + groupBy(min) for the
+    * hop, one label⋈label self-join for the jump. The jump join's probe
+    * side keys skew toward popular labels as components collapse — AQE
+    * skew-join splitting handles that. The symmetrized edge list is
+    * `localCheckpoint`ed ONCE up front so an expensive upstream
+    * candidate-pair plan (LSH banding) is never recomputed per round,
+    * and each round's label table is checkpointed to truncate lineage.
+    * Convergence detection is folded into the hop's materialization via
+    * an accumulator (changed-row count piggybacks the checkpoint job) —
+    * no separate full-table scan per round. Accumulator over-count on
+    * task retry only costs one extra (no-op) round, never a wrong stop.
     *
     * Returns (idCol, group_id, keep) for every id in `allIds`. */
   def nearDupGroupsDF(pairs: DataFrame, allIds: DataFrame,
                       idCol: String = "doc_id", maxRounds: Int = 50): DataFrame =
     nearDupGroupsDFWithRounds(pairs, allIds, idCol, maxRounds)._1
 
-  /** As nearDupGroupsDF, additionally reporting how many propagation
+  /** As nearDupGroupsDF, additionally reporting how many hop+jump
     * rounds ran before the fixpoint — the number to watch at scale,
-    * since each round is a join+groupBy over the edge list. */
+    * since each round is a join+groupBy over the edge list. Expect
+    * O(log max-component-diameter). */
   def nearDupGroupsDFWithRounds(pairs: DataFrame, allIds: DataFrame,
                                 idCol: String = "doc_id",
                                 maxRounds: Int = 50): (DataFrame, Int) = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = pairs.sparkSession
+    val labelSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    // materialize the symmetrized edges once — every round joins this
+    val sym = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
     var labels = allIds.select(col(idCol).cast("long").as("id"))
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val changed = spark.sparkContext.longAccumulator(s"cc_changed_r$round")
       val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"),
-          Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_label").as("nbr_label"))
-      // carry the old label through the update so convergence is a
-      // cheap scan of the checkpointed result — not a second
-      // full-size self-join per round
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // HOP, with the convergence check folded into the checkpoint
+      // job: the narrow map that counts changed rows runs inside the
+      // materialization — no second scan of the label table
+      val hopRows = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.where(col("label") =!= col("old")).isEmpty
-      labels = next.select("id", "label")
+        .rdd.mapPartitions { it =>
+          it.map { r =>
+            val lbl = r.getLong(2)
+            if (lbl != r.getLong(1)) changed.add(1L)
+            Row(r.getLong(0), lbl)
+          }
+        }
+      val hop = spark.createDataFrame(hopRows, labelSchema).localCheckpoint()
       round += 1
+      if (changed.value == 0L) {
+        converged = true // closed-neighborhood fixpoint == component min
+        labels = hop
+      } else {
+        // JUMP on the checkpointed hop table: label(u) ← label(label(u)).
+        // Labels are always ids of vertices in `allIds`, so the self-join
+        // hits; coalesce guards edge endpoints outside the id universe.
+        // label(w) ≤ w by monotonicity, so no least() needed.
+        labels = hop
+          .join(hop.select(col("id").as("jid"), col("label").as("jlabel")),
+            col("label") === col("jid"), "left")
+          .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
+          .localCheckpoint()
+      }
     }
-    require(converged, s"connected components did not converge in $maxRounds rounds")
+    require(converged, s"connected components did not converge in $maxRounds rounds" +
+      " (log-round hop+jump: this bounds component diameter by ~2^" + (maxRounds - 1) + ")")
     (labels.select(col("id").as(idCol), col("label").as("group_id"),
       (col("id") === col("label")).as("keep")), round)
   }

@@ -20,9 +20,12 @@ object PipelineProbes {
     // within every 10-id block, ids ≡ 0,1,2 (mod 10) edge to id+1 →
     // 4-node paths of diameter 3, plus isolated ids. The oracle
     // unrolls FOUR closed-neighborhood min-label rounds (≥ diameter,
-    // and extra rounds are idempotent at the fixpoint, so the
-    // to-convergence Spark loop and the fixed-round unroll agree
-    // exactly) — the iterative-trajectory certification pattern of
+    // so the unroll reaches the unique fixpoint: labels constant per
+    // component at the component-minimum id). The Spark side runs the
+    // hop+jump (pointer-halving) loop to convergence — a different
+    // round function, but provably the SAME fixpoint (labels monotone,
+    // component-confined, min keeps itself), so final tables agree
+    // exactly — the iterative-trajectory certification pattern of
     // x101/x81/x85 applied to the graph decision -------------------
     Probe("x105_connected_components",
       (s, d) => {

@@ -112,24 +112,41 @@ class MinHashKernelSpec extends SparkTestBase {
     assert(viaDF(900005L) == 900001L) // chain collapsed to min id
   }
 
-  test("label propagation rounds track component diameter on a planted chain") {
-    // a path graph is the adversarial shape: the min label travels one
-    // hop per round, so rounds ≈ diameter (+1 to detect the fixpoint)
+  test("label propagation rounds are LOGARITHMIC in component diameter") {
+    // a path graph is the adversarial shape: the hop alone moves the
+    // min label one edge per round (O(d)); the pointer jump shortcut
+    // must bring this to O(log d). After round k the label has
+    // traveled ~2^(k+1)-2 hops, so d=8 needs 3 rounds + 1 to detect
+    // the fixpoint.
     val d = 8
     val edges = (0L until d).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ids = (0L to d).toDF("doc_id")
     val (groups, rounds) = Dedup.nearDupGroupsDFWithRounds(edges, ids)
     assert(groups.collect().forall(_.getLong(1) == 0L)) // all label to min id
-    assert(rounds >= d && rounds <= d + 2, s"diameter $d took $rounds rounds")
-    // min id planted mid-chain: information spreads both ways, so the
-    // round count halves — evidence rounds follow ECCENTRICITY of the
-    // minimum, not chain length
+    assert(rounds <= 6, s"diameter $d took $rounds rounds (expected O(log d) ~4)")
+    // min id planted mid-chain still converges, labels to the min
     val mid = (0L until d).map(i => (i + 100, i + 101)) :+ ((104L, 50L))
     val midIds = ((100L to 100L + d) :+ 50L).toDF("doc_id")
     val (g2, rounds2) = Dedup.nearDupGroupsDFWithRounds(
       mid.toDF("id_a", "id_b"), midIds)
     assert(g2.collect().forall(_.getLong(1) == 50L))
-    assert(rounds2 <= d / 2 + 3, s"mid-anchored chain took $rounds2 rounds")
+    assert(rounds2 <= 6, s"mid-anchored chain took $rounds2 rounds")
+  }
+
+  test("a diameter-200 chain converges within the DEFAULT round budget") {
+    // the shape that killed the O(diameter) loop: a templated-page
+    // chain longer than maxRounds. 201 vertices in a single path —
+    // diameter 200 > 50 — must converge in ~log2(200)+2 ≈ 9 rounds
+    // under the default maxRounds=50, where the old min-label-only
+    // loop would have burned 50 join rounds and thrown.
+    val d = 200
+    val edges = (0L until d).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L to d).toDF("doc_id")
+    val (groups, rounds) = Dedup.nearDupGroupsDFWithRounds(edges, ids)
+    val rows = groups.collect()
+    assert(rows.forall(_.getLong(1) == 0L), "all labels collapse to min id 0")
+    assert(rows.count(_.getBoolean(2)) == 1, "exactly one keeper")
+    assert(rounds <= 12, s"diameter $d took $rounds rounds (expected O(log d) ~8)")
   }
 
   test("one-pass signature plan is a map-only scan (no shuffle)") {
