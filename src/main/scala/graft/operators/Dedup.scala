@@ -611,7 +611,9 @@ object Dedup {
     * persisted table (never re-reading or re-shingling corpus text),
     * and the bucketing pre-clusters the join key so a bucket-aware
     * plan shuffles only the dimension-sized eval side. Re-running
-    * drops and rewrites the table (the index is derived data). */
+    * drops and rewrites the table (the index is derived data); a
+    * recurring ingest extends it with [[appendToShingleIndex]]
+    * instead of rebuilding. */
   def writeShingleIndex(train: DataFrame, path: String, table: String,
                         n: Int = 3, buckets: Int = 32,
                         idCol: String = "doc_id",
@@ -628,6 +630,69 @@ object Dedup {
       .write.format("parquet").option("path", path)
       .bucketBy(buckets, "h")
       .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Append a BATCH to the persisted shingle index — the incremental-
+    * ingest contract of the at-rest artifact family (int8 index,
+    * IVF-PQ, corpus artifact, novelty bloom) applied to the one
+    * artifact a recurring decontamination sweep appends to most
+    * often. O(batch): only the new documents are shingled (one
+    * map-only kernel pass over `batch`), the rows land as ADDITIONAL
+    * bucket files in the existing table, and the existing corpus is
+    * never read. Because the shingle kernel and the md5 bucket hash
+    * are pure per-row functions, append ≡ rebuild-with-union exactly
+    * (DedupSkewSpec pins it), and the bucketed-join property
+    * survives: Spark groups every file carrying the same bucket id
+    * into one bucket partition, so [[contaminationFromShingleIndexes]]
+    * stays exchange-free below the join after any append schedule.
+    *
+    * The bucket count and the id column name are READ from the
+    * catalog's table metadata — a caller-supplied count could
+    * silently bucket the batch differently from the corpus it joins
+    * (Spark would reject the write, but deriving removes the footgun
+    * entirely).
+    *
+    * Replay semantics (same stance as [[CorpusArtifact.append]]):
+    * with `doneMarker` (e.g. the micro-batch id) a replay AFTER the
+    * marker landed is a no-op; a crash between the data commit and
+    * the marker write can duplicate that one batch. Duplicate
+    * (train_id, h) rows never flip a contamination DECISION — they
+    * inflate `n_shared` counts, so exactly-once consumers dedup by
+    * (train_id, h) downstream or rebuild the affected partition. */
+  def appendToShingleIndex(batch: DataFrame, table: String,
+                           n: Int = 3, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           doneMarker: Option[String] = None): Unit = {
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"invalid table identifier: $table")
+    val spark = batch.sparkSession
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not an index written by writeShingleIndex"))
+    require(spec.bucketColumnNames == Seq("h"),
+      s"$table is bucketed on ${spec.bucketColumnNames.mkString(",")}, expected h")
+    val outIdCol = meta.schema.fieldNames.filterNot(_ == "h") match {
+      case Array(one) => one
+      case _ => throw new IllegalArgumentException(
+        s"$table schema (${meta.schema.fieldNames.mkString(", ")}) is not " +
+          "the (id, h) shingle-index shape")
+    }
+    // marker lives on the SAME filesystem as the index data
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(meta.location), s"_append_${mk}_ok")
+    }
+    def fsOf(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fsOf(m).exists(m))) return
+    shingleHashSets(batch, n, idCol, textCol)
+      .select(col(idCol).as(outIdCol), explode(col("sh_hashes")).as("h"))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, "h")
+      .mode("append").saveAsTable(table)
+    marker.foreach(m => fsOf(m).create(m, true).close())
   }
 
   /** Contamination with BOTH sides read from persisted shingle

@@ -125,6 +125,107 @@ class DedupSkewSpec extends SparkTestBase {
     }
   }
 
+  /** Every executed plan during `f`, via a QueryExecutionListener —
+    * the production plans the append ran, not a hand-built replica
+    * (same technique as PqAppendSpec). */
+  private def executedPlans(f: => Unit): Seq[String] = {
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      f
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("appendToShingleIndex: append == rebuild, O(batch), bucket join survives") {
+    GraftExtensions.register(spark)
+    val (train, eval) = split(sfDir)
+    val base = train.where(col("doc_id") % 4 === 0)
+    val incr = train.where(col("doc_id") % 4 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shapp").toString
+    try {
+      // build on half the corpus, append the other half marker-gated
+      Dedup.writeShingleIndex(base, s"$dir/a", "graft_spec_sh_app", n = 3)
+      val ingestPlans = executedPlans {
+        Dedup.appendToShingleIndex(incr, "graft_spec_sh_app", n = 3,
+          doneMarker = Some("batch1"))
+      }
+      // O(batch): no executed FileScan read the existing index files —
+      // only the batch's documents are scanned; the write TARGETS the
+      // index dir, so only scan lines are inspected
+      ingestPlans.flatMap(_.split("\n")).filter(_.contains("FileScan"))
+        .foreach { scan =>
+          assert(!scan.contains(s"$dir/a"),
+            s"append scanned the existing index:\n$scan")
+        }
+      val appended = spark.table("graft_spec_sh_app")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // replay with the same marker is a no-op (at-least-once driver)
+      Dedup.appendToShingleIndex(incr, "graft_spec_sh_app", n = 3,
+        doneMarker = Some("batch1"))
+      assert(spark.table("graft_spec_sh_app").count() == appended.size,
+        "marker-gated replay must not duplicate the batch")
+
+      // append ≡ rebuild-with-union: same (id, h) row set
+      Dedup.writeShingleIndex(train, s"$dir/r", "graft_spec_sh_reb", n = 3)
+      val rebuilt = spark.table("graft_spec_sh_reb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(appended === rebuilt)
+      assert(rebuilt.nonEmpty)
+
+      // the bucketed-join property survives the append: the x49 sweep
+      // over the APPENDED table reads both sides Bucketed: true with
+      // no exchange below the join (only the pair agg shuffles), and
+      // returns exactly the direct scan's hits
+      Dedup.writeShingleIndex(eval, s"$dir/e", "graft_spec_sh_ev", n = 3,
+        outIdCol = "eval_id")
+      val sweep = Dedup.contaminationFromShingleIndexes(
+        Dedup.readShingleIndex(spark, "graft_spec_sh_app"),
+        Dedup.readShingleIndex(spark, "graft_spec_sh_ev"), minOverlap = 3)
+      val p = sweep.queryExecution.executedPlan.toString
+      assert("Bucketed: true".r.findAllIn(p).size == 2,
+        s"both index scans must stay bucketed after append:\n$p")
+      assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 1,
+        s"only the pair aggregation may exchange:\n$p")
+      val direct = Dedup.contamination(train, eval, n = 3, minOverlap = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val atRest = sweep
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(atRest === direct)
+      assert(direct.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_sh_app")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_sh_reb")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_sh_ev")
+    }
+  }
+
+  test("appendToShingleIndex refuses a non-bucketed or wrong-shape table") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    try {
+      docs.write.mode("overwrite").saveAsTable("graft_spec_sh_plain")
+      intercept[IllegalArgumentException] {
+        Dedup.appendToShingleIndex(docs, "graft_spec_sh_plain")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_spec_sh_plain")
+  }
+
   test("writeShingleIndex rejects injection-shaped table identifiers") {
     val (train, _) = split(sfDir)
     intercept[IllegalArgumentException] {
