@@ -28,9 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object GlobMatchOps {
 
   /** Path chars examined per match. O(path·pattern) needs BOTH sides
-    * bounded: rules are capped at [[graft.operators.Robots.MaxPatternChars]],
-    * and a hostile multi-megabyte URL path is truncated here — 8 KiB
-    * path × 4 KiB pattern × 5000 rules/host is the worst-case budget.
+    * bounded: rules are capped at [[graft.operators.Robots.MaxPatternChars]]
+    * per rule AND [[graft.operators.Robots.MaxPatternCharsPerHost]] in
+    * total, and a hostile multi-megabyte URL path is truncated here —
+    * so the worst case a URL pays against a fully hostile host is
+    * 8 KiB path × 64 KiB summed patterns ≈ 5·10⁸ char ops
+    * (milliseconds), not the 1.7·10¹¹ the per-rule caps alone allow.
     *
     * DOCUMENTED POLICY for paths beyond the cap (real-world URL
     * limits sit near 2 KiB; longer is hostile or broken): matching is

@@ -1,8 +1,5 @@
 package graft.expressions
 
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -132,24 +129,47 @@ object LangIdScoreOps {
     InternalRow(model.langsU8(bestIdx), bestScore, n.toLong)
   }
 
-  private val registry = new ConcurrentHashMap[String, Model]()
-  private val keysByModel = new ConcurrentHashMap[Model, String]()
-  private val nextId = new AtomicInteger(0)
-  /** Idempotent per model INSTANCE (case-class equality over Array
-    * fields is reference equality): a long-lived driver scoring
-    * repeatedly with a cached model reuses one registry entry instead
-    * of leaking a numBuckets·L copy per call. */
-  def register(m: Model): String =
-    keysByModel.computeIfAbsent(m, { mm =>
-      val key = s"mem:lid:${nextId.incrementAndGet()}"
-      registry.put(key, mm)
-      key
-    })
-  def resolve(key: String): Model = {
+  /** Most models a driver keeps registered at once. A long-lived
+    * driver that retrains per micro-batch holds at most this many
+    * numBuckets·L tables; older ones evict LRU (resolve refreshes
+    * recency, so a plan in active use keeps its model alive). */
+  val MaxRegisteredModels = 64
+  // access-order LinkedHashMap = LRU; guarded by its own monitor
+  private val registry =
+    new java.util.LinkedHashMap[String, Model](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Model]): Boolean =
+        size() > MaxRegisteredModels
+    }
+  /** Keyed by a CONTENT hash, not instance identity: a driver that
+    * retrains per micro-batch on stationary data re-derives the same
+    * table and reuses one entry instead of leaking a numBuckets·L
+    * copy per retrain; genuinely-new models rotate through the
+    * bounded LRU above. */
+  def register(m: Model): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def putD(d: Double): Unit = {
+      bb.clear(); bb.putDouble(d); md.update(bb.array())
+    }
+    m.langs.foreach { l => md.update(l.getBytes("UTF-8")); md.update(0: Byte) }
+    m.priors.foreach(putD)
+    m.llr.foreach(_.foreach(putD))
+    val key = "mem:lid:" + md.digest().map("%02x".format(_)).mkString
+    registry.synchronized { registry.put(key, m) }
+    key
+  }
+  def resolve(key: String): Model = registry.synchronized {
     val m = registry.get(key)
-    require(m != null, s"no langid model registered under '$key'")
+    require(m != null, s"no langid model registered under '$key' — " +
+      s"never registered, unregistered, or evicted after " +
+      s"$MaxRegisteredModels newer registrations; re-register the model")
     m
   }
+  /** Drop a model eagerly (e.g. a micro-batch driver that knows the
+    * retrain superseded it) instead of waiting for LRU eviction. */
+  def unregister(key: String): Unit =
+    registry.synchronized { registry.remove(key) }
 }
 
 /** langid_score_text(normalized_text, model-key-literal, n, numBuckets)

@@ -86,6 +86,8 @@ object CorpusArtifact {
              doneMarker: Option[String] = None): Unit = {
     require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
       s"invalid table identifier: $table")
+    require(keepCol.matches("[A-Za-z0-9_]+"),
+      s"invalid partition column identifier: $keepCol")
     val spark = docs.sparkSession
     val marker = doneMarker.map(markerPath(spark, path, _))
     if (marker.exists(m => fsOf(spark, m).exists(m))) return
@@ -106,10 +108,15 @@ object CorpusArtifact {
       .partitionBy(keepCol, "shard")
       .mode("append").save(path)
     // register only the batch's partitions — bounded, O(batch)
+    // partition VALUES are data-derived (a non-boolean keep column is
+    // arbitrary text) — escape single quotes so a value can't break
+    // out of the literal or inject into the ALTER statement
+    def q(v: String): String =
+      "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     withShard.select(col(keepCol).cast("string"), col("shard").cast("string"))
       .distinct().collect().foreach { r =>
         spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
-          s"($keepCol='${r.getString(0)}', shard='${r.getString(1)}')")
+          s"($keepCol=${q(r.getString(0))}, shard=${q(r.getString(1))})")
       }
     spark.catalog.refreshTable(table)
     marker.foreach(m => fsOf(spark, m).create(m, true).close())

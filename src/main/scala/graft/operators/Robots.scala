@@ -48,7 +48,9 @@ object Robots {
     * Content past the cap is ignored, and the trailing PARTIAL line is
     * dropped with it: a mid-line cut inside
     * `Disallow: /private-area/…` would otherwise synthesize a
-    * far-broader `/p` prefix rule. */
+    * far-broader `/p` prefix rule. Exception: a file with NO newline
+    * inside the cap keeps the capped prefix (parseRules) — dropping
+    * it would silently default the whole host to allowed. */
   val MaxRobotsChars: Int = 512 * 1024
 
   /** Max pattern length per rule and max rules per host: a hostile
@@ -60,6 +62,18 @@ object Robots {
     * file order, mirroring the byte-cap truncation semantics. */
   val MaxPatternChars: Int = 4096
   val MaxRulesPerHost: Int = 5000
+
+  /** Max TOTAL pattern chars honored per host. The per-rule and
+    * per-count caps alone still leave an 8 KiB path x 4 KiB pattern x
+    * 5000 rules ~ 1.7e11 char-op worst case per URL against a fully
+    * hostile host (the glob kernel is linear per (path, pattern) pair
+    * but the PRODUCT over a host's rule list is what an executor
+    * pays). Bounding the summed pattern length per host to 64 KiB
+    * caps that product at path x 64 KiB ~ 5e8 - milliseconds, not a
+    * stall - while real robots files (even google.com's, ~36 KiB
+    * TOTAL file) never approach it for legitimate rules. Rules past
+    * the budget drop in file order, mirroring the other caps. */
+  val MaxPatternCharsPerHost: Int = 64 * 1024
 
   /** Parse one robots.txt for one user-agent: group selection per the
     * RFC (specific groups beat `*`; a `User-agent` line after rules
@@ -84,10 +98,19 @@ object Robots {
         // entirely within it — dropping that complete rule would
         // un-disallow a page over an off-by-one.
         val cut = t.lastIndexOf('\n', MaxRobotsChars)
-        t.substring(0, if (cut >= 0) cut else 0)
+        // a hostile file with NO newline inside the cap must not
+        // discard everything (that would default the host to
+        // allowed): keep the capped prefix - its one partial rule
+        // parses as a shorter prefix pattern, erring toward
+        // over-blocking that host rather than un-gating it
+        t.substring(0, if (cut >= 0) cut else MaxRobotsChars)
       }
     }
-    bounded.split("\r?\n").foreach { raw =>
+    // liberal line endings: CRLF, LF, or bare CR (legacy files). Bare
+    // CR is also what makes the no-newline cap fallback useful — a
+    // CR-only oversized file has no '\n' inside the cap, and the kept
+    // prefix still parses into its rules here.
+    bounded.split("\r\n|\r|\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
       if (c > 0) {
@@ -116,7 +139,12 @@ object Robots {
     val specific = groups.filter(_._1.contains(ua))
     val chosen = if (specific.nonEmpty) specific
                  else groups.filter(_._1.contains("*"))
-    chosen.flatMap(_._2.toSeq).take(MaxRulesPerHost).toSeq
+    val inOrder = chosen.flatMap(_._2.toSeq).take(MaxRulesPerHost).toSeq
+    // per-host total-pattern-chars budget (see MaxPatternCharsPerHost)
+    var budget = MaxPatternCharsPerHost
+    inOrder.takeWhile { case (p, _) =>
+      budget -= p.length; budget >= 0
+    }
   }
 
   /** Parse a (host, robots_txt) table into the rules table —

@@ -36,6 +36,15 @@ object Sampling {
       s"decile keys must lie in 1..10: ${fractions.keys}")
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must lie in [0,1]: $fractions")
+    // the broadcast threshold row is crossJoined onto the INPUT, so
+    // its column names must not collide with user columns — prefix
+    // them, and fail loudly on the (reserved) names we do add rather
+    // than letting Spark throw an ambiguous-column error mid-plan
+    val reserved = (0 until 9).map(k => s"_q$k").toSet + "decile"
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with " +
+        "stratifiedByDecile's reserved names (_q0.._q8, decile)")
     val s = col(scoreCol).cast("double")
     // single-group exact percentiles: two-phase bucketed design, no
     // O(corpus) sort and no O(group) aggregate buffer
@@ -44,10 +53,11 @@ object Sampling {
         "_s", "_one", (1 to 9).map(_ / 10.0))
       .groupBy("_g")
       .pivot("_pi", 0 until 9).agg(first("_q"))
+      .select(col("_g") +: (0 until 9).map(k => col(k.toString).as(s"_q$k")): _*)
     // decile = 1 + #(thresholds strictly below score); ties at a
     // threshold take the LOWER decile (score <= t_d ⇒ decile ≤ d)
     val decile = (0 until 9).foldLeft(lit(1)) { (acc, k) =>
-      acc + when(s > col(k.toString), 1).otherwise(0)
+      acc + when(s > col(s"_q$k"), 1).otherwise(0)
     }
     val bucket = conv(substring(
       md5(concat(lit(s"strat${seed}_"), col(tieBreak).cast("string"))),
@@ -60,7 +70,7 @@ object Sampling {
       .crossJoin(broadcast(qs.drop("_g")))
       .withColumn("decile", decile)
       .where(bucket < cutoff)
-      .drop((0 until 9).map(_.toString): _*)
+      .drop((0 until 9).map(k => s"_q$k"): _*)
   }
 
   /** Exact per-group interpolated percentiles WITHOUT Spark's

@@ -299,6 +299,31 @@ class CleaningSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_art_all")
   }
 
+  test("clean artifact append: quoted partition values can't break the ALTER") {
+    import spark.implicits._
+    import graft.operators.CorpusArtifact
+    // a non-boolean decision column whose values are arbitrary text —
+    // quotes and backslashes must survive the ADD PARTITION round-trip
+    val a = Seq((1L, "one.", "plain"), (2L, "two.", "plain"))
+      .toDF("doc_id", "text", "bucket")
+    val b = Seq((3L, "three.", "it's"), (4L, "four.", "back\\slash"))
+      .toDF("doc_id", "text", "bucket")
+    val dir = java.nio.file.Files.createTempDirectory("graft_art_q").toString
+    CorpusArtifact.write(a, dir, "graft_art_q", nShards = 2,
+      keepCol = "bucket")
+    CorpusArtifact.append(b, dir, "graft_art_q", keepCol = "bucket")
+    val got = spark.table("graft_art_q")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "plain", 2L -> "plain",
+      3L -> "it's", 4L -> "back\\slash"))
+    // a keepCol that is not a plain identifier is rejected up front
+    assertThrows[IllegalArgumentException](
+      CorpusArtifact.append(b, dir, "graft_art_q",
+        keepCol = "bucket', shard='0') LOCATION '/tmp/evil' --"))
+    spark.sql("DROP TABLE IF EXISTS graft_art_q")
+  }
+
   test("lineFrequencyFilter plan: no product joins, distinct agg partials map-side") {
     val p = TextOps.lineFrequencyFilter(freqCorpus, minDocs = 3)
       .queryExecution.executedPlan.toString

@@ -373,6 +373,37 @@ class ExtensionSpec extends SparkTestBase {
     assert(hf > 0.3 && hf < 0.7, s"half-fraction kept $hf")
   }
 
+  test("sampling: stratifiedByDecile survives digit-named input columns") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sfDir)
+    // an input that already carries columns "0".."8" (e.g. a pivoted
+    // feature table) must not collide with the internal threshold row
+    val trapped = docs.withColumn("q", $"n_chars".cast("double"))
+      .withColumn("3", lit("user-col"))
+      .withColumn("0", lit(-1.0))
+    val strat = Sampling.stratifiedByDecile(
+      trapped, "q", Map(10 -> 1.0), tieBreak = "doc_id")
+    assert(strat.columns.contains("3") && strat.columns.contains("0"),
+      "user columns must pass through untouched")
+    assert(strat.select("3").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("user-col"))
+    // same keeper set as without the trap columns
+    val plain = Sampling.stratifiedByDecile(
+      docs.withColumn("q", $"n_chars".cast("double")), "q",
+      Map(10 -> 1.0), tieBreak = "doc_id")
+    assert(strat.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      plain.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the genuinely reserved names fail loudly, not mid-plan
+    assertThrows[IllegalArgumentException](Sampling.stratifiedByDecile(
+      docs.withColumn("q", $"n_chars".cast("double"))
+        .withColumn("decile", lit(1)),
+      "q", Map(10 -> 1.0), tieBreak = "doc_id"))
+    assertThrows[IllegalArgumentException](Sampling.stratifiedByDecile(
+      docs.withColumn("q", $"n_chars".cast("double"))
+        .withColumn("_q4", lit(0.0)),
+      "q", Map(10 -> 1.0), tieBreak = "doc_id"))
+  }
+
   test("hashSplit: total partition, ~weights, and no migration under corpus growth") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sfDir)

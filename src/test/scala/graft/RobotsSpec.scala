@@ -205,6 +205,37 @@ class RobotsSpec extends SparkTestBase {
     assert(r3.head === (("/p1/", false)))
   }
 
+  test("hostile-input caps: no-newline file, per-host pattern budget") {
+    import graft.operators.Robots._
+    // an oversized file with NO '\n' inside the cap keeps the capped
+    // prefix — discarding it (pre-fix behavior) silently defaulted
+    // the host to allowed. A CR-only legacy file is the real case:
+    val crOnly = "User-agent: graftbot\rDisallow: /private/\r" +
+      ("#" + "x" * 98 + "\r") * (MaxRobotsChars / 100 + 100)
+    assert(!crOnly.substring(0, MaxRobotsChars).contains('\n'))
+    val r0 = parseRules(crOnly, "graftbot")
+    assert(r0 === Seq(("/private/", false)),
+      s"CR-only oversized file must keep its in-cap rules: $r0")
+    // bare-CR endings also parse at normal sizes
+    assert(parseRules("User-agent: *\rDisallow: /a/\rAllow: /a/b\r",
+      "graftbot") === Seq(("/a/", false), ("/a/b", true)))
+    // per-host summed-pattern budget: many max-length rules stop
+    // being honored once Σ pattern chars passes MaxPatternCharsPerHost
+    val n = MaxPatternCharsPerHost / (MaxPatternChars - 1) + 5
+    val fat = "User-agent: graftbot\n" + (1 to n)
+      .map(i => s"Disallow: /${i}${"a" * (MaxPatternChars - 12)}")
+      .mkString("\n")
+    val r2 = parseRules(fat, "graftbot")
+    assert(r2.nonEmpty && r2.size < n,
+      s"summed-pattern budget must drop trailing rules: kept ${r2.size}/$n")
+    assert(r2.map(_._1.length).sum <= MaxPatternCharsPerHost)
+    assert(r2.head._1.startsWith("/1"), "rules drop in file order")
+    // legitimate files are far below the budget — nothing drops
+    val normal = "User-agent: graftbot\n" +
+      (1 to 200).map(i => s"Disallow: /sec$i/").mkString("\n")
+    assert(parseRules(normal, "graftbot").size === 200)
+  }
+
   test("glob kernel fuzz: bit-equal to the translated-regex reference") {
     // the regex translation the kernel replaced, kept here as the
     // semantic reference: ^escaped, '*' -> '.*', trailing '$' anchor,
