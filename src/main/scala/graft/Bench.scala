@@ -143,13 +143,37 @@ object Bench {
     // artifact value and notes cannot diverge.
     val loadStart = loadAvg
     val jvmsStart = otherJvms
-    val t = runProbes(spark, sfDir, warmDir, canWarm, warmMode, diag)
+    // PASS-TO-PASS SPREAD (r10): three telemetry-clean r9 runs spanned
+    // 78-101s — page-cache/JIT/cgroup drift moves EVERY probe a little
+    // rather than one probe a lot, which the per-probe calibration
+    // cannot catch. The artifact now runs the FULL suite >=2 times
+    // (SPARK_GRAFT_PASSES, default 2), publishes each probe as its
+    // min across passes, and records the per-pass totals + spread so
+    // a reader can see the run-to-run noise instead of inferring it
+    // from which run happened to get recorded.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val ts = (1 to passes).map { _ =>
+      runProbes(spark, sfDir, warmDir, canWarm, warmMode, diag)
+    }
+    val t = mergePasses(ts)
     val qs = t.results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (t.results.nonEmpty) t.results.values.sum else 0.0
+    val passTotals = ts.map(_.results.values.sum)
     doEmit(t.results, total, qs, warmMode, sfDir, t.calibBase, t.calibWorst,
-      t.calibSpikes, loadStart, jvmsStart, t.contended, t.regressed)
+      t.calibSpikes, loadStart, jvmsStart, t.contended, t.regressed,
+      passTotals)
     spark.stop()
+  }
+
+  /** Per-probe min across full-suite passes; telemetry unions. */
+  private def mergePasses(ts: Seq[TimedPass]): TimedPass = {
+    val results = ts.flatMap(_.results.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+    TimedPass(results,
+      ts.map(_.calibBase).min, ts.map(_.calibWorst).max,
+      ts.flatMap(_.contended).distinct, ts.flatMap(_.regressed).distinct,
+      ts.flatMap(_.calibSpikes).distinct)
   }
 
   private final case class TimedPass(results: Map[String, Double],
@@ -241,18 +265,33 @@ object Bench {
                      calibBase: Double, calibWorst: Double,
                      calibSpikes: Seq[String], loadStart: Double,
                      jvmsStart: Long, contendedProbes: Seq[String],
-                     regressedProbes: Seq[String]): Unit = {
+                     regressedProbes: Seq[String],
+                     passTotals: Seq[Double]): Unit = {
     // THIS RUN's headline, generated from the measured total so the
     // artifact's value field and the notes headline are the same
     // number by construction; historical narrative (earlier rounds'
     // totals, kept in notesVal) follows it.
     val thisRun = thisRunNote(total, results.size, sfDir, calibBase,
       calibWorst, calibSpikes, loadStart, loadAvg, jvmsStart,
-      contendedProbes, regressedProbes)
+      contendedProbes, regressedProbes, passTotals)
     val telemetry = telemetryJson(loadStart, loadAvg, jvmsStart, calibBase,
-      calibWorst, contendedProbes, regressedProbes, calibSpikes)
+      calibWorst, contendedProbes, regressedProbes, calibSpikes) +
+      passJson(passTotals)
     emit(results, total, qs, warmMode, sfDir, thisRun + notesVal,
       volumeNotesVal, telemetry)
+  }
+
+  /** Pass-to-pass spread: each entry is one full suite pass's
+    * sum-of-probe-seconds; spread = (max-min)/min. The published
+    * `value` is the sum of per-probe MINS across passes, so it sits
+    * at or below min(pass_totals) by construction. */
+  private def passJson(passTotals: Seq[Double]): String = {
+    val ts = passTotals.map(t => f"$t%.1f")
+    val spread =
+      if (passTotals.size < 2 || passTotals.min <= 0) 0.0
+      else (passTotals.max - passTotals.min) / passTotals.min * 100
+    s""","pass_totals":${ts.mkString("[", ",", "]")},""" +
+      f""""pass_spread_pct":$spread%.1f"""
   }
 
   // the r1-r8 narrative — out of main for the same typer-depth reason
@@ -418,11 +457,16 @@ object Bench {
                           calibBase: Double, calibWorst: Double,
                           calibSpikes: Seq[String], loadStart: Double,
                           loadEnd: Double, jvms: Long, contended: Seq[String],
-                          regressed: Seq[String]): String = {
+                          regressed: Seq[String],
+                          passTotals: Seq[Double]): String = {
     def list(xs: Seq[String]) = if (xs.isEmpty) "none" else xs.mkString(",")
     Seq(
       f"THIS RUN (the artifact's value field): total $total%.1fs over $n " +
-        f"probes at $sfDir.",
+        f"probes at $sfDir — per-probe MIN across ${passTotals.size} full " +
+        s"suite passes (pass totals: " +
+        s"${passTotals.map(t => f"$t%.1fs").mkString(", ")}; the spread " +
+        "is honest run-to-run noise — page-cache/JIT state — that " +
+        "per-probe calibration cannot catch).",
       f"Contention telemetry: calibration micro-probe base $calibBase%.3fs " +
         f"worst $calibWorst%.3fs (>2x base during a probe's window = " +
         s"foreign load; spiked at: ${list(calibSpikes)}),",
