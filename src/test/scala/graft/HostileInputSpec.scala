@@ -134,6 +134,52 @@ class HostileInputSpec extends AnyFunSuite {
     }
   }
 
+  test("linear kernels: adversarial wall-time pins (glob + PII)") {
+    // The glob and PII kernels are fuzz-pinned for VALUE equivalence
+    // elsewhere; this pins their RUNTIME on the worst shapes so a
+    // future regression to a backtracking engine fails CI by timeout/
+    // assertion, not only by review.
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    import graft.expressions.{GlobMatchOps, PiiScanOps}
+    import graft.operators.Robots
+
+    // 8 KiB path x max-wildcard 4 KiB pattern: the per-pair worst
+    // case (~33M char ops for the two-pointer kernel; an exponential
+    // backtracker would not return within the age of the universe)
+    val path8k = u8("/" + "a" * 8191)
+    val maxStars = u8("/" + "a*" * ((Robots.MaxPatternChars - 2) / 2) + "b")
+    val t0 = System.nanoTime()
+    assert(!GlobMatchOps.robotsMatch(path8k, maxStars))
+    val msPair = (System.nanoTime() - t0) / 1000000
+    assert(msPair < 2000, s"glob worst-case pair took ${msPair}ms")
+
+    // a fully hostile HOST: the documented budget is 8 KiB path x
+    // MaxPatternCharsPerHost summed patterns (~5e8 char ops) — the
+    // whole rule list must clear in seconds on one core
+    val rules = (1 to Robots.MaxPatternCharsPerHost / Robots.MaxPatternChars)
+      .map(i => u8(s"/$i" + "a*" * ((Robots.MaxPatternChars - 8) / 2)))
+    val t1 = System.nanoTime()
+    rules.foreach(r => GlobMatchOps.robotsMatch(path8k, r))
+    val msHost = (System.nanoTime() - t1) / 1000000
+    assert(msHost < 15000, s"hostile host's full rule budget took ${msHost}ms")
+
+    // PII kernels on megabyte anchor-dense rows: every position is an
+    // anchor candidate (digit runs for IPv4/phone, '@' churn for
+    // email) — the anchored kernels stay linear, java.util.regex's
+    // attempt-at-every-position would go quadratic
+    val detonators = Seq(
+      "1" * 1000000,          // one megabyte digit run
+      "1." * 500000,          // dotted digits, quad never completes
+      "a@" * 500000,          // every other char an email anchor
+      "1.2.3." * 166000)      // near-miss quads back to back
+    detonators.foreach { d =>
+      val t2 = System.nanoTime()
+      PiiScanOps.scan(u8(d))
+      val ms = (System.nanoTime() - t2) / 1000000
+      assert(ms < 3000, s"pii_scan took ${ms}ms on a ${d.length}-char detonator")
+    }
+  }
+
   test("RDS: truncations and corrupted magic fail cleanly") {
     bytesOf(rdsPath) match {
       case None => cancel("reference RDS artifact not present")
