@@ -89,14 +89,12 @@ object BpeOps {
   }
 
   /** Inverse of the byte-level token stream: mapped chars → bytes →
-    * UTF-8 text. Codepoints outside the mapped alphabet are a contract
-    * violation (impossible for kernel-produced tokens) and throw —
-    * deliberately NOT the null-on-hostile-input stance of the media
-    * decoders: `bpe_unmap` documents itself as pipeline-internal
-    * (feed it only `bpe_tokens(byteLevel)` output), and a throw
-    * surfaces a broken pipeline where a null would silently drop
-    * data. Callers exposing it to arbitrary text should wrap it in
-    * their own try/null. */
+    * UTF-8 text. Codepoints outside the mapped alphabet are damage
+    * (impossible for kernel-produced tokens) and yield NULL — the
+    * same null-on-damage stance as the media decoders, so one
+    * corrupted row nulls out instead of aborting a 100 TB decode
+    * job. Kernel-internal misuse still surfaces: a pipeline whose
+    * unmaps all come back null is loudly broken in its output. */
   def unmap(text: UTF8String): UTF8String = {
     val s = text.toString
     val out = new java.io.ByteArrayOutputStream(s.length)
@@ -104,8 +102,7 @@ object BpeOps {
     while (i < s.length) {
       val cp = s.codePointAt(i)
       val b = if (cp < CharToByte.length) CharToByte(cp) else -1
-      if (b < 0) throw new IllegalArgumentException(
-        f"bpe_unmap: codepoint U+$cp%04X is not in the byte-level alphabet")
+      if (b < 0) return null
       out.write(b)
       i += Character.charCount(cp)
     }
@@ -399,9 +396,11 @@ case class BpeTokenIds(child: Expression, table: BpeOps.BpeTable,
   * mapped codepoints back to bytes, reassembled as UTF-8. With
   * byte-level space-marked tokens, `bpe_unmap(concat(tokens))`
   * reproduces the normalized input exactly (the byte-level lossless
-  * round trip). Map-only codegen. */
+  * round trip). Out-of-alphabet codepoints (damaged input) yield
+  * null, matching the media decoders' stance. Map-only codegen. */
 case class BpeUnmap(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -409,8 +408,10 @@ case class BpeUnmap(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     BpeOps.unmap(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.BpeOps$$.MODULE$$.unmap($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.BpeOps$$.MODULE$$.unmap($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): BpeUnmap =
     copy(child = newChild)
 }

@@ -34,12 +34,14 @@ object Bpe {
 
   /** The most recent cap warning (null when the last [[train]] did not
     * trip the cap) — a TEST SEAM ONLY, since Spark 4's log4j-1.2
-    * bridge does not honor 1.x appenders. Process-global and written
-    * (set or cleared) by every [[train]] call, so it is NOT
-    * thread-coherent under concurrent trainings; production logic
-    * must not read it — the authoritative signal is the log4j warn. */
+    * bridge does not honor 1.x appenders. Thread-local, written (set
+    * or cleared) by every [[train]] call on its calling thread, so
+    * concurrent trainings on different threads each see their OWN
+    * call's warning (per-call for the sequential caller); production
+    * logic must not read it — the authoritative signal is the log4j
+    * warn. */
   private[graft] val lastCapWarning =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+    new ThreadLocal[String] { override def initialValue(): String = null }
 
   /** Distributed word-type counts → driver merge loop. Returns the
     * ranked merge list. `maxWordTypes` caps the collected dictionary

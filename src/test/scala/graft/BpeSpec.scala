@@ -236,6 +236,32 @@ class BpeSpec extends SparkTestBase {
     // uncapped run clears the warning
     Bpe.train(docs, numMerges = 1, maxWordTypes = 100)
     assert(Bpe.lastCapWarning.get() === null)
+    // per-call, not process-global: a concurrent capped train on
+    // ANOTHER thread must not clobber this thread's cleared state
+    val other = new Thread(() =>
+      Bpe.train(docs, numMerges = 1, maxWordTypes = 3))
+    other.start(); other.join()
+    assert(Bpe.lastCapWarning.get() === null,
+      "another thread's cap warning leaked across threads")
+  }
+
+  test("bpe_unmap: out-of-alphabet input yields null (decoder stance), not a throw") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    GraftExtensions.register(spark)
+    // kernel level: damage → null, valid text still round-trips
+    assert(BpeOps.unmap(UTF8String.fromString("世")) === null)
+    assert(BpeOps.unmap(UTF8String.fromString("ab cd")) === null)
+    assert(BpeOps.unmap(UTF8String.fromString("ab")).toString === "ab")
+    // SQL/codegen level: one damaged row nulls; others decode
+    val rows = Seq((1L, BpeOps.byteInit("ok fine").mkString),
+      (2L, "raw 世界 never byte-mapped"), (3L, null: String))
+      .toDF("id", "s")
+      .selectExpr("id", "bpe_unmap(s) AS t")
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) === "ok fine")
+    assert(rows(1).isNullAt(1), "damaged row must null, not abort the job")
+    assert(rows(2).isNullAt(1))
   }
 
   test("minPairCount stops training; merges persist through a DataFrame round-trip") {
