@@ -309,6 +309,8 @@ object PqIndex {
         .parquet(s"$path/vectors")
       cb.write.mode("overwrite").parquet(s"$path/codebook")
       cents.write.mode("overwrite").parquet(s"$path/centroids")
+      // per-cell baseline for the staleness readout (IndexStats)
+      IndexStats.writeBuildStats(assigned, cents, path, vecCol)
     } finally d.unpersist(blocking = false)
   }
 
@@ -377,6 +379,8 @@ object PqIndex {
     packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
       .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    // O(batch) per-cell stats for the staleness readout (IndexStats)
+    IndexStats.appendBatchStats(assigned, cents, path, vecCol)
     marker.foreach(m => mfs(m).create(m, true).close())
   }
 

@@ -89,6 +89,9 @@ object Similarity {
       .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // per-cell baseline for the staleness readout (IndexStats) —
+    // bounded (≤ nlist rows), resets on rebuild
+    IndexStats.writeBuildStats(assigned, cents, path, vecCol)
   }
 
   /** Append a batch to an existing int8 IVF index — the INCREMENTAL
@@ -146,6 +149,10 @@ object Similarity {
     quantizeInt8(newEmbs, idCol, vecCol)
       .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    // the batch's per-cell stats ride the same O(batch) assignment
+    // shape — the staleness readout (IndexStats.staleness) is how an
+    // operator learns the persisted quantizer needs re-versioning
+    IndexStats.appendBatchStats(assigned, cents, path, vecCol)
     marker.foreach(m => fs(m).create(m, true).close())
   }
 
