@@ -476,6 +476,68 @@ object CurationProbes {
              |SELECT vec_id, sim FROM sim
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // IndexStats: the staleness baseline/traffic stats behind the
+    // centroid-refresh policy (when to re-version the persisted
+    // quantizer). Build the int8 index on the even-id half, append
+    // the odd half, then read the persisted per-cell stats table —
+    // count and Σ round-6 within-cell distance per (cell, phase).
+    // The oracle re-derives BOTH phases from the x73/x104 centroid
+    // and assignment CTEs (phase = id parity, distance = the chosen
+    // cell's round-6 sq-dist), so the numbers the rebuild trigger
+    // consumes are hash-certified, not just spec-asserted. Σ over a
+    // cell is order-sensitive double math → ROUND(.,4) both sides
+    // (the ProbeQueries rounding contract) ---------------------------
+    Probe("x107_index_staleness_stats",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag = IndexCache.corpusTag("x107", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x107_stats_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Similarity.writeInt8Index(embs.where(col("vec_id") % 2 === 0),
+            dir, nlist = 8)
+          Similarity.appendToInt8Index(embs.where(col("vec_id") % 2 =!= 0),
+            dir)
+        }
+        s.read.parquet(s"$dir/stats")
+          .groupBy(col("cell").cast("long").as("cell"), col("phase"))
+          .agg(sum("n").cast("long").as("n"),
+            round(sum("sum_dist"), 4).as("sum_dist"))
+          .orderBy("cell", "phase")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings WHERE vec_id % 2 = 0),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |pairs AS (
+             |  SELECT i.vec_id, c.cell,
+             |    ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |      - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |      + list_dot_product(c.c, c.c), 6) AS dist,
+             |    i.vec_id % 2 = 0 AS is_build
+             |  FROM embeddings i CROSS JOIN cent c),
+             |best AS (
+             |  SELECT vec_id, cell, dist, is_build FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY dist ASC, cell ASC) AS rn
+             |    FROM pairs) WHERE rn = 1)
+             |SELECT cell,
+             |  CASE WHEN is_build THEN 'build' ELSE 'append' END AS phase,
+             |  COUNT(*) AS n, ROUND(SUM(dist), 4) AS sum_dist
+             |FROM best GROUP BY cell, is_build
+             |ORDER BY cell, phase""".stripMargin)),
+
     // graft.expressions.UnicodeNormalize: NFC over the real corpus
     // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
     // NFKC over synthesized normalization-unstable graphemes — the
