@@ -104,6 +104,19 @@ object CorpusArtifact {
       finally in.close()
     }
     val withShard = docs.withColumn("shard", shardOf(col(idCol), nShards))
+    // the batch's partition set, collected BEFORE the data write:
+    // bounded (≤ 2·nShards values × decisions), and a null decision
+    // fails HERE — before anything commits — because ALTER TABLE ADD
+    // PARTITION cannot express the null (__HIVE_DEFAULT_PARTITION__)
+    // spec, so a null row would land data that never registers and
+    // leave the batch half-committed
+    val parts = withShard
+      .select(col(keepCol).cast("string"), col("shard").cast("string"))
+      .distinct().collect()
+    require(parts.forall(r => !r.isNullAt(0)),
+      s"append batch contains null $keepCol values — null curation " +
+        "decisions are not registrable partitions; filter or default " +
+        "them before appending")
     withShard.write.format("parquet")
       .partitionBy(keepCol, "shard")
       .mode("append").save(path)
@@ -113,11 +126,10 @@ object CorpusArtifact {
     // out of the literal or inject into the ALTER statement
     def q(v: String): String =
       "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    withShard.select(col(keepCol).cast("string"), col("shard").cast("string"))
-      .distinct().collect().foreach { r =>
-        spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
-          s"($keepCol=${q(r.getString(0))}, shard=${q(r.getString(1))})")
-      }
+    parts.foreach { r =>
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
+        s"($keepCol=${q(r.getString(0))}, shard=${q(r.getString(1))})")
+    }
     spark.catalog.refreshTable(table)
     marker.foreach(m => fsOf(spark, m).create(m, true).close())
   }

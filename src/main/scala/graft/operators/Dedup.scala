@@ -630,7 +630,15 @@ object Dedup {
       .write.format("parquet").option("path", path)
       .bucketBy(buckets, "h")
       .mode("overwrite").saveAsTable(table)
+    // the shingle size is part of the index's GEOMETRY — persist it so
+    // append derives it instead of trusting a caller (an n-mismatched
+    // batch would silently join n-gram hashes against m-gram hashes)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$ShingleNProp' = '$n')")
   }
+
+  /** Table property carrying the index's shingle size. */
+  private[graft] val ShingleNProp = "graft.shingle.n"
 
   /** Append a BATCH to the persisted shingle index — the incremental-
     * ingest contract of the at-rest artifact family (int8 index,
@@ -646,11 +654,13 @@ object Dedup {
     * into one bucket partition, so [[contaminationFromShingleIndexes]]
     * stays exchange-free below the join after any append schedule.
     *
-    * The bucket count and the id column name are READ from the
-    * catalog's table metadata — a caller-supplied count could
-    * silently bucket the batch differently from the corpus it joins
-    * (Spark would reject the write, but deriving removes the footgun
-    * entirely).
+    * The bucket count, the id column name, AND the shingle size are
+    * READ from the catalog's table metadata — a caller-supplied
+    * bucket count could silently bucket the batch differently from
+    * the corpus it joins (Spark would reject the write), and a
+    * caller-supplied shingle size would silently append n-gram
+    * hashes into an m-gram index, corrupting every later overlap
+    * count; deriving all three removes the footguns entirely.
     *
     * Replay semantics (same stance as [[CorpusArtifact.append]]):
     * with `doneMarker` (e.g. the micro-batch id) a replay AFTER the
@@ -660,7 +670,7 @@ object Dedup {
     * inflate `n_shared` counts, so exactly-once consumers dedup by
     * (train_id, h) downstream or rebuild the affected partition. */
   def appendToShingleIndex(batch: DataFrame, table: String,
-                           n: Int = 3, idCol: String = "doc_id",
+                           idCol: String = "doc_id",
                            textCol: String = "text",
                            doneMarker: Option[String] = None): Unit = {
     require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
@@ -672,6 +682,11 @@ object Dedup {
       s"$table has no bucket spec — not an index written by writeShingleIndex"))
     require(spec.bucketColumnNames == Seq("h"),
       s"$table is bucketed on ${spec.bucketColumnNames.mkString(",")}, expected h")
+    val n = meta.properties.getOrElse(ShingleNProp,
+      throw new IllegalArgumentException(
+        s"$table carries no '$ShingleNProp' property — not an index " +
+          "written by writeShingleIndex (rebuild it to stamp the " +
+          "shingle size)")).toInt
     val outIdCol = meta.schema.fieldNames.filterNot(_ == "h") match {
       case Array(one) => one
       case _ => throw new IllegalArgumentException(

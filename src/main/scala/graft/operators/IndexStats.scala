@@ -47,7 +47,11 @@ object IndexStats {
                         vecCol: String): DataFrame =
     assigned.join(broadcast(cents), "cell")
       .withColumn("_d", IvfIndex.sqDist(col(vecCol), col("centroid")))
-      .groupBy("cell")
+      // cell normalizes to long: build-side frames may carry it as an
+      // inferred int partition column while append-side frames carry
+      // the assignment's long — mixed physical types in one stats dir
+      // would fail the read
+      .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"), sum(col("_d")).as("sum_dist"))
 
   /** Persist the build corpus's per-cell baseline (overwrite —

@@ -302,15 +302,20 @@ object PqIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cb = codebookFromDims(d, ksub, idCol).localCheckpoint()
-      packCodes(d, cb, idCol)
-        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+      // materialize the assignment ONCE (the vectors table), then
+      // feed the codes join and the build stats from the at-rest
+      // copy — the corpus × nlist argmin is never replayed
       assigned.write.partitionBy("cell").mode("overwrite")
         .parquet(s"$path/vectors")
+      val spark = embs.sparkSession
+      val assignedAtRest = spark.read.parquet(s"$path/vectors")
+      packCodes(d, cb, idCol)
+        .join(assignedAtRest.select(col(idCol), col("cell")), Seq(idCol))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
       cb.write.mode("overwrite").parquet(s"$path/codebook")
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       // per-cell baseline for the staleness readout (IndexStats)
-      IndexStats.writeBuildStats(assigned, cents, path, vecCol)
+      IndexStats.writeBuildStats(assignedAtRest, cents, path, vecCol)
     } finally d.unpersist(blocking = false)
   }
 

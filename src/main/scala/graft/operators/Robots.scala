@@ -48,9 +48,11 @@ object Robots {
     * Content past the cap is ignored, and the trailing PARTIAL line is
     * dropped with it: a mid-line cut inside
     * `Disallow: /private-area/…` would otherwise synthesize a
-    * far-broader `/p` prefix rule. Exception: a file with NO newline
-    * inside the cap keeps the capped prefix (parseRules) — dropping
-    * it would silently default the whole host to allowed. */
+    * far-broader `/p` prefix rule. Exception: a file with NO line
+    * break (LF or CR) inside the cap keeps the capped prefix
+    * (parseRules) — dropping it would silently default the whole
+    * host to allowed, and a single giant line cannot synthesize a
+    * truncated rule (no group forms without a UA line break). */
   val MaxRobotsChars: Int = 512 * 1024
 
   /** Max pattern length per rule and max rules per host: a hostile
@@ -97,12 +99,21 @@ object Robots {
         // exactly at the cap means the final line's content is
         // entirely within it — dropping that complete rule would
         // un-disallow a page over an off-by-one.
-        val cut = t.lastIndexOf('\n', MaxRobotsChars)
-        // a hostile file with NO newline inside the cap must not
-        // discard everything (that would default the host to
-        // allowed): keep the capped prefix - its one partial rule
-        // parses as a shorter prefix pattern, erring toward
-        // over-blocking that host rather than un-gating it
+        // '\r' counts as a cut point too: a CR-only legacy file has
+        // perfectly good line boundaries, and cutting at one drops
+        // its trailing partial line exactly like the LF case. (A
+        // truncated partial line must never survive — a partial
+        // `Allow: /private/t…` would OUT-RANK `Disallow: /private`
+        // under longest-match precedence and un-gate paths the full
+        // file disallows.)
+        val cut = math.max(t.lastIndexOf('\n', MaxRobotsChars),
+          t.lastIndexOf('\r', MaxRobotsChars))
+        // a file with NO line break inside the cap at all keeps the
+        // capped prefix rather than discarding everything (which
+        // would default the host to allowed): a single giant line
+        // cannot form a user-agent group AND a rule, so the kept
+        // prefix parses to at most an agent group — never a
+        // truncated rule
         t.substring(0, if (cut >= 0) cut else MaxRobotsChars)
       }
     }

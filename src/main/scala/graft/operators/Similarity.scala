@@ -82,16 +82,24 @@ object Similarity {
   def writeInt8Index(embs: DataFrame, path: String, nlist: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
+    // centroids localCheckpoint (bounded nlist rows) so the two
+    // consumers below don't each replay the hash-cells corpus pass;
+    // assigned persists across its two actions (codes join + build
+    // stats) so the corpus × nlist argmin runs ONCE per build
     val cents = IvfIndex.meanCentroids(
       IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+      .localCheckpoint()
     val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
-    quantizeInt8(embs, idCol, vecCol)
-      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    // per-cell baseline for the staleness readout (IndexStats) —
-    // bounded (≤ nlist rows), resets on rebuild
-    IndexStats.writeBuildStats(assigned, cents, path, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      quantizeInt8(embs, idCol, vecCol)
+        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      // per-cell baseline for the staleness readout (IndexStats) —
+      // bounded (≤ nlist rows), resets on rebuild
+      IndexStats.writeBuildStats(assigned, cents, path, vecCol)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Append a batch to an existing int8 IVF index — the INCREMENTAL

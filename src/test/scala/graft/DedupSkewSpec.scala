@@ -161,7 +161,7 @@ class DedupSkewSpec extends SparkTestBase {
       // build on half the corpus, append the other half marker-gated
       Dedup.writeShingleIndex(base, s"$dir/a", "graft_spec_sh_app", n = 3)
       val ingestPlans = executedPlans {
-        Dedup.appendToShingleIndex(incr, "graft_spec_sh_app", n = 3,
+        Dedup.appendToShingleIndex(incr, "graft_spec_sh_app",
           doneMarker = Some("batch1"))
       }
       // O(batch): no executed FileScan read the existing index files —
@@ -176,7 +176,7 @@ class DedupSkewSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
       // replay with the same marker is a no-op (at-least-once driver)
-      Dedup.appendToShingleIndex(incr, "graft_spec_sh_app", n = 3,
+      Dedup.appendToShingleIndex(incr, "graft_spec_sh_app",
         doneMarker = Some("batch1"))
       assert(spark.table("graft_spec_sh_app").count() == appended.size,
         "marker-gated replay must not duplicate the batch")
@@ -212,6 +212,35 @@ class DedupSkewSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_spec_sh_app")
       spark.sql("DROP TABLE IF EXISTS graft_spec_sh_reb")
       spark.sql("DROP TABLE IF EXISTS graft_spec_sh_ev")
+    }
+  }
+
+  test("appendToShingleIndex derives the shingle size from the table") {
+    GraftExtensions.register(spark)
+    val (train, _) = split(sfDir)
+    val base = train.where(col("doc_id") % 4 === 0)
+    val incr = train.where(col("doc_id") % 4 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shn5").toString
+    try {
+      // an n=5 index: the append must shingle the batch at n=5 (the
+      // persisted geometry), NOT a default — append ≡ rebuild at n=5
+      Dedup.writeShingleIndex(base, s"$dir/a", "graft_spec_sh_n5", n = 5)
+      Dedup.appendToShingleIndex(incr, "graft_spec_sh_n5")
+      Dedup.writeShingleIndex(train, s"$dir/r", "graft_spec_sh_n5r", n = 5)
+      val appended = spark.table("graft_spec_sh_n5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rebuilt = spark.table("graft_spec_sh_n5r")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(appended === rebuilt && rebuilt.nonEmpty)
+      // and it differs from an n=3 shingling — the property is load-bearing
+      Dedup.writeShingleIndex(train, s"$dir/3", "graft_spec_sh_n3", n = 3)
+      val n3 = spark.table("graft_spec_sh_n3")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(n3 !== rebuilt)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_spec_sh_n5")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_sh_n5r")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_sh_n3")
     }
   }
 

@@ -216,6 +216,17 @@ class RobotsSpec extends SparkTestBase {
     val r0 = parseRules(crOnly, "graftbot")
     assert(r0 === Seq(("/private/", false)),
       s"CR-only oversized file must keep its in-cap rules: $r0")
+    // the cut must land on a CR line boundary, dropping the trailing
+    // PARTIAL line: a truncated `Allow: /private/terms…` would
+    // OUT-RANK `Disallow: /private` under longest-match precedence
+    // and un-gate paths the full file disallows
+    val head = "User-agent: graftbot\rDisallow: /private\r"
+    val pad = ("#" + "y" * 98 + "\r") * ((MaxRobotsChars - head.length) / 100)
+    val partialAllow = head + pad + "Allow: /private/terms" + "z" * MaxRobotsChars
+    assert(!partialAllow.substring(0, MaxRobotsChars).contains('\n'))
+    val r0b = parseRules(partialAllow, "graftbot")
+    assert(r0b === Seq(("/private", false)),
+      s"a truncated Allow rule must be dropped, not kept as a prefix: $r0b")
     // bare-CR endings also parse at normal sizes
     assert(parseRules("User-agent: *\rDisallow: /a/\rAllow: /a/b\r",
       "graftbot") === Seq(("/a/", false), ("/a/b", true)))
