@@ -378,14 +378,19 @@ object PqIndex {
     require(batchDim == m * dsub,
       s"batch vectors have dim $batchDim, index expects ${m * dsub} " +
         s"(m=$m x dsub=$dsub from the persisted codebook)")
+    // persisted across its three actions (vectors write, codes join,
+    // batch stats) so the batch × nlist argmin runs once per ingest
     val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
-    assigned.write.partitionBy("cell").mode("append")
-      .parquet(s"$path/vectors")
-    packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
-      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-    // O(batch) per-cell stats for the staleness readout (IndexStats)
-    IndexStats.appendBatchStats(assigned, cents, path, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.partitionBy("cell").mode("append")
+        .parquet(s"$path/vectors")
+      packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
+        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+        .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+      // O(batch) per-cell stats for the staleness readout (IndexStats)
+      IndexStats.appendBatchStats(assigned, cents, path, vecCol)
+    } finally assigned.unpersist(blocking = false)
     marker.foreach(m => mfs(m).create(m, true).close())
   }
 

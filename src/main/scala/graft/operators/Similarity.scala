@@ -153,14 +153,19 @@ object Similarity {
     val batchDim = head(0).getSeq[Any](0).length
     require(batchDim == indexDim,
       s"batch vectors have dim $batchDim, index centroids have $indexDim")
+    // persisted across its two actions (codes join + batch stats) so
+    // the batch × nlist argmin runs once per ingest
     val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
-    quantizeInt8(newEmbs, idCol, vecCol)
-      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-    // the batch's per-cell stats ride the same O(batch) assignment
-    // shape — the staleness readout (IndexStats.staleness) is how an
-    // operator learns the persisted quantizer needs re-versioning
-    IndexStats.appendBatchStats(assigned, cents, path, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      quantizeInt8(newEmbs, idCol, vecCol)
+        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+        .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+      // the batch's per-cell stats ride the same O(batch) assignment
+      // shape — the staleness readout (IndexStats.staleness) is how an
+      // operator learns the persisted quantizer needs re-versioning
+      IndexStats.appendBatchStats(assigned, cents, path, vecCol)
+    } finally assigned.unpersist(blocking = false)
     marker.foreach(m => fs(m).create(m, true).close())
   }
 
