@@ -917,7 +917,26 @@ object Bench {
       "templated-page chain; the organic LSH shapes still converge " +
       "in 2 rounds (15.8s over 19,998 planted pairs, all collapsed), " +
       "and MinHashKernelSpec adds a diameter-200 chain the old loop " +
-      "would have thrown on."
+      "would have thrown on. " +
+      "r10 BenchAnn RECALL HONESTY (supersedes the r5 'recall@10=1.0' " +
+      "claim, which predates the r8 hierarchical corpus): at 1M " +
+      "vectors the (nprobe=4, shortlist=200) defaults measure " +
+      "recall@10=0.3 - and the r9 run already did too, unnoticed. " +
+      "The binder is the ADC SHORTLIST, not cell selection: both " +
+      "quantizers (deterministic hash-init AND trained k-means cells " +
+      "via the new BenchAnn quantizer arg) score the same 0.3 at " +
+      "(4,200), because the query's ~300-vector subcluster of " +
+      "near-ties exceeds the 200-row rerank budget and int8 ADC " +
+      "cannot order near-ties. shortlist=2000 at the same nprobe=4 " +
+      "restores recall 1.0 at 1.25s warm, while the nprobe lever " +
+      "needed 32 of 64 cells (8x the partitions read) and 1.94s for " +
+      "the same 1.0. The 100 TB sizing rule this measures: grow the " +
+      "rerank shortlist with the corpus's near-tie density (it rides " +
+      "partitions already read - 1.0s -> 1.25s for 10x shortlist); " +
+      "widen nprobe only when neighbors genuinely straddle cells " +
+      "(it multiplies partitions READ). Build+write at 1M with the " +
+      "r10 staleness-stats pass folded in: 119.4s hash / 121.9s " +
+      "k-means (r9 recorded 114.5s without stats - within noise)."
 
   // ONE JSON line per the driver contract. Key order matters beyond
   // style: the round driver keeps only the LAST ~2000 characters of

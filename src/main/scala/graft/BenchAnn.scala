@@ -72,10 +72,21 @@ object BenchAnn {
     // must not leave a half-index that later runs trust
     val tag = graft.operators.IndexCache.corpusTag("benchann",
       s"mem_$nVecs", embs, Seq("vec_id", "embedding"))
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_ann_$tag"
+    // arg 4 picks the coarse quantizer: "hash" (default) = the
+    // deterministic SQL-mirrorable hash-init + one-Lloyd-step build
+    // the certified probes use; "kmeans" = the production
+    // writeIndexKMeans path (trained MLlib cells) — same on-disk
+    // layout, same reader. Running both at the same nVecs/nprobe
+    // measures what the trained quantizer buys in recall-per-probe.
+    val quantizer = if (args.length > 3) args(3) else "hash"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_ann_${quantizer}_$tag"
     val (_, tBuild) = timed {
       graft.operators.IndexCache.ensureBuilt(dir) {
-        PqIndex.writeIndex(embs, dir, nlist = nlist, m = m, ksub = ksub, dim = dim)
+        if (quantizer == "kmeans")
+          PqIndex.writeIndexKMeans(embs, dir, nlist = nlist, m = m,
+            ksub = ksub, dim = dim)
+        else
+          PqIndex.writeIndex(embs, dir, nlist = nlist, m = m, ksub = ksub, dim = dim)
       }
     }
 
@@ -125,7 +136,8 @@ object BenchAnn {
       s""""index_build_write_sec":${f"$tBuild%.2f"},""" +
       s""""query_cold_sec":${f"$tQueryCold%.2f"},""" +
       s""""query_warm_sec":${f"$tQueryWarm%.2f"},""" +
-      s""""recall_at_10":$recall,"nlist":$nlist,"nprobe":$nprobe,""" +
+      s""""recall_at_10":$recall,"quantizer":"$quantizer",""" +
+      s""""nlist":$nlist,"nprobe":$nprobe,""" +
       s""""shortlist":$shortlist,"m":$m,""" +
       s""""raw_mb":${rawBytes / 1048576},"code_values":$codeInts,""" +
       s""""kmeans_r1_sec":${f"$tK1%.2f"},"kmeans_r3_sec":${f"$tK3%.2f"},""" +
