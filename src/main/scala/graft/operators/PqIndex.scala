@@ -402,7 +402,17 @@ object PqIndex {
     * as the relational [[queryTable]]), shortlist, exact-rerank. No
     * dims explode, no codebook rebuild — the index at rest answers
     * the query. `excludeId` drops a corpus vector from the results
-    * (pass the query's own id when querying by an indexed vector). */
+    * (pass the query's own id when querying by an indexed vector).
+    *
+    * SIZING (measured, BenchAnn 1M r10): recall is usually
+    * SHORTLIST-bound, not nprobe-bound — ADC cannot order near-tie
+    * candidates, so `shortlist` must cover the query's near-tie set
+    * (scales with cluster density: 200→recall 0.3, 2000→1.0 at the
+    * same nprobe=4 on the 1M hierarchical corpus, +25% query wall).
+    * Growing `shortlist` reranks more rows from partitions ALREADY
+    * read; growing `nprobe` multiplies partitions READ (4→32 cells
+    * cost +94% wall for the same recall 1.0). Widen nprobe only when
+    * neighbors genuinely straddle cells. */
   def topKFromIndex(spark: SparkSession, path: String, query: Seq[Double],
                     k: Int, nprobe: Int, shortlist: Int,
                     excludeId: Option[Long] = None,
