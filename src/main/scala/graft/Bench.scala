@@ -152,7 +152,7 @@ object Bench {
     // a reader can see the run-to-run noise instead of inferring it
     // from which run happened to get recorded.
     val passes = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
     val ts = (1 to passes).map { _ =>
       runProbes(spark, sfDir, warmDir, canWarm, warmMode, diag)
     }

@@ -113,10 +113,10 @@ object CorpusArtifact {
     val parts = withShard
       .select(col(keepCol).cast("string"), col("shard").cast("string"))
       .distinct().collect()
-    require(parts.forall(r => !r.isNullAt(0)),
-      s"append batch contains null $keepCol values — null curation " +
-        "decisions are not registrable partitions; filter or default " +
-        "them before appending")
+    require(parts.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"append batch contains null $keepCol or null $idCol (→ null " +
+        "shard) values — nulls are not registrable partitions; filter " +
+        "or default them before appending")
     withShard.write.format("parquet")
       .partitionBy(keepCol, "shard")
       .mode("append").save(path)

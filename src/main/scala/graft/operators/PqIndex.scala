@@ -266,8 +266,12 @@ object PqIndex {
   def writeIndex(embs: DataFrame, path: String, nlist: Int,
                  m: Int, ksub: Int, dim: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // localCheckpoint (bounded nlist rows) so the three consumers in
+    // writeIndexTables (vectors-write broadcast, centroids write,
+    // build stats) don't each replay the corpus-wide mean aggregation
     val cents = IvfIndex.meanCentroids(
       IvfIndex.hashCells(embs, nlist, idCol), "cell0", vecCol)
+      .localCheckpoint()
     val assigned = IvfIndex.assign(embs, cents, idCol, vecCol)
     writeIndexTables(embs, assigned, cents, path, m, ksub, dim, idCol, vecCol)
   }

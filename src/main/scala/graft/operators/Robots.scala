@@ -65,16 +65,19 @@ object Robots {
   val MaxPatternChars: Int = 4096
   val MaxRulesPerHost: Int = 5000
 
-  /** Max TOTAL pattern chars honored per host. The per-rule and
-    * per-count caps alone still leave an 8 KiB path x 4 KiB pattern x
-    * 5000 rules ~ 1.7e11 char-op worst case per URL against a fully
-    * hostile host (the glob kernel is linear per (path, pattern) pair
-    * but the PRODUCT over a host's rule list is what an executor
-    * pays). Bounding the summed pattern length per host to 64 KiB
-    * caps that product at path x 64 KiB ~ 5e8 - milliseconds, not a
-    * stall - while real robots files (even google.com's, ~36 KiB
-    * TOTAL file) never approach it for legitimate rules. Rules past
-    * the budget drop in file order, mirroring the other caps. */
+  /** Max TOTAL WILDCARD-pattern chars honored per host. The per-rule
+    * and per-count caps alone still leave an 8 KiB path x 4 KiB
+    * pattern x 5000 rules ~ 1.7e11 char-op worst case per URL against
+    * a fully hostile host (the glob kernel is linear per
+    * (path, pattern) pair but the PRODUCT over a host's rule list is
+    * what an executor pays). Only patterns CONTAINING '*' can cost
+    * path x pattern — star-free prefix rules match via O(pattern)
+    * startswith — so the budget charges wildcard patterns only:
+    * a legitimate file with thousands of long literal Disallow paths
+    * (which can legitimately sum past 64 KiB) keeps every rule, while
+    * a hostile wildcard flood is capped at path x 64 KiB ~ 5e8 char
+    * ops — milliseconds, not a stall. Wildcard rules past the budget
+    * drop in file order, mirroring the other caps. */
   val MaxPatternCharsPerHost: Int = 64 * 1024
 
   /** Parse one robots.txt for one user-agent: group selection per the
@@ -151,10 +154,12 @@ object Robots {
     val chosen = if (specific.nonEmpty) specific
                  else groups.filter(_._1.contains("*"))
     val inOrder = chosen.flatMap(_._2.toSeq).take(MaxRulesPerHost).toSeq
-    // per-host total-pattern-chars budget (see MaxPatternCharsPerHost)
+    // per-host WILDCARD budget (see MaxPatternCharsPerHost): star-free
+    // prefix rules are O(pattern) startswith and never charge it
     var budget = MaxPatternCharsPerHost
-    inOrder.takeWhile { case (p, _) =>
-      budget -= p.length; budget >= 0
+    inOrder.filter { case (p, _) =>
+      if (p.indexOf('*') < 0) true
+      else { budget -= p.length; budget >= 0 }
     }
   }
 

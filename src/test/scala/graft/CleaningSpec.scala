@@ -321,6 +321,19 @@ class CleaningSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       CorpusArtifact.append(b, dir, "graft_art_q",
         keepCol = "bucket', shard='0') LOCATION '/tmp/evil' --"))
+    // null decision or null id (→ null shard) fails fast BEFORE the
+    // data write — a post-commit failure would leave the batch
+    // half-registered and replayable
+    val nBefore = spark.table("graft_art_q").count()
+    assertThrows[IllegalArgumentException](CorpusArtifact.append(
+      Seq((5L, "five.", null: String)).toDF("doc_id", "text", "bucket"),
+      dir, "graft_art_q", keepCol = "bucket"))
+    assertThrows[IllegalArgumentException](CorpusArtifact.append(
+      Seq((null.asInstanceOf[java.lang.Long], "six.", "plain"))
+        .toDF("doc_id", "text", "bucket"),
+      dir, "graft_art_q", keepCol = "bucket"))
+    assert(spark.table("graft_art_q").count() === nBefore,
+      "a rejected batch must not have committed any rows")
     spark.sql("DROP TABLE IF EXISTS graft_art_q")
   }
 

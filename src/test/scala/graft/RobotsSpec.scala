@@ -230,18 +230,33 @@ class RobotsSpec extends SparkTestBase {
     // bare-CR endings also parse at normal sizes
     assert(parseRules("User-agent: *\rDisallow: /a/\rAllow: /a/b\r",
       "graftbot") === Seq(("/a/", false), ("/a/b", true)))
-    // per-host summed-pattern budget: many max-length rules stop
-    // being honored once Σ pattern chars passes MaxPatternCharsPerHost
+    // per-host WILDCARD budget: max-length star-bearing rules stop
+    // being honored once their Σ chars passes MaxPatternCharsPerHost —
+    // only wildcard patterns can cost path × pattern in the kernel
     val n = MaxPatternCharsPerHost / (MaxPatternChars - 1) + 5
     val fat = "User-agent: graftbot\n" + (1 to n)
-      .map(i => s"Disallow: /${i}${"a" * (MaxPatternChars - 12)}")
+      .map(i => s"Disallow: /${i}*${"a" * (MaxPatternChars - 13)}")
       .mkString("\n")
     val r2 = parseRules(fat, "graftbot")
     assert(r2.nonEmpty && r2.size < n,
-      s"summed-pattern budget must drop trailing rules: kept ${r2.size}/$n")
+      s"wildcard budget must drop trailing star rules: kept ${r2.size}/$n")
     assert(r2.map(_._1.length).sum <= MaxPatternCharsPerHost)
     assert(r2.head._1.startsWith("/1"), "rules drop in file order")
-    // legitimate files are far below the budget — nothing drops
+    // star-FREE prefix rules never charge the budget: a legitimate
+    // file whose literal Disallow paths sum past 64 KiB (thousands of
+    // long section paths) keeps EVERY rule — dropping one would
+    // silently un-gate a disallowed section — and prefix rules AFTER
+    // an exhausted wildcard budget still parse
+    val longPrefix = (1 to 800)
+      .map(i => s"Disallow: /section-$i/${"p" * 120}")
+    val mixed = "User-agent: graftbot\n" + fat.linesIterator.drop(1).mkString("\n") +
+      "\n" + longPrefix.mkString("\n")
+    val r3 = parseRules(mixed, "graftbot")
+    assert(r3.count(!_._1.contains('*')) === 800,
+      "prefix rules must survive an exhausted wildcard budget")
+    assert(longPrefix.map(_.length - "Disallow: ".length).sum > MaxPatternCharsPerHost,
+      "test corpus must genuinely exceed the budget in prefix chars")
+    // legitimate files are far below any cap — nothing drops
     val normal = "User-agent: graftbot\n" +
       (1 to 200).map(i => s"Disallow: /sec$i/").mkString("\n")
     assert(parseRules(normal, "graftbot").size === 200)
