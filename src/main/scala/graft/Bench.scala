@@ -727,7 +727,10 @@ object Bench {
       "DuckDB side itself moved vs r9 (its x38 mirror cost 7.3s this " +
       "session vs 5.2s in r9 runs - same-box-same-session pairing is " +
       "the only honest comparison, which is exactly why the spread " +
-      "now ships in the artifact). Round work behind the numbers: " +
+      "now ships in the artifact). CLOSING r10 refresh on the final " +
+      "code (quiet box, 2026-08-14): 75.3s / pass totals 80.0s + " +
+      "77.8s = 2.9% spread, zero flags - vs the same-day DuckDB " +
+      "67.2s = 1.12x. Round work behind the numbers: " +
       "connected components moved to hop+jump label propagation " +
       "(O(log diameter) rounds - see the volume notes for the " +
       "BenchDedup record), the shingle/contamination index gained the " +
