@@ -340,9 +340,17 @@ object Sampling {
     val w = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .withColumn("w", wExpr)
     val tot = w.agg(sum("w").as("tw"))
+    // round-6 BEFORE the floor: `tw` is an order-sensitive double sum
+    // (parallel aggregation order moves it a few ulps run to run), and
+    // when target·w/tw sits exactly ON an integer — e.g. equal-sized
+    // sources, where the quotient is exactly target/k — a last-ulp
+    // wobble flips floor() by 1 PER SOURCE and the selected row count
+    // with it. Rounding to 6 decimals absorbs the wobble on both
+    // engines (the oracle mirrors it), and a genuine non-boundary
+    // quotient is never 5e-7 from an integer on real data.
     val quotas = w.crossJoin(broadcast(tot))
       .select(col(sourceCol),
-        floor(lit(targetTotal.toDouble) * col("w") / col("tw"))
+        floor(round(lit(targetTotal.toDouble) * col("w") / col("tw"), 6))
           .cast("long").as("quota"))
     val rnd = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 7), 16, 10).cast("long")

@@ -280,7 +280,8 @@ object SelectionProbes {
              |w AS (SELECT source, SQRT(CAST(n AS DOUBLE)) AS w FROM cnt),
              |tot AS (SELECT SUM(w) AS tw FROM w),
              |q AS (
-             |  SELECT source, CAST(FLOOR(200.0 * w.w / tot.tw) AS BIGINT) AS quota
+             |  SELECT source,
+             |    CAST(FLOOR(ROUND(200.0 * w.w / tot.tw, 6)) AS BIGINT) AS quota
              |  FROM w CROSS JOIN tot),
              |r AS (
              |  SELECT doc_id, source,
