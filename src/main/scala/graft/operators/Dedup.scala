@@ -905,6 +905,53 @@ object Dedup {
       (col("id") === col("label")).as("keep")), round)
   }
 
+  /** Near-dup RESOLUTION by quality (the NeMo-Curator / BigScience
+    * fuzzy-dedup keeper rule): collapse candidate pairs into connected
+    * components, then keep the HIGHEST-quality document of each
+    * component — ties broken to the smallest id — instead of blindly
+    * keeping the smallest id. "Quality" is any numeric column the
+    * caller already computed (length, an x02 quality score, an x81
+    * logistic head, an x43/x77 LM score): when near-dup clusters mix a
+    * full capture with truncated/boilerplate variants, min-id keeps a
+    * coin flip; argmax-quality keeps the copy worth training on.
+    *
+    * Scale shape: component labels come from the log-round hop+jump
+    * [[nearDupGroupsDF]]; the keeper decision then costs ONE keyed
+    * 1:1 join (labels ⋈ quality on the id) plus ONE partial-aggregable
+    * groupBy — `max(struct(quality, -id))` combines map-side, so a
+    * mega-component (the templated-page blob) collapses per partition
+    * before its reducer, never concentrating the corpus on one key —
+    * and ONE join back keyed on group_id (the keepers table has one
+    * row per component, AQE-sized to broadcast in the normal case).
+    * Nothing corpus-sized sorts or windows.
+    *
+    * Returns (idCol, group_id, keep, keeper_id) for every id in
+    * `docs`; singletons keep themselves. */
+  def nearDupKeepBest(pairs: DataFrame, docs: DataFrame, qualityCol: String,
+                      idCol: String = "doc_id", maxRounds: Int = 50): DataFrame = {
+    val groups = nearDupGroupsDF(pairs, docs.select(col(idCol)), idCol, maxRounds)
+      .select(col(idCol), col("group_id"))
+    // null quality loses to any real score (and a tie of nulls falls
+    // to the id): pin it with -inf rather than leaning on either
+    // engine's null-ordering inside struct comparison
+    val labeled = groups.join(
+      docs.select(col(idCol),
+        coalesce(col(qualityCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("_q")), Seq(idCol))
+    // argmax(quality, tie → min id) as a partial-aggregable struct max:
+    // struct compares field-by-field, so (-id) turns the id tie into
+    // "largest -id" = smallest id. No window, no per-group sort.
+    val keepers = labeled
+      .groupBy("group_id")
+      .agg(max(struct(col("_q").as("q"),
+        (-col(idCol).cast("long")).as("neg_id"))).as("best"))
+      .select(col("group_id"), (-col("best.neg_id")).as("keeper_id"))
+    labeled.join(keepers, Seq("group_id"))
+      .select(col(idCol), col("group_id"),
+        (col(idCol).cast("long") === col("keeper_id")).as("keep"),
+        col("keeper_id"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 16-bit SimHash from word-level md5 hashes: bit i of the

@@ -56,6 +56,55 @@ object PipelineProbes {
            |FROM l4 ORDER BY doc_id""".stripMargin
       }),
 
+    // Dedup.nearDupKeepBest: keeper-by-QUALITY resolution (the
+    // NeMo-Curator fuzzy-dedup rule) composed on the x105 components —
+    // same deterministic 4-node paths, quality = n_chars, so the
+    // keeper is usually NOT the min id and the argmax genuinely
+    // decides. Oracle = the x105 four-round min-label unroll (same
+    // fixpoint argument) + a per-component ROW_NUMBER argmax with the
+    // pinned (quality DESC, id ASC) tie order; the Spark side reaches
+    // the identical keeper through a partial-aggregable
+    // max(struct(q, -id)) — no window, no per-group sort ------------
+    Probe("x108_neardup_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val pairs = docs.where(col("doc_id") % 10 < 3)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+        Dedup.nearDupKeepBest(pairs, docs, "n_chars").orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""l$r AS (
+             |  SELECT i.id,
+             |    LEAST(i.label, COALESCE(MIN(l.label), i.label)) AS label
+             |  FROM l${r - 1} i
+             |  LEFT JOIN e ON e.src = i.id
+             |  LEFT JOIN l${r - 1} l ON l.id = e.dst
+             |  GROUP BY i.id, i.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+           |  WHERE doc_id % 10 < 3),
+           |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |l0 AS (SELECT id, id AS label FROM ids),
+           |$rounds,
+           |j AS (
+           |  SELECT l4.id, l4.label AS group_id,
+           |    CAST(d.n_chars AS DOUBLE) AS q
+           |  FROM l4 JOIN documents d ON d.doc_id = l4.id),
+           |k AS (
+           |  SELECT group_id, id AS keeper_id FROM (
+           |    SELECT group_id, id,
+           |      ROW_NUMBER() OVER (PARTITION BY group_id
+           |                         ORDER BY q DESC, id) AS rn
+           |    FROM j) WHERE rn = 1)
+           |SELECT j.id AS doc_id, j.group_id,
+           |  j.id = k.keeper_id AS keep, k.keeper_id
+           |FROM j JOIN k USING (group_id) ORDER BY doc_id""".stripMargin
+      }),
+
     // A6 via Triggers.exceedanceTable: full threshold table in one agg
     Probe("t01_exceedance_table",
       (s, d) => {

@@ -149,6 +149,44 @@ class MinHashKernelSpec extends SparkTestBase {
     assert(rounds <= 12, s"diameter $d took $rounds rounds (expected O(log d) ~8)")
   }
 
+  test("nearDupKeepBest keeps the argmax-quality doc, ties to min id, null loses") {
+    // components: {1,2,3} path, {10,11} pair, {20} singleton, {30,31} pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0), // argmax mid-component, not min id
+      (10L, 4.0), (11L, 4.0),          // exact tie -> smaller id keeps
+      (20L, 1.0),                      // singleton keeps itself
+      (30L, Double.NaN), (31L, 2.0))   // see below: NaN vs real score
+      .toDF("doc_id", "q")
+      // null quality: model it via a real null, not NaN (NaN ordering
+      // is engine-specific; the operator pins NULL -> -inf)
+      .withColumn("q", when(col("doc_id") === 30L, lit(null)).otherwise(col("q")))
+    val out = Dedup.nearDupKeepBest(pairs, docs, "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((1L, false, 2L)))
+    assert(out(2L) == ((1L, true, 2L))) // highest quality, not min id
+    assert(out(3L) == ((1L, false, 2L)))
+    assert(out(10L) == ((10L, true, 10L))) // tie -> smallest id
+    assert(out(11L) == ((10L, false, 10L)))
+    assert(out(20L) == ((20L, true, 20L))) // singleton
+    assert(out(30L) == ((30L, false, 31L))) // null quality loses
+    assert(out(31L) == ((30L, true, 31L)))
+    assert(out.size == 8)
+  }
+
+  test("nearDupKeepBest decision plan has no window and no sort of the corpus") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("doc_id", "q")
+    val plan = Dedup.nearDupKeepBest(pairs, docs, "q")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keeper argmax must not window:\n$plan")
+    // the struct-max agg must partial-aggregate (map-side combine)
+    assert(plan.contains("partial_max") || plan.contains("partial max")
+      || plan.contains("HashAggregate"), s"expected partial agg:\n$plan")
+  }
+
   test("one-pass signature plan is a map-only scan (no shuffle)") {
     val plan = Dedup.minhashSignaturesOnePass(docs, n = 3, numPerm = 8)
       .queryExecution.executedPlan.toString
