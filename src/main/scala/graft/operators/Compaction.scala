@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the append-mode at-rest artifacts.
+  *
+  * Every O(batch) incremental append (int8 IVF codes, IVF-PQ
+  * vectors+codes, the cleaned-corpus artifact, the bucketed shingle
+  * index) lands the batch as ADDITIONAL files next to the existing
+  * ones — the right ingest-time trade (the existing corpus is never
+  * read), but after thousands of micro-batches each partition
+  * directory holds thousands of tiny parquet files, and at 100 TB the
+  * scan's file-listing + per-file open overhead starts to dominate the
+  * very partition pruning the layout exists for. Compaction is the
+  * LSM-style maintenance pass that pays one keyed rewrite to restore
+  * few-large-files reads: VALUE-PRESERVING (rows are read as-is and
+  * rewritten — centroids, codebooks, quantized codes, curation
+  * decisions and shard hashes are never recomputed, so queries are
+  * bit-identical before/after), layout-preserving (the same partition
+  * directories come back, so `PartitionFilters` pruning and catalog
+  * partition registrations survive), and O(artifact) with exactly one
+  * shuffle keyed on the partition columns — each reducer holds whole
+  * partition values, so every directory ends up with one file (plus
+  * `maxRecordsPerFile` re-splits for jumbo cells).
+  *
+  * Crash stance: the rewrite lands in a `__compact_tmp` sibling and is
+  * swapped in with two renames, so the artifact is never truncated
+  * before its replacement is fully committed. A crash between the
+  * renames leaves `dir` absent with BOTH `dir__compact_old` (the
+  * original) and `dir__compact_tmp` (the complete rewrite) on disk —
+  * rename either back to recover; a later compaction refuses to run
+  * (loudly) until the leftover is cleared rather than guessing.
+  * Top-level underscore metadata files at the compacted root (append
+  * `_append_*_ok` replay markers, `_graft_nshards`) are carried across
+  * the swap, so marker-gated replay semantics survive compaction.
+  */
+object Compaction {
+
+  /** Rewrite the partitioned parquet directory `dir` with identical
+    * rows in one file per partition directory (re-split at
+    * `maxRecordsPerFile` rows when > 0). See the object Scaladoc for
+    * the value/layout/crash guarantees. */
+  def compactPartitionedDir(spark: SparkSession, dir: String,
+                            partitionCols: Seq[String],
+                            maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"no artifact directory at $dir")
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$dir (or delete it if $dir is intact) before compacting again")
+    fs.delete(tmp, true) // a half-written tmp from a crashed REWRITE is safe to drop
+    val data = spark.read.parquet(dir)
+    val missing = partitionCols.filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"$dir has no partition column(s) ${missing.mkString(", ")} — " +
+        s"columns: ${data.columns.mkString(", ")}")
+    // ONE shuffle keyed on the partition columns: a reducer holds whole
+    // partition values, so each directory is rewritten as one file
+    val writer = data.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*).mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(tmp.toString)
+    swapInto(fs, target, tmp, old)
+  }
+
+  /** Two-rename swap of a fully-committed rewrite into place: the
+    * original is never truncated before its replacement exists, and
+    * top-level underscore metadata files (append replay markers,
+    * `_graft_nshards`) are carried across (files the rewrite already
+    * produced, e.g. `_SUCCESS`, win). Callers must have pre-checked
+    * that `old` does not exist. */
+  private[operators] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                                  target: Path, tmp: Path, old: Path): Unit = {
+    require(fs.rename(target, old), s"could not move $target aside to $old")
+    require(fs.rename(tmp, target),
+      s"could not move $tmp into place at $target — the original data " +
+        s"is intact at $old; rename it back to recover")
+    fs.listStatus(old).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        val dst = new Path(target, s.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(s.getPath, dst)
+      }
+    fs.delete(old, true)
+  }
+}

@@ -140,4 +140,27 @@ object CorpusArtifact {
   def readKept(spark: SparkSession, table: String,
                keepCol: String = "keep"): DataFrame =
     spark.table(table).where(col(keepCol) === true)
+
+  /** Compact the artifact after an append schedule: every [[append]]
+    * lands its batch as additional files inside the (keep, shard)
+    * partition directories, and a long-lived recurring-curation
+    * artifact ends up with files-per-partition ≈ micro-batches. The
+    * rewrite is value-preserving (per-row decisions and the shard
+    * hash are rewritten as-is, never recomputed) and layout-preserving
+    * (identical partition directories come back, so the catalog's
+    * `ADD PARTITION` registrations and the readKept PartitionFilter
+    * pruning survive); `_graft_nshards` and append replay markers are
+    * carried across the swap, so later appends and marker-gated
+    * replays behave exactly as before. See [[Compaction]] for the
+    * crash stance. */
+  def compact(spark: SparkSession, path: String, table: String,
+              keepCol: String = "keep",
+              maxRecordsPerFile: Long = 0L): Unit = {
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"invalid table identifier: $table")
+    Compaction.compactPartitionedDir(
+      spark, path, Seq(keepCol, "shard"), maxRecordsPerFile)
+    // file sets changed under every partition — drop cached listings
+    spark.catalog.refreshTable(table)
+  }
 }

@@ -538,6 +538,93 @@ object CurationProbes {
              |FROM best GROUP BY cell, is_build
              |ORDER BY cell, phase""".stripMargin)),
 
+    // Similarity.compactInt8Index: small-file compaction of the
+    // append-mode index (the LSM-style maintenance pass). Build on
+    // the even half, append the odd half in TWO batches (so cells
+    // hold multiple files), COMPACT, then query. Compaction promises
+    // value preservation — the rewrite must be invisible to every
+    // reader — so the oracle is exactly the x104 append oracle
+    // (centroids from the build half, all vectors assigned against
+    // them, integer cosine in the probed cells): any row the rewrite
+    // drops, duplicates, or perturbs hash-mismatches here. The
+    // one-file-per-cell layout claim is pinned by CompactionSpec ----
+    Probe("x109_int8_index_compacted",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag = IndexCache.corpusTag("x109", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x109_compact_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Similarity.writeInt8Index(embs.where(col("vec_id") % 2 === 0),
+            dir, nlist = 8)
+          Similarity.appendToInt8Index(embs.where(col("vec_id") % 4 === 1),
+            dir)
+          Similarity.appendToInt8Index(embs.where(col("vec_id") % 4 === 3),
+            dir)
+          Similarity.compactInt8Index(s, dir)
+        }
+        val q = embs.where(col("vec_id") === 3)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        Similarity.topKInt8FromIndex(s, dir, q, k = 10, nprobe = 6,
+            excludeId = Some(3L))
+          .orderBy(col("sim").desc, col("vec_id"))
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings WHERE vec_id % 2 = 0),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM embeddings i CROSS JOIN cent c) WHERE rn = 1),
+             |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+             |probecells AS (
+             |  SELECT cell FROM (
+             |    SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+             |      ROUND(list_dot_product(q.qv, q.qv)
+             |        - 2 * list_dot_product(q.qv, c.c)
+             |        + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM cent c CROSS JOIN q) WHERE rn <= 6),
+             |qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+             |    embedding
+             |  FROM embeddings),
+             |codes AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+             |  FROM qz),
+             |qc AS (SELECT codes AS cq FROM codes WHERE vec_id = 3),
+             |sim AS (
+             |  SELECT c.vec_id,
+             |    list_dot_product(c.codes, qc.cq) /
+             |      (sqrt(list_dot_product(c.codes, c.codes)) *
+             |       sqrt(list_dot_product(qc.cq, qc.cq))) AS sim
+             |  FROM codes c
+             |  JOIN assigned a USING (vec_id)
+             |  JOIN probecells p ON a.cell = p.cell
+             |  CROSS JOIN qc
+             |  WHERE c.vec_id <> 3)
+             |SELECT vec_id, sim FROM sim
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // graft.expressions.UnicodeNormalize: NFC over the real corpus
     // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
     // NFKC over synthesized normalization-unstable graphemes — the

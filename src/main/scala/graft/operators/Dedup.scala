@@ -710,6 +710,69 @@ object Dedup {
     marker.foreach(m => fsOf(m).create(m, true).close())
   }
 
+  /** Compact the bucketed shingle index after an append schedule:
+    * every [[appendToShingleIndex]] lands its batch as additional
+    * per-bucket files, and Spark merges same-bucket files into one
+    * bucket partition at read time — correct, but after thousands of
+    * micro-batches each bucket is thousands of tiny files and the
+    * sweep's scan cost is open()-bound. The rewrite repartitions on
+    * the bucket hash itself (`repartition(numBuckets, h)` uses the
+    * same Murmur3-pmod assignment as the bucketed write, so every
+    * task holds exactly one bucket's rows → ONE file per bucket),
+    * lands in a sibling `__compact_tmp` TABLE at a sibling path, and
+    * swaps directories under the ORIGINAL table — which is never
+    * dropped, so its bucket spec, the `graft.shingle.n` property, and
+    * catalog identity all survive untouched; bucket-id filename
+    * suffixes survive the rename, so the exchange-free bucketed join
+    * ([[contaminationFromShingleIndexes]]) holds after compaction.
+    * Append replay markers at the table location are carried across
+    * the swap. Value-preserving: rows are read and rewritten as-is
+    * (no re-shingling). See [[Compaction]] for the crash stance. */
+  def compactShingleIndex(spark: SparkSession, table: String): Unit = {
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"invalid table identifier: $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not an index written by writeShingleIndex"))
+    require(spec.bucketColumnNames == Seq("h"),
+      s"$table is bucketed on ${spec.bucketColumnNames.mkString(",")}, expected h")
+    val target = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(target.toString + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$target (or delete it if the index is intact) before compacting again")
+    val tmpTable = table + "__compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    fs.delete(tmp, true)
+    // Read the index by PATH, not spark.table: the catalog relation
+    // advertises the bucket spec, and the planner then elides the
+    // repartition below (satisfied-by-bucketing) while ALSO auto-
+    // disabling the bucketed scan it assumed — net effect, the
+    // rewrite degenerates to a per-scan-task copy (tasks × buckets
+    // files, the very problem being compacted). A path read makes no
+    // distribution claim, so the repartition stands, and
+    // repartition(numBuckets, h) clusters by
+    // HashPartitioning(h, numBuckets).partitionIdExpression — the
+    // IDENTICAL function the bucketed writer assigns bucket ids
+    // with — so write task i holds exactly bucket i: one file per
+    // bucket. Parallelism = numBuckets (size buckets at build time
+    // accordingly). The rewrite lands as a BUCKETED sibling table
+    // (bucket metadata requires saveAsTable), never touching the
+    // live index.
+    spark.read.parquet(target.toString)
+      .repartition(spec.numBuckets, col("h"))
+      .write.format("parquet").option("path", tmp.toString)
+      .bucketBy(spec.numBuckets, "h")
+      .mode("overwrite").saveAsTable(tmpTable)
+    // external table: dropping it keeps the files for the swap
+    spark.sql(s"DROP TABLE $tmpTable")
+    Compaction.swapInto(fs, target, tmp, old)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Contamination with BOTH sides read from persisted shingle
     * indexes bucketed on `h` (built by [[writeShingleIndex]], the eval
     * side with `outIdCol = "eval_id"`) — the steady-state shape of a

@@ -398,6 +398,21 @@ object PqIndex {
     marker.foreach(m => mfs(m).create(m, true).close())
   }
 
+  /** Compact the IVF-PQ index's vectors AND codes tables after an
+    * append schedule — each [[appendToIndex]] lands a batch as
+    * additional files under both tables' cell directories. Value- and
+    * layout-preserving (rows rewritten as-is, one file per cell), so
+    * [[topKFromIndex]] is bit-identical before/after; codebook,
+    * centroids, staleness stats, and append replay markers are
+    * untouched. See [[Compaction]] for the crash stance. */
+  def compactIndex(spark: SparkSession, path: String,
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    Compaction.compactPartitionedDir(
+      spark, s"$path/vectors", Seq("cell"), maxRecordsPerFile)
+    Compaction.compactPartitionedDir(
+      spark, s"$path/codes", Seq("cell"), maxRecordsPerFile)
+  }
+
   /** IVF-PQ top-k against an on-disk index for an explicit query
     * vector: rank the centroid table (driver-side, nlist rows), turn
     * the nprobe nearest cells into partition filters on the codes and

@@ -169,6 +169,20 @@ object Similarity {
     marker.foreach(m => fs(m).create(m, true).close())
   }
 
+  /** Compact the int8 index's codes table after an append schedule:
+    * every [[appendToInt8Index]] lands its batch as additional files
+    * under the cell directories, and after many micro-batches the
+    * per-cell file count — not the pruning — dominates query open
+    * cost. Value-preserving and layout-preserving (the quantized
+    * codes are rewritten as-is, one file per cell), so
+    * [[topKInt8FromIndex]] is bit-identical before/after; centroids,
+    * build/batch staleness stats, and append replay markers are
+    * untouched. See [[Compaction]] for the crash stance. */
+  def compactInt8Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String, maxRecordsPerFile: Long = 0L): Unit =
+    Compaction.compactPartitionedDir(
+      spark, s"$path/codes", Seq("cell"), maxRecordsPerFile)
+
   /** Int8 cosine top-k against the on-disk index for an explicit query
     * vector: quantize the query driver-side with the identical
     * floor(+0.5) rule, rank the (tiny) centroid table against the RAW
