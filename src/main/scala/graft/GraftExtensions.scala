@@ -214,6 +214,20 @@ object GraftExtensions {
       graft.expressions.UnigramTokenIds(t,
         graft.expressions.UnigramOps.resolve(k.toString)) }),
 
+    // wordpiece_tokens(text, model-key-literal): BERT-style greedy
+    // longest-match segmentation under a registered WordPiece vocab.
+    ("wordpiece_tokens", 2, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.WordpieceTokens(t,
+        graft.expressions.WordpieceOps.resolve(k.toString)) }),
+
+    // wordpiece_token_ids(text, model-key-literal): segment + map to
+    // sorted-vocabulary ids in one pass ([UNK] is a vocab entry).
+    ("wordpiece_token_ids", 2, { case Seq(t,
+        Literal(k: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      graft.expressions.WordpieceTokenIds(t,
+        graft.expressions.WordpieceOps.resolve(k.toString)) }),
+
     // regexp_like_cached(str, pattern): regexp_like for non-literal
     // patterns with a per-JVM compile cache (joined-column patterns
     // recompile per row in stock Spark — see RegexCachedOps).

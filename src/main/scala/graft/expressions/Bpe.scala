@@ -51,6 +51,12 @@ object BpeOps {
   val PreTokenPattern: String = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
   private val PreTok = Pattern.compile(PreTokenPattern)
 
+  /** Fresh matcher over the shared compiled prelude pattern (matchers
+    * are not thread-safe; the Pattern is) — for sibling kernels that
+    * must pre-tokenize with the identical word boundaries. */
+  private[expressions] def preTokenMatcher(s: String): java.util.regex.Matcher =
+    PreTok.matcher(s)
+
   /** GPT-2's `bytes_to_unicode` bijection (public formula, Radford et
     * al. 2019 reference code): printable ASCII and the Latin-1
     * printables map to themselves; the remaining 68 byte values map to

@@ -54,7 +54,37 @@ object TokenizerProbes {
           .orderBy("doc_id")
       },
       Some(unigramSql(maxLen = 8, maxPieceLen = 3, vocabSize = 20,
-        minCount = 2, ids = true)))
+        minCount = 2, ids = true))),
+
+    // WordPiece (the BERT tokenizer — the third tokenizer family):
+    // the oracle re-derives the ENTIRE training and encode in SQL.
+    // Training: 16 merge-selection rounds as materialized CTE stages,
+    // each ranking candidate pairs by the WordPiece LIKELIHOOD
+    // criterion count(ab)/(count(a)·count(b)) — compared in EXACT
+    // integer arithmetic ((cnt·10^18) // (ua·ub) in HUGEINT, the
+    // trainer's BigInt formula) with the byte-order pair tie-break —
+    // then replaces the pair (## continuation markers preserved, the
+    // merged unit keeping the left marker). Encode: greedy
+    // LONGEST-match-first per word against the final vocabulary via a
+    // longest-match table + one RECURSIVE path walk; any unmatched
+    // position (or a >100-codepoint word) collapses the word to
+    // [UNK]. The trained vocabulary AND the greedy segmentation are
+    // hash-certified together — the x55/x96 trained-trajectory
+    // pattern applied to the third family --------------------------
+    Probe("x110_wordpiece",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"))
+        val m = WordPiece.train(docs, numMerges = 16)
+        docs.select(col("doc_id"),
+            WordPiece.tokens(col("text"), m).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("int").as("n_tokens"),
+            md5(array_join(col("toks"), "|")).as("toks_md5"))
+          .orderBy("doc_id")
+      },
+      Some(wordpieceSql(numMerges = 16)))
   )
 
   private def unigramSql(maxLen: Int, maxPieceLen: Int,
@@ -185,5 +215,121 @@ object TokenizerProbes {
       .mkString(" UNION ALL ")
     s"""${stages.mkString(",\n")},
        |${name}_fin AS MATERIALIZED ($finArms)""".stripMargin
+  }
+
+  // --- WordPiece mirror --------------------------------------------------
+
+  /** Full WordPiece re-derivation: normalized pre-token counts →
+    * `numMerges` likelihood-ranked merge stages (exact HUGEINT score
+    * compare, byte-order tie) → vocabulary → longest-match table →
+    * recursive greedy walk → per-document piece-stream rollup.
+    * Unit representation: the BpeProbes bracket scheme (E/F control
+    * delimiters, stripped from payload by the x15-certified
+    * normalization), `##` markers inside unit content — unambiguous
+    * because only letter-run words are multi-unit and `#` pre-
+    * tokenizes as a single-char word. */
+  private def wordpieceSql(numMerges: Int): String = {
+    val E = "\u001E" // token open (record separator)
+    val F = "\u001F" // token close (unit separator)
+    val tokPat = s"$E[^$F]*$F"
+    val pat = "\\p{L}+|\\p{N}|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
+    val nrmSql =
+      """lower(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')))""".stripMargin
+    val head =
+      s"""nrm AS (SELECT doc_id, $nrmSql AS t FROM documents),
+         |wraw AS (SELECT unnest(regexp_extract_all(t, '$pat')) AS w0 FROM nrm),
+         |s0 AS MATERIALIZED (
+         |  SELECT w0,
+         |    regexp_replace(regexp_replace(w0, '(.)', '$E##\\1$F', 'g'),
+         |      '^$E##', '$E') AS w,
+         |    COUNT(*) AS f
+         |  FROM wraw GROUP BY 1)""".stripMargin
+    val stages = (1 to numMerges).map { i =>
+      s"""u$i AS (
+         |  SELECT unit, SUM(f) AS uc FROM (
+         |    SELECT unnest(regexp_extract_all(w, '$tokPat')) AS unit, f
+         |    FROM s${i - 1})
+         |  GROUP BY 1),
+         |p$i AS (
+         |  SELECT a, b, SUM(f) AS cnt FROM (
+         |    SELECT t[g] AS a, t[g+1] AS b, f
+         |    FROM (SELECT regexp_extract_all(w, '$tokPat') AS t, f,
+         |                 unnest(generate_series(1,
+         |                   len(regexp_extract_all(w, '$tokPat')) - 1)) AS g
+         |          FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT a, b,
+         |    '$E' || replace(replace(a, '$E', ''), '$F', '') ||
+         |    regexp_replace(replace(replace(b, '$E', ''), '$F', ''), '^##', '') ||
+         |    '$F' AS mu
+         |  FROM (
+         |    SELECT p.a, p.b,
+         |      (CAST(p.cnt AS HUGEINT) * 1000000000000000000)
+         |        // (CAST(ua.uc AS HUGEINT) * ub.uc) AS score
+         |    FROM p$i p
+         |    JOIN u$i ua ON ua.unit = p.a
+         |    JOIN u$i ub ON ub.unit = p.b)
+         |  ORDER BY score DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT x.w0, replace(x.w, m.a || m.b, m.mu) AS w, x.f
+         |  FROM s${i - 1} x, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val mergedArms = (1 to numMerges).map(i => s"SELECT mu FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $head,
+       |$stages,
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT replace(replace(u, '$E', ''), '$F', '') AS piece
+       |  FROM (SELECT unnest(regexp_extract_all(w, '$tokPat')) AS u FROM s0
+       |        UNION ALL $mergedArms)),
+       |dw AS MATERIALIZED (SELECT DISTINCT w0 FROM wraw),
+       |lm AS MATERIALIZED (
+       |  SELECT w0, p, MAX(l) AS l FROM (
+       |    SELECT c.w0, c.p, c.l
+       |    FROM (SELECT w0, p.p,
+       |            unnest(generate_series(1, length(w0) - p.p + 1)) AS l
+       |          FROM dw,
+       |               (SELECT unnest(generate_series(1, 200)) AS p) p
+       |          WHERE p.p <= length(w0)) c
+       |    JOIN vocab v ON v.piece =
+       |      CASE WHEN c.p = 1 THEN substr(c.w0, 1, CAST(c.l AS INT))
+       |           ELSE '##' || substr(c.w0, CAST(c.p AS INT), CAST(c.l AS INT))
+       |      END)
+       |  GROUP BY 1, 2),
+       |walk AS (
+       |  SELECT w0, CAST(1 AS BIGINT) AS p, '' AS acc FROM dw
+       |  UNION ALL
+       |  SELECT w.w0, w.p + lm.l,
+       |    w.acc || '|' ||
+       |    CASE WHEN w.p = 1 THEN substr(w.w0, 1, CAST(lm.l AS INT))
+       |         ELSE '##' || substr(w.w0, CAST(w.p AS INT), CAST(lm.l AS INT))
+       |    END
+       |  FROM walk w JOIN lm ON lm.w0 = w.w0 AND lm.p = w.p),
+       |done AS (
+       |  SELECT w0, substr(acc, 2) AS toks,
+       |         length(acc) - length(replace(acc, '|', '')) AS n
+       |  FROM walk WHERE p = length(w0) + 1),
+       |seg AS MATERIALIZED (
+       |  SELECT dw.w0,
+       |    CASE WHEN length(dw.w0) > 100 OR d.w0 IS NULL
+       |         THEN '[UNK]' ELSE d.toks END AS toks,
+       |    CASE WHEN length(dw.w0) > 100 OR d.w0 IS NULL
+       |         THEN 1 ELSE d.n END AS n
+       |  FROM dw LEFT JOIN done d USING (w0)),
+       |docw AS (
+       |  SELECT doc_id, j.j AS ord, j.x AS w0
+       |  FROM (SELECT doc_id, regexp_extract_all(t, '$pat') AS ws FROM nrm),
+       |       LATERAL (SELECT unnest(ws) AS x,
+       |                generate_subscripts(ws, 1) AS j) j),
+       |agg AS (
+       |  SELECT doc_id, SUM(n) AS n_tokens,
+       |    string_agg(toks, '|' ORDER BY ord) AS tokens_str
+       |  FROM docw JOIN seg USING (w0) GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+       |  md5(COALESCE(a.tokens_str, '')) AS toks_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 }
