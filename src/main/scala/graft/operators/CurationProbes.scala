@@ -625,6 +625,91 @@ object CurationProbes {
              |SELECT vec_id, sim FROM sim
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Similarity.annJoinInt8FromIndex: the BATCH ANN join (k-NN join)
+    // — hard-negative mining / batch retrieval: every 50th vector
+    // queries the full-corpus index for its top-5 neighbors within
+    // its 4 nearest cells, self excluded. The oracle re-derives the
+    // whole pipeline per query: the x73 centroid/assignment chain,
+    // per-query cell routing (round-6 sq-dist, cell tie), the x104
+    // int8 quantization, exact-integer cosine within probed cells,
+    // and the (sim DESC, id) ROW_NUMBER rank — certifying the join
+    // shape, not just one query ------------------------------------
+    Probe("x111_ann_join",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag = IndexCache.corpusTag("x111", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Similarity.writeInt8Index(embs, dir, nlist = 8)
+        }
+        val queries = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        Similarity.annJoinInt8FromIndex(queries, dir, k = 5, nprobe = 4)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |qs AS (
+             |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id % 50 = 3),
+             |qcells AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.q_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             |        ROUND(list_dot_product(q.qv, q.qv)
+             |          - 2 * list_dot_product(q.qv, c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+             |qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+             |    embedding
+             |  FROM embeddings),
+             |codes AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+             |  FROM qz),
+             |cand AS (
+             |  SELECT p.q_id, c.vec_id,
+             |    list_dot_product(c.codes, qc.codes) /
+             |      (sqrt(list_dot_product(c.codes, c.codes)) *
+             |       sqrt(list_dot_product(qc.codes, qc.codes))) AS sim
+             |  FROM codes c
+             |  JOIN assigned a USING (vec_id)
+             |  JOIN qcells p ON a.cell = p.cell
+             |  JOIN codes qc ON qc.vec_id = p.q_id
+             |  WHERE c.vec_id <> p.q_id)
+             |SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rank FROM (
+             |  SELECT q_id, vec_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id
+             |                       ORDER BY sim DESC, vec_id) AS rn
+             |  FROM cand) WHERE rn <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // graft.expressions.UnicodeNormalize: NFC over the real corpus
     // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
     // NFKC over synthesized normalization-unstable graphemes — the

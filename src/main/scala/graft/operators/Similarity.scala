@@ -216,6 +216,89 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN join against the on-disk int8 index — the k-NN JOIN
+    * the single-query [[topKInt8FromIndex]] cannot express: for EVERY
+    * query row, the top-k most-cosine-similar indexed vectors within
+    * its `nprobe` nearest cells. This is the hard-negative mining
+    * primitive of contrastive training-data pipelines (anchor → the
+    * most-similar non-positives are the negatives worth training on),
+    * and doubles as batch retrieval (RAG eval sets, dedup-vs-index
+    * sweeps).
+    *
+    * Shape at 100 TB: queries quantize map-only ([[quantizeInt8]] —
+    * scales cancel per pair, so scoring stays exact integer
+    * arithmetic); cell routing is Q × nlist against the BROADCAST
+    * bounded centroid table with a per-query window over nlist rows
+    * (bounded per key, never corpus-sized); the candidate join keys
+    * the exploded (query, cell) table — Q·nprobe rows — against the
+    * cell-partitioned codes table, so AQE broadcasts the query side
+    * in the common small-Q case and the codes table never shuffles.
+    * Per-query candidates are ~`nprobe/nlist` of the corpus, so the
+    * top-k is TWO-PHASE (the domainQuota pattern): a local rank per
+    * (query, id-hash bucket) caps each query at `preBuckets`·k rows
+    * BEFORE the global per-query window — a hot query never
+    * concentrates its full candidate set on one reducer sort.
+    *
+    * Exclusions: `excludeSelf` drops candidates whose id equals the
+    * query id (same id space — querying the corpus against itself);
+    * `excludePairs` (qIdCol, idCol) anti-joins known positives/
+    * banned pairs before ranking, the contrastive-mining contract.
+    *
+    * Integer cosine survives partitioning exactly (the x73 argument),
+    * so results are engine-mirrorable: probe x111 re-derives cells,
+    * routing, quantization, scoring and ranking in SQL.
+    *
+    * Returns (qIdCol, idCol, sim, rank) with rank 1..k per query. */
+  def annJoinInt8FromIndex(queries: DataFrame, path: String, k: Int,
+                           nprobe: Int, excludeSelf: Boolean = true,
+                           excludePairs: Option[DataFrame] = None,
+                           qIdCol: String = "q_id",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           preBuckets: Int = 8): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && preBuckets >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    // per-query nprobe cell routing: Q × nlist broadcast cross join,
+    // window input bounded at nlist rows per query
+    val qcells = queries
+      .select(col(qIdCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist", IvfIndex.sqDist(col(vecCol), col("centroid")))
+      .withColumn("_cr", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("qdist").asc, col("cell").asc)))
+      .where(col("_cr") <= nprobe)
+      .select(col(qIdCol), col("cell"))
+    val probes = qcells.join(
+      quantizeInt8(queries, qIdCol, vecCol)
+        .select(col(qIdCol), col("q_codes").as("_qc")), Seq(qIdCol))
+    val codes = spark.read.parquet(s"$path/codes")
+    val scored = codes.join(probes, Seq("cell"))
+      .select(col(qIdCol), col(idCol),
+        int8Cosine(col("q_codes"), col("_qc")).as("sim"))
+    val afterSelf =
+      if (excludeSelf) scored.where(col(idCol) =!= col(qIdCol)) else scored
+    val afterPairs = excludePairs.fold(afterSelf)(p =>
+      afterSelf.join(p.select(col(qIdCol), col(idCol)),
+        Seq(qIdCol, idCol), "left_anti"))
+    // two-phase top-k: local cap per (query, id-hash bucket), then the
+    // global per-query rank over ≤ preBuckets·k survivors
+    val local = afterPairs
+      .withColumn("_b", pmod(hash(col(idCol)), lit(preBuckets)))
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy(col(qIdCol), col("_b"))
+          .orderBy(col("sim").desc, col(idCol).asc)))
+      .where(col("_lr") <= k)
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("sim").desc, col(idCol).asc)).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Left-to-right accumulated Σ aᵢ·bᵢ as a native codegen'd Catalyst
     * expression (graft.expressions.DotProduct) — measured much faster
     * than the interpreted `aggregate(zip_with(...))` HOF form, with

@@ -169,4 +169,47 @@ class Int8AnnSpec extends SparkTestBase {
     // empty batch is a no-op
     Similarity.appendToInt8Index(incr.where(col("vec_id") === -1), dirB)
   }
+
+  test("batch ANN join == the single-query index path, per query") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annjoin").toString
+    Similarity.writeInt8Index(embs, dir, nlist = 8)
+    val qids = Seq(3L, 57L, 111L, 204L)
+    val queries = embs.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val joined = Similarity
+      .annJoinInt8FromIndex(queries, dir, k = 7, nprobe = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    qids.foreach { q =>
+      val qv = embs.where(col("vec_id") === q)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val single = Similarity
+        .topKInt8FromIndex(spark, dir, qv, k = 7, nprobe = 5,
+          excludeId = Some(q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(q).map(_._1) === single.map(_._1),
+        s"neighbor ids diverge for query $q")
+      joined(q).zip(single).foreach { case ((_, a), (_, b)) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b),
+          s"sim not bit-identical for query $q")
+      }
+    }
+    // ranks are 1..k dense per query
+    assert(joined.values.forall(_.size == 7))
+
+    // excludePairs drops known positives and the rank re-closes
+    import spark.implicits._
+    val top1 = joined(3L).head._1
+    val banned = Seq((3L, top1)).toDF("q_id", "vec_id")
+    val mined = Similarity.annJoinInt8FromIndex(
+        queries.where(col("q_id") === 3), dir, k = 7, nprobe = 5,
+        excludePairs = Some(banned))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(!mined.map(_._1).contains(top1), "banned pair survived")
+    assert(mined.map(_._2).sorted === (1 to 7), "ranks must re-close densely")
+  }
 }
