@@ -105,6 +105,27 @@ object BenchAnn {
     val recall = approx.toSet.intersect(exact.toSet).size / 10.0
     require(approx.head == 101L, s"index query missed the planted near-copy: $approx")
 
+    // batch k-NN join (r10, annJoinFromIndex): every planted-near-copy
+    // vector (id%100==1, capped at 2048 queries) asks the SAME at-rest
+    // index for its top-10 in ONE plan. Each query's true top-1 is its
+    // source vector (id-1, a +0.001 offset away), so top-1 recall is
+    // by-construction checkable at any nVecs. The point of the record:
+    // per-query wall through the join vs the single-query path — the
+    // scheduler floor amortizes across the batch.
+    val queries = embs
+      .where(col("vec_id") % 100 === 1 && col("vec_id") < 2048L * 100)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val (joinRows, tJoin) = timed {
+      PqIndex.annJoinFromIndex(queries, dir, k = 10, nprobe = nprobe,
+        shortlist = shortlist).collect()
+    }
+    val nQ = joinRows.iterator.map(_.getLong(0)).toSet.size
+    val top1Hits = joinRows.count(r =>
+      r.getInt(3) == 1 && r.getLong(1) == r.getLong(0) - 1)
+    val joinTop1 = top1Hits.toDouble / nQ
+    require(joinTop1 >= 0.99,
+      s"batch join lost planted near-copies: $top1Hits/$nQ")
+
     // FULL k-means at volume (r9, IvfIndex.lloydIterate): per-round
     // cost is corpus × nlist argmin rows + a bounded centroid agg, so
     // the wall is rounds-linear and row-linear — the evidence that the
@@ -136,6 +157,9 @@ object BenchAnn {
       s""""index_build_write_sec":${f"$tBuild%.2f"},""" +
       s""""query_cold_sec":${f"$tQueryCold%.2f"},""" +
       s""""query_warm_sec":${f"$tQueryWarm%.2f"},""" +
+      s""""join_queries":$nQ,"join_sec":${f"$tJoin%.2f"},""" +
+      s""""join_per_query_ms":${f"${tJoin * 1000 / math.max(1, nQ)}%.1f"},""" +
+      s""""join_top1_recall":${f"$joinTop1%.3f"},""" +
       s""""recall_at_10":$recall,"quantizer":"$quantizer",""" +
       s""""nlist":$nlist,"nprobe":$nprobe,""" +
       s""""shortlist":$shortlist,"m":$m,""" +

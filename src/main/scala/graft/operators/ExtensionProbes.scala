@@ -1549,6 +1549,132 @@ object ExtensionProbes {
              |SELECT r.vec_id, ROUND(r.sim, 6) AS sim
              |FROM rerank r ORDER BY sim DESC, vec_id""".stripMargin)),
 
+    // PqIndex.annJoinFromIndex: the batch ANN join over the SAME
+    // at-rest IVF-PQ index x41 built (deliberately shared — queries
+    // against a persisted index amortize its build, and the two
+    // probes certifying one artifact from two query shapes is the
+    // point). Every 50th vector asks for its top-5 by ADC-shortlist
+    // + exact rerank within its 4 nearest cells. The oracle re-derives
+    // the whole per-query pipeline: coarse cells, codebook, codes,
+    // per-QUERY ADC tables, the (adist, id) shortlist, and the
+    // reranked (sim DESC, id) rank — certifying the k-NN JOIN shape
+    // (hard-negative mining), not one query ------------------------
+    Probe("x112_pq_ann_join",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag = IndexCache.corpusTag("x41", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tag"
+        IndexCache.ensureBuilt(dir) {
+          PqIndex.writeIndex(embs, dir, nlist = 8, m = 32, ksub = 16, dim = 64)
+        }
+        val queries = embs.where(col("vec_id") % 50 === 7)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        PqIndex.annJoinFromIndex(queries, dir, k = 5, nprobe = 4,
+            shortlist = 40)
+          .select(col("q_id"), col("vec_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |qs AS (
+             |  SELECT vec_id AS q_id, embedding FROM embeddings
+             |  WHERE vec_id % 50 = 7),
+             |qcells AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.q_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             |        ROUND(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(q.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+             |dims AS (
+             |  SELECT vec_id, CAST(FLOOR((j-1) / 2) AS INT) AS subspace,
+             |    (j-1) % 2 AS within, CAST(x AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cb0 AS (
+             |  SELECT subspace, CAST(vec_id AS INT) AS cell, within, x AS cx
+             |  FROM dims WHERE vec_id < 16),
+             |d0 AS (
+             |  SELECT d.vec_id, d.subspace, c.cell,
+             |    ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             |  FROM dims d JOIN cb0 c ON d.subspace = c.subspace AND d.within = c.within
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (
+             |  SELECT vec_id, subspace, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM d0) WHERE rn = 1),
+             |cb AS (
+             |  SELECT d.subspace, a.cell, d.within, ROUND(AVG(d.x), 6) AS cx
+             |  FROM dims d JOIN a0 a ON d.vec_id = a.vec_id AND d.subspace = a.subspace
+             |  GROUP BY 1, 2, 3),
+             |dist AS (
+             |  SELECT d.vec_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS dist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  GROUP BY 1, 2, 3),
+             |codes AS (
+             |  SELECT vec_id, subspace, cell AS code FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+             |qtab AS (
+             |  SELECT d.vec_id AS q_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS qdist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  WHERE d.vec_id % 50 = 7 GROUP BY 1, 2, 3),
+             |adc AS (
+             |  SELECT p.q_id, c.vec_id, ROUND(SUM(q.qdist), 6) AS adist
+             |  FROM codes c
+             |  JOIN assigned a ON a.vec_id = c.vec_id
+             |  JOIN qcells p ON p.cell = a.cell
+             |  JOIN qtab q ON q.q_id = p.q_id AND q.subspace = c.subspace
+             |    AND q.cell = c.code
+             |  WHERE c.vec_id <> p.q_id
+             |  GROUP BY 1, 2),
+             |shortl AS (
+             |  SELECT q_id, vec_id FROM (
+             |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY adist ASC, vec_id ASC) AS rn FROM adc)
+             |  WHERE rn <= 40),
+             |rerank AS (
+             |  SELECT s.q_id, s.vec_id,
+             |    list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS sim
+             |  FROM shortl s JOIN embeddings e USING (vec_id)
+             |  JOIN qs q ON q.q_id = s.q_id)
+             |SELECT q_id, vec_id, ROUND(sim, 6) AS sim, CAST(rn AS INT) AS rank
+             |FROM (
+             |  SELECT q_id, vec_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id
+             |                       ORDER BY sim DESC, vec_id) AS rn
+             |  FROM rerank) WHERE rn <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // Contamination against the PERSISTED shingle index: the train
     // corpus is shingled ONCE into a bucketed-on-h external table;
     // the scan joins that table — no re-shingle of train, ever

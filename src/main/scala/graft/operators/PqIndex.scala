@@ -493,6 +493,125 @@ object PqIndex {
       .limit(k)
   }
 
+  /** Batch ANN join over the at-rest IVF-PQ index — the k-NN JOIN
+    * sibling of [[Similarity.annJoinInt8FromIndex]] for the
+    * PQ-compressed path: for EVERY query row, ADC-score the codes in
+    * its `nprobe` nearest cells, keep the `shortlist` nearest per
+    * query, exact-rerank those vectors, return the top-k by true
+    * cosine. Hard-negative mining / batch retrieval when the corpus
+    * is big enough that only m-byte codes fit hot (the PQ premise),
+    * and the single-query [[topKFromIndex]]'s driver-built lookup
+    * table can't be built per query.
+    *
+    * Shape at 100 TB: the geometry (m, dsub, ksub) is DERIVED from
+    * the persisted codebook (the [[appendToIndex]] contract); cell
+    * routing is Q × nlist against the BROADCAST centroid table with a
+    * per-query window bounded at nlist rows. The per-query ADC table
+    * is built RELATIONALLY — the [[queryTable]] shape with the query
+    * id as an extra key, Q·m·ksub bounded rows — then folded into ONE
+    * slot→qdist map per query, so candidate scoring stays one row per
+    * candidate (m in-expression map lookups, no per-candidate
+    * explode). Candidates join the cell-partitioned codes on the
+    * exploded (query, cell) table — AQE broadcasts the small query
+    * side and the codes never shuffle. The per-query shortlist is
+    * TWO-PHASE (the annJoinInt8FromIndex pattern): a local rank per
+    * (query, id-hash bucket) caps each query at `preBuckets`·shortlist
+    * rows before the global per-query window. The rerank joins the
+    * vectors table on (cell, id) — only shortlist·Q slim rows — and
+    * the final (sim DESC, id) rank re-closes densely after
+    * exclusions.
+    *
+    * Exclusions (the contrastive-mining contract): `excludeSelf`
+    * drops candidates whose id equals the query id; `excludePairs`
+    * (qIdCol, idCol) anti-joins known positives before the shortlist,
+    * so banned pairs never consume shortlist slots.
+    *
+    * Every step is round-6 relational arithmetic (probe x112 mirrors
+    * cells, codebook, codes, per-query ADC, shortlist, and rerank
+    * CTE-for-CTE in SQL). Returns (qIdCol, idCol, sim, rank) with
+    * rank 1..k per query. */
+  def annJoinFromIndex(queries: DataFrame, path: String, k: Int,
+                       nprobe: Int, shortlist: Int,
+                       excludeSelf: Boolean = true,
+                       excludePairs: Option[DataFrame] = None,
+                       qIdCol: String = "q_id",
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       preBuckets: Int = 8): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && shortlist >= k && preBuckets >= 1,
+      s"need k>=1, nprobe>=1, shortlist>=k, preBuckets>=1; " +
+        s"got k=$k nprobe=$nprobe shortlist=$shortlist preBuckets=$preBuckets")
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val geo = cb.agg(max(col("subspace")), max(col("within")),
+      max(col("cell"))).head()
+    val m = geo.getInt(0) + 1
+    val dsub = geo.getInt(1) + 1
+    val ksub = geo.getInt(2) + 1
+    // per-query nprobe cell routing: window input bounded at nlist
+    // rows per query (same round-6 sqDist + cell tie as topKFromIndex)
+    val qcells = queries
+      .select(col(qIdCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist", IvfIndex.sqDist(col(vecCol), col("centroid")))
+      .withColumn("_cr", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("qdist").asc, col("cell").asc)))
+      .where(col("_cr") <= nprobe)
+      .select(col(qIdCol), col("cell"))
+    // per-query ADC lookup map: slot (subspace·ksub + code) → qdist.
+    // Missing slots are (subspace, cell) pairs the codebook never
+    // produced (empty Lloyd cells), which no persisted code can
+    // reference — same reasoning as topKFromIndex's NaN slots.
+    val d2 = col("x") - col("cx")
+    val qt = dims(queries, dsub, qIdCol, vecCol)
+      .join(broadcast(cb), Seq("subspace", "within"))
+      .groupBy(col(qIdCol), col("subspace"), col("cell"))
+      .agg(round(sum(d2 * d2), 6).as("qdist"))
+      .groupBy(col(qIdCol))
+      .agg(map_from_entries(collect_list(struct(
+        (col("subspace") * ksub + col("cell")).cast("int"),
+        col("qdist")))).as("_qt"))
+    val probes = qcells.join(qt, Seq(qIdCol))
+    val adist = round(aggregate(
+      transform(col("codes"), (c, s) =>
+        element_at(col("_qt"), (s * ksub + c).cast("int"))),
+      lit(0.0), (acc, x) => acc + x), 6)
+    val scored = spark.read.parquet(s"$path/codes")
+      .join(probes, Seq("cell"))
+      .select(col(qIdCol), col(idCol), col("cell"), adist.as("adist"))
+    val afterSelf =
+      if (excludeSelf) scored.where(col(idCol) =!= col(qIdCol)) else scored
+    val afterPairs = excludePairs.fold(afterSelf)(p =>
+      afterSelf.join(p.select(col(qIdCol), col(idCol)),
+        Seq(qIdCol, idCol), "left_anti"))
+    // two-phase per-query shortlist: a hot query never concentrates
+    // its full candidate set on one reducer sort
+    val short = afterPairs
+      .withColumn("_b", pmod(hash(col(idCol)), lit(preBuckets)))
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy(col(qIdCol), col("_b"))
+          .orderBy(col("adist").asc, col(idCol).asc)))
+      .where(col("_lr") <= shortlist)
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("adist").asc, col(idCol).asc)))
+      .where(col("_sr") <= shortlist)
+      .select(col(qIdCol), col(idCol), col("cell"))
+    // exact rerank over shortlist·Q rows; vectors keyed (cell, id) so
+    // the cell-partitioned layout can prune
+    val vecs = spark.read.parquet(s"$path/vectors")
+    short.join(vecs, Seq("cell", idCol))
+      .join(queries.select(col(qIdCol), col(vecCol).as("_qv")), Seq(qIdCol))
+      .withColumn("sim", Similarity.cosine(col(vecCol), col("_qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("sim").desc, col(idCol).asc)).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** IVF-PQ: the standard two-level layout for web-scale ANN — the IVF
     * quantizer prunes to the nprobe nearest cells (on disk: partition
     * pruning, see IvfIndex.writeIndex), then ADC ranks only the codes

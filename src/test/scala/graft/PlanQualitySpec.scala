@@ -460,6 +460,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("x111/x112 batch ANN joins: the only nested-loop is the bounded centroid routing") {
+    for (probe <- Seq("x111_ann_join", "x112_pq_ann_join")) {
+      val p = planString(probe)
+      assert(!p.contains("CartesianProduct"), s"$probe has a product join:\n$p")
+      // Q × nlist centroid routing is the ONE sanctioned nested-loop
+      // (bounded broadcast side, BuildRight Cross); the pre-AQE plan
+      // prints it twice when the routing subtree is duplicated into a
+      // dynamic-partition-pruning subquery for the codes scan — that
+      // duplication is the partition pruning working, not a second
+      // product. Codes/vectors/query joins must all stay keyed.
+      val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      val nlCross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+      assert(nl == nlCross && nl >= 1 && nl <= 6,
+        s"$probe: unexpected nested-loop shape ($nl, cross $nlCross):\n$p")
+      assert(p.contains("dynamicpruningexpression"),
+        s"$probe: codes scan lost dynamic partition pruning on cell:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$probe: keyed joins not broadcast at probe scale:\n$p")
+    }
+  }
+
   test("x74 bm25 plan: model sides broadcast, no product join, distributed top-k") {
     GraftExtensions.register(spark)
     val df = graft.operators.Bm25.topK(

@@ -158,6 +158,51 @@ class PqSpec extends SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined)
   }
 
+  test("batch ANN join == the single-query index path, per query") {
+    GraftExtensions.register(spark)
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_annjoin").toString
+    PqIndex.writeIndex(embs, dir, nlist = 8, m = m, ksub = ksub, dim = dim)
+    val qids = Seq(3L, 57L, 111L, 204L)
+    val queries = embs.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val joined = PqIndex
+      .annJoinFromIndex(queries, dir, k = 7, nprobe = 5, shortlist = 40)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    qids.foreach { q =>
+      val qv = embs.where(col("vec_id") === q)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val single = PqIndex
+        .topKFromIndex(spark, dir, qv, k = 7, nprobe = 5, shortlist = 40,
+          excludeId = Some(q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(q).map(_._1) === single.map(_._1),
+        s"neighbor ids diverge for query $q")
+      joined(q).zip(single).foreach { case ((_, a), (_, b)) =>
+        // single-query path reranks from a double-literal query column;
+        // the join reranks from the float embedding column — identical
+        // values, but not guaranteed the same codegen order
+        assert(math.abs(a - b) < 1e-9, s"sim diverges for query $q")
+      }
+    }
+    assert(joined.values.forall(_.size == 7))
+
+    // excludePairs drops known positives BEFORE the shortlist and the
+    // rank re-closes densely
+    import spark.implicits._
+    val top1 = joined(3L).head._1
+    val banned = Seq((3L, top1)).toDF("q_id", "vec_id")
+    val mined = PqIndex.annJoinFromIndex(
+        queries.where(col("q_id") === 3), dir, k = 7, nprobe = 5,
+        shortlist = 40, excludePairs = Some(banned))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(!mined.map(_._1).contains(top1), "banned pair survived")
+    assert(mined.map(_._2).sorted === (1 to 7), "ranks must re-close densely")
+  }
+
   test("pq_adc names the subspace when the query table has no usable cell") {
     import graft.expressions.PqAdcScore
     // subspace 1's query-table slots are all NaN → loud failure, not a
