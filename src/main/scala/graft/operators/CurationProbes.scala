@@ -710,6 +710,110 @@ object CurationProbes {
              |  FROM cand) WHERE rn <= 5
              |ORDER BY q_id, rank""".stripMargin)),
 
+    // Similarity.mineTriplets: the contrastive TRIPLET FACTORY — the
+    // end-to-end consumer of the batch ANN join. Every 40th vector is
+    // an anchor; its hardest POSITIVE is the most-similar same-label
+    // vector (integer cosine, ties to the lower id, partial-agg
+    // argmax), its 3 hardest NEGATIVES mined through the x111 at-rest
+    // int8 index with ALL same-label pairs excluded BEFORE the
+    // shortlist (excludePairs — positives must not consume negative
+    // slots). The oracle re-derives positives, exclusions, mining and
+    // both rank rules engine-for-engine on the same index chain -----
+    Probe("x115_triplet_mining",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag = IndexCache.corpusTag("x111", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Similarity.writeInt8Index(embs, dir, nlist = 8)
+        }
+        val anchors = embs.where(col("vec_id") % 40 === 5)
+          .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
+        Similarity.mineTriplets(anchors, embs, dir, negK = 3, nprobe = 4)
+          .orderBy("q_id", "neg_rank")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |qs AS (
+             |  SELECT vec_id AS q_id, embedding, label FROM embeddings
+             |  WHERE vec_id % 40 = 5),
+             |qcells AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.q_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             |        ROUND(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(q.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+             |qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+             |    embedding
+             |  FROM embeddings),
+             |codes AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+             |  FROM qz),
+             |psim AS (
+             |  SELECT q.q_id, e.vec_id,
+             |    list_dot_product(ce.codes, cq.codes) /
+             |      (sqrt(list_dot_product(ce.codes, ce.codes)) *
+             |       sqrt(list_dot_product(cq.codes, cq.codes))) AS sim
+             |  FROM qs q
+             |  JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id
+             |  JOIN codes ce ON ce.vec_id = e.vec_id
+             |  JOIN codes cq ON cq.vec_id = q.q_id),
+             |pos AS (
+             |  SELECT q_id, vec_id AS pos_id, sim AS pos_sim FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY sim DESC, vec_id) AS rn FROM psim) WHERE rn = 1),
+             |neg AS (
+             |  SELECT p.q_id, c.vec_id,
+             |    list_dot_product(c.codes, qc.codes) /
+             |      (sqrt(list_dot_product(c.codes, c.codes)) *
+             |       sqrt(list_dot_product(qc.codes, qc.codes))) AS sim
+             |  FROM codes c
+             |  JOIN assigned a USING (vec_id)
+             |  JOIN qcells p ON a.cell = p.cell
+             |  JOIN codes qc ON qc.vec_id = p.q_id
+             |  JOIN embeddings lc ON lc.vec_id = c.vec_id
+             |  JOIN qs q ON q.q_id = p.q_id
+             |  WHERE c.vec_id <> p.q_id AND lc.label <> q.label),
+             |ranked AS (
+             |  SELECT q_id, vec_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id
+             |                       ORDER BY sim DESC, vec_id) AS rn
+             |  FROM neg)
+             |SELECT r.q_id, p.pos_id, p.pos_sim, r.vec_id AS neg_id,
+             |  r.sim AS neg_sim, CAST(r.rn AS INT) AS neg_rank
+             |FROM ranked r JOIN pos p USING (q_id)
+             |WHERE r.rn <= 3
+             |ORDER BY q_id, neg_rank""".stripMargin)),
+
     // graft.expressions.UnicodeNormalize: NFC over the real corpus
     // (DuckDB's nfc_normalize is the independent oracle) plus NFC and
     // NFKC over synthesized normalization-unstable graphemes — the

@@ -1069,6 +1069,96 @@ object ExtensionProbes {
              |SELECT w, cnt, TRUE AS lb_ok, TRUE AS ub_ok
              |FROM c ORDER BY w""".stripMargin)),
 
+    // Hll.registers: the HyperLogLog DISTINCT-COUNT sketch as a plain
+    // (bucket, rho) relation — every register re-derived in SQL from
+    // the same md5-hex arithmetic (bucket = 2 hex chars, rho = 1 +
+    // leading-zero bits of the next 48, all-zero → 49), densified to
+    // all 256 buckets with rho 0. Certifying the REGISTERS (exact
+    // integers) rather than only the estimate pins the distributed
+    // machinery: max per bucket is partial-aggregable and partition-
+    // invariant, which is the whole mergeability claim ---------------
+    Probe("x113_hll_registers",
+      (s, d) =>
+        Hll.registers(Tables.documents(s, d), col("text"), p = 8)
+          .orderBy("bucket"),
+      Some("""WITH vals AS (
+             |  SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL),
+             |parts AS (
+             |  SELECT h,
+             |    length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) AS zeros,
+             |    substring(substring(h, 3, 12),
+             |      CAST(length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) + 1 AS INT),
+             |      1) AS fnz
+             |  FROM vals),
+             |r AS (
+             |  SELECT CAST(('0x' || substring(h, 1, 2)) AS INT) AS bucket,
+             |    CASE WHEN zeros = 12 THEN 49
+             |         ELSE zeros * 4 + CASE WHEN fnz = '1' THEN 3
+             |                               WHEN fnz IN ('2', '3') THEN 2
+             |                               WHEN fnz IN ('4', '5', '6', '7') THEN 1
+             |                               ELSE 0 END + 1 END AS rho
+             |  FROM parts),
+             |agg AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY 1)
+             |SELECT CAST(g.bucket AS INT) AS bucket,
+             |  CAST(COALESCE(a.rho, 0) AS INT) AS rho
+             |FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+             |LEFT JOIN agg a ON a.bucket = g.bucket
+             |ORDER BY bucket""".stripMargin)),
+
+    // Hll.merge + Hll.estimate: shard sketches (doc_id parity) merged
+    // by per-bucket max, then the estimator — the EXACT integer
+    // harmonic sum S = Σ 2^(49−rho) (no order-sensitive float
+    // accumulation), the empty-bucket count, and the corrected
+    // estimate (linear counting when raw ≤ 2.5m and zeros exist).
+    // The oracle computes the registers GLOBALLY — equality is the
+    // merge ≡ global certification -----------------------------------
+    Probe("x114_hll_estimate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = Hll.registers(docs.where(col("doc_id") % 2 === 0),
+          col("text"), p = 8)
+        val b = Hll.registers(docs.where(col("doc_id") % 2 === 1),
+          col("text"), p = 8)
+        Hll.estimate(Hll.merge(a, b), p = 8)
+      },
+      Some {
+        val m = 256
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        val scale = java.lang.Double.toString(
+          alpha * m * m * math.pow(2.0, 49))
+        s"""WITH vals AS (
+           |  SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL),
+           |parts AS (
+           |  SELECT h,
+           |    length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) AS zeros,
+           |    substring(substring(h, 3, 12),
+           |      CAST(length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) + 1 AS INT),
+           |      1) AS fnz
+           |  FROM vals),
+           |r AS (
+           |  SELECT CAST(('0x' || substring(h, 1, 2)) AS INT) AS bucket,
+           |    CASE WHEN zeros = 12 THEN 49
+           |         ELSE zeros * 4 + CASE WHEN fnz = '1' THEN 3
+           |                               WHEN fnz IN ('2', '3') THEN 2
+           |                               WHEN fnz IN ('4', '5', '6', '7') THEN 1
+           |                               ELSE 0 END + 1 END AS rho
+           |  FROM parts),
+           |agg AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY 1),
+           |dens AS (
+           |  SELECT g.bucket, COALESCE(a.rho, 0) AS rho
+           |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+           |  LEFT JOIN agg a ON a.bucket = g.bucket),
+           |sums AS (
+           |  SELECT CAST(SUM(CAST(2 ** (49 - rho) AS BIGINT)) AS BIGINT) AS s_scaled,
+           |         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+           |  FROM dens)
+           |SELECT s_scaled, v_zero,
+           |  ROUND(CASE WHEN v_zero > 0 AND $scale / s_scaled <= 640.0
+           |        THEN 256.0 * ln(256.0 / v_zero)
+           |        ELSE $scale / s_scaled END, 6) AS estimate
+           |FROM sums""".stripMargin
+      }),
+
     // Dedup.contaminationBloomPruned: bloom prefilter, EXACT output -----
     // (identical result to the unpruned x16 scan — bloom has no false
     // negatives and the equi-join removes the false positives — so the

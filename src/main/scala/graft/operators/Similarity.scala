@@ -299,6 +299,77 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Contrastive TRIPLET MINING — the end-to-end consumer of the
+    * batch ANN join: for every anchor, the hardest POSITIVE (the
+    * most-cosine-similar vector sharing its label, ties to the lower
+    * id) and the `negK` hardest NEGATIVES (the most-similar vectors
+    * with a DIFFERENT label, mined through the at-rest int8 index
+    * with same-label candidates excluded BEFORE the shortlist so
+    * positives never consume negative slots). This is the
+    * training-pair factory for contrastive/embedding models: anchors
+    * paired with near-miss negatives are the examples worth training
+    * on (Xiong et al. 2020 ANCE; the reference pipeline has no such
+    * operator — this is §2.15 surface).
+    *
+    * Contracts: `labeled` carries (idCol, vecCol, labelCol) for the
+    * whole corpus; `anchors` carries (qIdCol, vecCol, labelCol).
+    * Labels are BOUNDED-CLASS positive keys (near-dup cluster ids,
+    * query groups — the standard contrastive-dataset shape): the
+    * positive argmax joins keyed on label and aggregates
+    * map-side (max(struct) — partial-aggregable, no window), so a
+    * class's candidate rows never concentrate on one reducer sort,
+    * but a label covering half the corpus would make the join
+    * quadratic — that degenerate labeling is the caller's contract
+    * to avoid. Anchors with NO same-label partner produce no
+    * triplets (inner join; singleton classes have nothing to learn
+    * from).
+    *
+    * All scoring is the exact integer int8 cosine ([[quantizeInt8]]
+    * — scales cancel per pair), so probe x115 mirrors positives,
+    * exclusions, mining and both rank rules engine-for-engine.
+    * Returns (qIdCol, pos_id, pos_sim, neg_id, neg_sim, neg_rank). */
+  def mineTriplets(anchors: DataFrame, labeled: DataFrame, path: String,
+                   negK: Int, nprobe: Int,
+                   qIdCol: String = "q_id", idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   labelCol: String = "label",
+                   preBuckets: Int = 8): DataFrame = {
+    require(negK >= 1 && nprobe >= 1)
+    // hardest positive: label-keyed equi-join of quantized anchors ×
+    // quantized corpus, argmax as max(struct(sim, −id)) — the
+    // partial-aggregable argmax contract (ties to the LOWER id)
+    val qa = quantizeInt8(anchors, qIdCol, vecCol)
+      .join(anchors.select(col(qIdCol), col(labelCol)), Seq(qIdCol))
+    val qc = quantizeInt8(labeled, idCol, vecCol)
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+    val positives = qa.select(col(qIdCol), col(labelCol),
+        col("q_codes").as("_ac"))
+      .join(qc.select(col(idCol), col(labelCol), col("q_codes")),
+        Seq(labelCol))
+      .where(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        int8Cosine(col("q_codes"), col("_ac")).as("sim"))
+      .groupBy(col(qIdCol))
+      .agg(max(struct(col("sim"), (-col(idCol)).as("_nid"),
+        col(idCol).as("_pid"))).as("_best"))
+      .select(col(qIdCol), col("_best._pid").as("pos_id"),
+        col("_best.sim").as("pos_sim"))
+    // hardest negatives: the batch ANN join with every same-label
+    // (anchor, candidate) pair excluded before the shortlist
+    val sameLabel = anchors.select(col(qIdCol), col(labelCol))
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(labelCol))
+      .select(col(qIdCol), col(idCol))
+    val negatives = annJoinInt8FromIndex(
+      anchors.select(col(qIdCol), col(vecCol)), path, k = negK,
+      nprobe = nprobe, excludePairs = Some(sameLabel),
+      qIdCol = qIdCol, idCol = idCol, vecCol = vecCol,
+      preBuckets = preBuckets)
+    positives.join(negatives, Seq(qIdCol))
+      .select(col(qIdCol), col("pos_id"), col("pos_sim"),
+        col(idCol).as("neg_id"), col("sim").as("neg_sim"),
+        col("rank").as("neg_rank"))
+  }
+
   /** Left-to-right accumulated Σ aᵢ·bᵢ as a native codegen'd Catalyst
     * expression (graft.expressions.DotProduct) — measured much faster
     * than the interpreted `aggregate(zip_with(...))` HOF form, with
