@@ -84,7 +84,8 @@ object Hll {
     * yields the registers of the union (HllSpec pins shard-merge ≡
     * global bit-identically). */
   def merge(sketches: DataFrame*): DataFrame =
-    sketches.reduce(_ unionAll _)
+    sketches.map(_.select(col("bucket"), col("rho")))
+      .reduce(_ unionByName _)
       .groupBy("bucket").agg(max("rho").as("rho"))
 
   /** Cardinality estimate from a (bucket, rho) sketch: one bounded

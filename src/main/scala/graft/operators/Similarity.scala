@@ -319,10 +319,18 @@ object Similarity {
     * map-side (max(struct) — partial-aggregable, no window), so a
     * class's candidate rows never concentrate on one reducer sort,
     * but a label covering half the corpus would make the join
-    * quadratic — that degenerate labeling is the caller's contract
-    * to avoid. Anchors with NO same-label partner produce no
-    * triplets (inner join; singleton classes have nothing to learn
-    * from).
+    * quadratic. That degenerate labeling is ENFORCED, not just
+    * documented (the lshCandidatePairs maxBucket stance): a bounded
+    * pre-flight — one partial-aggregable count-per-label over the
+    * corpus, semi-joined to the distinct anchor labels — fails LOUDLY
+    * when any anchor-touched class exceeds `maxClassSize`, so a
+    * mislabeled 100 TB job dies in the pre-flight scan instead of
+    * hours into a quadratic join. Labels no anchor touches are
+    * exempt (they never enter the positives join). Pass
+    * `maxClassSize = Long.MaxValue` to skip the pre-flight when the
+    * labeling is known-bounded. Anchors with NO same-label partner
+    * produce no triplets (inner join; singleton classes have nothing
+    * to learn from).
     *
     * All scoring is the exact integer int8 cosine ([[quantizeInt8]]
     * — scales cancel per pair), so probe x115 mirrors positives,
@@ -333,8 +341,25 @@ object Similarity {
                    qIdCol: String = "q_id", idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    labelCol: String = "label",
-                   preBuckets: Int = 8): DataFrame = {
+                   preBuckets: Int = 8,
+                   maxClassSize: Long = 1000000L): DataFrame = {
     require(negK >= 1 && nprobe >= 1)
+    require(maxClassSize >= 1, s"maxClassSize must be >= 1: $maxClassSize")
+    // degenerate-label pre-flight (see Scaladoc): bounded
+    // count-per-label agg, restricted to labels anchors touch
+    if (maxClassSize != Long.MaxValue) {
+      val worst = labeled.groupBy(col(labelCol))
+        .agg(count(lit(1)).as("_n"))
+        .join(anchors.select(col(labelCol)).distinct(), Seq(labelCol),
+          "left_semi")
+        .agg(max(col("_n")).as("_w")).head()
+      val w = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(w <= maxClassSize,
+        s"degenerate labeling: an anchor-touched class has $w corpus " +
+          s"rows > maxClassSize=$maxClassSize — the positives join and " +
+          s"the same-label exclusion are quadratic in class size; fix " +
+          s"the labeling or raise maxClassSize deliberately")
+    }
     // hardest positive: label-keyed equi-join of quantized anchors ×
     // quantized corpus, argmax as max(struct(sim, −id)) — the
     // partial-aggregable argmax contract (ties to the LOWER id)
