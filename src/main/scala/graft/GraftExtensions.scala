@@ -184,6 +184,20 @@ object GraftExtensions {
       graft.expressions.PqAdcScore(v, cbA.toDoubleArray(), qtA.toDoubleArray(),
         litInt("pq_adc", mE), litInt("pq_adc", ksubE), litInt("pq_adc", dsubE)) }),
 
+    // pq_qt(vec, cb-literal, m, ksub, dsub): per-QUERY ADC lookup
+    // table as one map-only codegen pass (see PqQueryTable) — the
+    // batch-ANN-join sibling of pq_adc.
+    ("pq_qt", 5, { case Seq(v,
+        Literal(cbA: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(DoubleType, _)),
+        mE, ksubE, dsubE) =>
+      graft.expressions.PqQueryTable(v, cbA.toDoubleArray(),
+        litInt("pq_qt", mE), litInt("pq_qt", ksubE), litInt("pq_qt", dsubE)) }),
+
+    // pq_codes_adc(codes, qt, ksub): ADC-score packed codes against a
+    // per-row query table column (see PqCodesAdc).
+    ("pq_codes_adc", 3, { case Seq(c, q, ksubE) =>
+      graft.expressions.PqCodesAdc(c, q, litInt("pq_codes_adc", ksubE)) }),
+
     // bpe_tokens(text, table-key-literal, space-mark-literal): real BPE
     // tokenization under a registered compiled merge table (the table
     // itself is serialized into the expression — see BpeOps).

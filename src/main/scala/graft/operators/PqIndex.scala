@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
+  /** Default shortlist-to-k ratio for the at-rest query paths when the
+    * caller does not size the shortlist: BenchAnn's 1M hierarchical
+    * corpus measured recall@10 = 0.3 at shortlist 200 and 1.0 at 2000
+    * (nprobe=4) — ADC cannot order near-tie candidates, so the
+    * shortlist must cover the near-tie set. 200·k is the measured
+    * recall-1.0 ratio there; rerank reads shortlist·Q slim rows from
+    * partitions already read, so the safety margin is cheap. */
+  val AutoShortlistPerK = 200
+
+  /** `shortlist` ≤ 0 means "derive from k" ([[AutoShortlistPerK]]). */
+  private def resolveShortlist(shortlist: Int, k: Int): Int =
+    if (shortlist <= 0) AutoShortlistPerK * k else shortlist
+
   /** Per-dimension rows: (id, subspace, within, x). */
   private def dims(embs: DataFrame, dsub: Int, idCol: String,
                    vecCol: String): DataFrame =
@@ -431,13 +444,21 @@ object PqIndex {
     * Growing `shortlist` reranks more rows from partitions ALREADY
     * read; growing `nprobe` multiplies partitions READ (4→32 cells
     * cost +94% wall for the same recall 1.0). Widen nprobe only when
-    * neighbors genuinely straddle cells. */
+    * neighbors genuinely straddle cells.
+    *
+    * DEFAULT (r12): `shortlist` ≤ 0 derives `AutoShortlistPerK`·k =
+    * 200·k — the ratio the 1M measurement needed for recall 1.0
+    * (2000 at k=10), so the no-args path is recall-safe by default
+    * instead of silently shipping 0.3-recall retrieval. Callers who
+    * pass an explicit shortlist own that trade (the sizing rule
+    * above). */
   def topKFromIndex(spark: SparkSession, path: String, query: Seq[Double],
-                    k: Int, nprobe: Int, shortlist: Int,
+                    k: Int, nprobe: Int, shortlist: Int = 0,
                     excludeId: Option[Long] = None,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     import graft.expressions.PqAdcScore.round6
+    val shortlistN = resolveShortlist(shortlist, k)
     val cbRows = spark.read.parquet(s"$path/codebook")
       .select("subspace", "cell", "within", "cx").collect()
       .map(r => (r.getAs[Number]("subspace").intValue(),
@@ -482,7 +503,7 @@ object PqIndex {
       .select(col(idCol), adist.as("adist"))
     val short = excludeId.fold(scored)(id => scored.where(col(idCol) =!= id))
       .orderBy(col("adist").asc, col(idCol).asc)
-      .limit(shortlist)
+      .limit(shortlistN)
     val qCol = array(query.map(lit): _*)
     spark.read.parquet(s"$path/vectors")
       .where(col("cell").isin(cells: _*))
@@ -504,22 +525,30 @@ object PqIndex {
     * table can't be built per query.
     *
     * Shape at 100 TB: the geometry (m, dsub, ksub) is DERIVED from
-    * the persisted codebook (the [[appendToIndex]] contract); cell
-    * routing is Q × nlist against the BROADCAST centroid table with a
-    * per-query window bounded at nlist rows. The per-query ADC table
-    * is built RELATIONALLY — the [[queryTable]] shape with the query
-    * id as an extra key, Q·m·ksub bounded rows — then folded into ONE
-    * slot→qdist map per query, so candidate scoring stays one row per
-    * candidate (m in-expression map lookups, no per-candidate
-    * explode). Candidates join the cell-partitioned codes on the
-    * exploded (query, cell) table — AQE broadcasts the small query
-    * side and the codes never shuffle. The per-query shortlist is
-    * TWO-PHASE (the annJoinInt8FromIndex pattern): a local rank per
-    * (query, id-hash bucket) caps each query at `preBuckets`·shortlist
-    * rows before the global per-query window. The rerank joins the
-    * vectors table on (cell, id) — only shortlist·Q slim rows — and
-    * the final (sim DESC, id) rank re-closes densely after
-    * exclusions.
+    * the persisted codebook (the [[appendToIndex]] contract), which
+    * is collected driver-side — bounded at m·ksub·dsub doubles, a
+    * model artifact, the same collect [[topKFromIndex]] performs.
+    * Cell routing is Q × nlist against the BROADCAST centroid table
+    * with a per-query window bounded at nlist rows. The per-query ADC
+    * table is built MAP-ONLY by the fused `pq_qt` codegen kernel
+    * ([[graft.expressions.PqQueryTable]] — one pass per query row
+    * against the broadcast codebook array, producing the identical
+    * round-6 values the relational dims→join→sum formulation
+    * computes), and candidate scoring is the `pq_codes_adc` kernel —
+    * m O(1) array lookups per candidate. (r11 lesson: the previous
+    * relational build folded the table into a per-query MAP whose
+    * element_at is a LINEAR scan of all m·ksub entries — m·ksub·m
+    * work per candidate — and its explode→join→double-groupBy
+    * subtree was duplicated into the DPP subquery; the kernel path
+    * removed both, 8.6s → sub-second at sf0.1.) Candidates join the
+    * cell-partitioned codes on the exploded (query, cell) table —
+    * AQE broadcasts the small query side and the codes never
+    * shuffle. The per-query shortlist is TWO-PHASE (the
+    * annJoinInt8FromIndex pattern): a local rank per (query, id-hash
+    * bucket) caps each query at `preBuckets`·shortlist rows before
+    * the global per-query window. The rerank joins the vectors table
+    * on (cell, id) — only shortlist·Q slim rows — and the final
+    * (sim DESC, id) rank re-closes densely after exclusions.
     *
     * Exclusions (the contrastive-mining contract): `excludeSelf`
     * drops candidates whose id equals the query id; `excludePairs`
@@ -528,27 +557,43 @@ object PqIndex {
     *
     * Every step is round-6 relational arithmetic (probe x112 mirrors
     * cells, codebook, codes, per-query ADC, shortlist, and rerank
-    * CTE-for-CTE in SQL). Returns (qIdCol, idCol, sim, rank) with
-    * rank 1..k per query. */
+    * CTE-for-CTE in SQL). `shortlist` ≤ 0 derives the recall-safe
+    * [[AutoShortlistPerK]]·k default (the topKFromIndex sizing
+    * contract). Returns (qIdCol, idCol, sim, rank) with rank 1..k
+    * per query. */
   def annJoinFromIndex(queries: DataFrame, path: String, k: Int,
-                       nprobe: Int, shortlist: Int,
+                       nprobe: Int, shortlist: Int = 0,
                        excludeSelf: Boolean = true,
                        excludePairs: Option[DataFrame] = None,
                        qIdCol: String = "q_id",
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        preBuckets: Int = 8): DataFrame = {
-    require(k >= 1 && nprobe >= 1 && shortlist >= k && preBuckets >= 1,
+    val shortlistN = resolveShortlist(shortlist, k)
+    require(k >= 1 && nprobe >= 1 && shortlistN >= k && preBuckets >= 1,
       s"need k>=1, nprobe>=1, shortlist>=k, preBuckets>=1; " +
-        s"got k=$k nprobe=$nprobe shortlist=$shortlist preBuckets=$preBuckets")
+        s"got k=$k nprobe=$nprobe shortlist=$shortlistN preBuckets=$preBuckets")
     val spark = queries.sparkSession
+    graft.GraftExtensions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
-    val cb = spark.read.parquet(s"$path/codebook")
-    val geo = cb.agg(max(col("subspace")), max(col("within")),
-      max(col("cell"))).head()
-    val m = geo.getInt(0) + 1
-    val dsub = geo.getInt(1) + 1
-    val ksub = geo.getInt(2) + 1
+    // driver-side bounded codebook collect (the topKFromIndex shape):
+    // geometry AND values derive from the persisted artifact, so
+    // build/append/query cannot diverge. Slots the codebook never
+    // produced (empty Lloyd cells) stay NaN — no persisted code can
+    // reference them.
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select("subspace", "cell", "within", "cx").collect()
+      .map(r => (r.getAs[Number]("subspace").intValue(),
+        r.getAs[Number]("cell").intValue(),
+        r.getAs[Number]("within").intValue(),
+        r.getAs[Number]("cx").doubleValue()))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val ksub = cbRows.iterator.map(_._2).max + 1
+    val dsub = cbRows.iterator.map(_._3).max + 1
+    val cbArr = Array.fill(m * ksub * dsub)(Double.NaN)
+    cbRows.foreach { case (s, c, w, cx) =>
+      cbArr((s * ksub + c) * dsub + w) = cx
+    }
     // per-query nprobe cell routing: window input bounded at nlist
     // rows per query (same round-6 sqDist + cell tie as topKFromIndex)
     val qcells = queries
@@ -560,24 +605,14 @@ object PqIndex {
           .orderBy(col("qdist").asc, col("cell").asc)))
       .where(col("_cr") <= nprobe)
       .select(col(qIdCol), col("cell"))
-    // per-query ADC lookup map: slot (subspace·ksub + code) → qdist.
-    // Missing slots are (subspace, cell) pairs the codebook never
-    // produced (empty Lloyd cells), which no persisted code can
-    // reference — same reasoning as topKFromIndex's NaN slots.
-    val d2 = col("x") - col("cx")
-    val qt = dims(queries, dsub, qIdCol, vecCol)
-      .join(broadcast(cb), Seq("subspace", "within"))
-      .groupBy(col(qIdCol), col("subspace"), col("cell"))
-      .agg(round(sum(d2 * d2), 6).as("qdist"))
-      .groupBy(col(qIdCol))
-      .agg(map_from_entries(collect_list(struct(
-        (col("subspace") * ksub + col("cell")).cast("int"),
-        col("qdist")))).as("_qt"))
+    // per-query ADC table: ONE map-only codegen pass per query row
+    // (no dims explode, no codebook join, no groupBy pair)
+    val qt = queries.select(col(qIdCol),
+      call_function("pq_qt", col(vecCol).cast("array<double>"),
+        lit(cbArr), lit(m), lit(ksub), lit(dsub)).as("_qt"))
     val probes = qcells.join(qt, Seq(qIdCol))
-    val adist = round(aggregate(
-      transform(col("codes"), (c, s) =>
-        element_at(col("_qt"), (s * ksub + c).cast("int"))),
-      lit(0.0), (acc, x) => acc + x), 6)
+    val adist = call_function("pq_codes_adc",
+      col("codes"), col("_qt"), lit(ksub))
     val scored = spark.read.parquet(s"$path/codes")
       .join(probes, Seq("cell"))
       .select(col(qIdCol), col(idCol), col("cell"), adist.as("adist"))
@@ -593,11 +628,11 @@ object PqIndex {
       .withColumn("_lr", row_number().over(
         Window.partitionBy(col(qIdCol), col("_b"))
           .orderBy(col("adist").asc, col(idCol).asc)))
-      .where(col("_lr") <= shortlist)
+      .where(col("_lr") <= shortlistN)
       .withColumn("_sr", row_number().over(
         Window.partitionBy(col(qIdCol))
           .orderBy(col("adist").asc, col(idCol).asc)))
-      .where(col("_sr") <= shortlist)
+      .where(col("_sr") <= shortlistN)
       .select(col(qIdCol), col(idCol), col("cell"))
     // exact rerank over shortlist·Q rows; vectors keyed (cell, id) so
     // the cell-partitioned layout can prune

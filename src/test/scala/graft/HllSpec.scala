@@ -74,6 +74,61 @@ class HllSpec extends SparkTestBase {
     assert(m.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 49))
   }
 
+  test("grouped: shard mergeBy == global registersBy; estimateBy matches " +
+      "the per-group single-key estimate; sparse == densified estimator") {
+    val df = strings(3000)
+      .withColumn("g", concat(lit("g"), pmod(crc32(col("v")), lit(4))))
+    def groupedRegs(d: org.apache.spark.sql.DataFrame) =
+      Hll.registersBy(d, col("v"), Seq("g"), p = 8).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val whole = groupedRegs(df)
+    // sparse: only observed buckets, rho >= 1
+    assert(whole.forall(_._3 >= 1))
+    val merged = Hll.mergeBy(Seq("g"),
+        Hll.registersBy(df.where(crc32(col("v")) % 3 === 0), col("v"), Seq("g")),
+        Hll.registersBy(df.where(crc32(col("v")) % 3 === 1), col("v"), Seq("g")),
+        Hll.registersBy(df.where(crc32(col("v")) % 3 === 2), col("v"), Seq("g")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(merged === whole)
+    // per-group estimates == the global single-key estimator run on
+    // each group alone (grouping must not change any group's math)
+    val byGroup = Hll.estimateBy(
+        Hll.registersBy(df, col("v"), Seq("g")), Seq("g"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    byGroup.keys.foreach { g =>
+      val single = Hll.estimate(
+        Hll.registers(df.where(col("g") === g), col("v"), 8), 8).head()
+      assert(byGroup(g) ===
+        ((single.getLong(0), single.getLong(1), single.getDouble(2))),
+        s"group $g diverges from the single-key estimator")
+    }
+    // estimateBy degrades gracefully to DENSIFIED input: padding a
+    // group's registers with explicit rho-0 rows changes nothing
+    import spark.implicits._
+    val sparse = Hll.registersBy(df.where(col("g") === "g0"), col("v"), Seq("g"))
+    val present = sparse.select("bucket").as[Int].collect().toSet
+    val pad = (0 until 256).filterNot(present)
+      .map(b => ("g0", b, 0)).toDF("g", "bucket", "rho")
+    val dense = sparse.unionByName(pad)
+    val a = Hll.estimateBy(sparse, Seq("g")).head()
+    val b = Hll.estimateBy(dense, Seq("g")).head()
+    assert((a.getLong(1), a.getLong(2), a.getDouble(3)) ===
+      ((b.getLong(1), b.getLong(2), b.getDouble(3))))
+  }
+
+  test("grouped registers plan: partial-aggregable max, one exchange, no window") {
+    val plan = Hll.registersBy(Tables.documents(spark, sfDir),
+        col("text"), Seq("lang"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"grouped register max not partial-aggregable:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"unexpected heavyweight node:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"more than the one (group, bucket) exchange:\n$plan")
+  }
+
   test("estimate plan: one partial agg over the sketch, scan-side max per bucket") {
     val df = Tables.documents(spark, sfDir)
     val plan = Hll.registers(df, col("text"), 8)
