@@ -198,6 +198,18 @@ object GraftExtensions {
     ("pq_codes_adc", 3, { case Seq(c, q, ksubE) =>
       graft.expressions.PqCodesAdc(c, q, litInt("pq_codes_adc", ksubE)) }),
 
+    // int8_cosine(codes_a, codes_b): exact integer cosine over int8
+    // code arrays in ONE codegen pass (see Int8Cosine) — the batch
+    // ANN join's scoring kernel.
+    ("int8_cosine", 2, { case Seq(a, b) =>
+      graft.expressions.Int8Cosine(a, b) }),
+
+    // top_k_struct(row-struct, k-literal, first-desc-literal): bounded
+    // per-group top-k as a partial-aggregable heap (see TopKStruct) —
+    // the scalable replacement for per-key row_number windows.
+    ("top_k_struct", 3, { case Seq(c, kE, Literal(d: Boolean, BooleanType)) =>
+      graft.expressions.TopKStruct(c, litInt("top_k_struct", kE), d) }),
+
     // bpe_tokens(text, table-key-literal, space-mark-literal): real BPE
     // tokenization under a registered compiled merge table (the table
     // itself is serialized into the expression — see BpeOps).

@@ -543,10 +543,12 @@ object PqIndex {
     * removed both, 8.6s → sub-second at sf0.1.) Candidates join the
     * cell-partitioned codes on the exploded (query, cell) table —
     * AQE broadcasts the small query side and the codes never
-    * shuffle. The per-query shortlist is TWO-PHASE (the
-    * annJoinInt8FromIndex pattern): a local rank per (query, id-hash
-    * bucket) caps each query at `preBuckets`·shortlist rows before
-    * the global per-query window. The rerank joins the vectors table
+    * shuffle. The per-query shortlist is a PARTIAL-AGGREGABLE
+    * bounded heap (`top_k_struct` — the annJoinInt8FromIndex
+    * pattern): ≤shortlist rows per query survive map-side inside the
+    * scoring stage, so the one shuffle never carries the candidate
+    * set (`preBuckets` is the retired two-phase-window design's
+    * vestige, unused). The rerank joins the vectors table
     * on (cell, id) — only shortlist·Q slim rows — and the final
     * (sim DESC, id) rank re-closes densely after exclusions.
     *
@@ -621,19 +623,20 @@ object PqIndex {
     val afterPairs = excludePairs.fold(afterSelf)(p =>
       afterSelf.join(p.select(col(qIdCol), col(idCol)),
         Seq(qIdCol, idCol), "left_anti"))
-    // two-phase per-query shortlist: a hot query never concentrates
-    // its full candidate set on one reducer sort
+    // bounded per-query shortlist: a partial-aggregable ≤shortlist
+    // heap (top_k_struct) keeps candidates map-side INSIDE the
+    // scoring stage — the single shuffle moves ≤ Q·shortlist rows
+    // per partition, the candidate set never crosses the wire (the
+    // annJoinInt8FromIndex pattern; ordering (adist ASC, id ASC) with
+    // the unique id tie-break keeps the set identical to a rank)
     val short = afterPairs
-      .withColumn("_b", pmod(hash(col(idCol)), lit(preBuckets)))
-      .withColumn("_lr", row_number().over(
-        Window.partitionBy(col(qIdCol), col("_b"))
-          .orderBy(col("adist").asc, col(idCol).asc)))
-      .where(col("_lr") <= shortlistN)
-      .withColumn("_sr", row_number().over(
-        Window.partitionBy(col(qIdCol))
-          .orderBy(col("adist").asc, col(idCol).asc)))
-      .where(col("_sr") <= shortlistN)
-      .select(col(qIdCol), col(idCol), col("cell"))
+      .groupBy(col(qIdCol))
+      .agg(call_function("top_k_struct",
+        struct(col("adist"), col(idCol), col("cell")),
+        lit(shortlistN), lit(false)).as("_sl"))
+      .select(col(qIdCol), explode(col("_sl")).as("_r"))
+      .select(col(qIdCol), col("_r").getField(idCol).as(idCol),
+        col("_r.cell").as("cell"))
     // exact rerank over shortlist·Q rows; vectors keyed (cell, id) so
     // the cell-partitioned layout can prune
     val vecs = spark.read.parquet(s"$path/vectors")

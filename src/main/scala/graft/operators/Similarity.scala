@@ -61,8 +61,17 @@ object Similarity {
     lit(0L), (acc, x) => acc + x)
 
   /** Integer-cosine of int8 code arrays (scales cancel — see
-    * [[cosineTopKInt8]]). */
+    * [[cosineTopKInt8]]) as the fused `int8_cosine` codegen kernel
+    * (graft.expressions.Int8Cosine) — one generated loop instead of
+    * three interpreted `aggregate(zip_with(...))` passes per pair,
+    * with bit-identical values (exact long dots, one IEEE divide). */
   private def int8Cosine(codes: Column, qCodes: Column): Column =
+    call_function("int8_cosine", codes, qCodes)
+
+  /** The HOF formulation of [[int8Cosine]] — kept for sessions
+    * without GraftExtensions registration and as the semantic
+    * reference the kernel must match (Int8CosineSpec pins equality). */
+  def int8CosineHof(codes: Column, qCodes: Column): Column =
     idot(codes, qCodes).cast("double") /
       (sqrt(idot(codes, codes).cast("double")) *
         sqrt(idot(qCodes, qCodes).cast("double")))
@@ -233,11 +242,16 @@ object Similarity {
     * the exploded (query, cell) table — Q·nprobe rows — against the
     * cell-partitioned codes table, so AQE broadcasts the query side
     * in the common small-Q case and the codes table never shuffles.
-    * Per-query candidates are ~`nprobe/nlist` of the corpus, so the
-    * top-k is TWO-PHASE (the domainQuota pattern): a local rank per
-    * (query, id-hash bucket) caps each query at `preBuckets`·k rows
-    * BEFORE the global per-query window — a hot query never
-    * concentrates its full candidate set on one reducer sort.
+    * Per-query candidates are ~`nprobe/nlist` of the corpus — far too
+    * many to shuffle — so the top-k is a PARTIAL-AGGREGABLE bounded
+    * heap (`top_k_struct`, graft.expressions.TopKStruct): ObjectHash
+    * aggregation keeps ≤k rows per query map-side INSIDE the scoring
+    * stage, so the single shuffle moves at most Q·k rows per scan
+    * partition and candidates never cross the wire. (This replaced a
+    * two-phase row_number design that shuffled and sorted the full
+    * candidate set twice — 68× growth at 10× data in the sf1 honesty
+    * run; the heap form is what survives 100 TB. `preBuckets` is that
+    * design's vestige, retained for source compatibility, unused.)
     *
     * Exclusions: `excludeSelf` drops candidates whose id equals the
     * query id (same id space — querying the corpus against itself);
@@ -259,6 +273,7 @@ object Similarity {
     require(k >= 1 && nprobe >= 1 && preBuckets >= 1)
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
+    graft.GraftExtensions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
     // per-query nprobe cell routing: Q × nlist broadcast cross join,
     // window input bounded at nlist rows per query
@@ -283,20 +298,17 @@ object Similarity {
     val afterPairs = excludePairs.fold(afterSelf)(p =>
       afterSelf.join(p.select(col(qIdCol), col(idCol)),
         Seq(qIdCol, idCol), "left_anti"))
-    // two-phase top-k: local cap per (query, id-hash bucket), then the
-    // global per-query rank over ≤ preBuckets·k survivors
-    val local = afterPairs
-      .withColumn("_b", pmod(hash(col(idCol)), lit(preBuckets)))
-      .withColumn("_lr", row_number().over(
-        Window.partitionBy(col(qIdCol), col("_b"))
-          .orderBy(col("sim").desc, col(idCol).asc)))
-      .where(col("_lr") <= k)
-    local
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(qIdCol))
-          .orderBy(col("sim").desc, col(idCol).asc)).cast("int"))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+    // bounded per-query top-k: map-side ≤k heap inside the scoring
+    // stage, ONE shuffle of ≤ Q·k rows per partition, ranks recovered
+    // from the sorted array — (sim DESC, id ASC), the window rule
+    afterPairs
+      .groupBy(col(qIdCol))
+      .agg(call_function("top_k_struct",
+        struct(col("sim"), col(idCol)), lit(k), lit(true)).as("_tk"))
+      .select(col(qIdCol), posexplode(col("_tk")).as(Seq("_p", "_r")))
+      .select(col(qIdCol), col("_r").getField(idCol).as(idCol),
+        col("_r.sim").as("sim"),
+        (col("_p") + 1).cast("int").as("rank"))
   }
 
   /** Contrastive TRIPLET MINING — the end-to-end consumer of the
