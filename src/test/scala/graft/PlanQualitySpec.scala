@@ -478,6 +478,24 @@ class PlanQualitySpec extends SparkTestBase {
         s"$probe: codes scan lost dynamic partition pruning on cell:\n$p")
       assert(p.contains("BroadcastHashJoin"),
         s"$probe: keyed joins not broadcast at probe scale:\n$p")
+      // r12: the per-query top-k/shortlist is the partial-aggregable
+      // top_k_struct heap — the candidate set must never hit a window
+      // (the sf1 honesty run measured the window form at 68× on 10×
+      // data). Sanctioned windows: the Q×nlist cell routing ordered
+      // on qdist (plus its DPP-duplicated copy) and x112's
+      // Q·shortlist-bounded rerank ordered on sim. A window ordered
+      // on the CANDIDATE score (int8 sim before ranking, PQ adist)
+      // is the retired shape and must not come back.
+      val windowSpecs = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+      windowSpecs.foreach { w =>
+        val sanctioned =
+          if (probe.startsWith("x111")) w.contains("qdist")
+          else w.contains("qdist") || w.contains("sim#")
+        assert(sanctioned && !w.contains("adist"),
+          s"$probe: window ranks the candidate set:\n$w")
+      }
+      assert("(?i)objecthashaggregate".r.findAllIn(p).size >= 2,
+        s"$probe: top-k heap not partial-aggregated map-side:\n$p")
     }
   }
 
