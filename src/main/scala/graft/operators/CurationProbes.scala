@@ -969,5 +969,192 @@ object CurationProbes {
            |  CAST(len(string_split(txt, chr(10))) AS INT) AS n_lines
            |FROM s8 ORDER BY doc_id""".stripMargin
       }),
+
+    // Ranking.topKPerGroup: grouped top-k selection ("best k examples
+    // per class/language/source" — the balanced-fine-tuning-mix
+    // primitive) computed as the partial-aggregable top_k_struct
+    // bounded heap instead of a corpus-wide row_number window. The
+    // oracle IS that window — equality certifies heap ≡ rank rule
+    // ((score DESC, id ASC), ranks dense 1..k) ----------------------
+    Probe("x117_group_topk",
+      (s, d) => {
+        Ranking.topKPerGroup(Tables.documents(s, d),
+            groupCol = "lang", scoreCol = "n_chars", idCol = "doc_id", k = 5)
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rank FROM (
+             |  SELECT lang, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |                       ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) WHERE rn <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
+    // Ranking.rrfFuse: reciprocal-rank fusion (Cormack 2009) of TWO
+    // at-rest ANN retrievers over the same query set — the int8 IVF
+    // index (x111 chain) and the IVF-PQ index (x112 chain), rrf =
+    // 1/(60+rank_a) + 1/(60+rank_b) with a FIXED two-term evaluation
+    // order (full-outer join + coalesce, never an order-sensitive SUM)
+    // so the fused doubles are engine-exact. The oracle re-derives
+    // BOTH retriever chains (sharing the coarse quantizer CTEs the
+    // two indexes genuinely share) and the fusion arithmetic --------
+    Probe("x118_rrf_fusion",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag8 = IndexCache.corpusTag("x111", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag8"
+        IndexCache.ensureBuilt(dir8) {
+          Similarity.writeInt8Index(embs, dir8, nlist = 8)
+        }
+        val tagP = IndexCache.corpusTag("x41", d, embs,
+          Seq("vec_id", "embedding"))
+        val dirP = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tagP"
+        IndexCache.ensureBuilt(dirP) {
+          PqIndex.writeIndex(embs, dirP, nlist = 8, m = 32, ksub = 16, dim = 64)
+        }
+        val queries = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val a = Similarity.annJoinInt8FromIndex(queries, dir8, k = 5, nprobe = 4)
+        val b = PqIndex.annJoinFromIndex(queries, dirP, k = 5, nprobe = 4,
+          shortlist = 40)
+        Ranking.rrfFuse(a, b, k = 5).orderBy("q_id", "rank")
+      },
+      Some("""WITH init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+             |qs AS (
+             |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id % 50 = 3),
+             |qcells AS (
+             |  SELECT q_id, cell FROM (
+             |    SELECT q.q_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             |        ROUND(list_dot_product(q.qv, q.qv)
+             |          - 2 * list_dot_product(q.qv, c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+             |qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+             |    embedding
+             |  FROM embeddings),
+             |codes8 AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+             |  FROM qz),
+             |cand8 AS (
+             |  SELECT p.q_id, c.vec_id,
+             |    list_dot_product(c.codes, qc.codes) /
+             |      (sqrt(list_dot_product(c.codes, c.codes)) *
+             |       sqrt(list_dot_product(qc.codes, qc.codes))) AS sim
+             |  FROM codes8 c
+             |  JOIN assigned a USING (vec_id)
+             |  JOIN qcells p ON a.cell = p.cell
+             |  JOIN codes8 qc ON qc.vec_id = p.q_id
+             |  WHERE c.vec_id <> p.q_id),
+             |ranked_a AS (
+             |  SELECT q_id, vec_id, rn FROM (
+             |    SELECT q_id, vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q_id
+             |                         ORDER BY sim DESC, vec_id) AS rn
+             |    FROM cand8) WHERE rn <= 5),
+             |dims AS (
+             |  SELECT vec_id, CAST(FLOOR((j-1) / 2) AS INT) AS subspace,
+             |    (j-1) % 2 AS within, CAST(x AS DOUBLE) AS x
+             |  FROM embeddings,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cb0 AS (
+             |  SELECT subspace, CAST(vec_id AS INT) AS cell, within, x AS cx
+             |  FROM dims WHERE vec_id < 16),
+             |d0 AS (
+             |  SELECT d.vec_id, d.subspace, c.cell,
+             |    ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             |  FROM dims d JOIN cb0 c ON d.subspace = c.subspace AND d.within = c.within
+             |  GROUP BY 1, 2, 3),
+             |a0 AS (
+             |  SELECT vec_id, subspace, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM d0) WHERE rn = 1),
+             |cb AS (
+             |  SELECT d.subspace, a.cell, d.within, ROUND(AVG(d.x), 6) AS cx
+             |  FROM dims d JOIN a0 a ON d.vec_id = a.vec_id AND d.subspace = a.subspace
+             |  GROUP BY 1, 2, 3),
+             |dist AS (
+             |  SELECT d.vec_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS dist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  GROUP BY 1, 2, 3),
+             |codesp AS (
+             |  SELECT vec_id, subspace, cell AS code FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+             |      ORDER BY dist ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+             |qtab AS (
+             |  SELECT d.vec_id AS q_id, d.subspace, cb.cell,
+             |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS qdist
+             |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+             |  WHERE d.vec_id % 50 = 3 GROUP BY 1, 2, 3),
+             |adc AS (
+             |  SELECT p.q_id, c.vec_id, ROUND(SUM(q.qdist), 6) AS adist
+             |  FROM codesp c
+             |  JOIN assigned a ON a.vec_id = c.vec_id
+             |  JOIN qcells p ON p.cell = a.cell
+             |  JOIN qtab q ON q.q_id = p.q_id AND q.subspace = c.subspace
+             |    AND q.cell = c.code
+             |  WHERE c.vec_id <> p.q_id
+             |  GROUP BY 1, 2),
+             |shortl AS (
+             |  SELECT q_id, vec_id FROM (
+             |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY adist ASC, vec_id ASC) AS rn FROM adc)
+             |  WHERE rn <= 40),
+             |rerank AS (
+             |  SELECT s.q_id, s.vec_id,
+             |    list_dot_product(e.embedding::DOUBLE[], q.qv) /
+             |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     SQRT(list_dot_product(q.qv, q.qv))) AS sim
+             |  FROM shortl s JOIN embeddings e USING (vec_id)
+             |  JOIN qs q ON q.q_id = s.q_id),
+             |ranked_b AS (
+             |  SELECT q_id, vec_id, rn FROM (
+             |    SELECT q_id, vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q_id
+             |                         ORDER BY sim DESC, vec_id) AS rn
+             |    FROM rerank) WHERE rn <= 5),
+             |fused AS (
+             |  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+             |    COALESCE(a.vec_id, b.vec_id) AS vec_id,
+             |    COALESCE(1.0 / (60 + a.rn), 0) + COALESCE(1.0 / (60 + b.rn), 0)
+             |      AS rrf
+             |  FROM ranked_a a FULL OUTER JOIN ranked_b b
+             |    ON a.q_id = b.q_id AND a.vec_id = b.vec_id)
+             |SELECT q_id, vec_id, rrf, CAST(rn AS INT) AS rank FROM (
+             |  SELECT q_id, vec_id, rrf,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id
+             |                       ORDER BY rrf DESC, vec_id) AS rn
+             |  FROM fused) WHERE rn <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranking
+import graft.sources.Tables
+
+class RankingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("topKPerGroup equals the window rank on documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaHeap = Ranking.topKPerGroup(docs, "lang", "n_chars", "doc_id", k = 5)
+    val viaWindow = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc))
+        .cast("int"))
+      .where($"rank" <= 5)
+      .select($"lang", $"doc_id", $"n_chars", $"rank")
+    assert(viaHeap.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaHeap).isEmpty)
+  }
+
+  test("topKPerGroup: groups smaller than k rank densely; asc mode") {
+    val df = Seq(("a", 3L, 1L), ("a", 1L, 2L), ("b", 9L, 3L))
+      .toDF("g", "score", "id")
+    val out = Ranking.topKPerGroup(df, "g", "score", "id", k = 5,
+      desc = false).orderBy("g", "rank")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(("a", 2L, 1L, 1), ("a", 1L, 3L, 2), ("b", 3L, 9L, 1)))
+  }
+
+  test("rrfFuse: overlap sums both sides, one-sided candidates score one term") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "vec_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q_id", "vec_id", "rank")
+    val out = Ranking.rrfFuse(a, b, k = 3).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // 11: 1/62 + 1/61 (both) > 10: 1/61 > 12: 1/62
+    assert(out.map(_._2) == Seq(11L, 10L, 12L))
+    assert(out.head._3 == 1.0 / 62 + 1.0 / 61)
+    assert(out(1)._3 == 1.0 / 61 && out(2)._3 == 1.0 / 62)
+    assert(out.map(_._4) == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse ties break to the lower id") {
+    // X only in a at rank 1, Y only in b at rank 1 -> equal rrf
+    val a = Seq((7L, 5L, 1)).toDF("q_id", "vec_id", "rank")
+    val b = Seq((7L, 2L, 1)).toDF("q_id", "vec_id", "rank")
+    val out = Ranking.rrfFuse(a, b, k = 2).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 5L))
+  }
+
+  test("topKPerGroup plan: partial+final ObjectHashAggregate, no corpus window") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = Ranking.topKPerGroup(docs, "lang", "n_chars", "doc_id", k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("(?i)objecthashaggregate".r.findAllIn(p).size >= 2,
+      s"heap not partial-aggregated map-side:\n$p")
+    assert(!p.contains("Window ["), s"corpus hit a window:\n$p")
+  }
+}
