@@ -1156,5 +1156,131 @@ object CurationProbes {
              |                       ORDER BY rrf DESC, vec_id) AS rn
              |  FROM fused) WHERE rn <= 5
              |ORDER BY q_id, rank""".stripMargin)),
+
+    // Ranking.evalBinaryRetrieval: the retrieval-eval harness (nDCG@k
+    // + recall@k) closing the loop index → batch join → fusion →
+    // EVAL. Relevance = same-label pairs (binary); DCG/IDCG are
+    // FIXED-ORDER chains over the dcgDiscount literal table — both
+    // engines parse the same printed doubles, so the metrics
+    // hash-match RAW (no log2 call, no ROUND). The oracle re-derives
+    // the x111 retriever chain, the qrels, and both metric chains ---
+    Probe("x119_retrieval_eval",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag8 = IndexCache.corpusTag("x111", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag8"
+        IndexCache.ensureBuilt(dir8) {
+          Similarity.writeInt8Index(embs, dir8, nlist = 8)
+        }
+        val queries = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val ranking = Similarity.annJoinInt8FromIndex(
+          queries, dir8, k = 5, nprobe = 4)
+        val qrels = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("label"))
+          .join(embs.select(col("vec_id"), col("label")), Seq("label"))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"))
+        Ranking.evalBinaryRetrieval(ranking, qrels, k = 5).orderBy("q_id")
+      },
+      Some {
+        val d1 = Ranking.dcgDiscount(1); val d2 = Ranking.dcgDiscount(2)
+        val d3 = Ranking.dcgDiscount(3); val d4 = Ranking.dcgDiscount(4)
+        val d5 = Ranking.dcgDiscount(5)
+        s"""WITH init AS (
+           |  SELECT vec_id, embedding,
+           |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+           |      % 8 AS cell0
+           |  FROM embeddings),
+           |idims AS (
+           |  SELECT cell0, j, x FROM init,
+           |    LATERAL (SELECT unnest(embedding) AS x,
+           |             generate_subscripts(embedding, 1) AS j)),
+           |cent AS (
+           |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+           |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+           |    FROM idims GROUP BY cell0, j)
+           |  GROUP BY cell0),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT i.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+           |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+           |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+           |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+           |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+           |qs AS (
+           |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id % 50 = 3),
+           |qcells AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+           |        ROUND(list_dot_product(q.qv, q.qv)
+           |          - 2 * list_dot_product(q.qv, c.c)
+           |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+           |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+           |qz AS (
+           |  SELECT vec_id,
+           |    GREATEST(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+           |    embedding
+           |  FROM embeddings),
+           |codes8 AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+           |  FROM qz),
+           |cand8 AS (
+           |  SELECT p.q_id, c.vec_id,
+           |    list_dot_product(c.codes, qc.codes) /
+           |      (sqrt(list_dot_product(c.codes, c.codes)) *
+           |       sqrt(list_dot_product(qc.codes, qc.codes))) AS sim
+           |  FROM codes8 c
+           |  JOIN assigned a USING (vec_id)
+           |  JOIN qcells p ON a.cell = p.cell
+           |  JOIN codes8 qc ON qc.vec_id = p.q_id
+           |  WHERE c.vec_id <> p.q_id),
+           |ranked AS (
+           |  SELECT q_id, vec_id, rn FROM (
+           |    SELECT q_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id
+           |                         ORDER BY sim DESC, vec_id) AS rn
+           |    FROM cand8) WHERE rn <= 5),
+           |qrels AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id
+           |  FROM embeddings q JOIN embeddings e ON e.label = q.label
+           |  WHERE q.vec_id % 50 = 3 AND e.vec_id <> q.vec_id),
+           |hits AS (
+           |  SELECT r.q_id, r.rn AS rank,
+           |    CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           |  FROM ranked r LEFT JOIN qrels l
+           |    ON l.q_id = r.q_id AND l.vec_id = r.vec_id),
+           |perq AS (
+           |  SELECT q_id,
+           |    COALESCE(MAX(CASE WHEN rank = 1 AND rel = 1 THEN $d1::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 2 AND rel = 1 THEN $d2::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 3 AND rel = 1 THEN $d3::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 4 AND rel = 1 THEN $d4::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 5 AND rel = 1 THEN $d5::DOUBLE END), 0.0::DOUBLE)
+           |      AS dcg,
+           |    CAST(SUM(rel) AS INT) AS n_hits
+           |  FROM hits GROUP BY 1),
+           |relc AS (SELECT q_id, COUNT(*) AS nr FROM qrels GROUP BY 1)
+           |SELECT p.q_id, CAST(COALESCE(r.nr, 0) AS INT) AS n_rel, p.n_hits,
+           |  CASE WHEN COALESCE(r.nr, 0) > 0 THEN p.dcg / (
+           |      (CASE WHEN r.nr >= 1 THEN $d1::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 2 THEN $d2::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 3 THEN $d3::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 4 THEN $d4::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 5 THEN $d5::DOUBLE ELSE 0.0::DOUBLE END)) END AS ndcg,
+           |  CASE WHEN COALESCE(r.nr, 0) > 0
+           |       THEN CAST(p.n_hits AS DOUBLE) / CAST(r.nr AS DOUBLE) END
+           |    AS recall
+           |FROM perq p LEFT JOIN relc r USING (q_id)
+           |ORDER BY p.q_id""".stripMargin
+      }),
   )
 }

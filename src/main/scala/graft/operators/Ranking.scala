@@ -77,4 +77,62 @@ object Ranking {
         col("_r.rrf").as("rrf"),
         (col("_p") + 1).cast("int").as("rank"))
   }
+
+  /** Position-i DCG discount `1 / log2(i + 1)`, exposed so the
+    * operator and any mirror share ONE table of literal doubles —
+    * `Double.toString` round-trips exactly, so an engine that parses
+    * the printed literal gets the identical bits and the eval needs
+    * no transcendental call (log2 differs across libm
+    * implementations in the last ulp) and no rounding step. */
+  def dcgDiscount(i: Int): Double = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+
+  /** Retrieval evaluation against binary relevance — nDCG@k and
+    * recall@k per query, the harness that closes the retrieval loop
+    * (index → batch ANN join → fusion → THIS). `ranking` carries
+    * (qIdCol, idCol, rank); `qrels` carries the RELEVANT (qIdCol,
+    * idCol) pairs (e.g. same-label pairs, click data).
+    *
+    * Exactness: DCG is a FIXED-ORDER chain of k conditional terms
+    * over the [[dcgDiscount]] literal table (rel ∈ {0,1}, so the
+    * position term either contributes its literal discount or 0.0 —
+    * left-to-right addition, bit-identical on any engine); IDCG@k is
+    * the same chain gated on `n_rel >= i`; nDCG is one IEEE divide;
+    * recall is an exact integer ratio. No ROUND anywhere (probe x119
+    * hash-matches raw doubles).
+    *
+    * Scale shape: the hits join is keyed on (query, id) over the
+    * ALREADY-BOUNDED ranking (Q·k rows); per-query relevant counts
+    * are one partial-aggregable count over qrels. Queries with zero
+    * relevant pairs score null nDCG/recall (nothing to normalize by).
+    * Returns (qIdCol, n_rel, n_hits, ndcg, recall). */
+  def evalBinaryRetrieval(ranking: DataFrame, qrels: DataFrame, k: Int,
+                          qIdCol: String = "q_id",
+                          idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rels = qrels.select(col(qIdCol), col(idCol)).withColumn("_rel", lit(1))
+    val hits = ranking.where(col("rank") <= k)
+      .join(rels, Seq(qIdCol, idCol), "left")
+      .select(col(qIdCol), col("rank"),
+        coalesce(col("_rel"), lit(0)).as("rel"))
+    val dcg = (1 to k).map { i =>
+      coalesce(max(when(col("rank") === i && col("rel") === 1,
+        lit(dcgDiscount(i)))), lit(0.0))
+    }.reduceLeft(_ + _)
+    val perQ = hits.groupBy(col(qIdCol))
+      .agg(dcg.as("dcg"), sum(col("rel")).cast("int").as("n_hits"))
+    val relCounts = qrels.groupBy(col(qIdCol))
+      .agg(count(lit(1)).as("_nr"))
+    val idcg = (1 to k).map { i =>
+      when(col("_nr") >= i, lit(dcgDiscount(i))).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    perQ.join(relCounts, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        coalesce(col("_nr"), lit(0L)).cast("int").as("n_rel"),
+        col("n_hits"),
+        when(coalesce(col("_nr"), lit(0L)) > 0, col("dcg") / idcg)
+          .as("ndcg"),
+        when(coalesce(col("_nr"), lit(0L)) > 0,
+          col("n_hits").cast("double") / col("_nr").cast("double"))
+          .as("recall"))
+  }
 }

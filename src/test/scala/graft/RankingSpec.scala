@@ -52,6 +52,38 @@ class RankingSpec extends SparkTestBase {
     assert(out.map(_._2) == Seq(2L, 5L))
   }
 
+  test("evalBinaryRetrieval: perfect, partial, miss and no-relevant queries") {
+    // q1: 2 relevant, both retrieved at ranks 1-2 of k=3 -> ndcg 1, recall 1
+    // q2: 3 relevant, one retrieved at rank 3 -> dcg=d3, idcg=d1+d2+d3
+    // q3: 1 relevant, none retrieved -> ndcg 0, recall 0
+    // q4: no relevant pairs at all -> null ndcg/recall
+    val ranking = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (4L, 40L, 1)).toDF("q_id", "vec_id", "rank")
+    val qrels = Seq(
+      (1L, 10L), (1L, 11L),
+      (2L, 22L), (2L, 98L), (2L, 99L),
+      (3L, 77L)).toDF("q_id", "vec_id")
+    val out = graft.operators.Ranking
+      .evalBinaryRetrieval(ranking, qrels, k = 3)
+      .orderBy("q_id")
+      .as[(Long, Int, Int, Option[Double], Option[Double])].collect().toSeq
+    def d(i: Int) = graft.operators.Ranking.dcgDiscount(i)
+    assert(out(0) == ((1L, 2, 2, Some((d(1) + d(2)) / (d(1) + d(2))), Some(1.0))))
+    assert(out(1) == ((2L, 3, 1, Some(d(3) / (d(1) + d(2) + d(3))), Some(1.0 / 3))))
+    assert(out(2) == ((3L, 1, 0, Some(0.0), Some(0.0))))
+    assert(out(3)._1 == 4L && out(3)._4.isEmpty && out(3)._5.isEmpty)
+  }
+
+  test("evalBinaryRetrieval dcgDiscount table is the shared literal contract") {
+    val d = graft.operators.Ranking.dcgDiscount _
+    assert(d(1) == 1.0)
+    assert(d(2) == 1.0 / (math.log(3.0) / math.log(2.0)))
+    // printed form must round-trip (the oracle parses these strings)
+    (1 to 10).foreach(i => assert(d(i).toString.toDouble == d(i)))
+  }
+
   test("topKPerGroup plan: partial+final ObjectHashAggregate, no corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = Ranking.topKPerGroup(docs, "lang", "n_chars", "doc_id", k = 5)
