@@ -82,6 +82,74 @@ object Bm25 {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Batch BM25 top-k JOIN — the lexical sibling of the dense batch
+    * ANN joins (`Similarity.annJoinInt8FromIndex`): for EVERY query
+    * row (qIdCol, termsCol: array<string>), the top-k documents by
+    * BM25 over that query's terms. The hybrid-retrieval building
+    * block: run the query log against the corpus once, fuse with a
+    * dense retriever via [[Ranking.rrfFuse]].
+    *
+    * Scale shape: the corpus pays ONE map-only pass — `termHits`
+    * against the UNION vocabulary of all queries (distinct lowercased
+    * terms, driver-collected under a loud `maxVocab` bound — the
+    * bounded-model-artifact contract), so `map_filter` still drops
+    * every non-query term inside the scan and only (doc, any-query-
+    * term) hits ever shuffle. df per term is a ≤|vocab|-row broadcast
+    * (document frequency is query-independent, so batch scores equal
+    * the single-query [[scores]] per query — spec-pinned). Attaching
+    * queries is a broadcast join on the term; the per-(query, doc)
+    * sum is one grouped agg (round-6, the [[scores]] policy — ranks
+    * compare ROUNDED values, so ties and order are engine-stable);
+    * the per-query top-k is the `top_k_struct` partial-aggregable
+    * bounded heap — candidates never hit a window or a second
+    * shuffle. Returns (qIdCol, idCol, bm25, n_hit, rank), rank 1..k
+    * by (bm25 DESC, id ASC). */
+  def topKJoin(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               qIdCol: String = "q_id", termsCol: String = "terms",
+               maxVocab: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.GraftExtensions.register(docs.sparkSession)
+    val qterms = queries
+      .select(col(qIdCol), explode(col(termsCol)).as("_t"))
+      .select(col(qIdCol), lower(col("_t")).as("word"))
+      .distinct()
+    val vocabRows = qterms.select("word").distinct()
+      .limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"query vocabulary exceeds maxVocab=$maxVocab — the union term " +
+        s"set is the broadcast model artifact and must stay bounded; " +
+        s"split the query batch or raise maxVocab deliberately")
+    val vocab = vocabRows.map(_.getString(0)).toSeq
+    val hits = termHits(docs, vocab, idCol, textCol)
+    val stats = docs
+      .select(TextOps.wsTokenCount(col(textCol)).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("_dl")).as("avgdl"))
+    val df = hits.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val pair = hits
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("_contrib", idf * tfNorm)
+      .join(broadcast(qterms), "word")
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum("_contrib"), 6).as("bm25"), count(lit(1)).as("n_hit"))
+    pair.groupBy(col(qIdCol))
+      .agg(call_function("top_k_struct",
+        struct(col("bm25"), col(idCol), col("n_hit")), lit(k), lit(true))
+        .as("_tk"))
+      .select(col(qIdCol), posexplode(col("_tk")).as(Seq("_p", "_r")))
+      .select(col(qIdCol),
+        col("_r").getField(idCol).as(idCol),
+        col("_r.bm25").as("bm25"),
+        col("_r.n_hit").as("n_hit"),
+        (col("_p") + 1).cast("int").as("rank"))
+  }
+
   /** BM25 model of a reference corpus, collected to the driver:
     * per-term idf (≤ |terms| entries) plus (nDocs, avgdl). Bounded by
     * construction — the at-rest artifact for [[scoreWithModel]]. */

@@ -527,5 +527,59 @@ object SelectionProbes {
              |FROM documents d
              |LEFT JOIN kept USING (doc_id) LEFT JOIN rem USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Bm25.topKJoin: the BATCH BM25 top-k join — the lexical sibling
+    // of the dense batch ANN joins (x111/x112): every query row gets
+    // its top-5 documents by BM25 over ITS term list, from ONE
+    // map-only corpus pass against the union vocabulary. df is
+    // query-independent (spec-pinned equal to per-query x74 runs);
+    // ranks compare the round-6 scores, ties to the lower doc_id.
+    // The oracle re-derives dl/df/N/avgdl, the per-(query, doc)
+    // contribution sums, and the per-query rank ---------------------
+    Probe("x120_bm25_join",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        import s.implicits._
+        val queries = Seq(
+          (1L, Seq("spark", "vector")),
+          (2L, Seq("customer", "zzz", "spark")),
+          (3L, Seq("vector", "supplier", "region", "order")))
+          .toDF("q_id", "terms")
+        Bm25.topKJoin(Tables.documents(s, d), queries, k = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH tok0 AS ($tokSql),
+              |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, word FROM (VALUES
+              |  (1, 'spark'), (1, 'vector'),
+              |  (2, 'customer'), (2, 'zzz'), (2, 'spark'),
+              |  (3, 'vector'), (3, 'supplier'), (3, 'region'), (3, 'order'))
+              |  AS t(q_id, word)),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok0 GROUP BY 1),
+              |stats AS (
+              |  SELECT COUNT(*) AS n_docs, AVG(t.dl) AS avgdl FROM (
+              |    SELECT d.doc_id, COALESCE(dl.dl, 0) AS dl
+              |    FROM documents d LEFT JOIN dl USING (doc_id)) t),
+              |hits AS (
+              |  SELECT doc_id, w AS word, COUNT(*) AS tf FROM tok0
+              |  WHERE w IN (SELECT DISTINCT word FROM q)
+              |  GROUP BY 1, 2),
+              |df AS (SELECT word, COUNT(*) AS df FROM hits GROUP BY 1),
+              |pair AS (
+              |  SELECT qq.q_id, h.doc_id,
+              |    ROUND(SUM(
+              |      LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+              |      h.tf * (1.2 + 1) /
+              |      (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+              |      AS bm25,
+              |    COUNT(*) AS n_hit
+              |  FROM hits h JOIN df USING (word) JOIN dl USING (doc_id)
+              |  JOIN q qq USING (word)
+              |  CROSS JOIN stats GROUP BY 1, 2)
+              |SELECT q_id, doc_id, bm25, n_hit, CAST(rn AS INT) AS rank FROM (
+              |  SELECT q_id, doc_id, bm25, n_hit,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id
+              |                       ORDER BY bm25 DESC, doc_id) AS rn
+              |  FROM pair) WHERE rn <= 5
+              |ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -84,6 +84,34 @@ class RankingSpec extends SparkTestBase {
     (1 to 10).foreach(i => assert(d(i).toString.toDouble == d(i)))
   }
 
+  test("bm25 topKJoin equals the per-query single-path topK run by run") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val qs = Seq(1L -> Seq("spark", "vector"),
+      2L -> Seq("customer", "zzz", "spark"))
+    val queries = qs.toDF("q_id", "terms")
+    val batch = graft.operators.Bm25.topKJoin(docs, queries, k = 5)
+    qs.foreach { case (qid, terms) =>
+      val b = batch.where($"q_id" === qid).orderBy("rank")
+        .select("doc_id", "bm25", "n_hit")
+        .as[(Long, Double, Long)].collect().toSeq
+      val single = graft.operators.Bm25.topK(docs, terms, k = 5)
+        .select("doc_id", "bm25", "n_hit")
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(b == single, s"batch != single for query $qid")
+    }
+  }
+
+  test("bm25 topKJoin refuses an unbounded query vocabulary loudly") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val queries = Seq((1L, Seq("a", "b", "c"))).toDF("q_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Bm25.topKJoin(docs, queries, k = 2, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("topKPerGroup plan: partial+final ObjectHashAggregate, no corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = Ranking.topKPerGroup(docs, "lang", "n_chars", "doc_id", k = 5)
