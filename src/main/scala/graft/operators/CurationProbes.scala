@@ -1282,5 +1282,143 @@ object CurationProbes {
            |FROM perq p LEFT JOIN relc r USING (q_id)
            |ORDER BY p.q_id""".stripMargin
       }),
+
+    // Ranking.mmrSelect: MMR diversity re-rank (Carbonell 1998) —
+    // greedy λ·rel − (1−λ)·max-sim-to-picked selection over the x111
+    // retriever's top-10 pool, 3 rounds, λ=0.5, all similarities the
+    // exact integer int8 cosine. The oracle unrolls every round
+    // (the WordPiece unrolled-merges precedent): pick-1 argmax,
+    // penalty-vs-picked max, pick-2, cumulative exclusion, pick-3 —
+    // raw doubles, no rounding anywhere ------------------------------
+    Probe("x121_mmr_rerank",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag8 = IndexCache.corpusTag("x111", d, embs,
+          Seq("vec_id", "embedding"))
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag8"
+        IndexCache.ensureBuilt(dir8) {
+          Similarity.writeInt8Index(embs, dir8, nlist = 8)
+        }
+        val queries = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val cands = Similarity.annJoinInt8FromIndex(
+            queries, dir8, k = 10, nprobe = 4)
+          .select(col("q_id"), col("vec_id"), col("sim").as("rel"))
+        Ranking.mmrSelect(cands, Similarity.quantizeInt8(embs), k = 3)
+          .orderBy("q_id", "round")
+      },
+      Some("""WITH init AS (
+           |  SELECT vec_id, embedding,
+           |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+           |      % 8 AS cell0
+           |  FROM embeddings),
+           |idims AS (
+           |  SELECT cell0, j, x FROM init,
+           |    LATERAL (SELECT unnest(embedding) AS x,
+           |             generate_subscripts(embedding, 1) AS j)),
+           |cent AS (
+           |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+           |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+           |    FROM idims GROUP BY cell0, j)
+           |  GROUP BY cell0),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT i.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+           |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+           |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+           |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+           |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+           |qs AS (
+           |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id % 50 = 3),
+           |qcells AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+           |        ROUND(list_dot_product(q.qv, q.qv)
+           |          - 2 * list_dot_product(q.qv, c.c)
+           |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+           |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+           |qz AS (
+           |  SELECT vec_id,
+           |    GREATEST(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+           |    embedding
+           |  FROM embeddings),
+           |codes8 AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+           |  FROM qz),
+           |cand8 AS (
+           |  SELECT p.q_id, c.vec_id,
+           |    list_dot_product(c.codes, qc.codes) /
+           |      (sqrt(list_dot_product(c.codes, c.codes)) *
+           |       sqrt(list_dot_product(qc.codes, qc.codes))) AS sim
+           |  FROM codes8 c
+           |  JOIN assigned a USING (vec_id)
+           |  JOIN qcells p ON a.cell = p.cell
+           |  JOIN codes8 qc ON qc.vec_id = p.q_id
+           |  WHERE c.vec_id <> p.q_id),
+             |cand10 AS (
+             |  SELECT q_id, vec_id, rel FROM (
+             |    SELECT q_id, vec_id, sim AS rel,
+             |      ROW_NUMBER() OVER (PARTITION BY q_id
+             |                         ORDER BY sim DESC, vec_id) AS rn
+             |    FROM cand8) WHERE rn <= 10),
+             |m1 AS (
+             |  SELECT q_id, vec_id,
+             |    0.5::DOUBLE * rel - 0.5::DOUBLE * 0.0::DOUBLE AS mmr
+             |  FROM cand10),
+             |p1 AS (
+             |  SELECT q_id, vec_id, mmr FROM (
+             |    SELECT q_id, vec_id, mmr, ROW_NUMBER() OVER (
+             |      PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+             |    FROM m1) WHERE rn = 1),
+             |s2 AS (
+             |  SELECT c.q_id, c.vec_id,
+             |    0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(
+             |      list_dot_product(cc.codes, sc.codes) /
+             |        (sqrt(list_dot_product(cc.codes, cc.codes)) *
+             |         sqrt(list_dot_product(sc.codes, sc.codes)))) AS mmr
+             |  FROM cand10 c
+             |  JOIN p1 p ON p.q_id = c.q_id AND c.vec_id <> p.vec_id
+             |  JOIN codes8 cc ON cc.vec_id = c.vec_id
+             |  JOIN codes8 sc ON sc.vec_id = p.vec_id
+             |  GROUP BY c.q_id, c.vec_id, c.rel),
+             |p2 AS (
+             |  SELECT q_id, vec_id, mmr FROM (
+             |    SELECT q_id, vec_id, mmr, ROW_NUMBER() OVER (
+             |      PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+             |    FROM s2) WHERE rn = 1),
+             |picked2 AS (
+             |  SELECT q_id, vec_id FROM p1
+             |  UNION ALL SELECT q_id, vec_id FROM p2),
+             |s3 AS (
+             |  SELECT c.q_id, c.vec_id,
+             |    0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(
+             |      list_dot_product(cc.codes, sc.codes) /
+             |        (sqrt(list_dot_product(cc.codes, cc.codes)) *
+             |         sqrt(list_dot_product(sc.codes, sc.codes)))) AS mmr
+             |  FROM cand10 c
+             |  JOIN picked2 p ON p.q_id = c.q_id
+             |  JOIN codes8 cc ON cc.vec_id = c.vec_id
+             |  JOIN codes8 sc ON sc.vec_id = p.vec_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM picked2 x
+             |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+             |  GROUP BY c.q_id, c.vec_id, c.rel),
+             |p3 AS (
+             |  SELECT q_id, vec_id, mmr FROM (
+             |    SELECT q_id, vec_id, mmr, ROW_NUMBER() OVER (
+             |      PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+             |    FROM s3) WHERE rn = 1)
+             |SELECT q_id, vec_id, mmr, CAST(1 AS INT) AS round FROM p1
+             |UNION ALL
+             |SELECT q_id, vec_id, mmr, CAST(2 AS INT) AS round FROM p2
+             |UNION ALL
+             |SELECT q_id, vec_id, mmr, CAST(3 AS INT) AS round FROM p3
+             |ORDER BY q_id, round""".stripMargin)),
   )
 }

@@ -78,6 +78,77 @@ object Ranking {
         (col("_p") + 1).cast("int").as("rank"))
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): greedily
+    * select `k` items per query from a bounded candidate pool,
+    * trading relevance against redundancy —
+    *
+    *   pick_r = argmax over remaining of
+    *            λ·rel − (1−λ)·max_{s ∈ picked} sim(c, s)
+    *
+    * (ties to the LOWER id; round 1 has an empty picked set, penalty
+    * 0). The diverse-few-shot / dedup-aware-retrieval primitive: a
+    * plain top-k returns near-duplicates of the best hit, MMR forces
+    * coverage.
+    *
+    * Inputs: `candidates` (qIdCol, idCol, relCol) — the ALREADY
+    * BOUNDED per-query pool (Q·n rows, e.g. a batch ANN join's
+    * output); `codes` (idCol, q_codes) int8 codes for the pairwise
+    * similarity ([[Similarity.quantizeInt8]] — integer cosine, so
+    * every sim is engine-exact and probe x121 mirrors all rounds).
+    *
+    * Exactness: rel and sim are exact-integer cosines (doubles with
+    * no accumulation ambiguity); λ·rel and (1−λ)·pen are single IEEE
+    * multiplies, the penalty max is order-free, the argmax is the
+    * partial-aggregable max(struct) — no window, no rounding.
+    *
+    * Scale shape: `k` driver-loop rounds (the GBT/WordPiece bounded
+    * driver-loop precedent), each a keyed join of the remaining pool
+    * against the ≤(r−1) picked rows per query plus one
+    * partial-aggregable argmax — every intermediate is ≤ Q·n rows,
+    * nothing corpus-sized. Returns (qIdCol, idCol, mmr, round),
+    * round 1..k in pick order. */
+  def mmrSelect(candidates: DataFrame, codes: DataFrame, k: Int,
+                lambda: Double = 0.5,
+                qIdCol: String = "q_id", idCol: String = "vec_id",
+                relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    graft.GraftExtensions.register(candidates.sparkSession)
+    val pool = candidates
+      .select(col(qIdCol), col(idCol), col(relCol).cast("double").as("_rel"))
+      .join(codes.select(col(idCol), col("q_codes").as("_c")), Seq(idCol))
+      .select(col(qIdCol), col(idCol), col("_rel"), col("_c"))
+    def argmaxPick(scored: DataFrame, round: Int): DataFrame =
+      scored
+        .groupBy(col(qIdCol))
+        .agg(max(struct(col("_mmr"), (-col(idCol)).as("_nid"),
+          col(idCol).as("_pid"))).as("_b"))
+        .select(col(qIdCol), col("_b._pid").as(idCol),
+          col("_b._mmr").as("mmr"), lit(round).as("round"))
+    var picked = argmaxPick(
+      pool.select(col(qIdCol), col(idCol),
+        (lit(lambda) * col("_rel") - lit(1.0 - lambda) * lit(0.0))
+          .as("_mmr")), 1)
+    for (r <- 2 to k) {
+      val remaining = pool.join(picked.select(col(qIdCol), col(idCol)),
+        Seq(qIdCol, idCol), "left_anti")
+      val scored = remaining
+        .join(picked.select(col(qIdCol), col(idCol).as("_sid"))
+          .join(pool.select(col(qIdCol), col(idCol).as("_sid"),
+            col("_c").as("_sc")), Seq(qIdCol, "_sid")), Seq(qIdCol))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(max(col("_rel")).as("_rel2"),
+          max(call_function("int8_cosine", col("_c"), col("_sc")))
+            .as("_pen"))
+        .select(col(qIdCol), col(idCol),
+          (lit(lambda) * col("_rel2") - lit(1.0 - lambda) * col("_pen"))
+            .as("_mmr"))
+      picked = picked.unionByName(argmaxPick(scored, r))
+    }
+    picked.select(col(qIdCol), col(idCol), col("mmr"),
+      col("round").cast("int").as("round"))
+  }
+
   /** Position-i DCG discount `1 / log2(i + 1)`, exposed so the
     * operator and any mirror share ONE table of literal doubles —
     * `Double.toString` round-trips exactly, so an engine that parses

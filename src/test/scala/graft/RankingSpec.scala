@@ -112,6 +112,36 @@ class RankingSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("mmrSelect: diversity beats a redundant higher-rel candidate") {
+    GraftExtensions.register(spark)
+    // query 1 pool: ids 10,11 are near-duplicates (identical codes),
+    // id 12 is orthogonal-ish with lower rel. Plain top-2 = {10, 11};
+    // MMR must pick 10 then 12 (11's penalty ~1.0 kills it).
+    val cands = Seq((1L, 10L, 0.99), (1L, 11L, 0.98), (1L, 12L, 0.60))
+      .toDF("q_id", "vec_id", "rel")
+    val codes = Seq(
+      (10L, Seq[Byte](127, 0, 0, 0)),
+      (11L, Seq[Byte](127, 1, 0, 0)),
+      (12L, Seq[Byte](0, 0, 127, 0)))
+      .toDF("vec_id", "q_codes")
+    val out = Ranking.mmrSelect(cands, codes, k = 2)
+      .orderBy("round").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(10L, 12L),
+      s"expected diverse pick {10, 12}, got ${out.map(_._2)}")
+    assert(out.head._3 == 0.5 * 0.99)
+  }
+
+  test("mmrSelect: round 1 ties go to the lower id; pool smaller than k") {
+    GraftExtensions.register(spark)
+    val cands = Seq((5L, 30L, 0.7), (5L, 20L, 0.7)).toDF("q_id", "vec_id", "rel")
+    val codes = Seq((20L, Seq[Byte](1, 2)), (30L, Seq[Byte](-3, 4)))
+      .toDF("vec_id", "q_codes")
+    val out = Ranking.mmrSelect(cands, codes, k = 5)
+      .orderBy("round").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq(20L, 30L)) // tie -> lower id first
+    assert(out.map(_._4) == Seq(1, 2))     // pool exhausts at 2 rounds
+  }
+
   test("topKPerGroup plan: partial+final ObjectHashAggregate, no corpus window") {
     val docs = Tables.documents(spark, sfDir)
     val df = Ranking.topKPerGroup(docs, "lang", "n_chars", "doc_id", k = 5)
