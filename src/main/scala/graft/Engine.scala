@@ -26,6 +26,15 @@ object Engine {
       // own classes mid-run and queries recompile (static conf — must
       // be set before the first session in the JVM)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // the top_k_struct bounded-heap aggregates (batch ANN joins,
+      // grouped top-k) run under ObjectHashAggregate, whose default
+      // in-memory hash map caps at 128 groups per partition before
+      // falling back to sort-based aggregation — a per-partition SORT
+      // of the candidate rows. Query batches routinely carry
+      // thousands of groups per partition; 64k heap states of ≤k slim
+      // rows each are a few MB, far cheaper than sorting candidates.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
