@@ -26,7 +26,11 @@ import org.apache.spark.sql.types._
   * nulls the similarity (quantized code arrays never carry element
   * nulls in practice). Unequal lengths score the common prefix (the
   * [[DotProduct]] contract; quantized pairs are equal-length by
-  * construction).
+  * construction). A ZERO-NORM input (an all-zero embedding quantizes
+  * to all-zero codes) yields NaN — IEEE division, the value DuckDB's
+  * float arithmetic mirrors — where the HOF's native Divide THROWS
+  * under ANSI mode; the kernel is the more oracle-consistent of the
+  * two, and no certified corpus carries zero vectors.
   */
 case class Int8Cosine(left: Expression, right: Expression)
     extends BinaryExpression {
