@@ -120,6 +120,36 @@ class StreamingSpec extends SparkTestBase {
       Set("alpha document text", "beta document text", "gamma document text"))
   }
 
+  test("grouped top-k heap runs as a streaming aggregation and equals batch") {
+    GraftExtensions.register(spark)
+    val landing = Files.createTempDirectory("graft_topk").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_topk").toString
+    val rows = Seq(
+      ("a", 3.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 3L), ("a", 1.0, 4L),
+      ("b", 2.0, 5L), ("b", 9.0, 6L))
+    // two files -> two microbatches exercise the heap's state
+    // merge across batches, not just within one
+    rows.take(3).toDF("g", "score", "id").write.mode("append").parquet(landing)
+    rows.drop(3).toDF("g", "score", "id").write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("score", DoubleType), StructField("id", LongType)))
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"g")
+      .agg(call_function("top_k_struct",
+        struct($"score", $"id"), lit(2), lit(true)).as("tk"))
+    val streamed = ForecastStream.runAvailableNow(
+      topk(spark.readStream.schema(schema).parquet(landing)),
+      "topk_stream", ckpt, "complete")
+      .select($"g", $"tk".cast("array<struct<score:double,id:bigint>>"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    val batch = topk(spark.read.schema(schema).parquet(landing))
+      .select($"g", $"tk".cast("array<struct<score:double,id:bigint>>"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    assert(streamed == batch)
+    assert(streamed("a") == Seq((5.0, 2L), (5.0, 3L))) // desc, id tie-break
+    assert(streamed("b") == Seq((9.0, 6L), (2.0, 5L)))
+  }
+
   test("map-only curation ops run unchanged on a stream and equal the batch result") {
     GraftExtensions.register(spark)
     val landing = Files.createTempDirectory("graft_curdocs").toString
