@@ -1260,22 +1260,22 @@ object CurationProbes {
            |    ON l.q_id = r.q_id AND l.vec_id = r.vec_id),
            |perq AS (
            |  SELECT q_id,
-           |    COALESCE(MAX(CASE WHEN rank = 1 AND rel = 1 THEN $d1::DOUBLE END), 0.0::DOUBLE)
-           |    + COALESCE(MAX(CASE WHEN rank = 2 AND rel = 1 THEN $d2::DOUBLE END), 0.0::DOUBLE)
-           |    + COALESCE(MAX(CASE WHEN rank = 3 AND rel = 1 THEN $d3::DOUBLE END), 0.0::DOUBLE)
-           |    + COALESCE(MAX(CASE WHEN rank = 4 AND rel = 1 THEN $d4::DOUBLE END), 0.0::DOUBLE)
-           |    + COALESCE(MAX(CASE WHEN rank = 5 AND rel = 1 THEN $d5::DOUBLE END), 0.0::DOUBLE)
+           |    COALESCE(MAX(CASE WHEN rank = 1 AND rel = 1 THEN '$d1'::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 2 AND rel = 1 THEN '$d2'::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 3 AND rel = 1 THEN '$d3'::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 4 AND rel = 1 THEN '$d4'::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 5 AND rel = 1 THEN '$d5'::DOUBLE END), 0.0::DOUBLE)
            |      AS dcg,
            |    CAST(SUM(rel) AS INT) AS n_hits
            |  FROM hits GROUP BY 1),
            |relc AS (SELECT q_id, COUNT(*) AS nr FROM qrels GROUP BY 1)
            |SELECT p.q_id, CAST(COALESCE(r.nr, 0) AS INT) AS n_rel, p.n_hits,
            |  CASE WHEN COALESCE(r.nr, 0) > 0 THEN p.dcg / (
-           |      (CASE WHEN r.nr >= 1 THEN $d1::DOUBLE ELSE 0.0::DOUBLE END)
-           |    + (CASE WHEN r.nr >= 2 THEN $d2::DOUBLE ELSE 0.0::DOUBLE END)
-           |    + (CASE WHEN r.nr >= 3 THEN $d3::DOUBLE ELSE 0.0::DOUBLE END)
-           |    + (CASE WHEN r.nr >= 4 THEN $d4::DOUBLE ELSE 0.0::DOUBLE END)
-           |    + (CASE WHEN r.nr >= 5 THEN $d5::DOUBLE ELSE 0.0::DOUBLE END)) END AS ndcg,
+           |      (CASE WHEN r.nr >= 1 THEN '$d1'::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 2 THEN '$d2'::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 3 THEN '$d3'::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 4 THEN '$d4'::DOUBLE ELSE 0.0::DOUBLE END)
+           |    + (CASE WHEN r.nr >= 5 THEN '$d5'::DOUBLE ELSE 0.0::DOUBLE END)) END AS ndcg,
            |  CASE WHEN COALESCE(r.nr, 0) > 0
            |       THEN CAST(p.n_hits AS DOUBLE) / CAST(r.nr AS DOUBLE) END
            |    AS recall
