@@ -31,10 +31,17 @@ object Engine {
       // in-memory hash map caps at 128 groups per partition before
       // falling back to sort-based aggregation — a per-partition SORT
       // of the candidate rows. Query batches routinely carry
-      // thousands of groups per partition; 64k heap states of ≤k slim
-      // rows each are a few MB, far cheaper than sorting candidates.
+      // thousands of groups per partition, so raise the cap — but the
+      // conf is session-global (it also governs collect_list etc.),
+      // so size it by the LARGEST heap state the engine ships: the
+      // IVF-PQ shortlist heaps hold ≈200·k ≈ 2k slim (score,id)
+      // entries, and 16k resident groups × 2k entries ≈ 32M entries
+      // ≈ a few hundred MB per partition — the most that should sit
+      // un-spillable in one task. Typical k≈10 heaps are 3 orders
+      // smaller; past 16k groups the sort fallback is the spillable
+      // right answer. Override via SPARK_GRAFT_CONF for exotic loads.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "65536")
+        "16384")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))

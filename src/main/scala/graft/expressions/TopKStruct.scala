@@ -93,8 +93,15 @@ case class TopKStruct(
     new GenericArrayData(
       buffer.toArray.sorted(ord).asInstanceOf[Array[Any]])
 
+  /** One projection per task, not per serialize() call — under
+    * sort-based fallback or a large partial-merge fan-in serialize
+    * runs once per buffer spill, and UnsafeProjection.create compiles
+    * code. */
+  @transient private lazy val serProj: UnsafeProjection =
+    UnsafeProjection.create(structType)
+
   override def serialize(buffer: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
+    val proj = serProj
     val out = new ByteArrayOutputStream()
     val dos = new DataOutputStream(out)
     dos.writeInt(buffer.size)

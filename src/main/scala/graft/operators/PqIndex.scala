@@ -547,8 +547,7 @@ object PqIndex {
     * bounded heap (`top_k_struct` — the annJoinInt8FromIndex
     * pattern): ≤shortlist rows per query survive map-side inside the
     * scoring stage, so the one shuffle never carries the candidate
-    * set (`preBuckets` is the retired two-phase-window design's
-    * vestige, unused). The rerank joins the vectors table
+    * set. The rerank joins the vectors table
     * on (cell, id) — only shortlist·Q slim rows — and the final
     * (sim DESC, id) rank re-closes densely after exclusions.
     *
@@ -569,12 +568,11 @@ object PqIndex {
                        excludePairs: Option[DataFrame] = None,
                        qIdCol: String = "q_id",
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding",
-                       preBuckets: Int = 8): DataFrame = {
+                       vecCol: String = "embedding"): DataFrame = {
     val shortlistN = resolveShortlist(shortlist, k)
-    require(k >= 1 && nprobe >= 1 && shortlistN >= k && preBuckets >= 1,
-      s"need k>=1, nprobe>=1, shortlist>=k, preBuckets>=1; " +
-        s"got k=$k nprobe=$nprobe shortlist=$shortlistN preBuckets=$preBuckets")
+    require(k >= 1 && nprobe >= 1 && shortlistN >= k,
+      s"need k>=1, nprobe>=1, shortlist>=k; " +
+        s"got k=$k nprobe=$nprobe shortlist=$shortlistN")
     val spark = queries.sparkSession
     graft.GraftExtensions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")

@@ -99,7 +99,14 @@ object Ranking {
     * Exactness: rel and sim are exact-integer cosines (doubles with
     * no accumulation ambiguity); λ·rel and (1−λ)·pen are single IEEE
     * multiplies, the penalty max is order-free, the argmax is the
-    * partial-aggregable max(struct) — no window, no rounding.
+    * partial-aggregable `top_k_struct` k=1 heap (score DESC, id ASC —
+    * works for numeric AND string ids) — no window, no rounding.
+    *
+    * BATCH-ONLY: the greedy rounds are a k-step driver loop, each
+    * conditioned on the previous picks — inexpressible as a single
+    * streaming aggregation (unlike [[rrfFuse]] and
+    * [[evalBinaryRetrieval]], whose StreamingSpec twins run the same
+    * plan over a stream). Re-rank per micro-batch via foreachBatch.
     *
     * Scale shape: `k` driver-loop rounds (the GBT/WordPiece bounded
     * driver-loop precedent), each a keyed join of the remaining pool
@@ -118,12 +125,18 @@ object Ranking {
       .select(col(qIdCol), col(idCol), col(relCol).cast("double").as("_rel"))
       .join(codes.select(col(idCol), col("q_codes").as("_c")), Seq(idCol))
       .select(col(qIdCol), col(idCol), col("_rel"), col("_c"))
+    // per-query argmax as top_k_struct k=1 (score DESC, id ASC) — the
+    // same partial-aggregable shape as every other ranking surface,
+    // and it tie-breaks to the LOWER id for ANY orderable id type
+    // (string ids included; a max(struct(_mmr, -id)) would demand a
+    // numeric id)
     def argmaxPick(scored: DataFrame, round: Int): DataFrame =
       scored
         .groupBy(col(qIdCol))
-        .agg(max(struct(col("_mmr"), (-col(idCol)).as("_nid"),
-          col(idCol).as("_pid"))).as("_b"))
-        .select(col(qIdCol), col("_b._pid").as(idCol),
+        .agg(call_function("top_k_struct",
+          struct(col("_mmr"), col(idCol)), lit(1), lit(true)).as("_tk"))
+        .select(col(qIdCol), col("_tk").getItem(0).as("_b"))
+        .select(col(qIdCol), col("_b").getField(idCol).as(idCol),
           col("_b._mmr").as("mmr"), lit(round).as("round"))
     var picked = argmaxPick(
       pool.select(col(qIdCol), col(idCol),
@@ -175,7 +188,10 @@ object Ranking {
     * ALREADY-BOUNDED ranking (Q·k rows); per-query relevant counts
     * are one partial-aggregable count over qrels. Queries with zero
     * relevant pairs score null nDCG/recall (nothing to normalize by).
-    * Returns (qIdCol, n_rel, n_hits, ndcg, recall). */
+    * A query with relevant pairs but NO ranking rows (the retriever
+    * returned nothing) scores ndcg=0/recall=0 — dropping it would
+    * silently inflate downstream means (full-outer join, RankingSpec
+    * pins it). Returns (qIdCol, n_rel, n_hits, ndcg, recall). */
   def evalBinaryRetrieval(ranking: DataFrame, qrels: DataFrame, k: Int,
                           qIdCol: String = "q_id",
                           idCol: String = "vec_id"): DataFrame = {
@@ -196,14 +212,17 @@ object Ranking {
     val idcg = (1 to k).map { i =>
       when(col("_nr") >= i, lit(dcgDiscount(i))).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
-    perQ.join(relCounts, Seq(qIdCol), "left")
+    // FULL outer: a qrels-only query (zero-hit retriever) must still
+    // score, with an empty hit set (dcg 0, n_hits 0) — idcg sees the
+    // real _nr, so ndcg/recall come out 0.0, not a dropped row
+    perQ.join(relCounts, Seq(qIdCol), "full_outer")
       .select(col(qIdCol),
         coalesce(col("_nr"), lit(0L)).cast("int").as("n_rel"),
-        col("n_hits"),
-        when(coalesce(col("_nr"), lit(0L)) > 0, col("dcg") / idcg)
-          .as("ndcg"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
         when(coalesce(col("_nr"), lit(0L)) > 0,
-          col("n_hits").cast("double") / col("_nr").cast("double"))
-          .as("recall"))
+          coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg"),
+        when(coalesce(col("_nr"), lit(0L)) > 0,
+          coalesce(col("n_hits"), lit(0)).cast("double") /
+            col("_nr").cast("double")).as("recall"))
   }
 }

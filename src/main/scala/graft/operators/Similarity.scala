@@ -250,8 +250,7 @@ object Similarity {
     * partition and candidates never cross the wire. (This replaced a
     * two-phase row_number design that shuffled and sorted the full
     * candidate set twice — 68× growth at 10× data in the sf1 honesty
-    * run; the heap form is what survives 100 TB. `preBuckets` is that
-    * design's vestige, retained for source compatibility, unused.)
+    * run; the heap form is what survives 100 TB.)
     *
     * Exclusions: `excludeSelf` drops candidates whose id equals the
     * query id (same id space — querying the corpus against itself);
@@ -268,9 +267,8 @@ object Similarity {
                            excludePairs: Option[DataFrame] = None,
                            qIdCol: String = "q_id",
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding",
-                           preBuckets: Int = 8): DataFrame = {
-    require(k >= 1 && nprobe >= 1 && preBuckets >= 1)
+                           vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1)
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.GraftExtensions.register(spark)
@@ -353,7 +351,6 @@ object Similarity {
                    qIdCol: String = "q_id", idCol: String = "vec_id",
                    vecCol: String = "embedding",
                    labelCol: String = "label",
-                   preBuckets: Int = 8,
                    maxClassSize: Long = 1000000L): DataFrame = {
     require(negK >= 1 && nprobe >= 1)
     require(maxClassSize >= 1, s"maxClassSize must be >= 1: $maxClassSize")
@@ -399,8 +396,7 @@ object Similarity {
     val negatives = annJoinInt8FromIndex(
       anchors.select(col(qIdCol), col(vecCol)), path, k = negK,
       nprobe = nprobe, excludePairs = Some(sameLabel),
-      qIdCol = qIdCol, idCol = idCol, vecCol = vecCol,
-      preBuckets = preBuckets)
+      qIdCol = qIdCol, idCol = idCol, vecCol = vecCol)
     positives.join(negatives, Seq(qIdCol))
       .select(col(qIdCol), col("pos_id"), col("pos_sim"),
         col(idCol).as("neg_id"), col("sim").as("neg_sim"),

@@ -76,6 +76,29 @@ class RankingSpec extends SparkTestBase {
     assert(out(3)._1 == 4L && out(3)._4.isEmpty && out(3)._5.isEmpty)
   }
 
+  test("evalBinaryRetrieval scores a query the retriever returned NOTHING for") {
+    // q9 has relevant pairs but zero ranking rows — dropping it would
+    // inflate downstream mean ndcg/recall; it must score 0.0, not vanish
+    val ranking = Seq((1L, 10L, 1)).toDF("q_id", "vec_id", "rank")
+    val qrels = Seq((1L, 10L), (9L, 90L), (9L, 91L)).toDF("q_id", "vec_id")
+    val out = graft.operators.Ranking
+      .evalBinaryRetrieval(ranking, qrels, k = 2)
+      .orderBy("q_id")
+      .as[(Long, Int, Int, Option[Double], Option[Double])].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 9L), s"zero-hit query dropped: $out")
+    assert(out(1) == ((9L, 2, 0, Some(0.0), Some(0.0))))
+  }
+
+  test("mmrSelect ranks string ids (tie to the LOWER id, lexicographic)") {
+    GraftExtensions.register(spark)
+    val cands = Seq(("q1", "b", 0.7), ("q1", "a", 0.7)).toDF("q_id", "vec_id", "rel")
+    val codes = Seq(("a", Seq[Byte](1, 2)), ("b", Seq[Byte](-3, 4)))
+      .toDF("vec_id", "q_codes")
+    val out = Ranking.mmrSelect(cands, codes, k = 2)
+      .orderBy("round").as[(String, String, Double, Int)].collect().toSeq
+    assert(out.map(_._2) == Seq("a", "b"), s"string-id tie-break broke: $out")
+  }
+
   test("evalBinaryRetrieval dcgDiscount table is the shared literal contract") {
     val d = graft.operators.Ranking.dcgDiscount _
     assert(d(1) == 1.0)
