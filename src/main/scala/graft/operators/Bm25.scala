@@ -111,6 +111,21 @@ object Bm25 {
                maxVocab: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.GraftExtensions.register(docs.sparkSession)
+    val (qterms, vocab) = collectVocab(queries, qIdCol, termsCol, maxVocab)
+    val hits = termHits(docs, vocab, idCol, textCol)
+    val stats = docs
+      .select(TextOps.wsTokenCount(col(textCol)).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("_dl")).as("avgdl"))
+    scoreHitsTopK(hits, stats, qterms, k, k1, b, idCol, qIdCol)
+  }
+
+  /** The distinct (qIdCol, word) pairs plus the union vocabulary,
+    * driver-collected under a loud `maxVocab` bound — the
+    * bounded-model-artifact contract every batch lexical query
+    * shares. */
+  private def collectVocab(queries: DataFrame, qIdCol: String,
+                           termsCol: String,
+                           maxVocab: Int): (DataFrame, Seq[String]) = {
     val qterms = queries
       .select(col(qIdCol), explode(col(termsCol)).as("_t"))
       .select(col(qIdCol), lower(col("_t")).as("word"))
@@ -121,11 +136,18 @@ object Bm25 {
       s"query vocabulary exceeds maxVocab=$maxVocab — the union term " +
         s"set is the broadcast model artifact and must stay bounded; " +
         s"split the query batch or raise maxVocab deliberately")
-    val vocab = vocabRows.map(_.getString(0)).toSeq
-    val hits = termHits(docs, vocab, idCol, textCol)
-    val stats = docs
-      .select(TextOps.wsTokenCount(col(textCol)).as("_dl"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("_dl")).as("avgdl"))
+    (qterms, vocabRows.map(_.getString(0)).toSeq)
+  }
+
+  /** The shared scoring tail of [[topKJoin]] and
+    * [[topKJoinFromIndex]]: df from the hit rows (≤ |vocab| rows,
+    * broadcast), idf·tfNorm per hit, per-(query, doc) round-6 sum,
+    * per-query top-k via the `top_k_struct` bounded heap. `hits` must
+    * carry (idCol, dl, word, tf); `stats` one row (n_docs, avgdl). */
+  private def scoreHitsTopK(hits: DataFrame, stats: DataFrame,
+                            qterms: DataFrame, k: Int, k1: Double,
+                            b: Double, idCol: String,
+                            qIdCol: String): DataFrame = {
     val df = hits.groupBy("word").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -148,6 +170,185 @@ object Bm25 {
         col("_r.bm25").as("bm25"),
         col("_r.n_hit").as("n_hit"),
         (col("_p") + 1).cast("int").as("rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // The at-rest lexical index — the BM25 sibling of
+  // Similarity.writeInt8Index / PqIndex.writeIndex / the shingle
+  // index: build once, append O(batch), query without ever scanning
+  // the corpus again. Layout under `path`:
+  //   postings/tb=<bucket>/  (idCol, dl, word, tf) — the full inverted
+  //                          index, term-hash-partitioned so a query
+  //                          reads ONLY its terms' buckets
+  //   stats/                 (n_docs, sum_dl) one row per build/append
+  //                          batch — exact long arithmetic, so the
+  //                          merged corpus stats equal a from-scratch
+  //                          rebuild after any append schedule
+  //   meta/                  (n_buckets) — the partition geometry,
+  //                          persisted so append can never bucket a
+  //                          batch differently from the corpus
+  // ---------------------------------------------------------------
+
+  /** The term-hash partition id — ONE definition shared by build,
+    * append and query, so the three can never disagree on where a
+    * term's postings live. */
+  private def termBucket(word: Column, nBuckets: Int): Column =
+    pmod(xxhash64(word), lit(nBuckets.toLong)).cast("int")
+
+  /** (idCol, dl, word, tf) posting rows for EVERY term of every
+    * document — one map-only `word_counts` kernel pass; documents with
+    * no tokens emit nothing (they still count in the stats rows). */
+  private def fullPostings(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
+      .select(col(idCol), call_function("word_counts", col(textCol)).as("_wc"))
+      .select(col(idCol),
+        aggregate(map_values(col("_wc")), lit(0L), (acc, x) => acc + x).as("dl"),
+        explode(col("_wc")).as(Seq("word", "tf")))
+  }
+
+  /** One (n_docs, sum_dl) row for a document set — EXACT long
+    * arithmetic so per-batch rows merge additively: Σ over stats rows
+    * ≡ the same aggregate over the unioned raw corpus, which is why
+    * append ≡ rebuild holds for N and avgdl (avgdl = sum_dl / n_docs;
+    * both sums are exact integers ≤ 2^53, so the one division equals
+    * `avg()` over the raw corpus bit-for-bit). */
+  private def statsRow(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(TextOps.wsTokenCount(col(textCol))), lit(0L)).as("sum_dl"))
+
+  /** Build the at-rest BM25 index: one corpus pass for the postings
+    * (term-hash-partitioned on `tb`), one aggregate-only pass for the
+    * (n_docs, sum_dl) stats row, a one-row meta table pinning the
+    * bucket count. At 100 TB the build is the expensive step a
+    * recurring retrieval workload pays ONCE — [[topKJoin]] re-scans
+    * the whole corpus per query batch, [[topKJoinFromIndex]] reads
+    * ~|query terms| / n_buckets of a postings table that is itself
+    * far smaller than the raw text. Size `nBuckets` so one bucket's
+    * postings fit a scan task comfortably (buckets are the unit of
+    * both pruning and compaction parallelism). */
+  def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fullPostings(docs, idCol, textCol)
+      .withColumn("tb", termBucket(col("word"), nBuckets))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$path/postings")
+    statsRow(docs, textCol).write.mode("overwrite").parquet(s"$path/stats")
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The index's persisted geometry and id column name — geometry
+    * derives from the ARTIFACT, never from a caller (an n_buckets
+    * mismatch would silently append postings into the wrong buckets
+    * and the pruned query would stop seeing them). */
+  private def indexMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Int, String) = {
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select("n_buckets").head().getInt(0)
+    val idName = spark.read.parquet(s"$path/postings").schema.fieldNames
+      .filterNot(Set("dl", "word", "tf", "tb")) match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"$path/postings schema (${other.mkString(", ")} + dl/word/tf/tb) " +
+          "is not the BM25 index shape written by Bm25.writeIndex")
+    }
+    (nBuckets, idName)
+  }
+
+  /** Append a BATCH of documents to the persisted index — O(batch):
+    * only the new documents are tokenized (one map-only kernel pass),
+    * their postings land as additional files under the existing
+    * bucket directories, and one new (n_docs, sum_dl) stats row lands
+    * beside the old ones; the existing corpus is never read. Because
+    * a posting is a pure per-row function of its document and df/N/
+    * avgdl are derived at QUERY time from the merged postings and
+    * stats, append ≡ rebuild-with-union exactly (Bm25IndexSpec pins
+    * it). Replay semantics (the artifact-family stance): with
+    * `doneMarker` (e.g. the micro-batch id) a replay after the marker
+    * landed is a no-op; a crash between the data commit and the
+    * marker write can duplicate that one batch — duplicated ids
+    * inflate df/tf for their terms, so exactly-once consumers dedup
+    * upstream or rebuild. */
+  def appendToIndex(batch: DataFrame, path: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def fs(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fs(m).exists(m))) return
+    val (nBuckets, idName) = indexMeta(spark, path)
+    fullPostings(batch, idCol, textCol)
+      .withColumnRenamed(idCol, idName)
+      .withColumn("tb", termBucket(col("word"), nBuckets))
+      .write.partitionBy("tb").mode("append").parquet(s"$path/postings")
+    statsRow(batch, textCol).write.mode("append").parquet(s"$path/stats")
+    marker.foreach(m => fs(m).create(m, true).close())
+  }
+
+  /** Compact the postings table after an append schedule: appends
+    * land per-batch files under each bucket directory, and after
+    * thousands of micro-batches query cost is open()-bound. Value-
+    * and layout-preserving (rows rewritten as-is, one file per
+    * bucket); stats, meta and replay markers live OUTSIDE postings/
+    * and are untouched. See [[Compaction]] for the crash stance. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxRecordsPerFile: Long = 0L): Unit =
+    Compaction.compactPartitionedDir(
+      spark, s"$path/postings", Seq("tb"), maxRecordsPerFile)
+
+  /** Batch BM25 top-k join against the AT-REST index — result-
+    * identical to [[topKJoin]] over the corpus the index persists
+    * (probe x122 certifies it against a DuckDB re-derivation from the
+    * raw corpus), but the query-time plan never touches the corpus:
+    *
+    *   - the union query vocabulary (driver-collected, loud
+    *     `maxVocab` bound) maps to its term buckets through the SAME
+    *     [[termBucket]] hash the writer used, and the postings scan
+    *     carries `tb IN (...)` as a PARTITION filter — only the query
+    *     terms' bucket directories are listed or read, ~|terms| /
+    *     n_buckets of the postings table (plan-gated);
+    *   - `word IN vocab` prunes within a bucket as a pushed parquet
+    *     filter;
+    *   - df per term is exact from the pruned scan (every posting for
+    *     a term lives in its one bucket), ≤ |vocab| rows, broadcast;
+    *   - N and avgdl come off the ≤ #appends stats rows — exact long
+    *     sums, one row, broadcast;
+    *   - scoring and the per-query `top_k_struct` heap are the
+    *     [[topKJoin]] tail, so values and tie-breaks match it
+    *     run-for-run (Bm25IndexSpec pins batch ≡ direct).
+    *
+    * Returns (qIdCol, idCol-as-persisted, bm25, n_hit, rank). */
+  def topKJoinFromIndex(queries: DataFrame, path: String, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        qIdCol: String = "q_id", termsCol: String = "terms",
+                        maxVocab: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = queries.sparkSession
+    graft.GraftExtensions.register(spark)
+    val (qterms, vocab) = collectVocab(queries, qIdCol, termsCol, maxVocab)
+    val (nBuckets, idName) = indexMeta(spark, path)
+    import spark.implicits._
+    // vocab → bucket ids through the one shared hash definition (a
+    // tiny local job — |vocab| rows, driver-bounded)
+    val buckets = vocab.toDF("word")
+      .select(termBucket(col("word"), nBuckets).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hits = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(buckets: _*) && col("word").isin(vocab: _*))
+      .select(col(idName), col("dl"), col("word"), col("tf"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_s"))
+      .select(col("_n").as("n_docs"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("avgdl"))
+    scoreHitsTopK(hits, stats, qterms, k, k1, b, idName, qIdCol)
   }
 
   /** BM25 model of a reference corpus, collected to the driver:

@@ -581,5 +581,68 @@ object SelectionProbes {
               |                       ORDER BY bm25 DESC, doc_id) AS rn
               |  FROM pair) WHERE rn <= 5
               |ORDER BY q_id, rank""".stripMargin)),
+
+    // Bm25.topKJoinFromIndex: the AT-REST lexical index — the x120
+    // join answered from persisted term-bucketed postings instead of
+    // a corpus scan. The index is built on HALF the corpus and
+    // APPENDED with the other half (marker-gated), so the certified
+    // artifact is an appended one: the oracle re-derives postings,
+    // df, N/avgdl and scores from the RAW corpus, certifying both
+    // the at-rest layout and append ≡ rebuild cross-engine. "qqq"
+    // exercises the absent-term path through the pruned scan --------
+    Probe("x122_bm25_index_at_rest",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x122", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x122_bm25_index_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Bm25.writeIndex(docs.where(col("doc_id") % 2 === 0), dir,
+            nBuckets = 16)
+          Bm25.appendToIndex(docs.where(col("doc_id") % 2 === 1), dir,
+            doneMarker = Some("b1"))
+        }
+        val queries = Seq(
+          (1L, Seq("region", "spark")),
+          (2L, Seq("vector", "nation", "qqq")),
+          (3L, Seq("supplier", "order", "customer"))).toDF("q_id", "terms")
+        Bm25.topKJoinFromIndex(queries, dir, k = 4)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH tok0 AS ($tokSql),
+              |q AS (SELECT CAST(q_id AS BIGINT) AS q_id, word FROM (VALUES
+              |  (1, 'region'), (1, 'spark'),
+              |  (2, 'vector'), (2, 'nation'), (2, 'qqq'),
+              |  (3, 'supplier'), (3, 'order'), (3, 'customer'))
+              |  AS t(q_id, word)),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok0 GROUP BY 1),
+              |stats AS (
+              |  SELECT COUNT(*) AS n_docs, AVG(t.dl) AS avgdl FROM (
+              |    SELECT d.doc_id, COALESCE(dl.dl, 0) AS dl
+              |    FROM documents d LEFT JOIN dl USING (doc_id)) t),
+              |hits AS (
+              |  SELECT doc_id, w AS word, COUNT(*) AS tf FROM tok0
+              |  WHERE w IN (SELECT DISTINCT word FROM q)
+              |  GROUP BY 1, 2),
+              |df AS (SELECT word, COUNT(*) AS df FROM hits GROUP BY 1),
+              |pair AS (
+              |  SELECT qq.q_id, h.doc_id,
+              |    ROUND(SUM(
+              |      LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+              |      h.tf * (1.2 + 1) /
+              |      (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+              |      AS bm25,
+              |    COUNT(*) AS n_hit
+              |  FROM hits h JOIN df USING (word) JOIN dl USING (doc_id)
+              |  JOIN q qq USING (word)
+              |  CROSS JOIN stats GROUP BY 1, 2)
+              |SELECT q_id, doc_id, bm25, n_hit, CAST(rn AS INT) AS rank FROM (
+              |  SELECT q_id, doc_id, bm25, n_hit,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id
+              |                       ORDER BY bm25 DESC, doc_id) AS rn
+              |  FROM pair) WHERE rn <= 4
+              |ORDER BY q_id, rank""".stripMargin)),
   )
 }
