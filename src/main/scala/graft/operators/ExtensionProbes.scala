@@ -1215,6 +1215,66 @@ object ExtensionProbes {
            |FROM sums ORDER BY lang""".stripMargin
       }),
 
+    // Hll.writeSketch/appendToSketch/estimateFromSketch: the AT-REST
+    // sketch artifact — a daily-cadence distinct-count pipeline
+    // persists per-batch sparse grouped registers instead of
+    // re-deriving them from raw data every run. The artifact is built
+    // on half the corpus and APPENDED with the other half (marker-
+    // gated), geometry (p, value col, group cols) read back off the
+    // persisted meta; the oracle derives the per-lang estimates from
+    // the RAW corpus, so equality certifies the persisted-merged
+    // registers ≡ from-raw end to end ------------------------------
+    Probe("x124_hll_sketch_at_rest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x124", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x124_hll_sketch_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Hll.writeSketch(docs.where(col("doc_id") % 2 === 0), "text",
+            Seq("lang"), dir, p = 8)
+          Hll.appendToSketch(docs.where(col("doc_id") % 2 === 1), dir,
+            doneMarker = Some("b1"))
+        }
+        Hll.estimateFromSketch(s, dir).orderBy("lang")
+      },
+      Some {
+        val m = 256
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        val scale = java.lang.Double.toString(
+          alpha * m * m * math.pow(2.0, 49))
+        s"""WITH vals AS (
+           |  SELECT lang, md5(text) AS h FROM documents
+           |  WHERE text IS NOT NULL),
+           |parts AS (
+           |  SELECT lang, h,
+           |    length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) AS zeros,
+           |    substring(substring(h, 3, 12),
+           |      CAST(length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) + 1 AS INT),
+           |      1) AS fnz
+           |  FROM vals),
+           |r AS (
+           |  SELECT lang, CAST(('0x' || substring(h, 1, 2)) AS INT) AS bucket,
+           |    CASE WHEN zeros = 12 THEN 49
+           |         ELSE zeros * 4 + CASE WHEN fnz = '1' THEN 3
+           |                               WHEN fnz IN ('2', '3') THEN 2
+           |                               WHEN fnz IN ('4', '5', '6', '7') THEN 1
+           |                               ELSE 0 END + 1 END AS rho
+           |  FROM parts),
+           |agg AS (SELECT lang, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+           |sums AS (
+           |  SELECT lang,
+           |    CAST(SUM(CAST(2 ** (49 - rho) AS BIGINT))
+           |      + (256 - COUNT(*)) * CAST(2 ** 49 AS BIGINT) AS BIGINT) AS s_scaled,
+           |    CAST(256 - COUNT(*) AS BIGINT) AS v_zero
+           |  FROM agg GROUP BY 1)
+           |SELECT lang, s_scaled, v_zero,
+           |  ROUND(CASE WHEN v_zero > 0 AND $scale / s_scaled <= 640.0
+           |        THEN 256.0 * ln(256.0 / v_zero)
+           |        ELSE $scale / s_scaled END, 6) AS estimate
+           |FROM sums ORDER BY lang""".stripMargin
+      }),
+
     // Dedup.contaminationBloomPruned: bloom prefilter, EXACT output -----
     // (identical result to the unpruned x16 scan — bloom has no false
     // negatives and the equi-join removes the false positives — so the

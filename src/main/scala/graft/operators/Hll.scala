@@ -154,6 +154,119 @@ object Hll {
       .agg(max("rho").as("rho"))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest sketch artifact — grouped registers persisted with
+  // the artifact-family conventions (int8/IVF-PQ/shingle/bloom/BM25
+  // indexes): build once, append O(batch), estimate without ever
+  // re-deriving registers from raw data. Layout under `path`:
+  //   registers/  (groupCols..., bucket, rho) — SPARSE grouped
+  //               registers, one file set per build/append batch;
+  //               [[mergeBy]] at read time folds them (max is
+  //               associative/commutative/idempotent, so ANY append
+  //               schedule — or even a replayed batch — yields the
+  //               union's registers)
+  //   meta/       (p, value_col, group_cols) — the sketch geometry
+  //               AND the hashed column name, persisted so an append
+  //               can never hash a different column or precision into
+  //               the artifact
+  // ---------------------------------------------------------------
+
+  /** Build the at-rest sketch: one map pass + one partial-aggregable
+    * max over `df`, persisted sparse. The daily-cadence distinct-count
+    * pipeline pays the raw scan ONCE here; every later reading is
+    * ≤ |groups|·2^p register rows, and every later day appends only
+    * its batch. */
+  def writeSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  path: String, p: Int = 8): Unit = {
+    require4(p)
+    val spark = df.sparkSession
+    import spark.implicits._
+    registersBy(df, col(valueCol), groupCols, p)
+      .write.mode("overwrite").parquet(s"$path/registers")
+    Seq((p, valueCol, groupCols))
+      .toDF("p", "value_col", "group_cols")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The persisted sketch geometry — derived from the ARTIFACT, never
+    * from a caller (a p or column mismatch would silently merge
+    * incompatible registers). */
+  private def sketchMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Int, String, Seq[String]) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("p", "value_col", "group_cols").head()
+    (r.getInt(0), r.getString(1), r.getSeq[String](2))
+  }
+
+  /** Append a BATCH to the persisted sketch — O(batch): only the new
+    * rows are hashed (the sketch geometry comes off the artifact's
+    * meta), and the batch's sparse registers land as additional files
+    * next to the existing ones; nothing is read back or rewritten.
+    * Because register merge is max — idempotent as well as
+    * associative/commutative — append ≡ rebuild-from-union EXACTLY,
+    * and a replayed batch is VALUE-harmless even without the marker
+    * (it re-lands rows the max absorbs); `doneMarker` still gates
+    * replays to keep the artifact's row count and scan cost bounded
+    * (HllSpec pins both properties). */
+  def appendToSketch(batch: DataFrame, path: String,
+                     doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def fs(p0: org.apache.hadoop.fs.Path) =
+      p0.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fs(m).exists(m))) return
+    val (p, valueCol, groupCols) = sketchMeta(spark, path)
+    registersBy(batch, col(valueCol), groupCols, p)
+      .write.mode("append").parquet(s"$path/registers")
+    marker.foreach(m => fs(m).create(m, true).close())
+  }
+
+  /** The merged grouped registers of everything ever written or
+    * appended — one [[mergeBy]] over the persisted per-batch rows
+    * (≤ batches·|groups|·2^p in, ≤ |groups|·2^p out). */
+  def readRegisters(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val (_, _, groupCols) = sketchMeta(spark, path)
+    mergeBy(groupCols, spark.read.parquet(s"$path/registers"))
+  }
+
+  /** Compact the persisted registers after an append schedule: rather
+    * than merely collapsing files, the rewrite lands the MERGED
+    * registers (merge is the artifact's value semantics, so the
+    * result is read-equivalent while shrinking batches·|groups|·2^p
+    * rows back to ≤ |groups|·2^p in one file set). Meta and replay
+    * markers live outside registers/ and are untouched; see
+    * [[Compaction]] for the crash stance. */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    val (_, _, groupCols) = sketchMeta(spark, path)
+    val target = new org.apache.hadoop.fs.Path(s"$path/registers")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"no sketch registers at $path/registers")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/registers__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/registers__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$target (or delete it if the registers are intact) first")
+    fs.delete(tmp, true)
+    mergeBy(groupCols, spark.read.parquet(target.toString))
+      .write.mode("overwrite").parquet(tmp.toString)
+    Compaction.swapInto(fs, target, tmp, old)
+  }
+
+  /** Per-group cardinality estimates straight off the artifact —
+    * [[readRegisters]] piped into [[estimateBy]] under the persisted
+    * geometry; raw data is never touched (probe x124 certifies the
+    * whole at-rest chain against a from-raw derivation). */
+  def estimateFromSketch(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val (p, _, groupCols) = sketchMeta(spark, path)
+    estimateBy(readRegisters(spark, path), groupCols, p)
+  }
+
   /** Per-group cardinality estimates from a grouped sketch:
     * (groupCols..., s_scaled, v_zero, estimate). Accepts SPARSE
     * registers — each of the (m − count) absent buckets contributes

@@ -117,6 +117,74 @@ class HllSpec extends SparkTestBase {
       ((b.getLong(1), b.getLong(2), b.getDouble(3))))
   }
 
+  test("at-rest sketch: write + append ≡ registersBy over the union; " +
+    "estimates ride the persisted geometry") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_sk").toString
+    Hll.writeSketch(docs.where(col("doc_id") % 2 === 0), "text",
+      Seq("lang"), dir, p = 8)
+    Hll.appendToSketch(docs.where(col("doc_id") % 2 === 1), dir,
+      doneMarker = Some("d1"))
+    val persisted = Hll.readRegisters(spark, dir)
+      .select("lang", "bucket", "rho")
+      .as[(String, Int, Int)].collect().toSeq.sorted
+    val fromRaw = Hll.registersBy(docs, col("text"), Seq("lang"), p = 8)
+      .select("lang", "bucket", "rho")
+      .as[(String, Int, Int)].collect().toSeq.sorted
+    assert(persisted == fromRaw, "persisted-merged registers != from-raw")
+    val est = Hll.estimateFromSketch(spark, dir)
+      .select("lang", "estimate").as[(String, Double)].collect().toMap
+    val direct = Hll.estimateBy(
+        Hll.registersBy(docs, col("text"), Seq("lang"), p = 8), Seq("lang"))
+      .select("lang", "estimate").as[(String, Double)].collect().toMap
+    assert(est == direct)
+  }
+
+  test("at-rest sketch: replays are row-level no-ops with the marker and " +
+    "VALUE-harmless even without it") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_rp").toString
+    Hll.writeSketch(docs.where(col("doc_id") < 100), "text", Seq("lang"), dir)
+    val batch = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+    Hll.appendToSketch(batch, dir, doneMarker = Some("m1"))
+    val rows = spark.read.parquet(s"$dir/registers").count()
+    Hll.appendToSketch(batch, dir, doneMarker = Some("m1")) // marker replay
+    assert(spark.read.parquet(s"$dir/registers").count() == rows,
+      "marker-gated replay appended rows")
+    val before = Hll.estimateFromSketch(spark, dir)
+      .select("lang", "estimate").as[(String, Double)].collect().toMap
+    Hll.appendToSketch(batch, dir) // unguarded replay: rows land...
+    assert(Hll.estimateFromSketch(spark, dir)
+      .select("lang", "estimate").as[(String, Double)].collect().toMap ==
+      before, "...but max-merge must absorb them")
+  }
+
+  test("at-rest sketch: compaction merges rows back to one set per group") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_cp").toString
+    Hll.writeSketch(docs.where(col("doc_id") < 150), "text", Seq("lang"), dir)
+    Hll.appendToSketch(docs.where(col("doc_id") >= 150 && col("doc_id") < 300),
+      dir, doneMarker = Some("c1"))
+    Hll.appendToSketch(docs.where(col("doc_id") >= 300), dir,
+      doneMarker = Some("c2"))
+    val before = Hll.estimateFromSketch(spark, dir)
+      .select("lang", "estimate").as[(String, Double)].collect().toMap
+    val rowsBefore = spark.read.parquet(s"$dir/registers").count()
+    Hll.compactSketch(spark, dir)
+    val rowsAfter = spark.read.parquet(s"$dir/registers").count()
+    assert(rowsAfter <= rowsBefore, "compaction grew the registers")
+    // post-compaction rows are the MERGED set: (group, bucket) unique
+    val dupes = spark.read.parquet(s"$dir/registers")
+      .groupBy("lang", "bucket").count().where(col("count") > 1).count()
+    assert(dupes == 0, "compaction left unmerged (group, bucket) rows")
+    assert(Hll.estimateFromSketch(spark, dir)
+      .select("lang", "estimate").as[(String, Double)].collect().toMap ==
+      before, "compaction changed estimates")
+  }
+
   test("grouped registers plan: partial-aggregable max, one exchange, no window") {
     val plan = Hll.registersBy(Tables.documents(spark, sfDir),
         col("text"), Seq("lang"), 8)
