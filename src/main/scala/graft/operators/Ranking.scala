@@ -78,6 +78,37 @@ object Ranking {
         (col("_p") + 1).cast("int").as("rank"))
   }
 
+  /** RRF fusion scores from the TAGGED UNION of the two rankings —
+    * the STREAMING form of [[rrfFuse]]'s fusion stage: rows (qIdCol,
+    * idCol, rank, srcCol) where srcCol names the retriever (exactly
+    * the two values `aTag`/`bTag`, ≤ 1 row per (query, id, source)),
+    * the shape retrieval outputs land in when both retrievers write
+    * to one stream. Returns (qIdCol, idCol, rrf) equal BIT-FOR-BIT to
+    * [[rrfFuse]]'s pre-selection scores: per-source conditional mins
+    * recover rank_a/rank_b, and the sum is the same FIXED two-term
+    * coalesce chain (IEEE addition of two terms is commutative, so
+    * arrival order cannot matter).
+    *
+    * Scale/streaming shape: ONE partial-aggregable aggregation over
+    * the already-bounded (≤ 2·Q·k row) union — it runs UNCHANGED as a
+    * streaming aggregation (StreamingSpec pins stream ≡ batch), with
+    * the per-query top-k selection chained after it exactly as the
+    * grouped heap's own streaming twin runs it. [[rrfFuse]] ≡
+    * [[topKPerGroup]] ∘ this (RankingSpec pins it). */
+  def rrfScoresTagged(tagged: DataFrame, rrfK: Int = 60,
+                      qIdCol: String = "q_id", idCol: String = "vec_id",
+                      srcCol: String = "src", aTag: String = "a",
+                      bTag: String = "b"): DataFrame = {
+    require(rrfK >= 0, s"rrfK must be >= 0: $rrfK")
+    tagged
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(min(when(col(srcCol) === aTag, col("rank"))).as("_ra"),
+        min(when(col(srcCol) === bTag, col("rank"))).as("_rb"))
+      .select(col(qIdCol), col(idCol),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("_rb")), lit(0.0))).as("rrf"))
+  }
+
   /** MMR diversity re-rank (Carbonell & Goldstein 1998): greedily
     * select `k` items per query from a bounded candidate pool,
     * trading relevance against redundancy —
@@ -190,39 +221,68 @@ object Ranking {
     * relevant pairs score null nDCG/recall (nothing to normalize by).
     * A query with relevant pairs but NO ranking rows (the retriever
     * returned nothing) scores ndcg=0/recall=0 — dropping it would
-    * silently inflate downstream means (full-outer join, RankingSpec
-    * pins it). Returns (qIdCol, n_rel, n_hits, ndcg, recall). */
+    * silently inflate downstream means (RankingSpec pins it). The
+    * scoring core is [[evalBinaryRetrievalStream]] (one streamable
+    * aggregation); this operator adds the zero-hit completion a
+    * stream cannot express. Returns (qIdCol, n_rel, n_hits, ndcg,
+    * recall). */
   def evalBinaryRetrieval(ranking: DataFrame, qrels: DataFrame, k: Int,
                           qIdCol: String = "q_id",
                           idCol: String = "vec_id"): DataFrame = {
+    val scored = evalBinaryRetrievalStream(ranking, qrels, k, qIdCol, idCol)
+    // batch-only completion: a qrels-only query (the retriever
+    // returned NOTHING) must still score 0.0, not vanish — dropping
+    // it would silently inflate downstream means. A STREAM cannot
+    // emit rows for queries it never saw, which is exactly why this
+    // lives here and not in the streamable core.
+    val zeroHit = qrels.groupBy(col(qIdCol))
+      .agg(count(lit(1)).cast("int").as("n_rel"))
+      .join(scored.select(col(qIdCol)), Seq(qIdCol), "left_anti")
+      .select(col(qIdCol), col("n_rel"),
+        lit(0).as("n_hits"), lit(0.0).as("ndcg"), lit(0.0).as("recall"))
+    scored.unionByName(zeroHit)
+  }
+
+  /** The STREAMABLE core of [[evalBinaryRetrieval]]: scores every
+    * query PRESENT in `ranking`. Both qrels joins (the per-(query,
+    * id) relevance flags and the per-query relevant counts) attach to
+    * the ranking rows BEFORE the one partial-aggregable per-query
+    * aggregation, so with a streaming `ranking` and static `qrels`
+    * the whole plan is a supported stream-static left join + ONE
+    * streaming aggregation — it runs UNCHANGED on a stream
+    * (StreamingSpec pins stream ≡ batch). What a stream cannot do is
+    * invent rows for queries it never saw: qrels-only (zero-hit)
+    * queries are absent here and completed by the batch operator. */
+  def evalBinaryRetrievalStream(ranking: DataFrame, qrels: DataFrame, k: Int,
+                                qIdCol: String = "q_id",
+                                idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val rels = qrels.select(col(qIdCol), col(idCol)).withColumn("_rel", lit(1))
+    val relCounts = qrels.groupBy(col(qIdCol))
+      .agg(count(lit(1)).as("_nr"))
     val hits = ranking.where(col("rank") <= k)
       .join(rels, Seq(qIdCol, idCol), "left")
+      .join(broadcast(relCounts), Seq(qIdCol), "left")
       .select(col(qIdCol), col("rank"),
-        coalesce(col("_rel"), lit(0)).as("rel"))
+        coalesce(col("_rel"), lit(0)).as("rel"), col("_nr"))
     val dcg = (1 to k).map { i =>
       coalesce(max(when(col("rank") === i && col("rel") === 1,
         lit(dcgDiscount(i)))), lit(0.0))
     }.reduceLeft(_ + _)
+    // _nr is constant per query (an attached per-query count; null
+    // when the query has no qrels rows), so max() just recovers it
     val perQ = hits.groupBy(col(qIdCol))
-      .agg(dcg.as("dcg"), sum(col("rel")).cast("int").as("n_hits"))
-    val relCounts = qrels.groupBy(col(qIdCol))
-      .agg(count(lit(1)).as("_nr"))
+      .agg(dcg.as("dcg"), sum(col("rel")).cast("int").as("n_hits"),
+        max(col("_nr")).as("_nr"))
     val idcg = (1 to k).map { i =>
       when(col("_nr") >= i, lit(dcgDiscount(i))).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
-    // FULL outer: a qrels-only query (zero-hit retriever) must still
-    // score, with an empty hit set (dcg 0, n_hits 0) — idcg sees the
-    // real _nr, so ndcg/recall come out 0.0, not a dropped row
-    perQ.join(relCounts, Seq(qIdCol), "full_outer")
-      .select(col(qIdCol),
-        coalesce(col("_nr"), lit(0L)).cast("int").as("n_rel"),
-        coalesce(col("n_hits"), lit(0)).as("n_hits"),
-        when(coalesce(col("_nr"), lit(0L)) > 0,
-          coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg"),
-        when(coalesce(col("_nr"), lit(0L)) > 0,
-          coalesce(col("n_hits"), lit(0)).cast("double") /
-            col("_nr").cast("double")).as("recall"))
+    perQ.select(col(qIdCol),
+      coalesce(col("_nr"), lit(0L)).cast("int").as("n_rel"),
+      col("n_hits"),
+      when(col("_nr") > 0, col("dcg") / idcg).as("ndcg"),
+      when(col("_nr") > 0,
+        col("n_hits").cast("double") / col("_nr").cast("double"))
+        .as("recall"))
   }
 }

@@ -99,6 +99,36 @@ class RankingSpec extends SparkTestBase {
     assert(out.map(_._2) == Seq("a", "b"), s"string-id tie-break broke: $out")
   }
 
+  test("rrfFuse ≡ topKPerGroup over rrfScoresTagged on the union form") {
+    GraftExtensions.register(spark)
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q_id", "vec_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 1))
+      .toDF("q_id", "vec_id", "rank")
+    val fused = Ranking.rrfFuse(a, b, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val tagged = a.withColumn("src", lit("a"))
+      .unionByName(b.withColumn("src", lit("b")))
+    val viaTagged = Ranking.topKPerGroup(
+        Ranking.rrfScoresTagged(tagged), "q_id", "rrf", "vec_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(viaTagged == fused, "tagged-union fusion diverged from rrfFuse")
+  }
+
+  test("evalBinaryRetrievalStream == the batch eval minus zero-hit queries") {
+    val ranking = Seq((1L, 10L, 1), (1L, 11L, 2), (3L, 30L, 1))
+      .toDF("q_id", "vec_id", "rank")
+    val qrels = Seq((1L, 10L), (3L, 77L), (9L, 90L)).toDF("q_id", "vec_id")
+    val batch = graft.operators.Ranking
+      .evalBinaryRetrieval(ranking, qrels, k = 2)
+      .as[(Long, Int, Int, Option[Double], Option[Double])].collect().toSeq
+    val core = graft.operators.Ranking
+      .evalBinaryRetrievalStream(ranking, qrels, k = 2)
+      .as[(Long, Int, Int, Option[Double], Option[Double])].collect().toSeq
+    assert(core.sorted == batch.filter(_._1 != 9L).sorted)
+    assert(batch.exists(r => r._1 == 9L && r._4 == Some(0.0)))
+  }
+
   test("evalBinaryRetrieval dcgDiscount table is the shared literal contract") {
     val d = graft.operators.Ranking.dcgDiscount _
     assert(d(1) == 1.0)

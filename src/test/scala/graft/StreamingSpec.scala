@@ -853,4 +853,71 @@ class StreamingSpec extends SparkTestBase {
     assert(got(11L)._1 === "de")
     assert(got(12L) === ((null, 0L)), "featureless doc predicts null")
   }
+
+  test("rrf fusion runs as one streaming aggregation over the tagged union") {
+    // deployment shape: both retrievers write ranking rows to ONE
+    // landing stream (tagged by source); fusion is one stateful agg,
+    // the per-query top-k chained after it as its own streaming
+    // aggregation (pinned by the grouped-top-k twin above)
+    val landing = Files.createTempDirectory("graft_rrfrows").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_rrf").toString
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("q_id", "vec_id", "rank").withColumn("src", lit("a"))
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 1))
+      .toDF("q_id", "vec_id", "rank").withColumn("src", lit("b"))
+    // the two retrievers land as separate files -> separate
+    // micro-batches: the agg must fuse ACROSS batch boundaries
+    a.write.mode("append").parquet(landing)
+    b.write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("q_id", LongType),
+      StructField("vec_id", LongType), StructField("rank", IntegerType),
+      StructField("src", StringType)))
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq.sorted
+    val streamed = render(ForecastStream.runAvailableNow(
+      graft.operators.Ranking.rrfScoresTagged(
+        spark.readStream.schema(schema).parquet(landing)),
+      "rrf_stream", ckpt, "complete"))
+    val batch = render(graft.operators.Ranking.rrfScoresTagged(
+      spark.read.schema(schema).parquet(landing)))
+    assert(streamed == batch)
+    // and the streamed scores ARE rrfFuse's fused scores
+    val fused = graft.operators.Ranking.rrfFuse(
+        a.drop("src"), b.drop("src"), k = 3)
+      .select($"q_id", $"vec_id", $"rrf")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(streamed == fused)
+  }
+
+  test("retrieval eval streams: stream-static qrels join + one aggregation") {
+    // deployment shape: ranking rows stream in (per-retrieval-batch
+    // files), qrels are the static reference; the streamable core
+    // scores every query the stream delivered, equal to the batch
+    // operator minus the zero-hit completion a stream cannot express
+    val landing = Files.createTempDirectory("graft_evalrows").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_eval").toString
+    val ranking = Seq((1L, 10L, 1), (1L, 11L, 2), (3L, 30L, 1))
+      .toDF("q_id", "vec_id", "rank")
+    val qrels = Seq((1L, 10L), (3L, 77L), (9L, 90L)).toDF("q_id", "vec_id")
+    // split one query's rows across two files -> the per-query agg
+    // must fold across micro-batches
+    ranking.where($"vec_id" =!= 11L).write.mode("append").parquet(landing)
+    ranking.where($"vec_id" === 11L).write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("q_id", LongType),
+      StructField("vec_id", LongType), StructField("rank", IntegerType)))
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Int, Option[Double], Option[Double])]
+        .collect().toSeq.sorted
+    val streamed = render(ForecastStream.runAvailableNow(
+      graft.operators.Ranking.evalBinaryRetrievalStream(
+        spark.readStream.schema(schema).parquet(landing), qrels, k = 2),
+      "eval_stream", ckpt, "complete"))
+    assert(streamed == render(graft.operators.Ranking
+      .evalBinaryRetrievalStream(ranking, qrels, k = 2)))
+    // batch = streamed core + the zero-hit completion (query 9)
+    val batch = render(graft.operators.Ranking
+      .evalBinaryRetrieval(ranking, qrels, k = 2))
+    assert(batch.filterNot(_._1 == 9L) == streamed)
+    assert(batch.exists(r => r._1 == 9L && r._4 == Some(0.0)))
+  }
 }
