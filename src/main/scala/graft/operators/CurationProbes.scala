@@ -640,9 +640,10 @@ object CurationProbes {
         val embs = Tables.embeddings(s, d)
         val tag = IndexCache.corpusTag("x111", d, embs,
           Seq("vec_id", "embedding"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag}_n$nlist"
         IndexCache.ensureBuilt(dir) {
-          Similarity.writeInt8Index(embs, dir, nlist = 8)
+          Similarity.writeInt8Index(embs, dir, nlist = nlist)
         }
         val queries = embs.where(col("vec_id") % 50 === 3)
           .select(col("vec_id").as("q_id"), col("embedding"))
@@ -652,7 +653,7 @@ object CurationProbes {
       Some("""WITH init AS (
              |  SELECT vec_id, embedding,
              |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-             |      % 8 AS cell0
+             |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
              |  FROM embeddings),
              |idims AS (
              |  SELECT cell0, j, x FROM init,
@@ -725,9 +726,10 @@ object CurationProbes {
         val embs = Tables.embeddings(s, d)
         val tag = IndexCache.corpusTag("x111", d, embs,
           Seq("vec_id", "embedding"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag}_n$nlist"
         IndexCache.ensureBuilt(dir) {
-          Similarity.writeInt8Index(embs, dir, nlist = 8)
+          Similarity.writeInt8Index(embs, dir, nlist = nlist)
         }
         val anchors = embs.where(col("vec_id") % 40 === 5)
           .select(col("vec_id").as("q_id"), col("embedding"), col("label"))
@@ -737,7 +739,7 @@ object CurationProbes {
       Some("""WITH init AS (
              |  SELECT vec_id, embedding,
              |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-             |      % 8 AS cell0
+             |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
              |  FROM embeddings),
              |idims AS (
              |  SELECT cell0, j, x FROM init,
@@ -1003,15 +1005,16 @@ object CurationProbes {
         val embs = Tables.embeddings(s, d)
         val tag8 = IndexCache.corpusTag("x111", d, embs,
           Seq("vec_id", "embedding"))
-        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag8"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag8}_n$nlist"
         IndexCache.ensureBuilt(dir8) {
-          Similarity.writeInt8Index(embs, dir8, nlist = 8)
+          Similarity.writeInt8Index(embs, dir8, nlist = nlist)
         }
         val tagP = IndexCache.corpusTag("x41", d, embs,
           Seq("vec_id", "embedding"))
-        val dirP = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tagP"
+        val dirP = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_${tagP}_n$nlist"
         IndexCache.ensureBuilt(dirP) {
-          PqIndex.writeIndex(embs, dirP, nlist = 8, m = 32, ksub = 16, dim = 64)
+          PqIndex.writeIndex(embs, dirP, nlist = nlist, m = 32, ksub = 16, dim = 64)
         }
         val queries = embs.where(col("vec_id") % 50 === 3)
           .select(col("vec_id").as("q_id"), col("embedding"))
@@ -1023,7 +1026,7 @@ object CurationProbes {
       Some("""WITH init AS (
              |  SELECT vec_id, embedding,
              |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-             |      % 8 AS cell0
+             |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
              |  FROM embeddings),
              |idims AS (
              |  SELECT cell0, j, x FROM init,
@@ -1170,9 +1173,10 @@ object CurationProbes {
         val embs = Tables.embeddings(s, d)
         val tag8 = IndexCache.corpusTag("x111", d, embs,
           Seq("vec_id", "embedding"))
-        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag8"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag8}_n$nlist"
         IndexCache.ensureBuilt(dir8) {
-          Similarity.writeInt8Index(embs, dir8, nlist = 8)
+          Similarity.writeInt8Index(embs, dir8, nlist = nlist)
         }
         val queries = embs.where(col("vec_id") % 50 === 3)
           .select(col("vec_id").as("q_id"), col("embedding"))
@@ -1192,7 +1196,7 @@ object CurationProbes {
         s"""WITH init AS (
            |  SELECT vec_id, embedding,
            |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-           |      % 8 AS cell0
+           |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
            |  FROM embeddings),
            |idims AS (
            |  SELECT cell0, j, x FROM init,
@@ -1296,9 +1300,10 @@ object CurationProbes {
         val embs = Tables.embeddings(s, d)
         val tag8 = IndexCache.corpusTag("x111", d, embs,
           Seq("vec_id", "embedding"))
-        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_$tag8"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag8}_n$nlist"
         IndexCache.ensureBuilt(dir8) {
-          Similarity.writeInt8Index(embs, dir8, nlist = 8)
+          Similarity.writeInt8Index(embs, dir8, nlist = nlist)
         }
         val queries = embs.where(col("vec_id") % 50 === 3)
           .select(col("vec_id").as("q_id"), col("embedding"))
@@ -1311,7 +1316,7 @@ object CurationProbes {
       Some("""WITH init AS (
            |  SELECT vec_id, embedding,
            |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-           |      % 8 AS cell0
+           |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
            |  FROM embeddings),
            |idims AS (
            |  SELECT cell0, j, x FROM init,

@@ -1660,9 +1660,10 @@ object ExtensionProbes {
         // the other outputs landed.
         val tag = IndexCache.corpusTag("x41", d, embs,
           Seq("vec_id", "embedding"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tag"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_${tag}_n$nlist"
         IndexCache.ensureBuilt(dir) {
-          PqIndex.writeIndex(embs, dir, nlist = 8, m = 32, ksub = 16, dim = 64)
+          PqIndex.writeIndex(embs, dir, nlist = nlist, m = 32, ksub = 16, dim = 64)
         }
         val q = embs.where(col("vec_id") === 3)
           .select("embedding").head().getSeq[Float](0).map(_.toDouble)
@@ -1674,7 +1675,7 @@ object ExtensionProbes {
       Some("""WITH init AS (
              |  SELECT vec_id, embedding,
              |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-             |      % 8 AS cell0
+             |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
              |  FROM embeddings),
              |idims AS (
              |  SELECT cell0, j, x FROM init,
@@ -1771,9 +1772,10 @@ object ExtensionProbes {
         val embs = Tables.embeddings(s, d)
         val tag = IndexCache.corpusTag("x41", d, embs,
           Seq("vec_id", "embedding"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_$tag"
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_${tag}_n$nlist"
         IndexCache.ensureBuilt(dir) {
-          PqIndex.writeIndex(embs, dir, nlist = 8, m = 32, ksub = 16, dim = 64)
+          PqIndex.writeIndex(embs, dir, nlist = nlist, m = 32, ksub = 16, dim = 64)
         }
         val queries = embs.where(col("vec_id") % 50 === 7)
           .select(col("vec_id").as("q_id"), col("embedding"))
@@ -1786,7 +1788,7 @@ object ExtensionProbes {
       Some("""WITH init AS (
              |  SELECT vec_id, embedding,
              |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-             |      % 8 AS cell0
+             |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
              |  FROM embeddings),
              |idims AS (
              |  SELECT cell0, j, x FROM init,

@@ -58,7 +58,30 @@ object IndexCache {
 
   /** Drop all cached tags — for harnesses that rewrite corpus data
     * within one JVM (see the [[corpusTag]] assumption). */
-  def invalidate(): Unit = tags.clear()
+  def invalidate(): Unit = { tags.clear(); counts.clear() }
+
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** nlist for the SHARED batch-ANN probe indexes (x111's int8 dir,
+    * x41/x112's IVF-PQ dir and every probe composed on them), derived
+    * from corpus size: max(8, N/256). A FIXED nlist makes the honesty
+    * runs quadratic by construction — query count grows with N and
+    * each query scans nprobe/nlist of N — which would drown the very
+    * regression signal those runs exist to produce; deriving it caps
+    * per-query candidates at ~nprobe·256 rows at any scale. 8 at both
+    * certified gate scales (N=500 → 8, N=2000 → 8), so every
+    * certified oracle hash stands; the oracles derive the SAME value
+    * in SQL — `GREATEST(8, COUNT(*) // 256)` — so certification holds
+    * at EVERY scale, not just where the constant agrees. Cached per
+    * corpus dir (same JVM-immutability assumption as [[corpusTag]]);
+    * callers put the value in the index dir NAME so a regenerated
+    * geometry can never serve a stale cached index. */
+  def probeNlist(dir: String, df: => DataFrame): Int = {
+    val n = counts.computeIfAbsent(s"embcount|$dir",
+      _ => java.lang.Long.valueOf(df.count())).longValue()
+    math.max(8L, n / 256L).toInt
+  }
 
   /** Run `build` unless `dir` already carries the completion marker;
     * write the marker only after `build` returns. */
