@@ -1425,5 +1425,284 @@ object CurationProbes {
              |UNION ALL
              |SELECT q_id, vec_id, mmr, CAST(3 AS INT) AS round FROM p3
              |ORDER BY q_id, round""".stripMargin)),
+
+    // The retrieval FLAGSHIP: the whole family as ONE composed DAG —
+    // both at-rest indexes (int8 IVF + IVF-PQ) → both batch ANN
+    // joins → RRF fusion → MMR diversity re-rank (rel = the fused
+    // rrf) → retrieval eval over the re-ranked picks (relevance =
+    // same-label pairs). One DuckDB mirror re-derives every stage
+    // id-for-id — the curation (x38) / tokens (x72) / crawl (x92)
+    // composed-certification precedent applied to retrieval. Raw
+    // doubles throughout the mmr and metric columns (the x121/x119
+    // exactness arguments compose: rrf is a fixed two-term sum,
+    // penalties are exact integer cosines, DCG chains are literal
+    // discounts) ----------------------------------------------------
+    Probe("x123_retrieval_flagship",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val tag8 = IndexCache.corpusTag("x111", d, embs,
+          Seq("vec_id", "embedding"))
+        val nlist = IndexCache.probeNlist(d, embs)
+        val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag8}_n$nlist"
+        IndexCache.ensureBuilt(dir8) {
+          Similarity.writeInt8Index(embs, dir8, nlist = nlist)
+        }
+        val tagP = IndexCache.corpusTag("x41", d, embs,
+          Seq("vec_id", "embedding"))
+        val dirP = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_${tagP}_n$nlist"
+        IndexCache.ensureBuilt(dirP) {
+          PqIndex.writeIndex(embs, dirP, nlist = nlist, m = 32, ksub = 16,
+            dim = 64)
+        }
+        val queries = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val a = Similarity.annJoinInt8FromIndex(queries, dir8, k = 5,
+          nprobe = 4)
+        val b = PqIndex.annJoinFromIndex(queries, dirP, k = 5, nprobe = 4,
+          shortlist = 40)
+        val fused = Ranking.rrfFuse(a, b, k = 5)
+        val mmr = Ranking.mmrSelect(
+          fused.select(col("q_id"), col("vec_id"), col("rrf").as("rel")),
+          Similarity.quantizeInt8(embs), k = 3)
+        val qrels = embs.where(col("vec_id") % 50 === 3)
+          .select(col("vec_id").as("q_id"), col("label"))
+          .join(embs.select(col("vec_id"), col("label")), Seq("label"))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"))
+        val eval = Ranking.evalBinaryRetrieval(
+          mmr.select(col("q_id"), col("vec_id"), col("round").as("rank")),
+          qrels, k = 3)
+        mmr.join(eval, Seq("q_id"))
+          .select(col("q_id"), col("vec_id"), col("mmr"),
+            col("round"), col("n_rel"), col("n_hits"), col("ndcg"),
+            col("recall"))
+          .orderBy("q_id", "round")
+      },
+      Some {
+        val d1 = Ranking.dcgDiscount(1); val d2 = Ranking.dcgDiscount(2)
+        val d3 = Ranking.dcgDiscount(3)
+        s"""WITH init AS (
+           |  SELECT vec_id, embedding,
+           |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+           |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
+           |  FROM embeddings),
+           |idims AS (
+           |  SELECT cell0, j, x FROM init,
+           |    LATERAL (SELECT unnest(embedding) AS x,
+           |             generate_subscripts(embedding, 1) AS j)),
+           |cent AS (
+           |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+           |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+           |    FROM idims GROUP BY cell0, j)
+           |  GROUP BY cell0),
+           |assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT i.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+           |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+           |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+           |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+           |    FROM init i CROSS JOIN cent c) WHERE rn = 1),
+           |qs AS (
+           |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id % 50 = 3),
+           |qcells AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+           |        ROUND(list_dot_product(q.qv, q.qv)
+           |          - 2 * list_dot_product(q.qv, c.c)
+           |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+           |    FROM qs q CROSS JOIN cent c) WHERE rn <= 4),
+           |qz AS (
+           |  SELECT vec_id,
+           |    GREATEST(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+           |    embedding
+           |  FROM embeddings),
+           |codes8 AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+           |  FROM qz),
+           |cand8 AS (
+           |  SELECT p.q_id, c.vec_id,
+           |    list_dot_product(c.codes, qc.codes) /
+           |      (sqrt(list_dot_product(c.codes, c.codes)) *
+           |       sqrt(list_dot_product(qc.codes, qc.codes))) AS sim
+           |  FROM codes8 c
+           |  JOIN assigned a USING (vec_id)
+           |  JOIN qcells p ON a.cell = p.cell
+           |  JOIN codes8 qc ON qc.vec_id = p.q_id
+           |  WHERE c.vec_id <> p.q_id),
+           |ranked_a AS (
+           |  SELECT q_id, vec_id, rn FROM (
+           |    SELECT q_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id
+           |                         ORDER BY sim DESC, vec_id) AS rn
+           |    FROM cand8) WHERE rn <= 5),
+           |dims AS (
+           |  SELECT vec_id, CAST(FLOOR((j-1) / 2) AS INT) AS subspace,
+           |    (j-1) % 2 AS within, CAST(x AS DOUBLE) AS x
+           |  FROM embeddings,
+           |    LATERAL (SELECT unnest(embedding) AS x,
+           |             generate_subscripts(embedding, 1) AS j)),
+           |cb0 AS (
+           |  SELECT subspace, CAST(vec_id AS INT) AS cell, within, x AS cx
+           |  FROM dims WHERE vec_id < 16),
+           |d0 AS (
+           |  SELECT d.vec_id, d.subspace, c.cell,
+           |    ROUND(SUM((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+           |  FROM dims d JOIN cb0 c ON d.subspace = c.subspace AND d.within = c.within
+           |  GROUP BY 1, 2, 3),
+           |a0 AS (
+           |  SELECT vec_id, subspace, cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+           |      ORDER BY dist ASC, cell ASC) AS rn FROM d0) WHERE rn = 1),
+           |cb AS (
+           |  SELECT d.subspace, a.cell, d.within, ROUND(AVG(d.x), 6) AS cx
+           |  FROM dims d JOIN a0 a ON d.vec_id = a.vec_id AND d.subspace = a.subspace
+           |  GROUP BY 1, 2, 3),
+           |dist AS (
+           |  SELECT d.vec_id, d.subspace, cb.cell,
+           |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS dist
+           |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+           |  GROUP BY 1, 2, 3),
+           |codesp AS (
+           |  SELECT vec_id, subspace, cell AS code FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+           |      ORDER BY dist ASC, cell ASC) AS rn FROM dist) WHERE rn = 1),
+           |qtab AS (
+           |  SELECT d.vec_id AS q_id, d.subspace, cb.cell,
+           |    ROUND(SUM((d.x - cb.cx) * (d.x - cb.cx)), 6) AS qdist
+           |  FROM dims d JOIN cb ON d.subspace = cb.subspace AND d.within = cb.within
+           |  WHERE d.vec_id % 50 = 3 GROUP BY 1, 2, 3),
+           |adc AS (
+           |  SELECT p.q_id, c.vec_id, ROUND(SUM(q.qdist), 6) AS adist
+           |  FROM codesp c
+           |  JOIN assigned a ON a.vec_id = c.vec_id
+           |  JOIN qcells p ON p.cell = a.cell
+           |  JOIN qtab q ON q.q_id = p.q_id AND q.subspace = c.subspace
+           |    AND q.cell = c.code
+           |  WHERE c.vec_id <> p.q_id
+           |  GROUP BY 1, 2),
+           |shortl AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY adist ASC, vec_id ASC) AS rn FROM adc)
+           |  WHERE rn <= 40),
+           |rerank AS (
+           |  SELECT s.q_id, s.vec_id,
+           |    list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           |    (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+           |     SQRT(list_dot_product(q.qv, q.qv))) AS sim
+           |  FROM shortl s JOIN embeddings e USING (vec_id)
+           |  JOIN qs q ON q.q_id = s.q_id),
+           |ranked_b AS (
+           |  SELECT q_id, vec_id, rn FROM (
+           |    SELECT q_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id
+           |                         ORDER BY sim DESC, vec_id) AS rn
+           |    FROM rerank) WHERE rn <= 5),
+           |fusedall AS (
+           |  SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+           |    COALESCE(a.vec_id, b.vec_id) AS vec_id,
+           |    COALESCE(1.0 / (60 + a.rn), 0) + COALESCE(1.0 / (60 + b.rn), 0)
+           |      AS rrf
+           |  FROM ranked_a a FULL OUTER JOIN ranked_b b
+           |    ON a.q_id = b.q_id AND a.vec_id = b.vec_id),
+           |pool AS (
+           |  SELECT q_id, vec_id, rrf AS rel FROM (
+           |    SELECT q_id, vec_id, rrf,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id
+           |                         ORDER BY rrf DESC, vec_id) AS rn
+           |    FROM fusedall) WHERE rn <= 5),
+           |m1 AS (
+           |  SELECT q_id, vec_id,
+           |    0.5::DOUBLE * rel - 0.5::DOUBLE * 0.0::DOUBLE AS mmr
+           |  FROM pool),
+           |p1 AS (
+           |  SELECT q_id, vec_id, mmr FROM (
+           |    SELECT q_id, vec_id, mmr, ROW_NUMBER() OVER (
+           |      PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+           |    FROM m1) WHERE rn = 1),
+           |s2 AS (
+           |  SELECT c.q_id, c.vec_id,
+           |    0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(
+           |      list_dot_product(cc.codes, sc.codes) /
+           |        (sqrt(list_dot_product(cc.codes, cc.codes)) *
+           |         sqrt(list_dot_product(sc.codes, sc.codes)))) AS mmr
+           |  FROM pool c
+           |  JOIN p1 p ON p.q_id = c.q_id AND c.vec_id <> p.vec_id
+           |  JOIN codes8 cc ON cc.vec_id = c.vec_id
+           |  JOIN codes8 sc ON sc.vec_id = p.vec_id
+           |  GROUP BY c.q_id, c.vec_id, c.rel),
+           |p2 AS (
+           |  SELECT q_id, vec_id, mmr FROM (
+           |    SELECT q_id, vec_id, mmr, ROW_NUMBER() OVER (
+           |      PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+           |    FROM s2) WHERE rn = 1),
+           |picked2 AS (
+           |  SELECT q_id, vec_id FROM p1
+           |  UNION ALL SELECT q_id, vec_id FROM p2),
+           |s3 AS (
+           |  SELECT c.q_id, c.vec_id,
+           |    0.5::DOUBLE * c.rel - 0.5::DOUBLE * MAX(
+           |      list_dot_product(cc.codes, sc.codes) /
+           |        (sqrt(list_dot_product(cc.codes, cc.codes)) *
+           |         sqrt(list_dot_product(sc.codes, sc.codes)))) AS mmr
+           |  FROM pool c
+           |  JOIN picked2 p ON p.q_id = c.q_id
+           |  JOIN codes8 cc ON cc.vec_id = c.vec_id
+           |  JOIN codes8 sc ON sc.vec_id = p.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM picked2 x
+           |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           |  GROUP BY c.q_id, c.vec_id, c.rel),
+           |p3 AS (
+           |  SELECT q_id, vec_id, mmr FROM (
+           |    SELECT q_id, vec_id, mmr, ROW_NUMBER() OVER (
+           |      PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+           |    FROM s3) WHERE rn = 1),
+           |mmrall AS (
+           |  SELECT q_id, vec_id, mmr, CAST(1 AS INT) AS round FROM p1
+           |  UNION ALL
+           |  SELECT q_id, vec_id, mmr, CAST(2 AS INT) AS round FROM p2
+           |  UNION ALL
+           |  SELECT q_id, vec_id, mmr, CAST(3 AS INT) AS round FROM p3),
+           |qrels AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id
+           |  FROM embeddings q JOIN embeddings e ON e.label = q.label
+           |  WHERE q.vec_id % 50 = 3 AND e.vec_id <> q.vec_id),
+           |hits AS (
+           |  SELECT m.q_id, m.round AS rank,
+           |    CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           |  FROM mmrall m LEFT JOIN qrels l
+           |    ON l.q_id = m.q_id AND l.vec_id = m.vec_id),
+           |perq AS (
+           |  SELECT q_id,
+           |    COALESCE(MAX(CASE WHEN rank = 1 AND rel = 1 THEN '$d1'::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 2 AND rel = 1 THEN '$d2'::DOUBLE END), 0.0::DOUBLE)
+           |    + COALESCE(MAX(CASE WHEN rank = 3 AND rel = 1 THEN '$d3'::DOUBLE END), 0.0::DOUBLE)
+           |      AS dcg,
+           |    CAST(SUM(rel) AS INT) AS n_hits
+           |  FROM hits GROUP BY 1),
+           |relc AS (SELECT q_id, COUNT(*) AS nr FROM qrels GROUP BY 1),
+           |evalq AS (
+           |  SELECT p.q_id, CAST(COALESCE(r.nr, 0) AS INT) AS n_rel, p.n_hits,
+           |    CASE WHEN COALESCE(r.nr, 0) > 0 THEN p.dcg / (
+           |        (CASE WHEN r.nr >= 1 THEN '$d1'::DOUBLE ELSE 0.0::DOUBLE END)
+           |      + (CASE WHEN r.nr >= 2 THEN '$d2'::DOUBLE ELSE 0.0::DOUBLE END)
+           |      + (CASE WHEN r.nr >= 3 THEN '$d3'::DOUBLE ELSE 0.0::DOUBLE END)) END
+           |      AS ndcg,
+           |    CASE WHEN COALESCE(r.nr, 0) > 0
+           |         THEN CAST(p.n_hits AS DOUBLE) / CAST(r.nr AS DOUBLE) END
+           |      AS recall
+           |  FROM perq p LEFT JOIN relc r USING (q_id))
+           |SELECT m.q_id, m.vec_id, m.mmr, m.round,
+           |  e.n_rel, e.n_hits, e.ndcg, e.recall
+           |FROM mmrall m JOIN evalq e USING (q_id)
+           |ORDER BY m.q_id, m.round""".stripMargin
+      }),
   )
 }

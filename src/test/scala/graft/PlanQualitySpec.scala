@@ -499,6 +499,30 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("x123 retrieval flagship: the composed DAG has no corpus-sized shuffle shape") {
+    // index → both batch joins → fusion → MMR rounds → eval in ONE
+    // plan: every join keyed or a sanctioned bounded cross (the
+    // Q×nlist centroid routing and its DPP-duplicated copies), every
+    // top-k/argmax the partial-aggregable heap, and NO window ever
+    // ranks a candidate-scored set (the retired 68×-at-10× shape)
+    val p = planString("x123_retrieval_flagship")
+    assert(!p.contains("CartesianProduct"), s"product join in the DAG:\n$p")
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val nlCross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    assert(nl == nlCross && nl >= 1,
+      s"unexpected nested-loop shape ($nl, cross $nlCross):\n$p")
+    val windowSpecs = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    windowSpecs.foreach { w =>
+      assert((w.contains("qdist") || w.contains("sim#")) && !w.contains("adist")
+          && !w.contains("rrf") && !w.contains("mmr"),
+        s"window ranks a candidate set in the composed DAG:\n$w")
+    }
+    // the heaps (both joins' top-k, the fused top-k, each MMR argmax)
+    // all partial-aggregate map-side
+    assert("(?i)objecthashaggregate".r.findAllIn(p).size >= 4,
+      s"composed heaps not partial-aggregated:\n$p")
+  }
+
   test("x74 bm25 plan: model sides broadcast, no product join, distributed top-k") {
     GraftExtensions.register(spark)
     val df = graft.operators.Bm25.topK(
