@@ -216,7 +216,15 @@ object Bench {
     val contendedProbes = scala.collection.mutable.ArrayBuffer[String]()
     val regressedProbes = scala.collection.mutable.ArrayBuffer[String]()
     val calibSpikes = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY="x111,x38" → time only matching probes (comma-
+    // separated substrings) — the targeted-scale-record lever: a
+    // 100× honesty run of the join-shaped families doesn't need to
+    // drag the 150 map-only probes through 100× data to say anything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+    val results = selected.map { case (name, fn) =>
       if (warmMode == "inter" && canWarm)
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       def timed(): Double = {
