@@ -129,9 +129,10 @@ object Ranking {
     *
     * Exactness: rel and sim are exact-integer cosines (doubles with
     * no accumulation ambiguity); λ·rel and (1−λ)·pen are single IEEE
-    * multiplies, the penalty max is order-free, the argmax is the
-    * partial-aggregable `top_k_struct` k=1 heap (score DESC, id ASC —
-    * works for numeric AND string ids) — no window, no rounding.
+    * multiplies, the penalty max is order-free, the argmax is a
+    * partial-aggregable (score DESC, id ASC) pick — codegen'd
+    * max(struct) for numeric ids, the `top_k_struct` k=1 heap for any
+    * other orderable id type — no window, no rounding.
     *
     * BATCH-ONLY: the greedy rounds are a k-step driver loop, each
     * conditioned on the previous picks — inexpressible as a single
@@ -156,19 +157,30 @@ object Ranking {
       .select(col(qIdCol), col(idCol), col(relCol).cast("double").as("_rel"))
       .join(codes.select(col(idCol), col("q_codes").as("_c")), Seq(idCol))
       .select(col(qIdCol), col(idCol), col("_rel"), col("_c"))
-    // per-query argmax as top_k_struct k=1 (score DESC, id ASC) — the
-    // same partial-aggregable shape as every other ranking surface,
-    // and it tie-breaks to the LOWER id for ANY orderable id type
-    // (string ids included; a max(struct(_mmr, -id)) would demand a
-    // numeric id)
+    // per-query argmax by (score DESC, id ASC): numeric ids take the
+    // codegen'd max(struct(_mmr, −id)) DeclarativeAggregate (the hot
+    // path — k of these run per call); any other orderable id type
+    // (strings included) takes the top_k_struct k=1 heap, which
+    // tie-breaks identically through InterpretedOrdering. RankingSpec
+    // pins both paths pick the same rows.
+    val numericId = candidates.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def argmaxPick(scored: DataFrame, round: Int): DataFrame =
-      scored
-        .groupBy(col(qIdCol))
-        .agg(call_function("top_k_struct",
-          struct(col("_mmr"), col(idCol)), lit(1), lit(true)).as("_tk"))
-        .select(col(qIdCol), col("_tk").getItem(0).as("_b"))
-        .select(col(qIdCol), col("_b").getField(idCol).as(idCol),
-          col("_b._mmr").as("mmr"), lit(round).as("round"))
+      if (numericId)
+        scored
+          .groupBy(col(qIdCol))
+          .agg(max(struct(col("_mmr"), (-col(idCol)).as("_nid"),
+            col(idCol).as("_pid"))).as("_b"))
+          .select(col(qIdCol), col("_b._pid").as(idCol),
+            col("_b._mmr").as("mmr"), lit(round).as("round"))
+      else
+        scored
+          .groupBy(col(qIdCol))
+          .agg(call_function("top_k_struct",
+            struct(col("_mmr"), col(idCol)), lit(1), lit(true)).as("_tk"))
+          .select(col(qIdCol), col("_tk").getItem(0).as("_b"))
+          .select(col(qIdCol), col("_b").getField(idCol).as(idCol),
+            col("_b._mmr").as("mmr"), lit(round).as("round"))
     var picked = argmaxPick(
       pool.select(col(qIdCol), col(idCol),
         (lit(lambda) * col("_rel") - lit(1.0 - lambda) * lit(0.0))
@@ -234,10 +246,15 @@ object Ranking {
     // returned NOTHING) must still score 0.0, not vanish — dropping
     // it would silently inflate downstream means. A STREAM cannot
     // emit rows for queries it never saw, which is exactly why this
-    // lives here and not in the streamable core.
+    // lives here and not in the streamable core. The anti-join keys
+    // on the RANKING's query ids (the exact group set the core
+    // emits), not on the core itself — re-evaluating the whole
+    // scoring subtree to learn its group keys would double the
+    // operator's cost.
     val zeroHit = qrels.groupBy(col(qIdCol))
       .agg(count(lit(1)).cast("int").as("n_rel"))
-      .join(scored.select(col(qIdCol)), Seq(qIdCol), "left_anti")
+      .join(ranking.where(col("rank") <= k).select(col(qIdCol)),
+        Seq(qIdCol), "left_anti")
       .select(col(qIdCol), col("n_rel"),
         lit(0).as("n_hits"), lit(0.0).as("ndcg"), lit(0.0).as("recall"))
     scored.unionByName(zeroHit)
