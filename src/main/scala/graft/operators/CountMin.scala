@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -93,5 +93,132 @@ object CountMin {
   def countMin(width: Int, depth: Int): Column => Column = {
     val fn = udaf(new Sketch(width, depth))
     (c: Column) => fn(c)
+  }
+
+  // --- The AT-REST sketch artifact (probe x125) -------------------
+  // The point-frequency member of the at-rest family (int8 IVF /
+  // IVF-PQ / shingle / bloom / BM25 / HLL): a daily-cadence
+  // frequency pipeline pays the raw token scan ONCE per batch and
+  // persists the batch's SPARSE nonzero cells as plain
+  // (d, cell, n) rows; reading merges them by per-cell SUM.
+  //
+  // THE CONTRAST WITH THE HLL ARTIFACT, stated loudly: HLL's
+  // register merge is MAX — idempotent — so a replayed append is
+  // value-harmless there. Count-Min's merge is SUM, which is
+  // associative and commutative (any merge tree is exact) but NOT
+  // idempotent: a replayed batch DOUBLE-COUNTS. The `doneMarker` on
+  // [[appendToSketch]] is therefore load-bearing for correctness,
+  // not just for scan-cost hygiene, and CountMinSpec pins exactly
+  // that (an unmarked replay shifts estimates; a marked one is a
+  // no-op). Layout under `path`:
+  //   cells/  (d, cell, n) sparse nonzero cells, one file set per
+  //           build/append batch
+  //   meta/   (width, depth, value_col) — geometry persisted so an
+  //           append can never hash a different column or shape
+  //           into the artifact
+  // ---------------------------------------------------------------
+
+  /** The sketch of `df` as a sparse relation: one partial-aggregated
+    * pass through [[Sketch]] (map-side combined long arrays), then
+    * the single final array exploded to nonzero (d, cell, n) rows —
+    * ≤ width·depth rows out regardless of corpus size. */
+  def cells(df: DataFrame, c: Column, width: Int, depth: Int): DataFrame =
+    df.agg(countMin(width, depth)(c).as("cms"))
+      .select(posexplode(col("cms")).as(Seq("i", "n")))
+      .where(col("n") > 0)
+      .select((col("i") / width).cast("int").as("d"),
+        (col("i") % width).cast("int").as("cell"), col("n"))
+
+  /** Build the at-rest sketch: one raw scan, persisted sparse. */
+  def writeSketch(df: DataFrame, valueCol: String, path: String,
+                  width: Int = 8192, depth: Int = 4): Unit = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cells(df, col(valueCol), width, depth)
+      .write.mode("overwrite").parquet(s"$path/cells")
+    Seq((width, depth, valueCol)).toDF("width", "depth", "value_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Geometry off the ARTIFACT, never from a caller (a width/depth
+    * mismatch would silently sum incompatible cells). */
+  private def sketchMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Int, Int, String) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("width", "depth", "value_col").head()
+    (r.getInt(0), r.getInt(1), r.getString(2))
+  }
+
+  /** Append a BATCH — O(batch): only the new rows are tokenized and
+    * hashed (geometry off the persisted meta), the batch's sparse
+    * cells land as additional files, nothing is read back. SUM-merge
+    * is NOT idempotent, so the replay marker here GUARDS VALUES:
+    * re-landing a batch without it double-counts every token the
+    * batch carried. Always pass `doneMarker` from an at-least-once
+    * scheduler. */
+  def appendToSketch(batch: DataFrame, path: String,
+                     doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def fs(p0: org.apache.hadoop.fs.Path) =
+      p0.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fs(m).exists(m))) return
+    val (width, depth, valueCol) = sketchMeta(spark, path)
+    cells(batch, col(valueCol), width, depth)
+      .write.mode("append").parquet(s"$path/cells")
+    marker.foreach(m => fs(m).create(m, true).close())
+  }
+
+  /** The merged cells of everything ever written or appended — one
+    * SUM over the persisted per-batch rows (≤ batches·width·depth in,
+    * ≤ width·depth out; merge trees are exact in int64). */
+  def readCells(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy("d", "cell").agg(sum("n").as("n"))
+
+  /** Compact after an append schedule: rewrite the MERGED cells (sum
+    * is the artifact's value semantics, so the result is
+    * read-equivalent while shrinking batches·width·depth rows back
+    * to ≤ width·depth). Meta and replay markers live outside cells/
+    * and are untouched; see [[Compaction]] for the crash stance. */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"no sketch cells at $path/cells")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/cells__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$target (or delete it if the cells are intact) first")
+    fs.delete(tmp, true)
+    readCells(spark, path).write.mode("overwrite").parquet(tmp.toString)
+    Compaction.swapInto(fs, target, tmp, old)
+  }
+
+  /** Point estimates straight off the artifact for a bounded query
+    * relation: per query token, min over the depth rows' cells —
+    * never below the true count of everything ingested, above it
+    * only by colliding mass. The merged cells (≤ width·depth rows)
+    * are BROADCAST, so a billion-row query side stays map-only —
+    * the shape a 100 TB lookup pipeline needs. */
+  def estimateFromSketch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         tokenCol: String): DataFrame = {
+    val (width, depth, _) = sketchMeta(spark, path)
+    val pairs = queries.select(col(tokenCol).as("w"))
+      .select(col("w"), posexplode(array((0 until depth).map { d =>
+        struct(lit(d).cast("int").as("d"),
+          cellIndex(d, col("w"), width).cast("int").as("cell"))
+      }: _*)))
+      .select(col("w"), col("col.d").as("d"), col("col.cell").as("cell"))
+    pairs.join(broadcast(readCells(spark, path)), Seq("d", "cell"), "left")
+      .na.fill(0L, Seq("n"))
+      .groupBy("w").agg(min("n").as("estimate"))
   }
 }

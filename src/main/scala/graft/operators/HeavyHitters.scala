@@ -2,8 +2,9 @@ package graft.operators
 
 
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.udaf
 
 /** Heavy hitters over a token stream — the FREQUENCY sketch of the
@@ -122,5 +123,120 @@ object HeavyHitters {
   def heavyHitters(capacity: Int): Column => Column = {
     val fn = udaf(new MisraGries(capacity))
     (c: Column) => fn(c)
+  }
+
+  // --- The AT-REST mergeable summary artifact (probe x126) --------
+  // The streaming MG aggregator above is order-dependent below the
+  // guarantee threshold (fine in memory, wrong for a persisted
+  // artifact two engines must agree on). The at-rest form is the
+  // DETERMINISTIC prune of Agarwal et al. (PODS'12 §3.2): a batch's
+  // summary is its EXACT token counts minus the (capacity+1)-th
+  // largest count, keep-positive — order-free, partitioning-free,
+  // and still a valid MG summary (≤ capacity entries, each
+  // under-counting by ≤ N_batch/(capacity+1)). Merging summaries =
+  // sum counts per token, prune again; the bound telescopes to
+  // N_total/(capacity+1) under ANY merge tree, so append schedules
+  // never change the guarantee. Layout under `path`:
+  //   summaries/  (token, cnt) one pruned summary per batch
+  //   meta/       (capacity, value_col)
+  // Replay: sum-merge is NOT idempotent (the HLL-vs-CountMin
+  // contrast applies here too) — `doneMarker` is load-bearing.
+  // ---------------------------------------------------------------
+
+  /** The deterministic prune: keep rows with cnt strictly above the
+    * (capacity+1)-th largest cnt (0 when ≤ capacity distinct rows),
+    * each reduced by it. ≤ capacity rows survive by construction.
+    * The offset is a bounded TakeOrdered (capacity+1 rows), never a
+    * full sort. */
+  private def prune(counts: DataFrame, tokenCol: String,
+                    capacity: Int): DataFrame = {
+    val off = counts.orderBy(col("cnt").desc).limit(capacity + 1)
+      .agg(when(count(lit(1)) === capacity + 1, min(col("cnt")))
+        .otherwise(lit(0L)).as("off"))
+    counts.crossJoin(broadcast(off))
+      .where(col("cnt") > col("off"))
+      .select(col(tokenCol), (col("cnt") - col("off")).as("cnt"))
+  }
+
+  /** A batch's deterministic summary: exact per-token counts (the one
+    * O(batch) shuffle — partial-aggregated map-side), pruned to
+    * ≤ capacity rows. */
+  def summarize(df: DataFrame, c: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val counts = df
+      .select(explode(split(trim(c), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    prune(counts, "token", capacity)
+  }
+
+  /** Build the at-rest summary artifact: one raw scan, persisted. */
+  def writeSummary(df: DataFrame, valueCol: String, path: String,
+                   capacity: Int = 256): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    summarize(df, col(valueCol), capacity)
+      .write.mode("overwrite").parquet(s"$path/summaries")
+    Seq((capacity, valueCol)).toDF("capacity", "value_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def summaryMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Int, String) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("capacity", "value_col").head()
+    (r.getInt(0), r.getString(1))
+  }
+
+  /** Append a BATCH — O(batch): the batch is summarized under the
+    * persisted geometry and lands as additional files (≤ capacity
+    * rows each); nothing is read back. Marker semantics as on
+    * [[CountMin.appendToSketch]]: sum-merge double-counts a replay,
+    * so always pass `doneMarker` from an at-least-once scheduler. */
+  def appendToSummary(batch: DataFrame, path: String,
+                      doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def fs(p0: org.apache.hadoop.fs.Path) =
+      p0.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fs(m).exists(m))) return
+    val (capacity, valueCol) = summaryMeta(spark, path)
+    summarize(batch, col(valueCol), capacity)
+      .write.mode("append").parquet(s"$path/summaries")
+    marker.foreach(m => fs(m).create(m, true).close())
+  }
+
+  /** The merged summary of everything ever written or appended: sum
+    * the persisted per-batch rows per token (≤ batches·capacity in),
+    * prune once more — ≤ capacity rows out, guarantee
+    * N_total/(capacity+1) intact. */
+  def readSummary(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    val (capacity, _) = summaryMeta(spark, path)
+    val summed = spark.read.parquet(s"$path/summaries")
+      .groupBy("token").agg(sum("cnt").as("cnt"))
+    prune(summed, "token", capacity)
+  }
+
+  /** Compact after an append schedule: land the MERGED summary as the
+    * single persisted batch (read-equivalent — prune is idempotent on
+    * its own output since a pruned summary has ≤ capacity rows, so
+    * re-reading applies offset 0). */
+  def compactSummary(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$path/summaries")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"no summaries at $path/summaries")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/summaries__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/summaries__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$target (or delete it if the summaries are intact) first")
+    fs.delete(tmp, true)
+    readSummary(spark, path).write.mode("overwrite").parquet(tmp.toString)
+    Compaction.swapInto(fs, target, tmp, old)
   }
 }

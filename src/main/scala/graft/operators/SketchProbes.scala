@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Certification probes for the AT-REST sketch artifacts — the
+  * frequency members of the at-rest family (the HLL distinct-count
+  * artifact is x124 in ExtensionProbes). Both probes exercise the full
+  * persisted chain: build on half the corpus, marker-gated append of
+  * the other half, a deliberate REPLAY of the same append (must be a
+  * no-op — sum-merge is not idempotent, so if the replay landed the
+  * counts double and the hash diverges), then the read/estimate path.
+  * The oracles re-derive everything from the RAW corpus, so equality
+  * certifies persisted-merged ≡ from-raw end to end.
+  *
+  * Both reuse the x34/x40 salting (20 copies of a per-doc unique
+  * token) so the vocabulary genuinely exceeds the sketch size and the
+  * artifacts actually compress/collide.
+  */
+object SketchProbes {
+
+  private val augSql =
+    "SELECT doc_id, text || repeat(' u' || doc_id, 20) AS aug FROM documents"
+
+  /** DuckDB mirror of [[CountMin.cellIndex]]: first 15 md5 hex digits
+    * of "d_token" (60 bits, non-negative) mod width. */
+  private def cellSql(dExpr: String, wExpr: String, width: Int): String =
+    s"CAST(('0x' || substring(md5($dExpr || '_' || $wExpr), 1, 15)) " +
+      s"AS BIGINT) % $width"
+
+  val probes: Seq[Probe] = Seq(
+
+    // CountMin.writeSketch/appendToSketch/estimateFromSketch: the
+    // at-rest point-frequency artifact. Estimates for the corpus's
+    // heavy tokens (cnt·256 > N — the same bounded query set as x34)
+    // are read off the PERSISTED artifact only; the oracle re-derives
+    // every cell sum from raw text via the same md5 arithmetic and
+    // takes the same min-over-depth. Exact integers throughout — a
+    // replayed append landing, a lost batch, or a hash mismatch in
+    // any of the 4 rows diverges the hash -----------------------------
+    Probe("x125_countmin_at_rest",
+      (s, d) => {
+        val aug = Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), expr("repeat(concat(' u', doc_id), 20)")))
+        val tag = IndexCache.corpusTag("x125", d, aug, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x125_cms_$tag"
+        IndexCache.ensureBuilt(dir) {
+          CountMin.writeSketch(aug.where(col("doc_id") % 2 === 0), "aug",
+            dir, width = 8192, depth = 4)
+          CountMin.appendToSketch(aug.where(col("doc_id") % 2 === 1), dir,
+            doneMarker = Some("b1"))
+          // the at-least-once scheduler's replay: marker-gated no-op
+          CountMin.appendToSketch(aug.where(col("doc_id") % 2 === 1), dir,
+            doneMarker = Some("b1"))
+        }
+        val toks = aug.select(
+          explode(split(trim(col("aug")), "\\s+")).as("w"))
+        val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val heavy = counts.crossJoin(broadcast(total))
+          .where(col("cnt") * 256 > col("n_total"))
+          .select(col("w"), col("cnt"))
+        CountMin.estimateFromSketch(s, dir, heavy, "w")
+          .join(broadcast(heavy), Seq("w"))
+          .select(col("w"), col("cnt"), col("estimate"))
+          .orderBy("w")
+      },
+      Some(s"""WITH a AS ($augSql),
+              |toks AS (
+              |  SELECT unnest(regexp_split_to_array(trim(aug), '\\s+')) AS w
+              |  FROM a),
+              |c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+              |t AS (SELECT COUNT(*) AS n_total FROM toks),
+              |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+              |cells AS (
+              |  SELECT d, ${cellSql("d", "w", 8192)} AS cell, COUNT(*) AS n
+              |  FROM toks, ds GROUP BY 1, 2),
+              |heavy AS (SELECT w, cnt FROM c, t WHERE cnt * 256 > n_total),
+              |qc AS (
+              |  SELECT w, cnt, d, ${cellSql("d", "w", 8192)} AS cell
+              |  FROM heavy, ds)
+              |SELECT w, ANY_VALUE(cnt) AS cnt,
+              |  MIN(COALESCE(n, 0)) AS estimate
+              |FROM qc LEFT JOIN cells USING (d, cell)
+              |GROUP BY w ORDER BY w""".stripMargin)),
+
+    // HeavyHitters.writeSummary/appendToSummary/readSummary: the
+    // at-rest mergeable MG summary. Unlike the in-memory aggregator
+    // (whose sub-threshold contents are partitioning-dependent, so
+    // x34 certifies only the guarantee), the at-rest form is the
+    // DETERMINISTIC Agarwal et al. prune — exact batch counts minus
+    // the (capacity+1)-th largest, keep-positive — so the oracle can
+    // replay the exact two-batch prune-merge schedule in SQL and the
+    // summary rows hash-match VALUE-for-value ------------------------
+    Probe("x126_mg_summary_at_rest",
+      (s, d) => {
+        val aug = Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), expr("repeat(concat(' u', doc_id), 20)")))
+        val tag = IndexCache.corpusTag("x126", d, aug, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x126_mg_$tag"
+        IndexCache.ensureBuilt(dir) {
+          HeavyHitters.writeSummary(aug.where(col("doc_id") % 2 === 0),
+            "aug", dir, capacity = 64)
+          HeavyHitters.appendToSummary(aug.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+          // replay — must be gated or the merged counts double
+          HeavyHitters.appendToSummary(aug.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+        }
+        HeavyHitters.readSummary(s, dir).orderBy("token")
+      },
+      Some(s"""WITH a AS ($augSql),
+              |tk AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(trim(aug), '\\s+')) AS token
+              |  FROM a),
+              |ca AS (SELECT token, COUNT(*) AS cnt FROM tk
+              |       WHERE doc_id % 2 = 0 GROUP BY 1),
+              |offa AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ca) >= 65
+              |  THEN (SELECT MIN(cnt) FROM
+              |        (SELECT cnt FROM ca ORDER BY cnt DESC LIMIT 65))
+              |  ELSE 0 END AS o),
+              |sa AS (SELECT token, cnt - o AS cnt FROM ca, offa WHERE cnt > o),
+              |cb AS (SELECT token, COUNT(*) AS cnt FROM tk
+              |       WHERE doc_id % 2 = 1 GROUP BY 1),
+              |offb AS (SELECT CASE WHEN (SELECT COUNT(*) FROM cb) >= 65
+              |  THEN (SELECT MIN(cnt) FROM
+              |        (SELECT cnt FROM cb ORDER BY cnt DESC LIMIT 65))
+              |  ELSE 0 END AS o),
+              |sb AS (SELECT token, cnt - o AS cnt FROM cb, offb WHERE cnt > o),
+              |m AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt FROM
+              |      (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1),
+              |offm AS (SELECT CASE WHEN (SELECT COUNT(*) FROM m) >= 65
+              |  THEN (SELECT MIN(cnt) FROM
+              |        (SELECT cnt FROM m ORDER BY cnt DESC LIMIT 65))
+              |  ELSE 0 END AS o)
+              |SELECT token, cnt - o AS cnt FROM m, offm WHERE cnt > o
+              |ORDER BY token""".stripMargin)),
+  )
+}

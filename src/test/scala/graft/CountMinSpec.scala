@@ -67,4 +67,69 @@ class CountMinSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(est === 0L)
   }
+
+  // --- the at-rest artifact (probe x125's machinery) ---------------
+
+  private def estimates(path: String, words: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    CountMin.estimateFromSketch(spark, path, words.toDF("w"), "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("at-rest: build+append ≡ one-shot; wide sketch exact; compaction read-equivalent") {
+    import spark.implicits._
+    val texts = (0 until 120).map(i =>
+      (0 until 10).map(j => s"w${(i * 7 + j * 13) % 90}").mkString(" "))
+    val df = spark.createDataset(texts).toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val exact = texts.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val dir = java.nio.file.Files.createTempDirectory("cms_rt").toString
+
+    // wide enough that min-over-depth sees no collisions → exact
+    CountMin.writeSketch(df.where(col("id") % 2 === 0), "text", dir,
+      width = 1 << 14, depth = 4)
+    CountMin.appendToSketch(df.where(col("id") % 2 === 1), dir,
+      doneMarker = Some("m1"))
+    val words = exact.keys.toSeq
+    assert(estimates(dir, words) === exact)
+
+    // compaction collapses per-batch cells, values unchanged
+    CountMin.compactSketch(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() <=
+      (1L << 14) * 4)
+    assert(estimates(dir, words) === exact)
+  }
+
+  test("at-rest: the replay marker is LOAD-BEARING — sum-merge is not idempotent") {
+    import spark.implicits._
+    val df = Seq("a a b", "b c").toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("cms_replay").toString
+    CountMin.writeSketch(df.limit(0), "text", dir, width = 1 << 10, depth = 3)
+    CountMin.appendToSketch(df, dir, doneMarker = Some("b1"))
+    val once = estimates(dir, Seq("a", "b", "c"))
+    assert(once === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // marked replay: gated, nothing lands
+    CountMin.appendToSketch(df, dir, doneMarker = Some("b1"))
+    assert(estimates(dir, Seq("a", "b", "c")) === once)
+    // UNMARKED replay: double-counts — the documented failure mode a
+    // marker-less at-least-once scheduler buys itself
+    CountMin.appendToSketch(df, dir, doneMarker = None)
+    assert(estimates(dir, Seq("a", "b", "c")) ===
+      Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+  }
+
+  test("at-rest: append geometry comes off the artifact, not the caller") {
+    import spark.implicits._
+    val df = Seq("x y").toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("cms_meta").toString
+    CountMin.writeSketch(df, "text", dir, width = 128, depth = 2)
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getInt(0) === 128 && meta.getInt(1) === 2 &&
+      meta.getString(2) === "text")
+    // an appended batch is hashed under the persisted 128×2 geometry;
+    // estimates stay consistent with the original build
+    CountMin.appendToSketch(df, dir, doneMarker = Some("g"))
+    assert(estimates(dir, Seq("x")) === Map("x" -> 2L))
+  }
 }

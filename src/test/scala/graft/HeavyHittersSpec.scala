@@ -68,6 +68,74 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(mg === Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
   }
 
+  // --- the at-rest deterministic summary (probe x126's machinery) ---
+
+  private def summaryMap(path: String): Map[String, Long] =
+    HeavyHitters.readSummary(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("at-rest: deterministic prune — ≤ capacity rows, guarantee intact, partition-invariant") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val texts = (0 until 300).map { _ =>
+      (0 until 40).map { _ =>
+        val u = math.max(rnd.nextDouble(), 1e-4)
+        s"tok${math.min((1.0 / u).toInt, 3000)}"
+      }.mkString(" ")
+    }
+    val exact = exactCounts(texts)
+    val n = exact.values.sum
+    val capacity = 48
+    val ref = HeavyHitters.summarize(
+      spark.createDataset(texts).toDF("text"), col("text"), capacity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ref.size <= capacity)
+    val threshold = n.toDouble / (capacity + 1)
+    for ((w, c) <- exact if c > threshold) {
+      assert(ref.contains(w), s"heavy $w missing from the summary")
+      assert(ref(w) <= c && c - ref(w) <= threshold + 1)
+    }
+    // order/partitioning-free: any repartition yields the SAME rows
+    for (parts <- Seq(3, 17)) {
+      val alt = HeavyHitters.summarize(
+        spark.createDataset(rnd.shuffle(texts)).repartition(parts)
+          .toDF("text"), col("text"), capacity)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(alt === ref, s"parts=$parts summary differs")
+    }
+  }
+
+  test("at-rest: build+append keeps the guarantee over the UNION; replay marker load-bearing") {
+    import spark.implicits._
+    val a = (0 until 100).map(i => s"hot hot warm w$i")
+    val b = (0 until 100).map(i => s"hot warm cool v$i")
+    val dir = java.nio.file.Files.createTempDirectory("mg_rt").toString
+    val capacity = 16
+    HeavyHitters.writeSummary(a.toDF("text"), "text", dir, capacity)
+    HeavyHitters.appendToSummary(b.toDF("text"), dir, Some("b1"))
+    val merged = summaryMap(dir)
+    assert(merged.size <= capacity)
+    val exact = exactCounts(a ++ b)
+    val n = exact.values.sum
+    val threshold = n.toDouble / (capacity + 1)
+    for ((w, c) <- exact if c > threshold) {
+      assert(merged.contains(w), s"heavy $w lost across append")
+      assert(merged(w) <= c, s"$w over-counted after merge")
+      assert(c - merged(w) <= threshold + 1, s"$w past the merged bound")
+    }
+    // marked replay: no-op
+    HeavyHitters.appendToSummary(b.toDF("text"), dir, Some("b1"))
+    assert(summaryMap(dir) === merged)
+    // compaction: read-equivalent, ≤ capacity persisted rows
+    HeavyHitters.compactSummary(spark, dir)
+    assert(spark.read.parquet(s"$dir/summaries").count() <= capacity.toLong)
+    assert(summaryMap(dir) === merged)
+    // UNMARKED replay: batch b's mass double-counts (sum-merge is not
+    // idempotent) — 'hot' must strictly exceed its marked-replay value
+    HeavyHitters.appendToSummary(b.toDF("text"), dir, None)
+    assert(summaryMap(dir)("hot") > merged("hot"))
+  }
+
   test("bloom-pruned contamination is exactly the unpruned scan, fpp 0.5") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, sfDir)
