@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+import graft.multimodal.MultimodalOps.MediaRow
+
+/** Audio fingerprinting + near-duplicate detection — the AUDIO member
+  * of the multimodal dedup family (images: perceptual hash x71/x89,
+  * video containers: x68, text: the MinHash/SimHash/span stack). The
+  * shape is the constellation approach of Wang 2003 ("An
+  * Industrial-Strength Audio Search Algorithm", ISMIR): landmark
+  * spectral peaks → (anchor, target, Δt) tokens → an inverted
+  * token join scored by how many matches agree on one time OFFSET —
+  * which is exactly an LSH-banding join relationally, so the 100 TB
+  * plan is the x06 band-bucket shape: map-only fingerprinting, one
+  * equi-join on the token, a bounded aggregation per candidate pair.
+  *
+  * Everything is INTEGER-EXACT so the DuckDB oracle (probe x127) can
+  * re-derive the whole chain value-for-value:
+  *   - frames are 32 non-overlapping samples on the 16-bit lattice
+  *     (PCM16 round-trips exactly through [[MultimodalOps.decodeAudio]]'s
+  *     power-of-two normalization; other depths quantize to the same
+  *     lattice deterministically);
+  *   - the DFT uses integer twiddles round(cos·512) / round(−sin·512)
+  *     (StrictMath, so one bit pattern everywhere) — re/im are exact
+  *     long sums, ORDER-FREE, |re| ≤ 32·2¹⁵·2⁹ = 2²⁹ and mag² ≤ 2⁵⁹,
+  *     no overflow, no floating point anywhere;
+  *   - a frame's signature is its top-3 bins by mag² (ties → lower
+  *     bin) packed rank-major into 3 nibbles (bins 1..15, DC and
+  *     Nyquist excluded);
+  *   - a token pairs the signatures of frames t and t+Δt for
+  *     Δt ∈ 1..fanout: token = (sigA·4096 + sigB)·4 + Δt — 26 bits,
+  *     shift-INVARIANT (a duplicate embedded at any frame offset
+  *     produces identical tokens at shifted t, which the offset
+  *     agreement then exposes).
+  *
+  * This is a duplicate/containment detector for decoded audio content
+  * (re-encoded copies, padded/trimmed copies, clips embedded in longer
+  * recordings); robustness to lossy re-compression noise is explicitly
+  * out of scope — that would trade the integer-exact certification for
+  * heuristic smoothing, and exact-content audio dedup is what a
+  * training-data pipeline needs first.
+  */
+object AudioFingerprint {
+
+  val FrameSize = 32
+  val Bins = 15 // k = 1..15; DC (k=0) and Nyquist (k=16) carry no phase
+  val TwiddleScale = 512L
+  val PeaksPerFrame = 3
+
+  /** Integer twiddle tables, flattened [k−1]·32 + n. StrictMath keeps
+    * the bit pattern platform-independent; the x127 oracle embeds the
+    * SAME values as a literal table. */
+  lazy val (twCos, twSin): (Array[Long], Array[Long]) = {
+    val c = new Array[Long](Bins * FrameSize)
+    val s = new Array[Long](Bins * FrameSize)
+    for (k <- 1 to Bins; n <- 0 until FrameSize) {
+      val a = 2.0 * StrictMath.PI * k * n / FrameSize
+      c((k - 1) * FrameSize + n) = Math.round(StrictMath.cos(a) * TwiddleScale)
+      s((k - 1) * FrameSize + n) = Math.round(-StrictMath.sin(a) * TwiddleScale)
+    }
+    (c, s)
+  }
+
+  /** One frame's signature: exact-integer DFT magnitudes over bins
+    * 1..15, top-3 by (mag² desc, bin asc), packed rank-major into
+    * three nibbles. */
+  def frameSig(samples: Array[Int], off: Int): Int = {
+    val mag2 = new Array[Long](Bins + 1) // index by k, 1..Bins
+    var k = 1
+    while (k <= Bins) {
+      val base = (k - 1) * FrameSize
+      var re = 0L; var im = 0L; var n = 0
+      while (n < FrameSize) {
+        val v = samples(off + n).toLong
+        re += v * twCos(base + n)
+        im += v * twSin(base + n)
+        n += 1
+      }
+      mag2(k) = re * re + im * im
+      k += 1
+    }
+    var sig = 0
+    val taken = new Array[Boolean](Bins + 1)
+    var r = 0
+    while (r < PeaksPerFrame) {
+      var best = 0; var bestMag = -1L
+      var b = 1
+      while (b <= Bins) {
+        if (!taken(b) && mag2(b) > bestMag) { bestMag = mag2(b); best = b }
+        b += 1
+      }
+      taken(best) = true
+      sig = (sig << 4) | best
+      r += 1
+    }
+    sig
+  }
+
+  /** Decode a media payload to full frames on the 16-bit lattice
+    * (channel 0 of interleaved streams). Exact for PCM16; other
+    * depths quantize deterministically via round(v·2¹⁵). */
+  private def decodeFrames(m: MediaRow): Option[(Array[Int], Int)] =
+    MultimodalOps.decodeAudio(m.media).flatMap { a =>
+      val nFrames = (a.nFrames / FrameSize).toInt
+      if (nFrames <= 0) None
+      else {
+        val s = new Array[Int](nFrames * FrameSize)
+        var i = 0
+        while (i < s.length) {
+          s(i) = Math.round(a.samples(i * a.channels) * 32768.0).toInt
+          i += 1
+        }
+        Some((s, nFrames))
+      }
+    }
+
+  final case class FrameSigRow(media_id: Long, frame: Int, sig: Int)
+  final case class TokenRow(media_id: Long, t: Int, token: Long)
+
+  /** Per-frame signatures — map-only (decode + integer DFT per media,
+    * no shuffle). Undecodable or sub-frame-length payloads yield no
+    * rows: malformed media is data, not an error. */
+  def frameSigs(media: Dataset[MediaRow]): Dataset[FrameSigRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decodeFrames(m) match {
+        case None => Iterator.empty
+        case Some((s, nFrames)) =>
+          (0 until nFrames).iterator
+            .map(f => FrameSigRow(m.media_id, f, frameSig(s, f * FrameSize)))
+      }
+    }
+  }
+
+  /** Constellation tokens, emitted in the same decode pass (the per-
+    * media frame list is bounded by decodeAudio's maxSamples guard,
+    * so holding it in memory is safe): for every anchor frame t and
+    * Δt ∈ 1..fanout, token = (sig(t)·4096 + sig(t+Δt))·4 + Δt. */
+  def tokens(media: Dataset[MediaRow], fanout: Int = 3): Dataset[TokenRow] = {
+    require(fanout >= 1 && fanout <= 3, "fanout must be in 1..3")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decodeFrames(m) match {
+        case None => Iterator.empty
+        case Some((s, nFrames)) =>
+          val sigs = Array.tabulate(nFrames)(f => frameSig(s, f * FrameSize))
+          for {
+            t <- (0 until nFrames).iterator
+            dt <- 1 to fanout
+            if t + dt < nFrames
+          } yield TokenRow(m.media_id,
+            t, (sigs(t).toLong * 4096L + sigs(t + dt)) * 4L + dt)
+      }
+    }
+  }
+
+  /** Match two token relations (columns media_id, t, token): join on
+    * the token, then score each candidate pair by the number of
+    * matches agreeing on ONE frame offset t_a − t_b — coincidental
+    * collisions scatter across offsets, true duplicates pile onto
+    * one. Output: (a_id, b_id, offset, n_matches) for the best offset
+    * (ties → smaller offset), n_matches ≥ minMatches.
+    *
+    * `maxTokenFreq` is the hot-bucket cap of the x06 LSH join applied
+    * here: a token carried by more than that many media on either
+    * side is dropped BEFORE the join (a degenerate signature — e.g.
+    * digital silence — would otherwise quadratically pair everything
+    * that contains it). Recall trade, stated: duplicates whose ONLY
+    * shared tokens are that common are missed. */
+  def matchPairs(a: DataFrame, b: DataFrame, minMatches: Int = 4,
+                 maxTokenFreq: Long = 1000L): DataFrame = {
+    require(minMatches >= 1, "minMatches must be >= 1")
+    def rare(df: DataFrame): DataFrame = {
+      val freq = df.groupBy("token")
+        .agg(countDistinct("media_id").as("tf"))
+        .where(col("tf") > maxTokenFreq)
+      df.join(freq, Seq("token"), "left_anti")
+    }
+    val al = rare(a).select(col("media_id").as("a_id"), col("t").as("a_t"),
+      col("token"))
+    val bl = rare(b).select(col("media_id").as("b_id"), col("t").as("b_t"),
+      col("token"))
+    al.join(bl, "token")
+      .groupBy(col("a_id"), col("b_id"),
+        (col("a_t") - col("b_t")).as("offset"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("a_id", "b_id")
+      .agg(max(struct(col("n"), (-col("offset")).as("no"),
+        col("offset"))).as("best"))
+      .select(col("a_id"), col("b_id"),
+        col("best.offset").as("offset"), col("best.n").as("n_matches"))
+      .where(col("n_matches") >= minMatches)
+  }
+
+  /** Self near-dup over one corpus: the a<b half of [[matchPairs]]
+    * applied to the corpus against itself. */
+  def nearDup(media: Dataset[MediaRow], minMatches: Int = 4,
+              fanout: Int = 3, maxTokenFreq: Long = 1000L): DataFrame = {
+    val tk = tokens(media, fanout).toDF()
+    matchPairs(tk, tk, minMatches, maxTokenFreq)
+      .where(col("a_id") < col("b_id"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.MultimodalOps
+import graft.operators.AudioFingerprint
 import graft.sources.Tables
 
 /** Certification probe for the audio decode path: each document id
@@ -248,5 +249,116 @@ object MediaProbes {
              |  JOIN wide wb ON wb.doc_id = c.id_b)
              |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
              |FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
+
+    // AudioFingerprint.nearDup: constellation audio near-dup over
+    // PLANTED shifted duplicates — every odd doc_id's WAV is one
+    // frame of digital silence prepended to doc_id−1's samples, so
+    // (even, odd) pairs share every even-side token at frame offset
+    // −1 and must surface with n_matches = 3F−6 ≥ 9 (minMatches 7
+    // keeps the quadratically-growing ORGANIC collision pairs — real
+    // output both engines agree on, but noise at honesty-run scales —
+    // down to a thin tail while every planted pair clears it). The ENTIRE
+    // chain is integer-exact (16-bit lattice samples, round(cos·512)
+    // twiddles, long re/im sums, mag² longs, nibble-packed top-3
+    // sigs, 26-bit tokens), so the oracle re-derives it all: the
+    // twiddle table is embedded as a literal VALUES relation computed
+    // by the SAME StrictMath expressions the kernel uses — one
+    // twiddle bit off, one tie broken differently, one frame
+    // misaligned, and the hashes diverge ------------------------------
+    Probe("x127_audio_neardup",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .map { id =>
+            val baseId = if (id % 2 == 0) id else id - 1
+            val nf = 5 + ((baseId / 2) % 3).toInt
+            // the id·i cross term gives every media its own frequency
+            // content (an id-only offset is a wrapped DC shift that
+            // leaves all spectra identical for k ≥ 1) and the i² chirp
+            // sweeps the dominant bin ACROSS frames (a pure tone's
+            // per-frame sig is constant, collapsing the token space)
+            val base = Array.tabulate(nf * 32) { i =>
+              (((baseId * 7919L + i.toLong * 104729L +
+                baseId * i.toLong * 31L +
+                i.toLong * i.toLong * 517L) % 65536L) - 32768L).toInt
+            }
+            val samples =
+              if (id % 2 == 0) base else Array.fill(32)(0) ++ base
+            MultimodalOps.MediaRow(id,
+              MultimodalOps.synthWavPcm16(8000, samples), "wav", 0, 0)
+          }
+        AudioFingerprint.nearDup(media, minMatches = 7)
+          .select(col("a_id"), col("b_id"),
+            col("offset").cast("int").as("offset"), col("n_matches"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val tw = (for (k <- 1 to AudioFingerprint.Bins;
+                       n <- 0 until AudioFingerprint.FrameSize) yield {
+          val i = (k - 1) * AudioFingerprint.FrameSize + n
+          s"($k,$n,${AudioFingerprint.twCos(i)},${AudioFingerprint.twSin(i)})"
+        }).mkString(",")
+        s"""WITH tw(k, n, c, sn) AS (VALUES $tw),
+           |m AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE doc_id - 1 END AS base_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 32 END AS pad
+           |  FROM documents),
+           |g AS (SELECT doc_id, base_id, pad,
+           |        CAST(5 + (base_id // 2) % 3 AS INT) AS nf FROM m),
+           |idx AS (
+           |  SELECT doc_id, base_id, pad, nf,
+           |    unnest(generate_series(0, nf * 32 + pad - 1)) AS i
+           |  FROM g),
+           |smp AS (
+           |  SELECT doc_id, nf, pad, i // 32 AS frame, i % 32 AS n,
+           |    CASE WHEN i < pad THEN 0
+           |         ELSE ((base_id * 7919 + (i - pad) * 104729
+           |                + base_id * (i - pad) * 31
+           |                + (i - pad) * (i - pad) * 517) % 65536) - 32768
+           |    END AS s
+           |  FROM idx),
+           |ft AS (
+           |  SELECT doc_id, frame, k,
+           |    CAST(SUM(s * c) AS BIGINT) AS re,
+           |    CAST(SUM(s * sn) AS BIGINT) AS im
+           |  FROM smp JOIN tw USING (n)
+           |  GROUP BY 1, 2, 3),
+           |mag AS (SELECT doc_id, frame, k, re * re + im * im AS mag2 FROM ft),
+           |rk AS (
+           |  SELECT doc_id, frame, k,
+           |    row_number() OVER (PARTITION BY doc_id, frame
+           |                       ORDER BY mag2 DESC, k) AS rn
+           |  FROM mag),
+           |sig AS (
+           |  SELECT doc_id, frame,
+           |    CAST(SUM(CASE rn WHEN 1 THEN k * 256 WHEN 2 THEN k * 16
+           |                     ELSE k END) AS BIGINT) AS sig
+           |  FROM rk WHERE rn <= 3 GROUP BY 1, 2),
+           |dts AS (SELECT unnest(generate_series(1, 3)) AS dt),
+           |tok AS (
+           |  SELECT s1.doc_id, s1.frame AS t,
+           |    (s1.sig * 4096 + s2.sig) * 4 + d.dt AS token
+           |  FROM sig s1 CROSS JOIN dts d
+           |  JOIN sig s2 ON s2.doc_id = s1.doc_id
+           |             AND s2.frame = s1.frame + d.dt),
+           |tf AS (SELECT token FROM tok GROUP BY token
+           |       HAVING COUNT(DISTINCT doc_id) > 1000),
+           |rare AS (SELECT * FROM tok WHERE token NOT IN (SELECT token FROM tf)),
+           |cand AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    a.t - b.t AS toff, COUNT(*) AS n
+           |  FROM rare a JOIN rare b USING (token)
+           |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3),
+           |best AS (
+           |  SELECT a_id, b_id, toff, n,
+           |    row_number() OVER (PARTITION BY a_id, b_id
+           |                       ORDER BY n DESC, toff) AS rn
+           |  FROM cand)
+           |SELECT a_id, b_id, CAST(toff AS INT) AS "offset", n AS n_matches
+           |FROM best WHERE rn = 1 AND n >= 7
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
   )
 }
