@@ -128,4 +128,53 @@ object PerceptualHash {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // --- Video near-dup (probe x128) --------------------------------
+  // The temporal composition of this file's per-frame hashes with the
+  // constellation matcher: a video is its sequence of sampled-frame
+  // perceptual hashes, a re-encoded / trimmed / embedded copy is the
+  // same hash sequence at a shifted frame offset — exactly the
+  // structure [[graft.operators.Constellation.matchPairs]] scores.
+  // Completes near-dup across the multimodal family: text
+  // (MinHash/SimHash/spans), image (nearDupPairs above), audio
+  // (AudioFingerprint x127), video (this).
+  // -----------------------------------------------------------------
+
+  /** Per-frame hashes → constellation tokens: each frame contributes
+    * its four 16-bit hash bands as tokens (token = band·2¹⁶ + value,
+    * t = frame index). Band granularity — not the whole 64-bit hash —
+    * keeps single-pixel-perturbed near-dup frames matching on their
+    * unchanged bands, the [[nearDupPairs]] pigeonhole argument
+    * applied per frame. Input: (idCol, frameCol, hashCol) rows, one
+    * per SAMPLED frame (e.g. [[MultimodalOps.sampleVideoFrames]] →
+    * [[phashes]]). */
+  def videoBandTokens(frames: DataFrame, idCol: String = "video_id",
+                      frameCol: String = "frame_idx",
+                      hashCol: String = "dhash"): DataFrame =
+    frames.select(col(idCol).as("media_id"),
+        col(frameCol).cast("int").as("t"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col(hashCol), 48 - 16 * b)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bv")))
+      .select(col("media_id"), col("t"),
+        (col("band").cast("long") * 65536L + col("bv")).as("token"))
+
+  /** Video near-duplicate pairs by temporally-aligned frame hashes:
+    * (a_id, b_id, offset, n_matches) where n_matches band-tokens
+    * agree at one frame offset. A pair sharing F aligned identical
+    * frames scores 4F; `minMatches` = 8 demands two aligned frames'
+    * worth, so a single coincidentally-identical frame (a shared
+    * black frame, a title card) cannot pair two videos — and the
+    * `maxTokenFreq` cap drops corpus-wide boilerplate frames before
+    * the join (same recall trade as the audio matcher, stated
+    * there). */
+  def videoNearDup(frames: DataFrame, minMatches: Int = 8,
+                   maxTokenFreq: Long = 1000L,
+                   idCol: String = "video_id",
+                   frameCol: String = "frame_idx",
+                   hashCol: String = "dhash"): DataFrame = {
+    val tk = videoBandTokens(frames, idCol, frameCol, hashCol)
+    graft.operators.Constellation.matchPairs(tk, tk, minMatches, maxTokenFreq)
+      .where(col("a_id") < col("b_id"))
+  }
 }

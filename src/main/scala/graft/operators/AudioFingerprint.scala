@@ -157,43 +157,14 @@ object AudioFingerprint {
     }
   }
 
-  /** Match two token relations (columns media_id, t, token): join on
-    * the token, then score each candidate pair by the number of
-    * matches agreeing on ONE frame offset t_a − t_b — coincidental
-    * collisions scatter across offsets, true duplicates pile onto
-    * one. Output: (a_id, b_id, offset, n_matches) for the best offset
-    * (ties → smaller offset), n_matches ≥ minMatches.
-    *
-    * `maxTokenFreq` is the hot-bucket cap of the x06 LSH join applied
-    * here: a token carried by more than that many media on either
-    * side is dropped BEFORE the join (a degenerate signature — e.g.
-    * digital silence — would otherwise quadratically pair everything
-    * that contains it). Recall trade, stated: duplicates whose ONLY
-    * shared tokens are that common are missed. */
+  /** Match two token relations (columns media_id, t, token) by time-
+    * offset agreement — delegates to [[Constellation.matchPairs]],
+    * the shared matcher behind the audio (x127) and video (x128)
+    * near-dup operators; see its Scaladoc for the hot-token cap's
+    * recall trade and the aggregation-only scale shape. */
   def matchPairs(a: DataFrame, b: DataFrame, minMatches: Int = 4,
-                 maxTokenFreq: Long = 1000L): DataFrame = {
-    require(minMatches >= 1, "minMatches must be >= 1")
-    def rare(df: DataFrame): DataFrame = {
-      val freq = df.groupBy("token")
-        .agg(countDistinct("media_id").as("tf"))
-        .where(col("tf") > maxTokenFreq)
-      df.join(freq, Seq("token"), "left_anti")
-    }
-    val al = rare(a).select(col("media_id").as("a_id"), col("t").as("a_t"),
-      col("token"))
-    val bl = rare(b).select(col("media_id").as("b_id"), col("t").as("b_t"),
-      col("token"))
-    al.join(bl, "token")
-      .groupBy(col("a_id"), col("b_id"),
-        (col("a_t") - col("b_t")).as("offset"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy("a_id", "b_id")
-      .agg(max(struct(col("n"), (-col("offset")).as("no"),
-        col("offset"))).as("best"))
-      .select(col("a_id"), col("b_id"),
-        col("best.offset").as("offset"), col("best.n").as("n_matches"))
-      .where(col("n_matches") >= minMatches)
-  }
+                 maxTokenFreq: Long = 1000L): DataFrame =
+    Constellation.matchPairs(a, b, minMatches, maxTokenFreq)
 
   /** Self near-dup over one corpus: the a<b half of [[matchPairs]]
     * applied to the corpus against itself. */

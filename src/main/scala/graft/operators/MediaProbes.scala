@@ -360,5 +360,100 @@ object MediaProbes {
            |FROM best WHERE rn = 1 AND n >= 7
            |ORDER BY a_id, b_id""".stripMargin
       }),
+
+    // PerceptualHash.videoNearDup: temporally-aligned frame-hash video
+    // near-dup — every odd id's video is one junk frame (fterm 99)
+    // prepended to id−1's frame sequence, so (even, odd) pairs share
+    // all F frames at offset −1 and score 4F ≥ 16 band-token matches.
+    // Frames render through the REAL raster path (x89's dhash — the
+    // 9×8 integer resample, comparison bits, MSB packing), the frame
+    // hashes split into band tokens, and the constellation matcher
+    // scores offset agreement; the oracle re-derives the dhash grid
+    // math per frame (x89's SQL with the fterm·97 term), re-packs the
+    // band tokens, and replays the match ------------------------------
+    Probe("x128_video_neardup",
+      (s, d) => {
+        import s.implicits._
+        val frames = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val baseId = id - (id % 2)
+            val nf = 4 + (baseId % 3).toInt
+            val w = 16 + (baseId % 5).toInt; val h = 12 + (baseId % 3).toInt
+            val fis =
+              if (id % 2 == 0) (0 until nf).map(f => (f, f))
+              else (0 to nf).map(f => (f, if (f == 0) 99 else f - 1))
+            // the multiplicative salt kills the raw formula's mod-256
+            // periodicity in id (videos 256 apart would render
+            // near-identical pixels — thousands of unplanted exact
+            // pairs); x·salt and y·ft cross terms keep the dhash
+            // comparison pattern varying per video and per frame
+            val vs = (baseId * 2654435761L) % 65521L
+            fis.map { case (fi, ft) =>
+              val luma = Array.tabulate(w * h) { i =>
+                val y = i / w; val x = i % w
+                ((vs * 31 + ft * 97 + x * x * 7 + y * y * 13 +
+                  x * y * 5 + x * vs * 3 + y * ft * 11) % 256).toByte
+              }
+              MultimodalOps.MediaRow(id * 100 + fi, luma, "raster8", w, h)
+            }
+          }
+        val hashes = graft.multimodal.PerceptualHash.phashes(frames)
+        val vf = hashes.select(
+          expr("media_id DIV 100").as("video_id"),
+          (col("media_id") % 100).cast("int").as("frame_idx"),
+          col("dhash"))
+        graft.multimodal.PerceptualHash.videoNearDup(vf, minMatches = 8)
+          .select(col("a_id"), col("b_id"),
+            col("offset").cast("int").as("offset"), col("n_matches"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH v AS (SELECT doc_id, doc_id - doc_id % 2 AS base_id
+             |           FROM documents),
+             |g AS (SELECT doc_id, base_id,
+             |        (base_id * 2654435761) % 65521 AS vs,
+             |        CAST(4 + base_id % 3 AS INT) AS nf,
+             |        CAST(16 + base_id % 5 AS INT) AS w,
+             |        CAST(12 + base_id % 3 AS INT) AS h
+             |      FROM v),
+             |fr AS (
+             |  SELECT doc_id, vs, w, h,
+             |    unnest(generate_series(0, nf - 1 + CAST(doc_id % 2 AS INT))) AS fi
+             |  FROM g),
+             |fx AS (
+             |  SELECT doc_id, vs, w, h, fi,
+             |    CASE WHEN doc_id % 2 = 0 THEN fi
+             |         WHEN fi = 0 THEN 99 ELSE fi - 1 END AS ft
+             |  FROM fr),
+             |xy AS (SELECT a.x, b.y
+             |       FROM (SELECT unnest(generate_series(0, 7)) AS x) a,
+             |            (SELECT unnest(generate_series(0, 7)) AS y) b),
+             |dbit AS (
+             |  SELECT doc_id, fi, y // 2 AS band,
+             |    CASE WHEN (vs*31 + ft*97 + (((x+1)*w) // 9)*(((x+1)*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + (((x+1)*w) // 9)*((y*h) // 8)*5 + (((x+1)*w) // 9)*vs*3 + ((y*h) // 8)*ft*11) % 256 >
+             |              (vs*31 + ft*97 + ((x*w) // 9)*((x*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 9)*((y*h) // 8)*5 + ((x*w) // 9)*vs*3 + ((y*h) // 8)*ft*11) % 256
+             |         THEN 1 << (15 - ((y % 2) * 8 + x)) ELSE 0 END AS bit
+             |  FROM fx, xy),
+             |tok AS (
+             |  SELECT doc_id AS media_id, fi AS t,
+             |    CAST(band * 65536 + SUM(bit) AS BIGINT) AS token
+             |  FROM dbit GROUP BY doc_id, fi, band),
+             |tfq AS (SELECT token FROM tok GROUP BY token
+             |        HAVING COUNT(DISTINCT media_id) > 1000),
+             |rare AS (SELECT * FROM tok
+             |         WHERE token NOT IN (SELECT token FROM tfq)),
+             |cand AS (
+             |  SELECT a.media_id AS a_id, b.media_id AS b_id,
+             |    a.t - b.t AS toff, COUNT(*) AS n
+             |  FROM rare a JOIN rare b USING (token)
+             |  WHERE a.media_id < b.media_id
+             |  GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT a_id, b_id, toff, n,
+             |    row_number() OVER (PARTITION BY a_id, b_id
+             |                       ORDER BY n DESC, toff) AS rn
+             |  FROM cand)
+             |SELECT a_id, b_id, CAST(toff AS INT) AS "offset", n AS n_matches
+             |FROM best WHERE rn = 1 AND n >= 8
+             |ORDER BY a_id, b_id""".stripMargin)),
   )
 }
