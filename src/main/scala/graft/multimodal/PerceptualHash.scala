@@ -140,34 +140,45 @@ object PerceptualHash {
   // (AudioFingerprint x127), video (this).
   // -----------------------------------------------------------------
 
-  /** Per-frame hashes → constellation tokens: each frame contributes
-    * its four 16-bit hash bands as tokens (token = band·2¹⁶ + value,
-    * t = frame index). Band granularity — not the whole 64-bit hash —
-    * keeps single-pixel-perturbed near-dup frames matching on their
-    * unchanged bands, the [[nearDupPairs]] pigeonhole argument
-    * applied per frame. Input: (idCol, frameCol, hashCol) rows, one
-    * per SAMPLED frame (e.g. [[MultimodalOps.sampleVideoFrames]] →
-    * [[phashes]]). */
+  /** Per-frame hashes → constellation tokens: band b of frame t pairs
+    * with band b of frame t+1 — token = (band·2¹⁶ + bv_t)·2¹⁶ +
+    * bv_{t+1}, 34 bits, t = the pair's first frame. Two design forces
+    * meet here: band granularity (not the whole 64-bit hash) keeps a
+    * single-pixel-perturbed frame matching on its UNCHANGED bands —
+    * the [[nearDupPairs]] pigeonhole argument per frame — while the
+    * consecutive-frame pairing keeps the token space from saturating
+    * (a single frame's 16-bit band has only 262k values corpus-wide;
+    * the first x128 sf1 honesty run measured the single-frame form at
+    * 11.9× cost at 10× data from exactly that quadratic collision
+    * growth — the audio path's sig-pair trick fixes the geometry).
+    * Input: (idCol, frameCol, hashCol) rows, one per SAMPLED frame
+    * (e.g. [[MultimodalOps.sampleVideoFrames]] → [[phashes]]). */
   def videoBandTokens(frames: DataFrame, idCol: String = "video_id",
                       frameCol: String = "frame_idx",
-                      hashCol: String = "dhash"): DataFrame =
-    frames.select(col(idCol).as("media_id"),
+                      hashCol: String = "dhash"): DataFrame = {
+    val bands = frames.select(col(idCol).as("media_id"),
         col(frameCol).cast("int").as("t"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col(hashCol), 48 - 16 * b)
             .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bv")))
+    val nxt = bands.select(col("media_id"), (col("t") - 1).as("t"),
+      col("band"), col("bv").as("bv_next"))
+    bands.join(nxt, Seq("media_id", "t", "band"))
       .select(col("media_id"), col("t"),
-        (col("band").cast("long") * 65536L + col("bv")).as("token"))
+        ((col("band").cast("long") * 65536L + col("bv")) * 65536L +
+          col("bv_next")).as("token"))
+  }
 
   /** Video near-duplicate pairs by temporally-aligned frame hashes:
-    * (a_id, b_id, offset, n_matches) where n_matches band-tokens
-    * agree at one frame offset. A pair sharing F aligned identical
-    * frames scores 4F; `minMatches` = 8 demands two aligned frames'
-    * worth, so a single coincidentally-identical frame (a shared
-    * black frame, a title card) cannot pair two videos — and the
-    * `maxTokenFreq` cap drops corpus-wide boilerplate frames before
-    * the join (same recall trade as the audio matcher, stated
-    * there). */
+    * (a_id, b_id, offset, n_matches) where n_matches band-pair
+    * tokens agree at one frame offset. A pair sharing F aligned
+    * identical frames scores 4(F−1); `minMatches` = 8 demands two
+    * aligned frame-PAIRS' worth, so one coincidentally-identical
+    * frame (a shared black frame, a title card) — which contributes
+    * no token at all unless its NEIGHBOR also matches — cannot pair
+    * two videos, and the `maxTokenFreq` cap drops corpus-wide
+    * boilerplate sequences before the join (same recall trade as the
+    * audio matcher, stated there). */
   def videoNearDup(frames: DataFrame, minMatches: Int = 8,
                    maxTokenFreq: Long = 1000L,
                    idCol: String = "video_id",

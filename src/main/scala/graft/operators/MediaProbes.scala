@@ -364,7 +364,9 @@ object MediaProbes {
     // PerceptualHash.videoNearDup: temporally-aligned frame-hash video
     // near-dup — every odd id's video is one junk frame (fterm 99)
     // prepended to id−1's frame sequence, so (even, odd) pairs share
-    // all F frames at offset −1 and score 4F ≥ 16 band-token matches.
+    // all F frames at offset −1 and score 4(F−1) ≥ 12 band-pair
+    // tokens (consecutive-frame pairing — the saturation fix whose
+    // need the first sf1 honesty run measured; see videoBandTokens).
     // Frames render through the REAL raster path (x89's dhash — the
     // 9×8 integer resample, comparison bits, MSB packing), the frame
     // hashes split into band tokens, and the constellation matcher
@@ -433,10 +435,15 @@ object MediaProbes {
              |              (vs*31 + ft*97 + ((x*w) // 9)*((x*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 9)*((y*h) // 8)*5 + ((x*w) // 9)*vs*3 + ((y*h) // 8)*ft*11) % 256
              |         THEN 1 << (15 - ((y % 2) * 8 + x)) ELSE 0 END AS bit
              |  FROM fx, xy),
-             |tok AS (
-             |  SELECT doc_id AS media_id, fi AS t,
-             |    CAST(band * 65536 + SUM(bit) AS BIGINT) AS token
+             |bvs AS (
+             |  SELECT doc_id, fi, band, CAST(SUM(bit) AS BIGINT) AS bv
              |  FROM dbit GROUP BY doc_id, fi, band),
+             |tok AS (
+             |  SELECT a.doc_id AS media_id, a.fi AS t,
+             |    (a.band * 65536 + a.bv) * 65536 + b.bv AS token
+             |  FROM bvs a JOIN bvs b
+             |    ON b.doc_id = a.doc_id AND b.band = a.band
+             |   AND b.fi = a.fi + 1),
              |tfq AS (SELECT token FROM tok GROUP BY token
              |        HAVING COUNT(DISTINCT media_id) > 1000),
              |rare AS (SELECT * FROM tok

@@ -36,20 +36,21 @@ class VideoNearDupSpec extends SparkTestBase {
       .select("video_id", "frame_idx", "dhash")
   }
 
-  test("a one-frame-shifted copy matches at offset −1 with 4 tokens per shared frame") {
+  test("a one-frame-shifted copy matches at offset −1 with 4 tokens per shared frame pair") {
     val a = video(1L, 7L, (0 until 5).map((_, 0)))
     val b = video(2L, 7L, Seq((99, 0)) ++ (0 until 5).map((_, 0)))
     val c = video(3L, 123L, (0 until 5).map((_, 0)))
     val frames = a.union(b).union(c)
     val pairs = PerceptualHash.videoNearDup(frames, minMatches = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
-    assert(pairs.toSeq === Seq((1L, 2L, -1, 20L)))
+    // 5 shared frames = 4 consecutive pairs × 4 bands
+    assert(pairs.toSeq === Seq((1L, 2L, -1, 16L)))
   }
 
   test("a single-pixel-perturbed frame still matches on its unchanged bands") {
-    // same video, frame 2 bumped by one grey level in one pixel:
-    // that frame keeps ≥ 2 of its 4 band tokens (only bands touching
-    // the perturbed comparison flip), the other 4 frames keep all 4
+    // same video, frame 2 bumped by one grey level in one pixel: the
+    // two frame-pairs touching frame 2 keep their unperturbed bands'
+    // tokens; pairs (0,1) and (3,4) keep all 4
     val a = video(1L, 9L, (0 until 5).map((_, 0)))
     val b = video(2L, 9L, (0 until 5).map(f => (f, if (f == 2) 1 else 0)))
     val pairs = PerceptualHash.videoNearDup(a.union(b), minMatches = 8)
@@ -57,16 +58,22 @@ class VideoNearDupSpec extends SparkTestBase {
     assert(pairs.length === 1)
     val (ai, bi, off, n) = pairs.head
     assert((ai, bi, off) === ((1L, 2L, 0)))
-    assert(n >= 18L && n <= 24L, s"expected 16 + most of frame 2's bands: $n")
+    assert(n >= 12L && n <= 16L,
+      s"expected 8 clean + most of the two perturbed pairs' bands: $n")
   }
 
-  test("the hot-token cap suppresses corpus-wide boilerplate frames") {
+  test("the hot-token cap suppresses corpus-wide boilerplate sequences") {
     import spark.implicits._
-    // 8 unrelated videos all sharing one identical title-card frame
+    // 8 unrelated videos all ending in the SAME two-frame title card
+    // (a single shared frame yields no token at all under pair
+    // tokens — its neighbors differ per video; two consecutive shared
+    // frames yield exactly one shared pair × 4 bands)
     val vids = (1L to 8L).map { v =>
       video(v, v * 31L, Seq((0, 0), (1, 0))) // distinct content
-        .union(video(v, 999L, Seq((5, 0))) // shared card, same for all v
-          .select(lit(v).as("video_id"), lit(2).as("frame_idx"), col("dhash")))
+        .union(video(v, 999L, Seq((5, 0), (6, 0)))
+          .withColumn("video_id", lit(v))
+          .withColumn("frame_idx", col("frame_idx") + 2)
+          .select("video_id", "frame_idx", "dhash"))
     }.reduce(_ union _)
     val capped = PerceptualHash.videoNearDup(vids, minMatches = 1,
       maxTokenFreq = 4L)
