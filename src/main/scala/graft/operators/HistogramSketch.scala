@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-bin histogram sketch at rest — the QUANTILE member of the
+  * at-rest sketch family (HLL distinct counts x124, Count-Min point
+  * frequencies x125, Misra-Gries heavy hitters x126). Where
+  * `approx_percentile`'s sketch state is engine-internal and
+  * order-sensitive, a fixed-geometry histogram is a plain (bin, n)
+  * relation: DETERMINISTIC (bin edges fixed at build), exactly
+  * mergeable (int64 SUM per bin — any merge tree, any append
+  * schedule), and engine-portable (the x40/x113 stance: another
+  * engine can re-derive every cell and every quantile read-off).
+  *
+  * The error contract is explicit geometry, not probabilistic: a
+  * quantile read-off returns the bin CONTAINING the ceil(q·N)-th
+  * smallest ingested value (values outside [lo, hi) clamp to the edge
+  * bins, so an out-of-range tail degrades the edge bins' answer — the
+  * documented trade for a fixed geometry that never rebalances).
+  * Resolution = (hi − lo)/nBins.
+  *
+  * Layout under `path` follows the family conventions:
+  *   bins/  (bin, n) sparse nonzero bins, one file set per batch
+  *   meta/  (lo, hi, n_bins, value_col) — geometry off the artifact,
+  *          never the caller
+  * SUM-merge is NOT idempotent (the HLL-vs-CountMin contrast): the
+  * append replay marker guards VALUES.
+  */
+object HistogramSketch {
+
+  /** Bin of `c` under the geometry: clamp(floor((v − lo)/width), 0,
+    * nBins−1). Pure double arithmetic both engines evaluate
+    * identically (same IEEE ops); null values produce null bins and
+    * are dropped by the aggregation. */
+  def binOf(c: Column, lo: Double, hi: Double, nBins: Int): Column = {
+    val width = (hi - lo) / nBins
+    least(greatest(floor((c.cast("double") - lit(lo)) / lit(width)),
+      lit(0.0)), lit((nBins - 1).toDouble)).cast("int")
+  }
+
+  /** Sparse nonzero bins of `df`: one partial-aggregated count. */
+  def bins(df: DataFrame, c: Column, lo: Double, hi: Double,
+           nBins: Int): DataFrame =
+    df.where(c.isNotNull)
+      .groupBy(binOf(c, lo, hi, nBins).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Build the at-rest sketch: one raw scan, persisted sparse. */
+  def writeSketch(df: DataFrame, valueCol: String, path: String,
+                  lo: Double, hi: Double, nBins: Int = 256): Unit = {
+    require(nBins >= 1 && hi > lo, s"bad geometry: [$lo, $hi) / $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    bins(df, col(valueCol), lo, hi, nBins)
+      .write.mode("overwrite").parquet(s"$path/bins")
+    Seq((lo, hi, nBins, valueCol)).toDF("lo", "hi", "n_bins", "value_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def sketchMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Double, Double, Int, String) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("lo", "hi", "n_bins", "value_col").head()
+    (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3))
+  }
+
+  /** Append a BATCH — O(batch), geometry off the persisted meta; the
+    * marker is load-bearing (SUM double-counts a replay). */
+  def appendToSketch(batch: DataFrame, path: String,
+                     doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    }
+    def fs(p0: org.apache.hadoop.fs.Path) =
+      p0.getFileSystem(spark.sessionState.newHadoopConf())
+    if (marker.exists(m => fs(m).exists(m))) return
+    val (lo, hi, nBins, valueCol) = sketchMeta(spark, path)
+    bins(batch, col(valueCol), lo, hi, nBins)
+      .write.mode("append").parquet(s"$path/bins")
+    marker.foreach(m => fs(m).create(m, true).close())
+  }
+
+  /** Merged bins of everything ingested (≤ nBins rows out). */
+  def readBins(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame =
+    spark.read.parquet(s"$path/bins")
+      .groupBy("bin").agg(sum("n").as("n"))
+
+  /** Compact after an append schedule (read-equivalent, ≤ nBins
+    * rows; see [[Compaction]] for the crash stance). */
+  def compactSketch(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$path/bins")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"no sketch bins at $path/bins")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/bins__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/bins__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$target (or delete it if the bins are intact) first")
+    fs.delete(tmp, true)
+    readBins(spark, path).write.mode("overwrite").parquet(tmp.toString)
+    Compaction.swapInto(fs, target, tmp, old)
+  }
+
+  /** Quantile read-off for the given qs, straight off the artifact:
+    * per q, the smallest bin whose cumulative count reaches
+    * ceil(q·N), with the bin's geometry — (q, bin, cum_n, n_total,
+    * bin_lo, bin_hi). The cumulative window runs over ≤ nBins rows
+    * (bounded by construction — this is the one place a window is
+    * the right tool). */
+  def quantilesFromSketch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"qs must be in (0, 1]: $qs")
+    import spark.implicits._
+    val (lo, hi, nBins, _) = sketchMeta(spark, path)
+    val width = (hi - lo) / nBins
+    val cum = readBins(spark, path)
+      .withColumn("cum", sum("n").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+    val total = cum.agg(max("cum").as("n_total"))
+    qs.toDF("q").crossJoin(broadcast(total))
+      .join(broadcast(cum),
+        col("cum") >= ceil(col("q") * col("n_total")))
+      .groupBy("q", "n_total")
+      .agg(min(struct(col("bin"), col("cum"))).as("first"))
+      .select(col("q"), col("first.bin").as("bin"),
+        col("first.cum").as("cum_n"), col("n_total"),
+        (lit(lo) + col("first.bin") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("first.bin") + 1) * lit(width)).as("bin_hi"))
+  }
+}

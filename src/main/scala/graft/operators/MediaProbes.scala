@@ -17,6 +17,90 @@ import graft.sources.Tables
   * rounding is needed on either side. */
 object MediaProbes {
 
+  /** Shared x127/x129 audio fixture: even ids carry chirp samples
+    * from the id formula, each odd id prepends one silent frame to
+    * id−1's samples (a planted one-frame-shifted duplicate). The
+    * id·i cross term gives every media its own frequency content (an
+    * id-only offset is a wrapped DC shift that leaves all spectra
+    * identical for k ≥ 1) and the i² chirp sweeps the dominant bin
+    * ACROSS frames (a pure tone's per-frame sig is constant,
+    * collapsing the token space) — both degeneracies were found by
+    * row-count sanity at sf0.001. */
+  private def audioMediaOf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val baseId = if (id % 2 == 0) id else id - 1
+        val nf = 5 + ((baseId / 2) % 3).toInt
+        val base = Array.tabulate(nf * 32) { i =>
+          (((baseId * 7919L + i.toLong * 104729L +
+            baseId * i.toLong * 31L +
+            i.toLong * i.toLong * 517L) % 65536L) - 32768L).toInt
+        }
+        val samples =
+          if (id % 2 == 0) base else Array.fill(32)(0) ++ base
+        MultimodalOps.MediaRow(id,
+          MultimodalOps.synthWavPcm16(8000, samples), "wav", 0, 0)
+      }
+  }
+
+  /** The shared x127/x129 oracle prelude: fixture samples → integer-
+    * twiddle DFT (literal VALUES table computed by the SAME
+    * StrictMath expressions the kernel uses) → mag² → rank-packed
+    * top-3 sigs → 26-bit constellation tokens, as CTEs ending at
+    * `tok(doc_id, t, token)`. */
+  private def audioTokPrelude: String = {
+    val tw = (for (k <- 1 to AudioFingerprint.Bins;
+                   n <- 0 until AudioFingerprint.FrameSize) yield {
+      val i = (k - 1) * AudioFingerprint.FrameSize + n
+      s"($k,$n,${AudioFingerprint.twCos(i)},${AudioFingerprint.twSin(i)})"
+    }).mkString(",")
+    s"""WITH tw(k, n, c, sn) AS (VALUES $tw),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE doc_id - 1 END AS base_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 32 END AS pad
+       |  FROM documents),
+       |g AS (SELECT doc_id, base_id, pad,
+       |        CAST(5 + (base_id // 2) % 3 AS INT) AS nf FROM m),
+       |idx AS (
+       |  SELECT doc_id, base_id, pad, nf,
+       |    unnest(generate_series(0, nf * 32 + pad - 1)) AS i
+       |  FROM g),
+       |smp AS (
+       |  SELECT doc_id, nf, pad, i // 32 AS frame, i % 32 AS n,
+       |    CASE WHEN i < pad THEN 0
+       |         ELSE ((base_id * 7919 + (i - pad) * 104729
+       |                + base_id * (i - pad) * 31
+       |                + (i - pad) * (i - pad) * 517) % 65536) - 32768
+       |    END AS s
+       |  FROM idx),
+       |ft AS (
+       |  SELECT doc_id, frame, k,
+       |    CAST(SUM(s * c) AS BIGINT) AS re,
+       |    CAST(SUM(s * sn) AS BIGINT) AS im
+       |  FROM smp JOIN tw USING (n)
+       |  GROUP BY 1, 2, 3),
+       |mag AS (SELECT doc_id, frame, k, re * re + im * im AS mag2 FROM ft),
+       |rk AS (
+       |  SELECT doc_id, frame, k,
+       |    row_number() OVER (PARTITION BY doc_id, frame
+       |                       ORDER BY mag2 DESC, k) AS rn
+       |  FROM mag),
+       |sig AS (
+       |  SELECT doc_id, frame,
+       |    CAST(SUM(CASE rn WHEN 1 THEN k * 256 WHEN 2 THEN k * 16
+       |                     ELSE k END) AS BIGINT) AS sig
+       |  FROM rk WHERE rn <= 3 GROUP BY 1, 2),
+       |dts AS (SELECT unnest(generate_series(1, 3)) AS dt),
+       |tok AS (
+       |  SELECT s1.doc_id, s1.frame AS t,
+       |    (s1.sig * 4096 + s2.sig) * 4 + d.dt AS token
+       |  FROM sig s1 CROSS JOIN dts d
+       |  JOIN sig s2 ON s2.doc_id = s1.doc_id
+       |             AND s2.frame = s1.frame + d.dt)""".stripMargin
+  }
+
   val probes: Seq[Probe] = Seq(
 
     Probe("x54_audio_features",
@@ -267,81 +351,13 @@ object MediaProbes {
     // misaligned, and the hashes diverge ------------------------------
     Probe("x127_audio_neardup",
       (s, d) => {
-        import s.implicits._
-        val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-          .map { id =>
-            val baseId = if (id % 2 == 0) id else id - 1
-            val nf = 5 + ((baseId / 2) % 3).toInt
-            // the id·i cross term gives every media its own frequency
-            // content (an id-only offset is a wrapped DC shift that
-            // leaves all spectra identical for k ≥ 1) and the i² chirp
-            // sweeps the dominant bin ACROSS frames (a pure tone's
-            // per-frame sig is constant, collapsing the token space)
-            val base = Array.tabulate(nf * 32) { i =>
-              (((baseId * 7919L + i.toLong * 104729L +
-                baseId * i.toLong * 31L +
-                i.toLong * i.toLong * 517L) % 65536L) - 32768L).toInt
-            }
-            val samples =
-              if (id % 2 == 0) base else Array.fill(32)(0) ++ base
-            MultimodalOps.MediaRow(id,
-              MultimodalOps.synthWavPcm16(8000, samples), "wav", 0, 0)
-          }
-        AudioFingerprint.nearDup(media, minMatches = 7)
+        AudioFingerprint.nearDup(audioMediaOf(s, d), minMatches = 7)
           .select(col("a_id"), col("b_id"),
             col("offset").cast("int").as("offset"), col("n_matches"))
           .orderBy("a_id", "b_id")
       },
       Some {
-        val tw = (for (k <- 1 to AudioFingerprint.Bins;
-                       n <- 0 until AudioFingerprint.FrameSize) yield {
-          val i = (k - 1) * AudioFingerprint.FrameSize + n
-          s"($k,$n,${AudioFingerprint.twCos(i)},${AudioFingerprint.twSin(i)})"
-        }).mkString(",")
-        s"""WITH tw(k, n, c, sn) AS (VALUES $tw),
-           |m AS (
-           |  SELECT doc_id,
-           |    CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE doc_id - 1 END AS base_id,
-           |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 32 END AS pad
-           |  FROM documents),
-           |g AS (SELECT doc_id, base_id, pad,
-           |        CAST(5 + (base_id // 2) % 3 AS INT) AS nf FROM m),
-           |idx AS (
-           |  SELECT doc_id, base_id, pad, nf,
-           |    unnest(generate_series(0, nf * 32 + pad - 1)) AS i
-           |  FROM g),
-           |smp AS (
-           |  SELECT doc_id, nf, pad, i // 32 AS frame, i % 32 AS n,
-           |    CASE WHEN i < pad THEN 0
-           |         ELSE ((base_id * 7919 + (i - pad) * 104729
-           |                + base_id * (i - pad) * 31
-           |                + (i - pad) * (i - pad) * 517) % 65536) - 32768
-           |    END AS s
-           |  FROM idx),
-           |ft AS (
-           |  SELECT doc_id, frame, k,
-           |    CAST(SUM(s * c) AS BIGINT) AS re,
-           |    CAST(SUM(s * sn) AS BIGINT) AS im
-           |  FROM smp JOIN tw USING (n)
-           |  GROUP BY 1, 2, 3),
-           |mag AS (SELECT doc_id, frame, k, re * re + im * im AS mag2 FROM ft),
-           |rk AS (
-           |  SELECT doc_id, frame, k,
-           |    row_number() OVER (PARTITION BY doc_id, frame
-           |                       ORDER BY mag2 DESC, k) AS rn
-           |  FROM mag),
-           |sig AS (
-           |  SELECT doc_id, frame,
-           |    CAST(SUM(CASE rn WHEN 1 THEN k * 256 WHEN 2 THEN k * 16
-           |                     ELSE k END) AS BIGINT) AS sig
-           |  FROM rk WHERE rn <= 3 GROUP BY 1, 2),
-           |dts AS (SELECT unnest(generate_series(1, 3)) AS dt),
-           |tok AS (
-           |  SELECT s1.doc_id, s1.frame AS t,
-           |    (s1.sig * 4096 + s2.sig) * 4 + d.dt AS token
-           |  FROM sig s1 CROSS JOIN dts d
-           |  JOIN sig s2 ON s2.doc_id = s1.doc_id
-           |             AND s2.frame = s1.frame + d.dt),
+        s"""$audioTokPrelude,
            |tf AS (SELECT token FROM tok GROUP BY token
            |       HAVING COUNT(DISTINCT doc_id) > 1000),
            |rare AS (SELECT * FROM tok WHERE token NOT IN (SELECT token FROM tf)),
@@ -350,6 +366,72 @@ object MediaProbes {
            |    a.t - b.t AS toff, COUNT(*) AS n
            |  FROM rare a JOIN rare b USING (token)
            |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3),
+           |best AS (
+           |  SELECT a_id, b_id, toff, n,
+           |    row_number() OVER (PARTITION BY a_id, b_id
+           |                       ORDER BY n DESC, toff) AS rn
+           |  FROM cand)
+           |SELECT a_id, b_id, CAST(toff AS INT) AS "offset", n AS n_matches
+           |FROM best WHERE rn = 1 AND n >= 7
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
+
+    // Constellation.writeTokenIndex/appendToTokenIndex/
+    // matchAgainstIndex: INCREMENTAL media ingest dedup — the x32
+    // text / x104 ANN shape for the fingerprint family. The corpus
+    // (even ids) is fingerprinted ONCE into the at-rest token index
+    // (built from half, marker-gated append of the rest, plus a
+    // replayed append that must be a no-op — token rows are disjoint
+    // facts, a landed replay would inflate n_matches); the ingest
+    // batch (odd ids — each a planted shifted duplicate of id−1) is
+    // the only thing decoded this cycle and matches against the
+    // PERSISTED tokens only. The oracle re-derives both sides from
+    // raw samples, so equality certifies persisted ≡ from-raw
+    // end to end ------------------------------------------------------
+    Probe("x129_audio_index_ingest",
+      (s, d) => {
+        val media = audioMediaOf(s, d)
+        val corpus = media.filter((m: MultimodalOps.MediaRow) =>
+          m.media_id % 2 == 0)
+        val batch = media.filter((m: MultimodalOps.MediaRow) =>
+          m.media_id % 2 == 1)
+        val tag = IndexCache.corpusTag("x129", d, Tables.documents(s, d),
+          Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x129_tokidx_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val ct = AudioFingerprint.tokens(corpus).toDF()
+          Constellation.writeTokenIndex(
+            ct.where(col("media_id") % 4 === 0), dir, "audio_dft32_v1")
+          Constellation.appendToTokenIndex(
+            ct.where(col("media_id") % 4 === 2), dir, "audio_dft32_v1",
+            doneMarker = Some("b1"))
+          Constellation.appendToTokenIndex(
+            ct.where(col("media_id") % 4 === 2), dir, "audio_dft32_v1",
+            doneMarker = Some("b1")) // replay — must be gated
+        }
+        Constellation.matchAgainstIndex(
+            AudioFingerprint.tokens(batch).toDF(), dir, "audio_dft32_v1",
+            minMatches = 7)
+          .select(col("a_id"), col("b_id"),
+            col("offset").cast("int").as("offset"), col("n_matches"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        s"""$audioTokPrelude,
+           |bt AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+           |ct AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+           |tfb AS (SELECT token FROM bt GROUP BY token
+           |        HAVING COUNT(DISTINCT doc_id) > 1000),
+           |tfc AS (SELECT token FROM ct GROUP BY token
+           |        HAVING COUNT(DISTINCT doc_id) > 1000),
+           |rb AS (SELECT * FROM bt WHERE token NOT IN (SELECT token FROM tfb)),
+           |rc AS (SELECT * FROM ct WHERE token NOT IN (SELECT token FROM tfc)),
+           |cand AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    a.t - b.t AS toff, COUNT(*) AS n
+           |  FROM rb a JOIN rc b USING (token)
            |  GROUP BY 1, 2, 3),
            |best AS (
            |  SELECT a_id, b_id, toff, n,

@@ -139,5 +139,56 @@ object SketchProbes {
               |  ELSE 0 END AS o)
               |SELECT token, cnt - o AS cnt FROM m, offm WHERE cnt > o
               |ORDER BY token""".stripMargin)),
+
+    // HistogramSketch: the at-rest QUANTILE member of the sketch
+    // family — fixed geometry [0, 4096)/256 over document text
+    // lengths (width 16, a power of two, so every double step is
+    // exact), built on half the corpus, marker-gated append of the
+    // other half plus a replay that must be a no-op, quantiles read
+    // off the PERSISTED bins only; the oracle re-derives every bin
+    // count from raw text and replays the same ceil(q·N) cumulative
+    // selection — exact integers plus exact doubles ------------------
+    Probe("x130_histogram_quantile_at_rest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x130", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x130_hist_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val lens = docs.select(col("doc_id"),
+            length(col("text")).as("len"))
+          HistogramSketch.writeSketch(lens.where(col("doc_id") % 2 === 0),
+            "len", dir, lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToSketch(lens.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+          HistogramSketch.appendToSketch(lens.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1")) // replay — marker-gated no-op
+        }
+        HistogramSketch.quantilesFromSketch(s, dir,
+            Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+          .orderBy("q")
+      },
+      Some("""WITH v AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |    AS bin
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT bin, COUNT(*) AS n FROM v GROUP BY 1),
+             |c AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum FROM b),
+             |t AS (SELECT MAX(cum) AS n_total FROM c),
+             |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+             |  (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+             |  (CAST(0.99 AS DOUBLE))),
+             |sel AS (
+             |  SELECT q, n_total, MIN(bin) AS bin
+             |  FROM qs, t JOIN c ON cum >= CEIL(q * n_total)
+             |  GROUP BY 1, 2)
+             |SELECT sel.q, CAST(sel.bin AS INT) AS bin,
+             |  CAST(c.cum AS BIGINT) AS cum_n,
+             |  CAST(sel.n_total AS BIGINT) AS n_total,
+             |  CAST(sel.bin AS DOUBLE) * 16.0 AS bin_lo,
+             |  (CAST(sel.bin AS DOUBLE) + 1.0) * 16.0 AS bin_hi
+             |FROM sel JOIN c ON c.bin = sel.bin
+             |ORDER BY q""".stripMargin)),
   )
 }
