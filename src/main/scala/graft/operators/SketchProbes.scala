@@ -190,5 +190,164 @@ object SketchProbes {
              |  (CAST(sel.bin AS DOUBLE) + 1.0) * 16.0 AS bin_hi
              |FROM sel JOIN c ON c.bin = sel.bin
              |ORDER BY q""".stripMargin)),
+
+    // The SKETCH-FAMILY FLAGSHIP (the x38/x72/x92/x123 composed-
+    // certification precedent applied to the at-rest sketches): ONE
+    // daily corpus-stats job builds and appends all four artifacts —
+    // grouped HLL, Count-Min, Misra-Gries, histogram — then serves
+    // ONE profile relation from the PERSISTED artifacts only:
+    // per-lang distinct-text estimates, the heavy tokens with their
+    // MG weight AND their Count-Min frequency estimate side by side,
+    // and length quantiles. The oracle re-derives all four chains
+    // from raw text and unions them — certifying that the artifacts
+    // COMPOSE (the CM estimates are read for exactly the MG summary's
+    // token set) and that every number a profile consumer sees traces
+    // to raw data ----------------------------------------------------
+    Probe("x131_corpus_profile_flagship",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val aug = docs.withColumn("aug",
+          concat(col("text"), expr("repeat(concat(' u', doc_id), 20)")))
+        val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
+        val tag = IndexCache.corpusTag("x131", d, docs, Seq("doc_id", "text"))
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x131_profile_$tag"
+        val even = col("doc_id") % 2 === 0
+        val odd = col("doc_id") % 2 === 1
+        IndexCache.ensureBuilt(root) {
+          Hll.writeSketch(docs.where(even), "text", Seq("lang"),
+            s"$root/hll", p = 8)
+          Hll.appendToSketch(docs.where(odd), s"$root/hll", Some("b1"))
+          CountMin.writeSketch(aug.where(even), "aug", s"$root/cm",
+            width = 8192, depth = 4)
+          CountMin.appendToSketch(aug.where(odd), s"$root/cm", Some("b1"))
+          CountMin.appendToSketch(aug.where(odd), s"$root/cm", Some("b1"))
+          HeavyHitters.writeSummary(aug.where(even), "aug", s"$root/mg", 64)
+          HeavyHitters.appendToSummary(aug.where(odd), s"$root/mg",
+            Some("b1"))
+          HistogramSketch.writeSketch(lens.where(even), "len",
+            s"$root/hist", lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToSketch(lens.where(odd), s"$root/hist",
+            Some("b1"))
+        }
+        val hll = Hll.estimateFromSketch(s, s"$root/hll")
+          .select(lit("distinct_texts").as("metric"), col("lang").as("key"),
+            col("estimate").cast("double").as("v1"),
+            lit(0.0).as("v2"))
+        val mg = HeavyHitters.readSummary(s, s"$root/mg")
+        val cm = CountMin.estimateFromSketch(s, s"$root/cm",
+          mg.select(col("token")), "token")
+        val heavy = mg.join(cm, mg("token") === cm("w"))
+          .select(lit("heavy_token").as("metric"), col("token").as("key"),
+            col("cnt").cast("double").as("v1"),
+            col("estimate").cast("double").as("v2"))
+        val labels = Seq((0.5, "q50"), (0.9, "q90"), (0.99, "q99"))
+          .toDF("q", "key")
+        val quant = HistogramSketch.quantilesFromSketch(s, s"$root/hist",
+            Seq(0.5, 0.9, 0.99))
+          .join(broadcast(labels), "q")
+          .select(lit("len_q").as("metric"), col("key"),
+            col("bin_lo").as("v1"), col("cum_n").cast("double").as("v2"))
+        hll.unionByName(heavy).unionByName(quant).orderBy("metric", "key")
+      },
+      Some {
+        val m = 256
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        val scale = java.lang.Double.toString(
+          alpha * m * m * math.pow(2.0, 49))
+        s"""WITH hv AS (
+           |  SELECT lang, md5(text) AS h FROM documents
+           |  WHERE text IS NOT NULL),
+           |hp AS (
+           |  SELECT lang, h,
+           |    length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) AS zeros,
+           |    substring(substring(h, 3, 12),
+           |      CAST(length(regexp_extract(substring(h, 3, 12), '^(0*)', 1)) + 1 AS INT),
+           |      1) AS fnz
+           |  FROM hv),
+           |hr AS (
+           |  SELECT lang, CAST(('0x' || substring(h, 1, 2)) AS INT) AS bucket,
+           |    CASE WHEN zeros = 12 THEN 49
+           |         ELSE zeros * 4 + CASE WHEN fnz = '1' THEN 3
+           |                               WHEN fnz IN ('2', '3') THEN 2
+           |                               WHEN fnz IN ('4', '5', '6', '7') THEN 1
+           |                               ELSE 0 END + 1 END AS rho
+           |  FROM hp),
+           |hagg AS (SELECT lang, bucket, MAX(rho) AS rho FROM hr GROUP BY 1, 2),
+           |hsums AS (
+           |  SELECT lang,
+           |    CAST(SUM(CAST(2 ** (49 - rho) AS BIGINT))
+           |      + (256 - COUNT(*)) * CAST(2 ** 49 AS BIGINT) AS BIGINT) AS s_scaled,
+           |    CAST(256 - COUNT(*) AS BIGINT) AS v_zero
+           |  FROM hagg GROUP BY 1),
+           |hest AS (
+           |  SELECT lang,
+           |    ROUND(CASE WHEN v_zero > 0 AND $scale / s_scaled <= 640.0
+           |          THEN 256.0 * ln(256.0 / v_zero)
+           |          ELSE $scale / s_scaled END, 6) AS estimate
+           |  FROM hsums),
+           |a AS ($augSql),
+           |tk AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(aug), '\\s+')) AS w
+           |  FROM a),
+           |ca AS (SELECT w AS token, COUNT(*) AS cnt FROM tk
+           |       WHERE doc_id % 2 = 0 GROUP BY 1),
+           |offa AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ca) >= 65
+           |  THEN (SELECT MIN(cnt) FROM
+           |        (SELECT cnt FROM ca ORDER BY cnt DESC LIMIT 65))
+           |  ELSE 0 END AS o),
+           |sa AS (SELECT token, cnt - o AS cnt FROM ca, offa WHERE cnt > o),
+           |cb AS (SELECT w AS token, COUNT(*) AS cnt FROM tk
+           |       WHERE doc_id % 2 = 1 GROUP BY 1),
+           |offb AS (SELECT CASE WHEN (SELECT COUNT(*) FROM cb) >= 65
+           |  THEN (SELECT MIN(cnt) FROM
+           |        (SELECT cnt FROM cb ORDER BY cnt DESC LIMIT 65))
+           |  ELSE 0 END AS o),
+           |sb AS (SELECT token, cnt - o AS cnt FROM cb, offb WHERE cnt > o),
+           |mm AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt FROM
+           |      (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1),
+           |offm AS (SELECT CASE WHEN (SELECT COUNT(*) FROM mm) >= 65
+           |  THEN (SELECT MIN(cnt) FROM
+           |        (SELECT cnt FROM mm ORDER BY cnt DESC LIMIT 65))
+           |  ELSE 0 END AS o),
+           |msum AS (SELECT token, cnt - o AS cnt FROM mm, offm WHERE cnt > o),
+           |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+           |cells AS (
+           |  SELECT d, ${cellSql("d", "w", 8192)} AS cell, COUNT(*) AS n
+           |  FROM tk, ds GROUP BY 1, 2),
+           |qc AS (
+           |  SELECT token, cnt, d, ${cellSql("d", "token", 8192)} AS cell
+           |  FROM msum, ds),
+           |cest AS (
+           |  SELECT token, ANY_VALUE(cnt) AS cnt,
+           |    MIN(COALESCE(n, 0)) AS est
+           |  FROM qc LEFT JOIN cells USING (d, cell) GROUP BY token),
+           |hbv AS (
+           |  SELECT LEAST(GREATEST(CAST(FLOOR(
+           |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+           |    AS bin
+           |  FROM documents WHERE text IS NOT NULL),
+           |hbb AS (SELECT bin, COUNT(*) AS n FROM hbv GROUP BY 1),
+           |hbc AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum FROM hbb),
+           |hbt AS (SELECT MAX(cum) AS n_total FROM hbc),
+           |hqs(q, label) AS (VALUES (CAST(0.5 AS DOUBLE), 'q50'),
+           |  (CAST(0.9 AS DOUBLE), 'q90'), (CAST(0.99 AS DOUBLE), 'q99')),
+           |hsel AS (
+           |  SELECT q, label, n_total, MIN(bin) AS bin
+           |  FROM hqs, hbt JOIN hbc ON cum >= CEIL(q * n_total)
+           |  GROUP BY 1, 2, 3)
+           |SELECT 'distinct_texts' AS metric, lang AS key,
+           |  estimate AS v1, CAST(0.0 AS DOUBLE) AS v2 FROM hest
+           |UNION ALL
+           |SELECT 'heavy_token', token, CAST(cnt AS DOUBLE),
+           |  CAST(est AS DOUBLE) FROM cest
+           |UNION ALL
+           |SELECT 'len_q', label, CAST(bin AS DOUBLE) * CAST(16.0 AS DOUBLE),
+           |  CAST((SELECT cum FROM hbc WHERE hbc.bin = hsel.bin) AS DOUBLE)
+           |FROM hsel
+           |ORDER BY metric, key""".stripMargin
+      }),
   )
 }
