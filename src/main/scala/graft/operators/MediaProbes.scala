@@ -35,7 +35,7 @@ object MediaProbes {
         val base = Array.tabulate(nf * 32) { i =>
           (((baseId * 7919L + i.toLong * 104729L +
             baseId * i.toLong * 31L +
-            i.toLong * i.toLong * 517L) % 65536L) - 32768L).toInt
+            i.toLong * i.toLong * (517L + baseId % 89L)) % 65536L) - 32768L).toInt
         }
         val samples =
           if (id % 2 == 0) base else Array.fill(32)(0) ++ base
@@ -72,7 +72,7 @@ object MediaProbes {
        |    CASE WHEN i < pad THEN 0
        |         ELSE ((base_id * 7919 + (i - pad) * 104729
        |                + base_id * (i - pad) * 31
-       |                + (i - pad) * (i - pad) * 517) % 65536) - 32768
+       |                + (i - pad) * (i - pad) * (517 + base_id % 89)) % 65536) - 32768
        |    END AS s
        |  FROM idx),
        |ft AS (
@@ -399,7 +399,7 @@ object MediaProbes {
         val tag = IndexCache.corpusTag("x129", d, Tables.documents(s, d),
           Seq("doc_id"))
         val dir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_x129_tokidx_$tag"
+          s"${System.getProperty("java.io.tmpdir")}/graft_x129_tokidx_v2_$tag"
         IndexCache.ensureBuilt(dir) {
           val ct = AudioFingerprint.tokens(corpus).toDF()
           Constellation.writeTokenIndex(
@@ -472,11 +472,14 @@ object MediaProbes {
             // pairs); x·salt and y·ft cross terms keep the dhash
             // comparison pattern varying per video and per frame
             val vs = (baseId * 2654435761L) % 65521L
+            val vb = (baseId * 48271L) % 65521L
+            val vc = (baseId * 16807L) % 65521L
             fis.map { case (fi, ft) =>
               val luma = Array.tabulate(w * h) { i =>
                 val y = i / w; val x = i % w
                 ((vs * 31 + ft * 97 + x * x * 7 + y * y * 13 +
-                  x * y * 5 + x * vs * 3 + y * ft * 11) % 256).toByte
+                  x * y * 5 + x * vs * 3 + y * ft * 11 +
+                  y * vb * 7 + x * y * vc * 3) % 256).toByte
               }
               MultimodalOps.MediaRow(id * 100 + fi, luma, "raster8", w, h)
             }
@@ -495,16 +498,18 @@ object MediaProbes {
              |           FROM documents),
              |g AS (SELECT doc_id, base_id,
              |        (base_id * 2654435761) % 65521 AS vs,
+             |        (base_id * 48271) % 65521 AS vb,
+             |        (base_id * 16807) % 65521 AS vc,
              |        CAST(4 + base_id % 3 AS INT) AS nf,
              |        CAST(16 + base_id % 5 AS INT) AS w,
              |        CAST(12 + base_id % 3 AS INT) AS h
              |      FROM v),
              |fr AS (
-             |  SELECT doc_id, vs, w, h,
+             |  SELECT doc_id, vs, vb, vc, w, h,
              |    unnest(generate_series(0, nf - 1 + CAST(doc_id % 2 AS INT))) AS fi
              |  FROM g),
              |fx AS (
-             |  SELECT doc_id, vs, w, h, fi,
+             |  SELECT doc_id, vs, vb, vc, w, h, fi,
              |    CASE WHEN doc_id % 2 = 0 THEN fi
              |         WHEN fi = 0 THEN 99 ELSE fi - 1 END AS ft
              |  FROM fr),
@@ -513,8 +518,8 @@ object MediaProbes {
              |            (SELECT unnest(generate_series(0, 7)) AS y) b),
              |dbit AS (
              |  SELECT doc_id, fi, y // 2 AS band,
-             |    CASE WHEN (vs*31 + ft*97 + (((x+1)*w) // 9)*(((x+1)*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + (((x+1)*w) // 9)*((y*h) // 8)*5 + (((x+1)*w) // 9)*vs*3 + ((y*h) // 8)*ft*11) % 256 >
-             |              (vs*31 + ft*97 + ((x*w) // 9)*((x*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 9)*((y*h) // 8)*5 + ((x*w) // 9)*vs*3 + ((y*h) // 8)*ft*11) % 256
+             |    CASE WHEN (vs*31 + ft*97 + (((x+1)*w) // 9)*(((x+1)*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + (((x+1)*w) // 9)*((y*h) // 8)*5 + (((x+1)*w) // 9)*vs*3 + ((y*h) // 8)*ft*11 + ((y*h) // 8)*vb*7 + (((x+1)*w) // 9)*((y*h) // 8)*vc*3) % 256 >
+             |              (vs*31 + ft*97 + ((x*w) // 9)*((x*w) // 9)*7 + ((y*h) // 8)*((y*h) // 8)*13 + ((x*w) // 9)*((y*h) // 8)*5 + ((x*w) // 9)*vs*3 + ((y*h) // 8)*ft*11 + ((y*h) // 8)*vb*7 + ((x*w) // 9)*((y*h) // 8)*vc*3) % 256
              |         THEN 1 << (15 - ((y % 2) * 8 + x)) ELSE 0 END AS bit
              |  FROM fx, xy),
              |bvs AS (
