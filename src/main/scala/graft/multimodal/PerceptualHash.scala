@@ -152,11 +152,20 @@ object PerceptualHash {
     * 11.9× cost at 10× data from exactly that quadratic collision
     * growth — the audio path's sig-pair trick fixes the geometry).
     * Input: (idCol, frameCol, hashCol) rows, one per SAMPLED frame
-    * (e.g. [[MultimodalOps.sampleVideoFrames]] → [[phashes]]). */
+    * (e.g. [[MultimodalOps.sampleVideoFrames]] → [[phashes]]).
+    * Undecodable frames: when the input carries [[phashes]]'s
+    * `decoded` flag it is honored — decoded=false rows emit no tokens
+    * (the [[nearDupPairs]] stance: a zero hash is not a picture of
+    * anything, and runs of undecodable frames in unrelated videos
+    * would otherwise mint identical aligned pair tokens). Inputs
+    * WITHOUT the flag must drop undecodable frames upstream. */
   def videoBandTokens(frames: DataFrame, idCol: String = "video_id",
                       frameCol: String = "frame_idx",
                       hashCol: String = "dhash"): DataFrame = {
-    val bands = frames.select(col(idCol).as("media_id"),
+    val decodable =
+      if (frames.columns.contains("decoded")) frames.where(col("decoded"))
+      else frames
+    val bands = decodable.select(col(idCol).as("media_id"),
         col(frameCol).cast("int").as("t"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col(hashCol), 48 - 16 * b)

@@ -50,6 +50,31 @@ object AudioFingerprint {
   val TwiddleScale = 512L
   val PeaksPerFrame = 3
 
+  /** The token space is 26 bits (12-bit sig × 2 + 2-bit Δt). That is
+    * ample at benchmark scale, but it SATURATES at very large corpora:
+    * around 10⁸⁺ media at ~20 tokens each the expected per-token
+    * frequency crosses into the regime where coincidental-collision
+    * pair volume grows quadratically while sitting BELOW any fixed
+    * `maxTokenFreq` cap. Use [[deriveMaxTokenFreq]] to scale the cap
+    * with corpus size up to that boundary; past it, widen the token
+    * geometry (a 4th peak, finer Δt — a new index `kind`) rather than
+    * tuning the cap (see [[Constellation.deriveMaxTokenFreq]] for the
+    * full argument). */
+  val TokenSpaceBits = 26
+
+  /** Fanout-aware expected tokens per media for a given frame count
+    * (Σ_{dt=1..fanout} max(0, nFrames − dt)). */
+  def tokensPerMedia(nFrames: Int, fanout: Int = 3): Double =
+    (1 to fanout).map(dt => math.max(0, nFrames - dt)).sum.toDouble
+
+  /** Corpus-size-aware hot-token cap for THIS token geometry —
+    * [[Constellation.deriveMaxTokenFreq]] at 26 bits. */
+  def deriveMaxTokenFreq(corpusMedia: Long, avgTokensPerMedia: Double,
+                         headroom: Double = 64.0,
+                         floor: Long = 1000L): Long =
+    Constellation.deriveMaxTokenFreq(corpusMedia, avgTokensPerMedia,
+      TokenSpaceBits, headroom, floor)
+
   /** Integer twiddle tables, flattened [k−1]·32 + n. StrictMath keeps
     * the bit pattern platform-independent; the x127 oracle embeds the
     * SAME values as a literal table. */

@@ -269,28 +269,25 @@ object Bm25 {
     * stats, append ≡ rebuild-with-union exactly (Bm25IndexSpec pins
     * it). Replay semantics (the artifact-family stance): with
     * `doneMarker` (e.g. the micro-batch id) a replay after the marker
-    * landed is a no-op; a crash between the data commit and the
-    * marker write can duplicate that one batch — duplicated ids
-    * inflate df/tf for their terms, so exactly-once consumers dedup
-    * upstream or rebuild. */
+    * landed is a no-op, and the commit runs the family's crash-atomic
+    * staged protocol ([[Compaction.appendWithMarker]]) — postings and
+    * the stats row move into place together and a crashed attempt's
+    * partial move is swept on retry, so at-least-once redelivery can
+    * neither duplicate the batch nor land postings without stats. */
   def appendToIndex(batch: DataFrame, path: String,
                     idCol: String = "doc_id", textCol: String = "text",
                     doneMarker: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (nBuckets, idName) = indexMeta(spark, path)
+      fullPostings(batch, idCol, textCol)
+        .withColumnRenamed(idCol, idName)
+        .withColumn("tb", termBucket(col("word"), nBuckets))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$staging/postings")
+      statsRow(batch, textCol).write.mode("overwrite")
+        .parquet(s"$staging/stats")
     }
-    def fs(p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => fs(m).exists(m))) return
-    val (nBuckets, idName) = indexMeta(spark, path)
-    fullPostings(batch, idCol, textCol)
-      .withColumnRenamed(idCol, idName)
-      .withColumn("tb", termBucket(col("word"), nBuckets))
-      .write.partitionBy("tb").mode("append").parquet(s"$path/postings")
-    statsRow(batch, textCol).write.mode("append").parquet(s"$path/stats")
-    marker.foreach(m => fs(m).create(m, true).close())
   }
 
   /** Compact the postings table after an append schedule: appends
@@ -341,6 +338,20 @@ object Bm25 {
     val buckets = vocab.toDF("word")
       .select(termBucket(col("word"), nBuckets).as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // pruning hierarchy, stated: `tb IN` is the LOAD-BEARING prune — a
+    // partition filter applied at file listing, so only the query
+    // terms' bucket directories are ever opened (plan-gated in
+    // Bm25IndexSpec). `word IN vocab` prunes WITHIN a bucket as a
+    // pushed parquet filter, but that pushdown degrades quietly for
+    // large vocabularies: past spark.sql.parquet.pushdown.
+    // inFilterThreshold (default 10) Spark rewrites the In-list to a
+    // min/max range predicate over the word column's row-group
+    // statistics, which keeps skipping only when a bucket's words are
+    // clustered. The partition prune is unaffected (bucket ids travel
+    // as a ≤64-element isin over the partition column), so bucket scan
+    // cost is bounded either way; if profiling ever shows big-vocab
+    // bucket scans dominating, a broadcast semi-join on word is the
+    // escape hatch — it trades the pushdown for an exact hash filter.
     val hits = spark.read.parquet(s"$path/postings")
       .where(col("tb").isin(buckets: _*) && col("word").isin(vocab: _*))
       .select(col(idName), col("dl"), col("word"), col("tf"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction for the append-mode at-rest artifacts.
@@ -37,6 +37,112 @@ import org.apache.spark.sql.functions._
   * the swap, so marker-gated replay semantics survive compaction.
   */
 object Compaction {
+
+  /** Marker-gated, CRASH-ATOMIC batch append — the one shared commit
+    * protocol behind every at-rest artifact family (Count-Min cells,
+    * Misra-Gries summaries, histogram bins, HLL registers, BM25
+    * postings+stats, constellation tokens+stats). `stage(stagingDir)`
+    * writes the batch's output under `stagingDir` mirroring the
+    * artifact layout (e.g. `$staging/cells`, `$staging/postings` with
+    * the same partitionBy); the helper then moves every staged data
+    * file into place under `root` and only afterwards creates the
+    * replay marker.
+    *
+    * Replay semantics, per family: with `doneMarker` (e.g. the
+    * micro-batch id) a replay after the marker landed is a NO-OP.
+    * The window the naive append-then-mark protocol left open — a
+    * crash between the data commit and the marker write re-lands the
+    * batch on redelivery and double-counts every SUM-merged artifact —
+    * is CLOSED here: moved files carry a marker-derived name prefix
+    * (`ap-<marker>__`), a crash mid-commit leaves the staging
+    * directory behind, and the retry first deletes every file wearing
+    * that prefix before re-staging, so at-least-once redelivery lands
+    * each marked batch exactly once. Without `doneMarker` there is no
+    * replay guard (same files land twice — the documented failure
+    * mode the artifact specs pin); concurrent appends under the SAME
+    * marker id are not supported (they would race on one staging dir).
+    *
+    * The staging directory name starts with `_`, so a reader listing
+    * the artifact mid-append never sees half a batch: files become
+    * visible only through the per-file renames, each atomic, and a
+    * SUM-merged read is only transiently short, never double. */
+  def appendWithMarker(spark: SparkSession, root: String,
+                       doneMarker: Option[String])
+                      (stage: String => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath0 = new Path(root)
+    val fs = rootPath0.getFileSystem(conf)
+    val rootPath = fs.makeQualified(rootPath0)
+    val marker = doneMarker.map { mk =>
+      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
+      new Path(rootPath, s"_append_${mk}_ok")
+    }
+    val prefix = doneMarker.map(mk => s"ap-${mk}__")
+    val staging = fs.makeQualified(new Path(rootPath, doneMarker match {
+      case Some(mk) => s"_append_${mk}_staging"
+      case None =>
+        s"_append_${java.util.UUID.randomUUID().toString.take(8)}_staging"
+    }))
+    if (marker.exists(fs.exists)) { fs.delete(staging, true); return }
+    if (fs.exists(staging)) {
+      // a prior attempt died mid-commit (staging is only removed AFTER
+      // the marker lands): sweep any files it already moved — they all
+      // wear the marker prefix — then restage from scratch
+      prefix.foreach { pre =>
+        val it = fs.listFiles(rootPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.startsWith(pre) &&
+              !f.getPath.toString.startsWith(staging.toString))
+            fs.delete(f.getPath, false)
+        }
+      }
+      fs.delete(staging, true)
+    }
+    stage(staging.toString)
+    val base = staging.toString + "/"
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val full = fs.makeQualified(f.getPath).toString
+        require(full.startsWith(base), s"staged file $full escapes $base")
+        val rel = full.substring(base.length)
+        val destDir = rel.lastIndexOf('/') match {
+          case -1 => rootPath
+          case i  => new Path(rootPath, rel.substring(0, i))
+        }
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, prefix.getOrElse("") + name)
+        require(fs.rename(f.getPath, dest), s"could not move $full to $dest")
+      }
+    }
+    marker.foreach(m => fs.create(m, true).close())
+    fs.delete(staging, true)
+  }
+
+  /** Compact-and-swap for a FLAT (unpartitioned) artifact directory:
+    * rewrite `dir` as `rewrite`'s rows (the artifact's value-merge —
+    * summed cells, max-merged registers, re-pruned summaries), staged
+    * in a `__compact_tmp` sibling and swapped in with the two-rename
+    * protocol ([[swapInto]]); `__compact_old` left by an interrupted
+    * earlier run is refused loudly. The partitioned analogue is
+    * [[compactPartitionedDir]]. */
+  def compactValueDir(spark: SparkSession, dir: String)
+                     (rewrite: => DataFrame): Unit = {
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target), s"no artifact directory at $dir")
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    require(!fs.exists(old),
+      s"$old left by an interrupted compaction — rename it back over " +
+        s"$dir (or delete it if $dir is intact) before compacting again")
+    fs.delete(tmp, true)
+    rewrite.write.mode("overwrite").parquet(tmp.toString)
+    swapInto(fs, target, tmp, old)
+  }
 
   /** Rewrite the partitioned parquet directory `dir` with identical
     * rows in one file per partition directory (re-split at

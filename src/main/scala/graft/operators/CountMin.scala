@@ -156,21 +156,17 @@ object CountMin {
     * is NOT idempotent, so the replay marker here GUARDS VALUES:
     * re-landing a batch without it double-counts every token the
     * batch carried. Always pass `doneMarker` from an at-least-once
-    * scheduler. */
+    * scheduler; the commit itself is the family's crash-atomic staged
+    * protocol ([[Compaction.appendWithMarker]]), so a crash mid-commit
+    * cannot double-count either. */
   def appendToSketch(batch: DataFrame, path: String,
                      doneMarker: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (width, depth, valueCol) = sketchMeta(spark, path)
+      cells(batch, col(valueCol), width, depth)
+        .write.mode("overwrite").parquet(s"$staging/cells")
     }
-    def fs(p0: org.apache.hadoop.fs.Path) =
-      p0.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => fs(m).exists(m))) return
-    val (width, depth, valueCol) = sketchMeta(spark, path)
-    cells(batch, col(valueCol), width, depth)
-      .write.mode("append").parquet(s"$path/cells")
-    marker.foreach(m => fs(m).create(m, true).close())
   }
 
   /** The merged cells of everything ever written or appended — one
@@ -187,19 +183,8 @@ object CountMin {
     * to ≤ width·depth). Meta and replay markers live outside cells/
     * and are untouched; see [[Compaction]] for the crash stance. */
   def compactSketch(spark: org.apache.spark.sql.SparkSession,
-                    path: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(target), s"no sketch cells at $path/cells")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/cells__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/cells__compact_old")
-    require(!fs.exists(old),
-      s"$old left by an interrupted compaction — rename it back over " +
-        s"$target (or delete it if the cells are intact) first")
-    fs.delete(tmp, true)
-    readCells(spark, path).write.mode("overwrite").parquet(tmp.toString)
-    Compaction.swapInto(fs, target, tmp, old)
-  }
+                    path: String): Unit =
+    Compaction.compactValueDir(spark, s"$path/cells")(readCells(spark, path))
 
   /** Point estimates straight off the artifact for a bounded query
     * relation: per query token, min over the depth rows' cells —

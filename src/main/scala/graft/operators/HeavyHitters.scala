@@ -196,17 +196,11 @@ object HeavyHitters {
   def appendToSummary(batch: DataFrame, path: String,
                       doneMarker: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (capacity, valueCol) = summaryMeta(spark, path)
+      summarize(batch, col(valueCol), capacity)
+        .write.mode("overwrite").parquet(s"$staging/summaries")
     }
-    def fs(p0: org.apache.hadoop.fs.Path) =
-      p0.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => fs(m).exists(m))) return
-    val (capacity, valueCol) = summaryMeta(spark, path)
-    summarize(batch, col(valueCol), capacity)
-      .write.mode("append").parquet(s"$path/summaries")
-    marker.foreach(m => fs(m).create(m, true).close())
   }
 
   /** The merged summary of everything ever written or appended: sum
@@ -226,17 +220,7 @@ object HeavyHitters {
     * its own output since a pruned summary has ≤ capacity rows, so
     * re-reading applies offset 0). */
   def compactSummary(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(s"$path/summaries")
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(target), s"no summaries at $path/summaries")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/summaries__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/summaries__compact_old")
-    require(!fs.exists(old),
-      s"$old left by an interrupted compaction — rename it back over " +
-        s"$target (or delete it if the summaries are intact) first")
-    fs.delete(tmp, true)
-    readSummary(spark, path).write.mode("overwrite").parquet(tmp.toString)
-    Compaction.swapInto(fs, target, tmp, old)
-  }
+                     path: String): Unit =
+    Compaction.compactValueDir(spark, s"$path/summaries")(
+      readSummary(spark, path))
 }

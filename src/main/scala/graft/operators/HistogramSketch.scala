@@ -33,17 +33,21 @@ object HistogramSketch {
   /** Bin of `c` under the geometry: clamp(floor((v − lo)/width), 0,
     * nBins−1). Pure double arithmetic both engines evaluate
     * identically (same IEEE ops); null values produce null bins and
-    * are dropped by the aggregation. */
+    * are dropped by the aggregation. NaN inputs are dropped by
+    * [[bins]] alongside nulls — Spark orders NaN above every value,
+    * so the least/greatest clamp would otherwise silently route NaN
+    * into the TOP bin and shift every later quantile read-off. */
   def binOf(c: Column, lo: Double, hi: Double, nBins: Int): Column = {
     val width = (hi - lo) / nBins
     least(greatest(floor((c.cast("double") - lit(lo)) / lit(width)),
       lit(0.0)), lit((nBins - 1).toDouble)).cast("int")
   }
 
-  /** Sparse nonzero bins of `df`: one partial-aggregated count. */
+  /** Sparse nonzero bins of `df`: one partial-aggregated count.
+    * Null and NaN values are dropped (see [[binOf]]). */
   def bins(df: DataFrame, c: Column, lo: Double, hi: Double,
            nBins: Int): DataFrame =
-    df.where(c.isNotNull)
+    df.where(c.isNotNull && !isnan(c.cast("double")))
       .groupBy(binOf(c, lo, hi, nBins).as("bin"))
       .agg(count(lit(1)).as("n"))
 
@@ -71,17 +75,11 @@ object HistogramSketch {
   def appendToSketch(batch: DataFrame, path: String,
                      doneMarker: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (lo, hi, nBins, valueCol) = sketchMeta(spark, path)
+      bins(batch, col(valueCol), lo, hi, nBins)
+        .write.mode("overwrite").parquet(s"$staging/bins")
     }
-    def fs(p0: org.apache.hadoop.fs.Path) =
-      p0.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => fs(m).exists(m))) return
-    val (lo, hi, nBins, valueCol) = sketchMeta(spark, path)
-    bins(batch, col(valueCol), lo, hi, nBins)
-      .write.mode("append").parquet(s"$path/bins")
-    marker.foreach(m => fs(m).create(m, true).close())
   }
 
   /** Merged bins of everything ingested (≤ nBins rows out). */
@@ -93,19 +91,8 @@ object HistogramSketch {
   /** Compact after an append schedule (read-equivalent, ≤ nBins
     * rows; see [[Compaction]] for the crash stance). */
   def compactSketch(spark: org.apache.spark.sql.SparkSession,
-                    path: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(s"$path/bins")
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(target), s"no sketch bins at $path/bins")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/bins__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/bins__compact_old")
-    require(!fs.exists(old),
-      s"$old left by an interrupted compaction — rename it back over " +
-        s"$target (or delete it if the bins are intact) first")
-    fs.delete(tmp, true)
-    readBins(spark, path).write.mode("overwrite").parquet(tmp.toString)
-    Compaction.swapInto(fs, target, tmp, old)
-  }
+                    path: String): Unit =
+    Compaction.compactValueDir(spark, s"$path/bins")(readBins(spark, path))
 
   /** Quantile read-off for the given qs, straight off the artifact:
     * per q, the smallest bin whose cumulative count reaches

@@ -211,17 +211,11 @@ object Hll {
   def appendToSketch(batch: DataFrame, path: String,
                      doneMarker: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (p, valueCol, groupCols) = sketchMeta(spark, path)
+      registersBy(batch, col(valueCol), groupCols, p)
+        .write.mode("overwrite").parquet(s"$staging/registers")
     }
-    def fs(p0: org.apache.hadoop.fs.Path) =
-      p0.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => fs(m).exists(m))) return
-    val (p, valueCol, groupCols) = sketchMeta(spark, path)
-    registersBy(batch, col(valueCol), groupCols, p)
-      .write.mode("append").parquet(s"$path/registers")
-    marker.foreach(m => fs(m).create(m, true).close())
   }
 
   /** The merged grouped registers of everything ever written or
@@ -243,18 +237,8 @@ object Hll {
   def compactSketch(spark: org.apache.spark.sql.SparkSession,
                     path: String): Unit = {
     val (_, _, groupCols) = sketchMeta(spark, path)
-    val target = new org.apache.hadoop.fs.Path(s"$path/registers")
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(target), s"no sketch registers at $path/registers")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/registers__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/registers__compact_old")
-    require(!fs.exists(old),
-      s"$old left by an interrupted compaction — rename it back over " +
-        s"$target (or delete it if the registers are intact) first")
-    fs.delete(tmp, true)
-    mergeBy(groupCols, spark.read.parquet(target.toString))
-      .write.mode("overwrite").parquet(tmp.toString)
-    Compaction.swapInto(fs, target, tmp, old)
+    Compaction.compactValueDir(spark, s"$path/registers")(
+      mergeBy(groupCols, spark.read.parquet(s"$path/registers")))
   }
 
   /** Per-group cardinality estimates straight off the artifact —

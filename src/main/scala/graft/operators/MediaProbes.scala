@@ -399,7 +399,7 @@ object MediaProbes {
         val tag = IndexCache.corpusTag("x129", d, Tables.documents(s, d),
           Seq("doc_id"))
         val dir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_x129_tokidx_v2_$tag"
+          s"${System.getProperty("java.io.tmpdir")}/graft_x129_tokidx_v3_$tag"
         IndexCache.ensureBuilt(dir) {
           val ct = AudioFingerprint.tokens(corpus).toDF()
           Constellation.writeTokenIndex(

@@ -72,6 +72,21 @@ class AudioFingerprintSpec extends SparkTestBase {
       s"unrelated media matched: ${pairs.toSeq}")
   }
 
+  test("the corpus-size-aware cap floors at benchmark scale and scales " +
+      "past the 26-bit token space's expectation") {
+    // small corpus: expectation ≪ 1 → the floor wins
+    assert(AudioFingerprint.deriveMaxTokenFreq(1000000L, 20.0) === 1000L)
+    // 10⁹ media × ~20 tokens: E[freq] ≈ 2·10¹⁰/2²⁶ ≈ 298 — the regime
+    // the fixed cap 1000 silently admitted; headroom 64 scales the cap
+    // to track expectation instead
+    val big = AudioFingerprint.deriveMaxTokenFreq(1000000000L, 20.0)
+    val expected = 1e9 * 20.0 / math.pow(2.0, 26)
+    assert(big === math.ceil(64.0 * expected).toLong && big > 1000L)
+    // per-media token count honors the fanout geometry
+    assert(AudioFingerprint.tokensPerMedia(6, fanout = 3) === 12.0)
+    assert(AudioFingerprint.tokensPerMedia(2, fanout = 3) === 1.0)
+  }
+
   test("the hot-token cap drops degenerate tokens BEFORE the join (stated recall trade)") {
     import spark.implicits._
     // ten identical recordings: every token is carried by all ten

@@ -78,6 +78,61 @@ class ConstellationIndexSpec extends SparkTestBase {
       s"replayed batch must double its counts: $vsIdx2")
   }
 
+  test("persisted-stats hot-token filter ≡ recomputed countDistinct, " +
+      "including a token driven hot ONLY across build+append batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tokidx_stats").toString
+    // hand-built token relations: token 7 is carried by 2 media in the
+    // build batch and 2 more in the append batch — hot (>3) only in
+    // AGGREGATE, so a filter that consulted either batch's own counts
+    // (or failed to sum the persisted stats) would keep it
+    def toks(ids: Seq[Long], token: Long) =
+      ids.flatMap(id => (0 to 4).map(t => (id, t, token)))
+    val build = (toks(Seq(0L, 2L), 7L) ++ toks(Seq(0L, 2L), 11L))
+      .toDF("media_id", "t", "token")
+    val append = (toks(Seq(4L, 6L), 7L) ++ toks(Seq(4L), 13L))
+      .toDF("media_id", "t", "token")
+    Constellation.writeTokenIndex(build, dir, "test_v1")
+    Constellation.appendToTokenIndex(append, dir, "test_v1", Some("s1"))
+    // the batch shares hot token 7 (must be dropped index-side) and
+    // rare token 11 (must match media 0 and 2 at offset 0)
+    val batch = (toks(Seq(101L), 7L) ++ toks(Seq(101L), 11L))
+      .toDF("media_id", "t", "token")
+    val viaStats = render(Constellation.matchAgainstIndex(
+      batch, dir, "test_v1", minMatches = 4, maxTokenFreq = 3L))
+    val recomputed = render(Constellation.matchPairs(
+      batch, Constellation.readTokenIndex(spark, dir),
+      minMatches = 4, maxTokenFreq = 3L)
+      .where(col("a_id") =!= col("b_id")))
+    assert(viaStats === recomputed)
+    // token 7 really was filtered: only the two token-11 matches remain
+    assert(viaStats.map(p => (p._1, p._2)).toSet === Set((101L, 0L), (101L, 2L)))
+    assert(viaStats.forall(_._4 == 5L))
+    // and the persisted stats summed across batches
+    val hot = Constellation.readTokenStats(spark, dir)
+      .where(col("token") === 7L).head()
+    assert(hot.getAs[Long]("n_media") === 4L)
+    // compaction keeps stats read-equivalent
+    Constellation.compactTokenIndex(spark, dir)
+    assert(render(Constellation.matchAgainstIndex(
+      batch, dir, "test_v1", minMatches = 4, maxTokenFreq = 3L)) === viaStats)
+  }
+
+  test("plan gate: match-time ingest scans the token table exactly once " +
+      "— no corpus-wide frequency re-aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("tokidx_plan").toString
+    Constellation.writeTokenIndex(corpusTokens, dir, "audio_dft32_v1")
+    val out = Constellation.matchAgainstIndex(
+      batchTokens, dir, "audio_dft32_v1", minMatches = 4)
+    val tokenScans = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+      .count(s => s.contains("/tokens"))
+    assert(tokenScans === 1,
+      s"the persisted token table must be scanned exactly once at match " +
+        s"time (the join); found $tokenScans scans:\n" +
+        out.queryExecution.executedPlan)
+  }
+
   test("a kind mismatch is refused loudly — geometries never silently mix") {
     val dir = java.nio.file.Files.createTempDirectory("tokidx_kind").toString
     Constellation.writeTokenIndex(corpusTokens, dir, "audio_dft32_v1")

@@ -50,6 +50,19 @@ class HistogramSketchSpec extends SparkTestBase {
     assert(quantiles(dir, Seq(1.0))(1.0)._3 === 1500L)
   }
 
+  test("NaN values are dropped alongside nulls, never routed to the top bin") {
+    import spark.implicits._
+    val df = Seq(Some(5.0), Some(Double.NaN), None, Some(95.0)).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("hist_nan").toString
+    HistogramSketch.writeSketch(df, "v", dir, lo = 0.0, hi = 100.0,
+      nBins = 10)
+    val bins = spark.read.parquet(s"$dir/bins").collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+    assert(bins === Map(0 -> 1L, 9 -> 1L),
+      s"NaN/null must not count (Spark orders NaN above all values, so " +
+        s"an unfiltered clamp would land it in bin 9): $bins")
+  }
+
   test("out-of-range values clamp to the edge bins (stated trade)") {
     import spark.implicits._
     val df = Seq(-50.0, 0.0, 5.0, 99.0, 250.0).toDF("v")

@@ -62,6 +62,27 @@ class VideoNearDupSpec extends SparkTestBase {
       s"expected 8 clean + most of the two perturbed pairs' bands: $n")
   }
 
+  test("undecodable frames emit no tokens when the decoded flag is present") {
+    import spark.implicits._
+    // two unrelated videos each carrying a run of 3 undecodable frames
+    // (decoded=false, dhash=0) — without the filter, the aligned
+    // zero-hash pair tokens would clear minMatches=8 (2 pairs × 4
+    // bands) and pair them
+    val a = video(1L, 7L, (0 until 3).map((_, 0)))
+      .withColumn("decoded", lit(true))
+    val b = video(2L, 123L, (0 until 3).map((_, 0)))
+      .withColumn("decoded", lit(true))
+    def junk(vid: Long) = (3 to 5).map(f => (vid, f, 0L, false))
+      .toDF("video_id", "frame_idx", "dhash", "decoded")
+    val frames = a.union(junk(1L)).union(b).union(junk(2L))
+    assert(PerceptualHash.videoNearDup(frames, minMatches = 8).count() === 0L,
+      "zero-hash runs from undecodable frames must not pair videos")
+    // and dropping the flag column reproduces the documented hazard —
+    // callers without it must pre-filter
+    assert(PerceptualHash.videoNearDup(frames.drop("decoded"),
+      minMatches = 8).count() === 1L)
+  }
+
   test("the hot-token cap suppresses corpus-wide boilerplate sequences") {
     import spark.implicits._
     // 8 unrelated videos all ending in the SAME two-frame title card
