@@ -101,6 +101,56 @@ object MediaProbes {
        |             AND s2.frame = s1.frame + d.dt)""".stripMargin
   }
 
+  /** The x127/x129 fixture's constellation tokens — exposed for the
+    * measured-density adjudication tool
+    * ([[graft.tools.MediaDensityProfile]]). */
+  private[graft] def audioTokensOf(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame =
+    AudioFingerprint.tokens(audioMediaOf(s, d)).toDF()
+
+  /** The x128 fixture's per-frame dhash relation (video_id, frame_idx,
+    * dhash): even ids render nf formula frames, each odd id prepends
+    * one junk frame (fterm 99) to id−1's sequence — a planted
+    * one-frame-shifted duplicate. The multiplicative salt kills the
+    * raw formula's mod-256 periodicity in id (videos 256 apart would
+    * render near-identical pixels — thousands of unplanted exact
+    * pairs); x·salt and y·ft cross terms keep the dhash comparison
+    * pattern varying per video and per frame. */
+  private[graft] def videoFramesOf(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val frames = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val baseId = id - (id % 2)
+        val nf = 4 + (baseId % 3).toInt
+        val w = 16 + (baseId % 5).toInt; val h = 12 + (baseId % 3).toInt
+        val fis =
+          if (id % 2 == 0) (0 until nf).map(f => (f, f))
+          else (0 to nf).map(f => (f, if (f == 0) 99 else f - 1))
+        val vs = (baseId * 2654435761L) % 65521L
+        val vb = (baseId * 48271L) % 65521L
+        val vc = (baseId * 16807L) % 65521L
+        fis.map { case (fi, ft) =>
+          val luma = Array.tabulate(w * h) { i =>
+            val y = i / w; val x = i % w
+            ((vs * 31 + ft * 97 + x * x * 7 + y * y * 13 +
+              x * y * 5 + x * vs * 3 + y * ft * 11 +
+              y * vb * 7 + x * y * vc * 3) % 256).toByte
+          }
+          MultimodalOps.MediaRow(id * 100 + fi, luma, "raster8", w, h)
+        }
+      }
+    graft.multimodal.PerceptualHash.phashes(frames).select(
+      expr("media_id DIV 100").as("video_id"),
+      (col("media_id") % 100).cast("int").as("frame_idx"),
+      col("dhash"))
+  }
+
+  /** The x128 fixture's band-pair tokens, for the density tool. */
+  private[graft] def videoTokensOf(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame =
+    graft.multimodal.PerceptualHash.videoBandTokens(videoFramesOf(s, d))
+
   val probes: Seq[Probe] = Seq(
 
     Probe("x54_audio_features",
@@ -457,38 +507,7 @@ object MediaProbes {
     // band tokens, and replays the match ------------------------------
     Probe("x128_video_neardup",
       (s, d) => {
-        import s.implicits._
-        val frames = Tables.documents(s, d).select(col("doc_id")).as[Long]
-          .flatMap { id =>
-            val baseId = id - (id % 2)
-            val nf = 4 + (baseId % 3).toInt
-            val w = 16 + (baseId % 5).toInt; val h = 12 + (baseId % 3).toInt
-            val fis =
-              if (id % 2 == 0) (0 until nf).map(f => (f, f))
-              else (0 to nf).map(f => (f, if (f == 0) 99 else f - 1))
-            // the multiplicative salt kills the raw formula's mod-256
-            // periodicity in id (videos 256 apart would render
-            // near-identical pixels — thousands of unplanted exact
-            // pairs); x·salt and y·ft cross terms keep the dhash
-            // comparison pattern varying per video and per frame
-            val vs = (baseId * 2654435761L) % 65521L
-            val vb = (baseId * 48271L) % 65521L
-            val vc = (baseId * 16807L) % 65521L
-            fis.map { case (fi, ft) =>
-              val luma = Array.tabulate(w * h) { i =>
-                val y = i / w; val x = i % w
-                ((vs * 31 + ft * 97 + x * x * 7 + y * y * 13 +
-                  x * y * 5 + x * vs * 3 + y * ft * 11 +
-                  y * vb * 7 + x * y * vc * 3) % 256).toByte
-              }
-              MultimodalOps.MediaRow(id * 100 + fi, luma, "raster8", w, h)
-            }
-          }
-        val hashes = graft.multimodal.PerceptualHash.phashes(frames)
-        val vf = hashes.select(
-          expr("media_id DIV 100").as("video_id"),
-          (col("media_id") % 100).cast("int").as("frame_idx"),
-          col("dhash"))
+        val vf = videoFramesOf(s, d)
         graft.multimodal.PerceptualHash.videoNearDup(vf, minMatches = 8)
           .select(col("a_id"), col("b_id"),
             col("offset").cast("int").as("offset"), col("n_matches"))

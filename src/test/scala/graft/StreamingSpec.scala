@@ -920,4 +920,69 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.filterNot(_._1 == 9L) == streamed)
     assert(batch.exists(r => r._1 == 9L && r._4 == Some(0.0)))
   }
+
+  test("at-rest artifact appends are exactly-once under streaming replay: " +
+      "batchId is the doneMarker") {
+    // THE deployment shape for the whole at-rest family on a stream:
+    // foreachBatch(CountMin.appendToSketch(_, dir, Some(s"fb$batchId"))).
+    // Structured Streaming's foreachBatch is at-least-once — a crash
+    // after the append but before the checkpoint commit REDELIVERS the
+    // batch under the SAME batchId on restart — and Count-Min is
+    // SUM-merged, so without the marker a redelivery double-counts.
+    // The marker (keyed by batchId) + the crash-atomic staged commit
+    // (Compaction.appendWithMarker) upgrade it to exactly-once.
+    val landing = Files.createTempDirectory("graft_cm_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_cm").toString
+    val dir = Files.createTempDirectory("graft_cm_art").toString
+    graft.operators.CountMin.writeSketch(
+      Seq("alpha beta", "beta gamma").toDF("text"), "text", dir,
+      width = 64, depth = 2)
+    def estimates: Map[String, Long] =
+      graft.operators.CountMin.estimateFromSketch(spark, dir,
+        Seq("alpha", "beta", "zeta").toDF("w"), "w")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates === Map("alpha" -> 1L, "beta" -> 2L, "zeta" -> 0L))
+
+    Seq("beta zeta", "zeta zeta").toDF("text")
+      .write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("text", StringType)))
+    var seenBatches = Vector.empty[Long]
+    ForecastStream.runCyclePipeline(
+      ForecastStream.trackFileStream(spark, landing, schema), ckpt) {
+      (batch, id) =>
+        seenBatches :+= id
+        graft.operators.CountMin.appendToSketch(batch, dir, Some(s"fb$id"))
+    }
+    assert(seenBatches.length === 1)
+    val after = estimates
+    assert(after === Map("alpha" -> 1L, "beta" -> 3L, "zeta" -> 3L))
+
+    // simulate the at-least-once redelivery: the same batch, the same
+    // batchId (what a restart-before-checkpoint-commit replays) — the
+    // marker makes it a no-op and every estimate holds
+    graft.operators.CountMin.appendToSketch(
+      Seq("beta zeta", "zeta zeta").toDF("text"), dir,
+      Some(s"fb${seenBatches.head}"))
+    assert(estimates === after,
+      "a replayed micro-batch must not shift SUM-merged estimates")
+
+    // a restart with the committed checkpoint reprocesses nothing
+    ForecastStream.runCyclePipeline(
+      ForecastStream.trackFileStream(spark, landing, schema), ckpt) {
+      (batch, id) =>
+        if (!batch.isEmpty)
+          graft.operators.CountMin.appendToSketch(batch, dir, Some(s"fb$id"))
+    }
+    assert(estimates === after)
+
+    // and a genuinely NEW batch (new files, next batchId) still lands
+    Seq("zeta").toDF("text").write.mode("append").parquet(landing)
+    ForecastStream.runCyclePipeline(
+      ForecastStream.trackFileStream(spark, landing, schema), ckpt) {
+      (batch, id) =>
+        if (!batch.isEmpty)
+          graft.operators.CountMin.appendToSketch(batch, dir, Some(s"fb$id"))
+    }
+    assert(estimates === Map("alpha" -> 1L, "beta" -> 3L, "zeta" -> 4L))
+  }
 }
