@@ -56,6 +56,65 @@ object PipelineProbes {
            |FROM l4 ORDER BY doc_id""".stripMargin
       }),
 
+    // ClusterRegistry: PERSISTENT incremental cluster identity — the
+    // at-rest registry over the x105 component kernel. Deterministic
+    // edges (id ↔ id−1 when id % 5 ≠ 0) give 5-id chains of diameter
+    // 4; the registry is BUILT from the two-thirds subgraph (ids with
+    // id % 3 ≠ 2, edges internal to them — chains fragment into 1-2
+    // node clusters), then ONE marked ingest of the remaining third
+    // bridges the fragments back together (every chain needs alias
+    // merges and label takeovers: the batch ids 2, 5, 8 … include
+    // chain minima, so existing clusters get RE-labeled through
+    // aliases), plus a replayed ingest that must be a no-op. The
+    // oracle computes from-scratch min-label components of the FULL
+    // edge set (5-round unroll ≥ diameter) — equality certifies
+    // incremental-with-aliases ≡ from-scratch, id for id ---------------
+    Probe("x133_cluster_registry",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val edges = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") > 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+        val tag = IndexCache.corpusTag("x133", d, docs, Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x133_creg_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val initIds = docs.where(col("doc_id") % 3 =!= 2)
+          val initEdges = edges
+            .where(col("id_a") % 3 =!= 2 && col("id_b") % 3 =!= 2)
+          ClusterRegistry.write(
+            Dedup.nearDupGroupsDF(initEdges, initIds)
+              .select(col("doc_id"), col("group_id")), dir, nBuckets = 16)
+          val batch = docs.where(col("doc_id") % 3 === 2)
+          val batchEdges = edges
+            .where(col("id_a") % 3 === 2 || col("id_b") % 3 === 2)
+          ClusterRegistry.ingestBatch(batch, batchEdges, dir,
+            doneMarker = Some("b1"))
+          ClusterRegistry.ingestBatch(batch, batchEdges, dir,
+            doneMarker = Some("b1")) // replay — gated no-op
+        }
+        ClusterRegistry.readLabels(s, dir).orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""l$r AS (
+             |  SELECT i.id,
+             |    LEAST(i.label, COALESCE(MIN(l.label), i.label)) AS label
+             |  FROM l${r - 1} i
+             |  LEFT JOIN e ON e.src = i.id
+             |  LEFT JOIN l${r - 1} l ON l.id = e.dst
+             |  GROUP BY i.id, i.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+           |  WHERE doc_id % 5 <> 0 AND doc_id > 0),
+           |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |l0 AS (SELECT id, id AS label FROM ids),
+           |$rounds
+           |SELECT id AS doc_id, label AS cluster_id
+           |FROM l5 ORDER BY doc_id""".stripMargin
+      }),
+
     // Dedup.nearDupKeepBest: keeper-by-QUALITY resolution (the
     // NeMo-Curator fuzzy-dedup rule) composed on the x105 components —
     // same deterministic 4-node paths, quality = n_chars, so the

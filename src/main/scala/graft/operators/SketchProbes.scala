@@ -349,5 +349,43 @@ object SketchProbes {
            |FROM hsel
            |ORDER BY metric, key""".stripMargin
       }),
+
+    // BottomKSample.writeSample/appendToSample/readSample: the at-rest
+    // uniform SAMPLE artifact — bottom-k by a deterministic md5 key.
+    // Build on even ids, marker-gated append of the odd half, a
+    // deliberate replayed append (value-harmless here — min-k ignores
+    // multiplicity, the artifact's idempotent contrast to the
+    // SUM-merged sketches — but still gated). The read is the exact
+    // global bottom-k of the WHOLE corpus (the merge identity
+    // bottomK(A∪B) = bottomK(bottomK(A)∪bottomK(B))), which the oracle
+    // re-derives from the raw table with the same md5 arithmetic and
+    // the same (skey, id) tie-break — a single displaced sample member
+    // diverges the hash --------------------------------------------------
+    Probe("x132_bottomk_sample_at_rest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x132", d, docs, Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x132_bks_$tag"
+        IndexCache.ensureBuilt(dir) {
+          BottomKSample.writeSample(docs.where(col("doc_id") % 2 === 0),
+            dir, k = 200, idCol = "doc_id", payloadCols = Seq("lang"))
+          BottomKSample.appendToSample(docs.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+          BottomKSample.appendToSample(docs.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1")) // replay — gated no-op
+        }
+        BottomKSample.readSample(s, dir)
+          .select(col("doc_id"), col("lang"), col("skey"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substring(md5('bksample_' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS skey
+             |  FROM documents),
+             |samp AS (SELECT * FROM keyed ORDER BY skey, doc_id LIMIT 200)
+             |SELECT doc_id, lang, skey FROM samp
+             |ORDER BY doc_id""".stripMargin)),
   )
 }
