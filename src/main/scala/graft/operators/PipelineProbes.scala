@@ -115,6 +115,114 @@ object PipelineProbes {
            |FROM l5 ORDER BY doc_id""".stripMargin
       }),
 
+    // Registry FLAGSHIP: the x134 composition — REAL minhash/LSH pairs
+    // (the certified x06/x32 machinery: one-pass signatures, band
+    // buckets, candidate join, exact Jaccard ≥ 0.5) drive the
+    // persistent registry end to end. Two-thirds of the corpus builds
+    // the registry from its internal pairs; the remaining third
+    // ingests ONCE with its cross pairs (batch vs the corpus signature
+    // index — never corpus text) plus its internal pairs, then a
+    // replayed ingest must no-op. Candidate completeness is
+    // split-independent (band-bucket sharing is pairwise
+    // deterministic), so the union of presented edges equals the
+    // from-scratch pair set — the oracle re-derives ALL pairs from raw
+    // text (md5 shingle hashes, the same 8 permutation constants,
+    // band md5s, exact Jaccard) and runs the min-label unroll: the
+    // measured organic dup graph is mutual cliques (max diameter 1 at
+    // sf0.001/0.01/0.1 — tools-measured r14), so 4 rounds carry 4×
+    // margin ------------------------------------------------------------
+    Probe("x134_registry_flagship",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d)
+        val w0 = docs.where(col("doc_id") % 3 =!= 2)
+        val w1 = docs.where(col("doc_id") % 3 === 2)
+        val tag = IndexCache.corpusTag("x134", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x134_creg_$tag"
+        IndexCache.ensureBuilt(dir) {
+          def internalPairs(part: org.apache.spark.sql.DataFrame) = {
+            val sigs = Dedup.minhashSignaturesOnePass(part, n = 3, numPerm = 8)
+            val cands = Dedup.lshCandidatePairs(
+              Dedup.lshBuckets(sigs, bands = 4, rowsPer = 2))
+            Dedup.ngramJaccardFromSets(Dedup.shingleHashSets(part, n = 3),
+                cands)
+              .where(round(col("jaccard"), 6) >= 0.5)
+              .select("id_a", "id_b")
+          }
+          ClusterRegistry.write(
+            Dedup.nearDupGroupsDF(internalPairs(w0), w0.select(col("doc_id")))
+              .select(col("doc_id"), col("group_id")), dir, nBuckets = 16)
+          val cross = Dedup.incrementalNearDups(w1,
+              Dedup.minhashSignaturesOnePass(w0, n = 3, numPerm = 8),
+              Dedup.shingleHashSets(w0, n = 3), n = 3,
+              bands = 4, rowsPer = 2, threshold = 0.5)
+            .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+          val edges = cross.union(internalPairs(w1))
+          ClusterRegistry.ingestBatch(w1.select(col("doc_id")), edges, dir,
+            doneMarker = Some("b1"))
+          ClusterRegistry.ingestBatch(w1.select(col("doc_id")), edges, dir,
+            doneMarker = Some("b1")) // replay — gated no-op
+        }
+        ClusterRegistry.readLabels(s, dir).orderBy("doc_id")
+      },
+      Some {
+        val P = Dedup.MinhashPrime
+        val consts = Dedup.permutationConstants(8)
+        val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN(($a * h + $b) % $P) AS m$i"
+        }.mkString(", ")
+        val bandHash = (0 until 4).map { bIdx =>
+          val cols = (0 until 2).map(r => s"m${bIdx * 2 + r}").mkString(", ")
+          s"SELECT $bIdx AS band_idx, md5(concat_ws('_', $cols)) AS band_hash, doc_id FROM sig"
+        }.mkString(" UNION ALL ")
+        val rounds = (1 to 4).map { r =>
+          s"""l$r AS (
+             |  SELECT i.id,
+             |    LEAST(i.label, COALESCE(MIN(l.label), i.label)) AS label
+             |  FROM l${r - 1} i
+             |  LEFT JOIN e ON e.src = i.id
+             |  LEFT JOIN l${r - 1} l ON l.id = e.dst
+             |  GROUP BY i.id, i.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    array_to_string(words[g.i:g.i + 2], ' ') AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+           |        FROM documents) w,
+           |    (SELECT unnest(generate_series(1, 10000)) AS i) g
+           |  WHERE g.i <= greatest(1, len(words) - 2)),
+           |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |buckets AS ($bandHash),
+           |cands AS (
+           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |  FROM buckets l JOIN buckets r
+           |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+           |  WHERE l.doc_id < r.doc_id),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT c.a, c.b, COUNT(*) AS n_inter
+           |  FROM cands c
+           |  JOIN sh x ON x.doc_id = c.a
+           |  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT c.a, c.b FROM cands c
+           |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+           |  JOIN sizes sa ON sa.doc_id = c.a
+           |  JOIN sizes sb ON sb.doc_id = c.b
+           |  WHERE ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+           |              (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) >= 0.5),
+           |e AS (SELECT a AS src, b AS dst FROM pairs
+           |      UNION ALL SELECT b, a FROM pairs),
+           |ids AS (SELECT doc_id AS id FROM documents),
+           |l0 AS (SELECT id, id AS label FROM ids),
+           |$rounds
+           |SELECT id AS doc_id, label AS cluster_id
+           |FROM l4 ORDER BY doc_id""".stripMargin
+      }),
+
     // Dedup.nearDupKeepBest: keeper-by-QUALITY resolution (the
     // NeMo-Curator fuzzy-dedup rule) composed on the x105 components —
     // same deterministic 4-node paths, quality = n_chars, so the
