@@ -197,6 +197,36 @@ object ClusterRegistry {
     }
   }
 
+  /** The KEEPER decision on the registry — the NeMo-Curator
+    * fuzzy-dedup rule ([[Dedup.nearDupKeepBest]]) against the
+    * PERSISTED clusters: per canonical cluster, keep the
+    * highest-`qualityCol` member, ties to the smallest id. `quality`
+    * is any (id, quality) relation the pipeline already maintains
+    * (lengths, an x02 score, an x81 head, an x43 LM score) — at
+    * 100 TB itself an at-rest table, so this is one table⋈table join
+    * keyed on the id plus one partial-aggregable `max(struct)` per
+    * cluster: the mega-cluster collapses map-side, nothing windows
+    * or sorts corpus-wide. Returns (cluster_id, keeper_id,
+    * keeper_quality, n_members). Docs missing from `quality` rank
+    * below every scored member (null quality loses, ties fall to the
+    * id). */
+  def keepers(spark: SparkSession, path: String, quality: DataFrame,
+              idCol: String = "doc_id",
+              qualityCol: String = "quality"): DataFrame = {
+    val (_, regIdCol) = registryMeta(spark, path)
+    val q = quality.select(col(idCol).cast("long").as("__kid"),
+      col(qualityCol).cast("double").as("__kq"))
+    readLabels(spark, path)
+      .join(q, col(regIdCol) === col("__kid"), "left")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(
+          coalesce(col("__kq"), lit(Double.NegativeInfinity)).as("q"),
+          (-col(regIdCol)).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.nid")).as("keeper_id"),
+        col("best.q").as("keeper_quality"), col("n_members"))
+  }
+
   /** Fold the alias relation into the label rows (compaction): labels
     * are rewritten with their canonical values (one file per bucket,
     * layout preserved), then the alias dir collapses to empty. Crash

@@ -115,6 +115,73 @@ object PipelineProbes {
            |FROM l5 ORDER BY doc_id""".stripMargin
       }),
 
+    // ClusterRegistry.keepers: the keeper-by-quality DECISION against
+    // the persisted clusters (the nearDupKeepBest rule, but off the
+    // registry instead of a one-shot component run) — per canonical
+    // cluster, the highest-n_chars member, ties to the smallest id.
+    // Runs against the SAME at-rest registry x133 built (shared cache
+    // dir — build once, two certified readouts); the oracle replays
+    // the from-scratch components and the argmax. One partial-
+    // aggregable max(struct) per cluster, no window over doc rows on
+    // the Spark side ----------------------------------------------------
+    Probe("x135_registry_keepers",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val edges = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") > 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+        val tag = IndexCache.corpusTag("x133", d, docs, Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x133_creg_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val initIds = docs.where(col("doc_id") % 3 =!= 2)
+          val initEdges = edges
+            .where(col("id_a") % 3 =!= 2 && col("id_b") % 3 =!= 2)
+          ClusterRegistry.write(
+            Dedup.nearDupGroupsDF(initEdges, initIds)
+              .select(col("doc_id"), col("group_id")), dir, nBuckets = 16)
+          val batch = docs.where(col("doc_id") % 3 === 2)
+          val batchEdges = edges
+            .where(col("id_a") % 3 === 2 || col("id_b") % 3 === 2)
+          ClusterRegistry.ingestBatch(batch, batchEdges, dir,
+            doneMarker = Some("b1"))
+        }
+        ClusterRegistry.keepers(s, dir,
+            Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            qualityCol = "n_chars")
+          .orderBy("cluster_id")
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""l$r AS (
+             |  SELECT i.id,
+             |    LEAST(i.label, COALESCE(MIN(l.label), i.label)) AS label
+             |  FROM l${r - 1} i
+             |  LEFT JOIN e ON e.src = i.id
+             |  LEFT JOIN l${r - 1} l ON l.id = e.dst
+             |  GROUP BY i.id, i.label)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+           |  WHERE doc_id % 5 <> 0 AND doc_id > 0),
+           |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |l0 AS (SELECT id, id AS label FROM ids),
+           |$rounds,
+           |j AS (
+           |  SELECT l.label AS cluster_id, l.id AS doc_id,
+           |    CAST(d.n_chars AS DOUBLE) AS q
+           |  FROM l5 l JOIN documents d ON d.doc_id = l.id),
+           |r AS (
+           |  SELECT cluster_id, doc_id, q,
+           |    row_number() OVER (PARTITION BY cluster_id
+           |                       ORDER BY q DESC, doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM j)
+           |SELECT cluster_id, doc_id AS keeper_id, q AS keeper_quality,
+           |  n_members
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+      }),
+
     // Registry FLAGSHIP: the x134 composition — REAL minhash/LSH pairs
     // (the certified x06/x32 machinery: one-pass signatures, band
     // buckets, candidate join, exact Jaccard ≥ 0.5) drive the

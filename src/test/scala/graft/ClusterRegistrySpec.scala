@@ -90,6 +90,24 @@ class ClusterRegistrySpec extends SparkTestBase {
     assert(afterB3(40L) === 0L)
   }
 
+  test("keepers: per-cluster argmax quality, ties to the smallest id, " +
+      "unscored docs lose to any scored member") {
+    val dir = java.nio.file.Files.createTempDirectory("creg_keep").toString
+    ClusterRegistry.write(
+      truth(Seq(1L, 2L, 3L, 7L, 8L, 9L),
+        Seq((1L, 2L), (2L, 3L), (7L, 8L)))
+        .withColumnRenamed("cluster_id", "group_id"), dir, nBuckets = 4)
+    // cluster {1,2,3}: 2 and 3 tie on quality 5.0 → keeper 2; cluster
+    // {7,8}: 8 is unscored → keeper 7 despite lower id being absent;
+    // singleton 9 keeps itself
+    val quality = Seq((1L, 1.0), (2L, 5.0), (3L, 5.0), (7L, 0.5), (9L, 2.0))
+      .toDF("doc_id", "quality")
+    val got = ClusterRegistry.keepers(spark, dir, quality)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("n_members")))).toMap
+    assert(got === Map(1L -> ((2L, 3L)), 7L -> ((7L, 2L)), 9L -> ((9L, 1L))))
+  }
+
   test("an edge to an unknown corpus id is refused loudly") {
     val dir = java.nio.file.Files.createTempDirectory("creg_unk").toString
     ClusterRegistry.write(

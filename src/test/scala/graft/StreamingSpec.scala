@@ -921,6 +921,47 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exists(r => r._1 == 9L && r._4 == Some(0.0)))
   }
 
+  test("the cluster registry ingests a stream of document batches " +
+      "exactly-once: durable cluster identity via foreachBatch") {
+    // the registry's streaming deployment: landed doc batches drive
+    // foreachBatch(ingestBatch(batch, edges, path, Some(s"cr$id"))) —
+    // at-least-once redelivery of a batch (same batchId) must neither
+    // duplicate label rows nor re-alias through stale canonicals
+    val landing = Files.createTempDirectory("graft_creg_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_creg").toString
+    val dir = Files.createTempDirectory("graft_creg_art").toString
+    graft.operators.ClusterRegistry.write(
+      Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L))
+        .toDF("doc_id", "group_id"), dir, nBuckets = 8)
+    def labels: Map[Long, Long] =
+      graft.operators.ClusterRegistry.readLabels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the landed batch: doc 5 bridges clusters 10 and 20 (merge + a
+    // label takeover: 5 < 10 < 20), doc 30 is a singleton
+    Seq((5L, 11L), (5L, 21L)).toDF("new_id", "corpus_id")
+      .write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("new_id", LongType),
+      StructField("corpus_id", LongType)))
+    ForecastStream.runCyclePipeline(
+      ForecastStream.trackFileStream(spark, landing, schema), ckpt) {
+      (batch, id) =>
+        val ids = batch.select(col("new_id")).distinct()
+          .union(Seq(30L).toDF("new_id")).distinct()
+        graft.operators.ClusterRegistry.ingestBatch(ids,
+          batch.select(col("new_id").as("id_a"),
+            col("corpus_id").as("id_b")), dir, Some(s"cr$id"))
+    }
+    val after = labels
+    assert(after === Map(10L -> 5L, 11L -> 5L, 20L -> 5L, 21L -> 5L,
+      5L -> 5L, 30L -> 30L))
+    // redelivery of the same micro-batch under the same batchId: no-op
+    graft.operators.ClusterRegistry.ingestBatch(
+      Seq(5L, 30L).toDF("id"),
+      Seq((5L, 11L), (5L, 21L)).toDF("id_a", "id_b"), dir, Some("cr0"))
+    assert(labels === after)
+    assert(spark.read.parquet(s"$dir/labels").count() === 6L)
+  }
+
   test("at-rest artifact appends are exactly-once under streaming replay: " +
       "batchId is the doneMarker") {
     // THE deployment shape for the whole at-rest family on a stream:
