@@ -361,54 +361,52 @@ object PqIndex {
     * after any append schedule is bit-identical to codes written at
     * build time under the same artifacts (PqAppendSpec pins it).
     *
-    * Crash-safety: vectors append BEFORE codes — a kill between the
-    * two leaves vectors rows without codes, which no query path ever
-    * reads (the shortlist is code-driven); the reverse order would
-    * leave shortlist entries that silently drop at the rerank join.
-    * Exactly-once under at-least-once drivers (foreachBatch replays):
-    * pass `doneMarker` (e.g. the micro-batch id) — an append whose
-    * marker file already exists is skipped, making replays no-ops. */
+    * Crash-safety: the commit runs the family's staged protocol
+    * ([[Compaction.appendWithMarker]]) — vectors, codes and stats are
+    * staged together and become visible through per-file renames, so
+    * no reader can observe codes without their vectors (or vice
+    * versa), and a crashed marked attempt's partial move is swept on
+    * retry. Exactly-once under at-least-once drivers (foreachBatch
+    * replays): pass `doneMarker` (e.g. the micro-batch id) — an
+    * append whose marker landed is a no-op on replay. */
   def appendToIndex(newEmbs: DataFrame, path: String,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     doneMarker: Option[String] = None): Unit = {
     val spark = newEmbs.sparkSession
-    // marker on the artifact's filesystem + sanitized name; the
-    // data-commit-to-marker crash window can duplicate ONE batch —
-    // see appendToInt8Index's note
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
-    }
-    def mfs(p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => mfs(m).exists(m))) return
     val head = newEmbs.select(col(vecCol)).head(1)
     if (head.isEmpty) return // empty micro-batch
-    val cents = spark.read.parquet(s"$path/centroids")
-    val cb = spark.read.parquet(s"$path/codebook")
-    // geometry from the persisted artifact, not the caller
-    val geo = cb.agg(max(col("subspace")), max(col("within"))).head()
-    val m = geo.getInt(0) + 1
-    val dsub = geo.getInt(1) + 1
-    val batchDim = head(0).getSeq[Any](0).length
-    require(batchDim == m * dsub,
-      s"batch vectors have dim $batchDim, index expects ${m * dsub} " +
-        s"(m=$m x dsub=$dsub from the persisted codebook)")
-    // persisted across its three actions (vectors write, codes join,
-    // batch stats) so the batch × nlist argmin runs once per ingest
-    val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      assigned.write.partitionBy("cell").mode("append")
-        .parquet(s"$path/vectors")
-      packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
-        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-        .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-      // O(batch) per-cell stats for the staleness readout (IndexStats)
-      IndexStats.appendBatchStats(assigned, cents, path, vecCol)
-    } finally assigned.unpersist(blocking = false)
-    marker.foreach(m => mfs(m).create(m, true).close())
+    // the family's crash-atomic staged commit: vectors, codes and the
+    // batch's staleness stats move into place TOGETHER (the old
+    // vectors-before-codes ordering concern is gone — no reader can
+    // observe one without the others), and a crashed attempt's partial
+    // move is swept on the marked retry
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val cents = spark.read.parquet(s"$path/centroids")
+      val cb = spark.read.parquet(s"$path/codebook")
+      // geometry from the persisted artifact, not the caller
+      val geo = cb.agg(max(col("subspace")), max(col("within"))).head()
+      val m = geo.getInt(0) + 1
+      val dsub = geo.getInt(1) + 1
+      val batchDim = head(0).getSeq[Any](0).length
+      require(batchDim == m * dsub,
+        s"batch vectors have dim $batchDim, index expects ${m * dsub} " +
+          s"(m=$m x dsub=$dsub from the persisted codebook)")
+      // persisted across its three actions (vectors write, codes join,
+      // batch stats) so the batch × nlist argmin runs once per ingest
+      val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        assigned.write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$staging/vectors")
+        packCodes(partitionedDims(newEmbs, dsub, idCol, vecCol), cb, idCol)
+          .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$staging/codes")
+        // O(batch) per-cell stats for the staleness readout (IndexStats)
+        IndexStats.appendBatchStats(assigned, cents, staging, vecCol)
+      } finally assigned.unpersist(blocking = false)
+    }
   }
 
   /** Compact the IVF-PQ index's vectors AND codes tables after an

@@ -142,40 +142,33 @@ object Similarity {
                         vecCol: String = "embedding",
                         doneMarker: Option[String] = None): Unit = {
     val spark = newEmbs.sparkSession
-    // marker on the ARTIFACT's filesystem (a java.nio local path never
-    // engages for hdfs/s3a artifacts); name sanitized so a hostile
-    // batch id cannot escape the index dir. A crash between the data
-    // commit and the marker write can still duplicate that ONE batch
-    // (the non-transactional-sink gap) — callers who can't tolerate it
-    // dedup by id downstream.
-    val marker = doneMarker.map { mk =>
-      require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
-      new org.apache.hadoop.fs.Path(path, s"_append_${mk}_ok")
-    }
-    def fs(p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (marker.exists(m => fs(m).exists(m))) return
     val head = newEmbs.select(col(vecCol)).head(1)
     if (head.isEmpty) return // empty micro-batch
-    val cents = spark.read.parquet(s"$path/centroids")
-    val indexDim = cents.select("centroid").head().getSeq[Any](0).length
-    val batchDim = head(0).getSeq[Any](0).length
-    require(batchDim == indexDim,
-      s"batch vectors have dim $batchDim, index centroids have $indexDim")
-    // persisted across its two actions (codes join + batch stats) so
-    // the batch × nlist argmin runs once per ingest
-    val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      quantizeInt8(newEmbs, idCol, vecCol)
-        .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
-        .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-      // the batch's per-cell stats ride the same O(batch) assignment
-      // shape — the staleness readout (IndexStats.staleness) is how an
-      // operator learns the persisted quantizer needs re-versioning
-      IndexStats.appendBatchStats(assigned, cents, path, vecCol)
-    } finally assigned.unpersist(blocking = false)
-    marker.foreach(m => fs(m).create(m, true).close())
+    // the family's crash-atomic staged commit: codes and the batch's
+    // staleness stats move into place TOGETHER, and a crashed
+    // attempt's partial move is swept on the marked retry — the old
+    // data-commit-to-marker duplication window is closed
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val cents = spark.read.parquet(s"$path/centroids")
+      val indexDim = cents.select("centroid").head().getSeq[Any](0).length
+      val batchDim = head(0).getSeq[Any](0).length
+      require(batchDim == indexDim,
+        s"batch vectors have dim $batchDim, index centroids have $indexDim")
+      // persisted across its two actions (codes join + batch stats) so
+      // the batch × nlist argmin runs once per ingest
+      val assigned = IvfIndex.assign(newEmbs, cents, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        quantizeInt8(newEmbs, idCol, vecCol)
+          .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$staging/codes")
+        // the batch's per-cell stats ride the same O(batch) assignment
+        // shape — the staleness readout (IndexStats.staleness) is how an
+        // operator learns the persisted quantizer needs re-versioning
+        IndexStats.appendBatchStats(assigned, cents, staging, vecCol)
+      } finally assigned.unpersist(blocking = false)
+    }
   }
 
   /** Compact the int8 index's codes table after an append schedule:
