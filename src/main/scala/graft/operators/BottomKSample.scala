@@ -100,13 +100,24 @@ object BottomKSample {
   }
 
   /** The exact global bottom-k sample of everything ever written or
-    * appended: dedup the ≤ batches·k persisted rows (replayed batches
-    * collapse here — min-k ignores multiplicity), then one bounded
-    * TakeOrdered. Never touches the corpus. */
+    * appended: dedup the ≤ batches·k persisted rows BY SAMPLE IDENTITY
+    * (skey, id) — replayed batches collapse here, min-k ignores
+    * multiplicity — then one bounded TakeOrdered. Never touches the
+    * corpus.
+    *
+    * Payload stance: membership is a function of the id alone, so an
+    * id re-landed with a DIFFERENT payload (upstream payload drift
+    * across replays) still occupies exactly one of the k slots; which
+    * of the drifted payloads it carries is whichever row the dedup
+    * keeps (arbitrary — under the family's stable-payload assumption
+    * all candidate rows are identical and the read is deterministic).
+    * Pipelines whose payloads genuinely mutate should re-read payloads
+    * by id from the source of truth instead of trusting the sample's
+    * snapshot. */
   def readSample(spark: SparkSession, path: String): DataFrame = {
     val (k, idCol, _) = sampleMeta(spark, path)
     spark.read.parquet(s"$path/rows")
-      .distinct()
+      .dropDuplicates("skey", idCol)
       .orderBy(col("skey"), col(idCol))
       .limit(k)
   }

@@ -35,8 +35,79 @@ import org.apache.spark.sql.functions._
   * Top-level underscore metadata files at the compacted root (append
   * `_append_*_ok` replay markers, `_graft_nshards`) are carried across
   * the swap, so marker-gated replay semantics survive compaction.
+  *
+  * Concurrency stance: compaction and appends on one artifact must be
+  * mutually excluded. Both compact helpers REFUSE loudly when a marked
+  * `_append_<id>_staging` directory exists at the compacted directory
+  * or its parent (the artifact root) — folding a crashed marked
+  * append's partially-moved `ap-<id>__` files into unprefixed part
+  * files would defeat that append's retry sweep and double-count every
+  * SUM-merged artifact on redelivery. An UNMARKED `_appendtmp_staging`
+  * leftover has no retry semantics (its contents were never committed),
+  * so compaction and the next unmarked append delete it silently;
+  * concurrent unmarked appends to one artifact are not supported.
+  *
+  * Filesystem requirement: every guarantee above rests on
+  * `FileSystem.rename` being ATOMIC (and cheap). That holds for HDFS
+  * and local/POSIX filesystems — the deployment targets — but NOT for
+  * object stores whose Hadoop connectors emulate rename as
+  * copy+delete (s3a, swift, oss, classic wasb): there a crash
+  * mid-"rename" can leave both halves, and the two-rename swap is no
+  * longer a safe swap. Running against such a scheme logs a loud
+  * warning; point the artifact at HDFS/local (or an HDFS-semantics
+  * layer such as a consistent rename-capable store) for the stated
+  * crash guarantees.
   */
 object Compaction {
+
+  /** Schemes whose Hadoop connectors implement rename as
+    * non-atomic copy+delete — the crash guarantees do not hold there. */
+  private val nonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "swift", "oss", "cos", "wasb", "wasbs")
+
+  private def warnIfNonAtomicRename(p: Path): Unit = {
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (nonAtomicRenameSchemes.contains(scheme.toLowerCase))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"artifact at $p lives on '$scheme', whose rename is " +
+          "copy+delete (non-atomic): the append/compaction crash " +
+          "guarantees documented on graft.operators.Compaction do NOT " +
+          "hold — use HDFS/local or an atomic-rename store")
+  }
+
+  /** Name of the shared staging directory for UNMARKED appends —
+    * deterministic so a crashed predecessor's leftover is found and
+    * swept (by the next unmarked append or by compaction) instead of
+    * leaking forever under a fresh random name. */
+  private[operators] val unmarkedStaging = "_appendtmp_staging"
+
+  private def isMarkedStaging(name: String): Boolean =
+    name.startsWith("_append_") && name.endsWith("_staging")
+
+  /** Pre-compaction gate: refuse on marked in-flight/crashed append
+    * staging (its retry sweep is load-bearing), sweep unmarked
+    * leftovers (garbage by construction — never committed, no retry). */
+  private def checkNoInFlightAppends(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val roots = (Option(dir.getParent).toSeq :+ dir).distinct
+    roots.filter(fs.exists).foreach { d =>
+      fs.listStatus(d).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && isMarkedStaging(name))
+          throw new IllegalStateException(
+            s"${s.getPath} is a marked append's staging directory — " +
+              "that append is in flight or crashed mid-commit, and " +
+              "compacting now would fold its partially-moved " +
+              "prefixed files into unprefixed part files and defeat " +
+              "the retry sweep (double-counting SUM-merged rows on " +
+              "redelivery). Retry the append to completion (its " +
+              "marker gates the replay) or delete the staging " +
+              "directory AND its ap-<marker>__ files before compacting")
+        if (s.isDirectory && name == unmarkedStaging)
+          fs.delete(s.getPath, true) // unmarked: never committed, no retry
+      }
+    }
+  }
 
   /** Marker-gated, CRASH-ATOMIC batch append — the one shared commit
     * protocol behind every at-rest artifact family (Count-Min cells,
@@ -65,7 +136,14 @@ object Compaction {
     * The staging directory name starts with `_`, so a reader listing
     * the artifact mid-append never sees half a batch: files become
     * visible only through the per-file renames, each atomic, and a
-    * SUM-merged read is only transiently short, never double. */
+    * SUM-merged read is only transiently short, never double.
+    *
+    * Unmarked appends stage under the shared deterministic
+    * [[unmarkedStaging]] name; a leftover from a crashed unmarked
+    * predecessor is swept here (it was never committed and has no
+    * retry semantics), which is also why concurrent UNMARKED appends
+    * to one artifact are not supported — serialize them or use
+    * markers. */
   def appendWithMarker(spark: SparkSession, root: String,
                        doneMarker: Option[String])
                       (stage: String => Unit): Unit = {
@@ -73,6 +151,7 @@ object Compaction {
     val rootPath0 = new Path(root)
     val fs = rootPath0.getFileSystem(conf)
     val rootPath = fs.makeQualified(rootPath0)
+    warnIfNonAtomicRename(rootPath)
     val marker = doneMarker.map { mk =>
       require(mk.matches("[A-Za-z0-9._-]+"), s"invalid marker id: $mk")
       new Path(rootPath, s"_append_${mk}_ok")
@@ -80,8 +159,7 @@ object Compaction {
     val prefix = doneMarker.map(mk => s"ap-${mk}__")
     val staging = fs.makeQualified(new Path(rootPath, doneMarker match {
       case Some(mk) => s"_append_${mk}_staging"
-      case None =>
-        s"_append_${java.util.UUID.randomUUID().toString.take(8)}_staging"
+      case None     => unmarkedStaging
     }))
     if (marker.exists(fs.exists)) { fs.delete(staging, true); return }
     if (fs.exists(staging)) {
@@ -127,13 +205,18 @@ object Compaction {
     * summed cells, max-merged registers, re-pruned summaries), staged
     * in a `__compact_tmp` sibling and swapped in with the two-rename
     * protocol ([[swapInto]]); `__compact_old` left by an interrupted
-    * earlier run is refused loudly. The partitioned analogue is
+    * earlier run is refused loudly, as is a marked append's
+    * in-flight/crashed staging directory (see the object Scaladoc's
+    * concurrency stance). The partitioned analogue is
     * [[compactPartitionedDir]]. */
   def compactValueDir(spark: SparkSession, dir: String)
                      (rewrite: => DataFrame): Unit = {
-    val target = new Path(dir)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val target0 = new Path(dir)
+    val fs = target0.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(target0)
     require(fs.exists(target), s"no artifact directory at $dir")
+    warnIfNonAtomicRename(target)
+    checkNoInFlightAppends(fs, target)
     val tmp = new Path(dir + "__compact_tmp")
     val old = new Path(dir + "__compact_old")
     require(!fs.exists(old),
@@ -150,18 +233,34 @@ object Compaction {
     * the value/layout/crash guarantees. */
   def compactPartitionedDir(spark: SparkSession, dir: String,
                             partitionCols: Seq[String],
-                            maxRecordsPerFile: Long = 0L): Unit = {
+                            maxRecordsPerFile: Long = 0L): Unit =
+    compactPartitionedValueDir(spark, dir, partitionCols,
+      maxRecordsPerFile)(spark.read.parquet(dir))
+
+  /** The partitioned analogue of [[compactValueDir]]: swap `dir` for
+    * `rewrite`'s rows written under the SAME partition layout — for
+    * artifacts whose compaction MERGES values (e.g. the keyed rollup's
+    * per-batch rows folding to one row per key) while their reads
+    * still partition-prune on `partitionCols`. Same crash stance and
+    * in-flight-append gate as the row-preserving form. */
+  def compactPartitionedValueDir(spark: SparkSession, dir: String,
+                                 partitionCols: Seq[String],
+                                 maxRecordsPerFile: Long = 0L)
+                                (rewrite: => DataFrame): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    val target = new Path(dir)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val target0 = new Path(dir)
+    val fs = target0.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(target0)
     require(fs.exists(target), s"no artifact directory at $dir")
+    warnIfNonAtomicRename(target)
+    checkNoInFlightAppends(fs, target)
     val tmp = new Path(dir + "__compact_tmp")
     val old = new Path(dir + "__compact_old")
     require(!fs.exists(old),
       s"$old left by an interrupted compaction — rename it back over " +
         s"$dir (or delete it if $dir is intact) before compacting again")
     fs.delete(tmp, true) // a half-written tmp from a crashed REWRITE is safe to drop
-    val data = spark.read.parquet(dir)
+    val data = rewrite
     val missing = partitionCols.filterNot(data.columns.contains)
     require(missing.isEmpty,
       s"$dir has no partition column(s) ${missing.mkString(", ")} — " +

@@ -34,10 +34,13 @@ object MediaDensityProfile {
       .agg(countDistinct("media_id").as("f"), count(lit(1)).as("occ"))
     val kept = freq.where(col("f") <= maxTokenFreq)
     // the self-join's candidate rows: Σ occ² over surviving tokens
-    // (occurrence-level, matching what matchPairs actually joins)
-    val r = kept.agg(sum(col("occ") * col("occ")).as("cand"),
+    // (occurrence-level, matching what matchPairs actually joins);
+    // coalesce: a corpus where no token survives the cap must report
+    // zeros, not NPE the adjudication tool
+    val r = kept.agg(
+      coalesce(sum(col("occ") * col("occ")), lit(0L)).as("cand"),
       count(lit(1)).as("n_tokens"),
-      max("f").as("max_f")).head()
+      coalesce(max("f"), lit(0L)).as("max_f")).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 

@@ -104,4 +104,58 @@ class AppendMarkerSpec extends SparkTestBase {
       Compaction.appendWithMarker(spark, root, Some("../escape"))(_ => ())
     }
   }
+
+  test("compaction refuses while a marked append's staging dir exists " +
+      "(it would defeat the retry sweep)") {
+    val root = newRoot("cprefuse")
+    Seq((0, 10L)).toDF("cell", "n").write.parquet(s"$root/cells")
+    // a crashed marked append: staging still present, one file already
+    // moved into place wearing the marker prefix — exactly the state a
+    // compaction rewrite would fold into unprefixed part files
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(s"$root/_append_bx_staging"))
+    val flat = intercept[IllegalStateException] {
+      Compaction.compactValueDir(spark, s"$root/cells")(
+        spark.read.parquet(s"$root/cells"))
+    }
+    assert(flat.getMessage.contains("_append_bx_staging"))
+    val part = intercept[IllegalStateException] {
+      Compaction.compactPartitionedDir(spark, s"$root/cells", Seq("cell"))
+    }
+    assert(part.getMessage.toLowerCase.contains("retry the append"))
+    // the retry completes the append; compaction then proceeds and the
+    // value survives
+    Compaction.appendWithMarker(spark, root, Some("bx"))(
+      writeBatch(_, Seq((0, 5L))))
+    Compaction.compactValueDir(spark, s"$root/cells")(
+      spark.read.parquet(s"$root/cells"))
+    assert(cellSum(root) === 15L)
+  }
+
+  test("a crashed UNMARKED append's staging dir is swept by the next " +
+      "unmarked append and by compaction (no leak)") {
+    val root = newRoot("unmklk")
+    Seq((0, 10L)).toDF("cell", "n").write.parquet(s"$root/cells")
+    // simulate the crash: the deterministic unmarked staging dir left
+    // behind with a fully-staged batch that never moved
+    Seq((0, 99L)).toDF("cell", "n").write.mode("overwrite")
+      .parquet(s"$root/_appendtmp_staging/cells")
+    val stale = new java.io.File(s"$root/_appendtmp_staging")
+    assert(stale.exists())
+    // the next unmarked append sweeps the leftover and lands only its
+    // own batch — the crashed batch's staged rows never become visible
+    Compaction.appendWithMarker(spark, root, None)(
+      writeBatch(_, Seq((0, 5L))))
+    assert(!stale.exists(), "stale unmarked staging must be swept")
+    assert(cellSum(root) === 15L,
+      "only the live unmarked batch lands; the crashed staging is garbage")
+    // compaction also sweeps it (the maintenance-pass path for callers
+    // that switched to marked appends after the crash)
+    Seq((1, 1L)).toDF("cell", "n").write.mode("overwrite")
+      .parquet(s"$root/_appendtmp_staging/cells")
+    Compaction.compactValueDir(spark, s"$root/cells")(
+      spark.read.parquet(s"$root/cells"))
+    assert(!stale.exists(), "compaction sweeps stale unmarked staging")
+    assert(cellSum(root) === 15L)
+  }
 }

@@ -90,6 +90,25 @@ class BottomKSampleSpec extends SparkTestBase {
     assert(got === render(direct))
   }
 
+  test("payload drift across replays: an id holds exactly ONE of the k " +
+      "slots (dedup is by sample identity, not the full row)") {
+    val dir = java.nio.file.Files.createTempDirectory("bks_drift").toString
+    val all = docs(0 until 400)
+    BottomKSample.writeSample(all, dir, k = 30, payloadCols = Seq("lang"))
+    val before = render(BottomKSample.readSample(spark, dir))
+    // unmarked replay of the whole corpus with MUTATED payloads — the
+    // upstream-drift scenario: same ids, different lang values
+    BottomKSample.appendToSample(
+      all.withColumn("lang", concat(lit("drift_"), col("lang"))), dir, None)
+    val after = BottomKSample.readSample(spark, dir)
+    val ids = after.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.size === 30, "the sample must stay exactly k rows")
+    assert(ids.distinct.size === 30,
+      "a drifted id must not consume two slots and displace a member")
+    assert(ids.sorted === before.map(_._2).sorted,
+      "membership is a function of the id alone — drift cannot change it")
+  }
+
   test("plan shape: the read is a bounded TakeOrdered, never a full sort") {
     val dir = java.nio.file.Files.createTempDirectory("bks_plan").toString
     BottomKSample.writeSample(docs(0 until 500), dir, k = 20,
