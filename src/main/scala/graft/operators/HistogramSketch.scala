@@ -94,6 +94,88 @@ object HistogramSketch {
                     path: String): Unit =
     Compaction.compactValueDir(spark, s"$path/bins")(readBins(spark, path))
 
+  /** Distribution-DRIFT check of a new batch against the persisted
+    * reference (probe x139) — the monitoring decision every recurring
+    * 100 TB ingest needs ("has this source's length/quality/score
+    * distribution moved enough to re-version the pipeline?") served
+    * off the artifact: the batch pays ONE O(batch) binning pass under
+    * the PERSISTED geometry; the reference side is the ≤ nBins merged
+    * rows; nothing rescans ingested history.
+    *
+    * The statistic is total variation distance between the two binned
+    * distributions, computed EXACTLY: with batch bins n_b (Σ = N) and
+    * reference bins m_b (Σ = M),
+    *   l1_num = Σ_b |n_b·M − m_b·N|,   tvd = l1_num / (2·N·M) ∈ [0,1]
+    * in decimal(38,0) cross products (exact far past int64 — N·M up
+    * to ~10³⁸), so two engines agree on the numerator bit-for-bit;
+    * the final quotient is ONE IEEE division of exact integers, which
+    * both engines compute identically — never rounded (the
+    * pure-per-row-arithmetic stance of the probe rounding rules).
+    * Binning error is
+    * the geometry contract: drift WITHIN a bin is invisible,
+    * resolution (hi−lo)/nBins. Returns ONE row:
+    * (n_batch, m_ref, l1_num, tvd, drifted). */
+  def driftFromSketch(path: String, batch: DataFrame,
+                      threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must lie in [0,1]: $threshold")
+    val spark = batch.sparkSession
+    val (lo, hi, nBins, valueCol) = sketchMeta(spark, path)
+    val b = bins(batch, col(valueCol), lo, hi, nBins)
+      .withColumnRenamed("n", "bn")
+    val r = readBins(spark, path).withColumnRenamed("n", "rn")
+    // full outer on bin: a bin present on one side only still
+    // contributes its whole mass to the distance
+    val joined = b.join(r, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("bn", "rn"))
+    val tot = joined.agg(sum("bn").as("n_batch"), sum("rn").as("m_ref"))
+    val dec = "decimal(38,0)"
+    joined.crossJoin(broadcast(tot)) // ≤ nBins rows × 1 totals row
+      .select((abs(col("bn").cast(dec) * col("m_ref").cast(dec) -
+        col("rn").cast(dec) * col("n_batch").cast(dec))).as("term"),
+        col("n_batch"), col("m_ref"))
+      .groupBy("n_batch", "m_ref")
+      .agg(sum("term").as("l1_num"))
+      .select(col("n_batch"), col("m_ref"), col("l1_num"),
+        // an empty batch (or empty reference) has no distribution to
+        // compare: tvd/drifted are null, never a division by zero
+        when(col("n_batch") > 0 && col("m_ref") > 0,
+          col("l1_num").cast("double") /
+            (lit(2.0) * col("n_batch").cast("double") *
+              col("m_ref").cast("double"))).as("tvd"))
+      .withColumn("drifted", col("tvd") > threshold)
+  }
+
+  /** The value threshold at quantile `q`, read off the artifact as a
+    * BIN EDGE: the lower edge of the bin containing the ceil(q·N)-th
+    * smallest ingested value. Explicit-geometry error: the true
+    * quantile lies within that bin, so a curation rule anchored at
+    * `bin_lo` over-keeps by at most one bin's mass — the documented
+    * trade for a threshold that costs a bounded artifact read instead
+    * of an exact-percentile corpus pass (x70's two-phase machinery). */
+  def thresholdFromSketch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, q: Double): Double = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1]: $q")
+    quantilesFromSketch(spark, path, Seq(q))
+      .select("bin_lo").head().getDouble(0)
+  }
+
+  /** Quantile-threshold CURATION off the artifact (probe x140): keep
+    * the rows of `df` whose value column sits at or above the
+    * persisted distribution's q-quantile bin edge — "drop the bottom
+    * ~q of the corpus by quality" as ONE broadcast-scalar map pass
+    * (no stat pass, no sort, no window; the threshold is a literal by
+    * the time the filter runs). Rows with null/NaN values are
+    * DROPPED, mirroring their exclusion from the sketch itself. */
+  def curateByQuantile(df: DataFrame, path: String,
+                       q: Double): DataFrame = {
+    val spark = df.sparkSession
+    val (_, _, _, valueCol) = sketchMeta(spark, path)
+    val thr = thresholdFromSketch(spark, path, q)
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull && !isnan(v) && v >= lit(thr))
+  }
+
   /** Quantile read-off for the given qs, straight off the artifact:
     * per q, the smallest bin whose cumulative count reaches
     * ceil(q·N), with the bin's geometry — (q, bin, cum_n, n_total,

@@ -387,5 +387,232 @@ object SketchProbes {
              |samp AS (SELECT * FROM keyed ORDER BY skey, doc_id LIMIT 200)
              |SELECT doc_id, lang, skey FROM samp
              |ORDER BY doc_id""".stripMargin)),
+
+    // Rollup.writeRollup/appendToRollup/readRollup/lookup: the at-rest
+    // EXACT keyed rollup — the materialized-aggregate member of the
+    // family (per-key count/sum/min/max of n_chars by lang). Build on
+    // even ids, marker-gated append of the odd half, a replayed append
+    // (must be a no-op — n/sum are SUM-merged, NOT idempotent). Two
+    // certified readouts: the full merged rollup AND a bounded-key
+    // `lookup` through the kb partition-pruned path. Exact integers
+    // end to end; one double-counted or lost batch diverges the hash --
+    Probe("x136_rollup_at_rest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x136", d, docs, Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x136_ro_$tag"
+        IndexCache.ensureBuilt(dir) {
+          Rollup.writeRollup(docs.where(col("doc_id") % 2 === 0), dir,
+            Seq("lang"), "n_chars", nBuckets = 16)
+          Rollup.appendToRollup(docs.where(col("doc_id") % 2 === 1), dir,
+            doneMarker = Some("b1"))
+          Rollup.appendToRollup(docs.where(col("doc_id") % 2 === 1), dir,
+            doneMarker = Some("b1")) // replay — gated no-op
+        }
+        import s.implicits._
+        val full = Rollup.readRollup(s, dir)
+          .select(lit("full").as("metric"), col("lang"), col("n"),
+            col("sum_v"), col("min_v"), col("max_v"))
+        val looked = Rollup.lookup(s, dir, Seq("en", "zh").toDF("lang"))
+          .select(lit("lookup").as("metric"), col("lang"), col("n"),
+            col("sum_v"), col("min_v"), col("max_v"))
+        full.unionAll(looked).orderBy("metric", "lang")
+      },
+      Some("""WITH agg AS (
+             |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+             |    MIN(n_chars) AS min_v, MAX(n_chars) AS max_v
+             |  FROM documents GROUP BY 1)
+             |SELECT 'full' AS metric, lang, n, sum_v, min_v, max_v FROM agg
+             |UNION ALL
+             |SELECT 'lookup', lang, n, sum_v, min_v, max_v FROM agg
+             |WHERE lang IN ('en', 'zh')
+             |ORDER BY metric, lang""".stripMargin)),
+
+    // StratifiedSample.writeSample/appendToSample/readSample: the
+    // at-rest per-stratum bottom-k sample (k = 60 per lang, payload =
+    // source). Build on even ids, marker-gated append of the odd half,
+    // a replayed append (value-harmless — min-k ignores multiplicity —
+    // but still gated). The oracle re-derives the per-stratum
+    // smallest-60 sets from the raw table with the same md5 keys and
+    // (skey, id) tie-break — one displaced member in any stratum
+    // diverges the hash -----------------------------------------------
+    Probe("x137_stratified_sample_at_rest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x137", d, docs, Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x137_sts_$tag"
+        IndexCache.ensureBuilt(dir) {
+          StratifiedSample.writeSample(docs.where(col("doc_id") % 2 === 0),
+            dir, k = 60, strataCol = "lang", payloadCols = Seq("source"))
+          StratifiedSample.appendToSample(
+            docs.where(col("doc_id") % 2 === 1), dir, Some("b1"))
+          StratifiedSample.appendToSample(
+            docs.where(col("doc_id") % 2 === 1), dir, Some("b1")) // replay
+        }
+        StratifiedSample.readSample(s, dir)
+          .select(col("lang"), col("skey"), col("doc_id"), col("source"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT lang, doc_id, source,
+             |    CAST(('0x' || substring(md5('stsample_' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS skey
+             |  FROM documents),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             |        ORDER BY skey, doc_id) AS rk FROM keyed)
+             |SELECT lang, skey, doc_id, source FROM r WHERE rk <= 60
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // MixturePlan.planAndSelect: the mixture FLAGSHIP — temperature
+    // quotas (x79's sqrt/round-6/floor math) computed off the PERSISTED
+    // x136-style rollup, members taken as the per-stratum smallest
+    // sample keys off the PERSISTED x137-style stratified sample: the
+    // daily 100 TB mixture decision with ZERO corpus passes (the spec
+    // gates that every file scan in the plan reads one of the two
+    // artifacts). The oracle re-derives BOTH stages from raw data —
+    // counts, IEEE-sqrt weights, the round-6-then-floor quotas, and
+    // each stratum's smallest-quota key set ---------------------------
+    Probe("x138_mixture_from_artifacts",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x138", d, docs, Seq("doc_id"))
+        val base = System.getProperty("java.io.tmpdir")
+        val roDir = s"$base/graft_x138_ro_$tag"
+        val stDir = s"$base/graft_x138_st_$tag"
+        IndexCache.ensureBuilt(roDir) {
+          Rollup.writeRollup(docs.where(col("doc_id") % 2 === 0), roDir,
+            Seq("lang"), "n_chars")
+          Rollup.appendToRollup(docs.where(col("doc_id") % 2 === 1),
+            roDir, Some("b1"))
+        }
+        IndexCache.ensureBuilt(stDir) {
+          StratifiedSample.writeSample(docs.where(col("doc_id") % 2 === 0),
+            stDir, k = 150, strataCol = "lang")
+          StratifiedSample.appendToSample(
+            docs.where(col("doc_id") % 2 === 1), stDir, Some("b1"))
+        }
+        MixturePlan.planAndSelect(s, roDir, stDir, targetTotal = 120)
+          .select(col("doc_id"), col("lang"),
+            col("rank_in_stratum").cast("int").as("rank_in_stratum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM cnt),
+             |tot AS (SELECT SUM(w) AS tw FROM w),
+             |q AS (
+             |  SELECT lang,
+             |    CAST(FLOOR(ROUND(120.0 * w.w / tot.tw, 6)) AS BIGINT) AS quota
+             |  FROM w CROSS JOIN tot),
+             |r AS (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+             |      CAST(('0x' || substring(md5('stsample_' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |        AS BIGINT) ASC, doc_id ASC) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.lang, CAST(rk AS INT) AS rank_in_stratum
+             |FROM r JOIN q USING (lang) WHERE rk <= quota
+             |ORDER BY doc_id""".stripMargin)),
+
+    // HistogramSketch.driftFromSketch: the distribution-drift DECISION
+    // served off the PERSISTED histogram (x130's artifact, shared —
+    // one build, three certified readouts with x130/x140): a
+    // deliberately shifted batch (every 7th doc's length + 256) bins
+    // under the persisted geometry and compares by exact-integer
+    // total variation — l1_num = Σ|n_b·M − m_b·N| in decimal cross
+    // products, tvd = one IEEE division (never rounded: pure
+    // arithmetic). The oracle re-derives BOTH distributions from raw
+    // text and the identical statistic --------------------------------
+    Probe("x139_drift_from_histogram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x130", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x130_hist_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val lens = docs.select(col("doc_id"),
+            length(col("text")).as("len"))
+          HistogramSketch.writeSketch(lens.where(col("doc_id") % 2 === 0),
+            "len", dir, lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToSketch(lens.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+        }
+        val batch = docs.where(col("doc_id") % 7 === 0)
+          .select((length(col("text")) + 256).as("len"))
+        HistogramSketch.driftFromSketch(dir, batch, threshold = 0.1)
+          .select(col("n_batch"), col("m_ref"),
+            col("l1_num").cast("long").as("l1_num"), col("tvd"),
+            col("drifted"))
+      },
+      Some("""WITH ref AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |    AS bin, COUNT(*) AS rn
+             |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+             |bat AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) + 256 AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |    AS bin, COUNT(*) AS bn
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND doc_id % 7 = 0 GROUP BY 1),
+             |j AS (
+             |  SELECT COALESCE(rn, 0) AS rn, COALESCE(bn, 0) AS bn
+             |  FROM ref FULL OUTER JOIN bat ON ref.bin = bat.bin),
+             |tot AS (SELECT CAST(SUM(bn) AS BIGINT) AS n_batch,
+             |               CAST(SUM(rn) AS BIGINT) AS m_ref FROM j),
+             |num AS (
+             |  SELECT CAST(SUM(ABS(bn * m_ref - rn * n_batch)) AS BIGINT)
+             |    AS l1_num
+             |  FROM j CROSS JOIN tot)
+             |SELECT n_batch, m_ref, l1_num,
+             |  CAST(l1_num AS DOUBLE) / (2.0 * n_batch * m_ref) AS tvd,
+             |  CAST(l1_num AS DOUBLE) / (2.0 * n_batch * m_ref) > 0.1
+             |    AS drifted
+             |FROM tot CROSS JOIN num""".stripMargin)),
+
+    // HistogramSketch.curateByQuantile: quantile-threshold CURATION
+    // off the same persisted histogram — "keep the top half by
+    // length" as ONE broadcast-scalar map pass (the threshold is the
+    // q-bin's lower edge; no stat pass, no sort, no window at
+    // decision time). The oracle re-derives the bins, the cumulative
+    // selection, the edge, and the kept set ---------------------------
+    Probe("x140_curate_by_quantile",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x130", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x130_hist_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val lens = docs.select(col("doc_id"),
+            length(col("text")).as("len"))
+          HistogramSketch.writeSketch(lens.where(col("doc_id") % 2 === 0),
+            "len", dir, lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToSketch(lens.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+        }
+        HistogramSketch.curateByQuantile(
+            docs.select(col("doc_id"),
+              length(col("text")).cast("long").as("len")),
+            dir, q = 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id, length(text) AS len,
+             |    LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |      AS bin
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT bin, COUNT(*) AS n FROM v GROUP BY 1),
+             |c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM b),
+             |t AS (SELECT MAX(cum) AS n_total FROM c),
+             |sel AS (
+             |  SELECT MIN(bin) AS bin
+             |  FROM t JOIN c ON cum >= CEIL(0.5 * n_total)),
+             |thr AS (SELECT CAST(bin AS DOUBLE) * 16.0 AS thr FROM sel)
+             |SELECT doc_id, len FROM v CROSS JOIN thr
+             |WHERE CAST(len AS DOUBLE) >= thr
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -74,4 +74,59 @@ class HistogramSketchSpec extends SparkTestBase {
     assert(bins(0) === 3L) // −50 clamps up, 0 and 5 land
     assert(bins(9) === 2L) // 99 lands, 250 clamps down
   }
+
+  test("drift check: identical distribution reads tvd 0; a fully moved " +
+      "one reads 1; a half-swap reads its exact mass; empty batch is " +
+      "null, never a crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist_drift").toString
+    // reference: 100 values in bin 0, 100 in bin 5
+    val ref = ((1 to 100).map(_ => 1.0) ++ (1 to 100).map(_ => 55.0))
+      .toDF("v")
+    HistogramSketch.writeSketch(ref, "v", dir, lo = 0.0, hi = 100.0,
+      nBins = 10)
+    def tvdOf(batch: org.apache.spark.sql.DataFrame): Option[Double] = {
+      val r = HistogramSketch.driftFromSketch(dir, batch, 0.25).collect()
+      assert(r.length === 1)
+      if (r(0).isNullAt(3)) None else Some(r(0).getDouble(3))
+    }
+    // same shape (scaled): tvd 0, not drifted
+    assert(tvdOf(Seq(1.0, 55.0).toDF("v")) === Some(0.0))
+    // all mass moved to an unseen bin: tvd 1
+    assert(tvdOf(Seq(99.0, 98.0).toDF("v")) === Some(1.0))
+    // half the batch mass moved (ref is 50/50 bins 0+5; batch all bin 0):
+    // tvd = |1−0.5|/... = 0.5
+    assert(tvdOf(Seq(1.0, 2.0).toDF("v")) === Some(0.5))
+    val decided = HistogramSketch.driftFromSketch(dir,
+      Seq(1.0, 2.0).toDF("v"), 0.25).select("drifted").head().getBoolean(0)
+    assert(decided, "0.5 > 0.25 must flag drift")
+    // empty batch: null tvd/drifted — a degenerate ingest must not NPE
+    assert(tvdOf(Seq.empty[Double].toDF("v")) === None)
+    // exact numerator: batch (2,0) vs ref (100,100) → Σ|n·M−m·N| =
+    // |2·200−100·2| + |0−100·2| = 200+200 = 400
+    val num = HistogramSketch.driftFromSketch(dir, Seq(1.0, 2.0).toDF("v"),
+      0.25).select("l1_num").head().getDecimal(0)
+    assert(num.longValueExact() === 400L)
+  }
+
+  test("quantile-threshold curation keeps exactly the at-or-above-edge " +
+      "rows as one broadcast-scalar filter (no stat pass at decision " +
+      "time)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist_cur").toString
+    val corpus = (1 to 1000).map(_.toDouble).toDF("v")
+    HistogramSketch.writeSketch(corpus, "v", dir, lo = 0.0, hi = 1000.0,
+      nBins = 100)
+    // q=0.3 → 300th smallest = 300.0 → bin 30 → edge 300.0
+    assert(HistogramSketch.thresholdFromSketch(spark, dir, 0.3) === 300.0)
+    val kept = HistogramSketch.curateByQuantile(
+      corpus.union(Seq(Double.NaN).toDF("v")), dir, 0.3)
+    assert(kept.count() === 701L, "300.0..1000.0 inclusive; NaN dropped")
+    assert(kept.agg(min("v")).head().getDouble(0) === 300.0)
+    // the decision plan reads only the tiny bins relation up front;
+    // the corpus pass is a plain filter — no exchange above the scan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"curation must be a map-only filter over the corpus:\n$plan")
+  }
 }

@@ -1026,4 +1026,45 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(estimates === Map("alpha" -> 1L, "beta" -> 3L, "zeta" -> 4L))
   }
+
+  test("the exact keyed rollup is exactly-once under streaming replay: " +
+      "batchId is the doneMarker") {
+    // the x136 rollup on a stream — n/sum are SUM-merged, so the
+    // marker guards VALUES exactly as for Count-Min; min/max would
+    // absorb a replay, which is precisely why the spec asserts the
+    // SUM columns (they are the canary)
+    val landing = Files.createTempDirectory("graft_ro_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ro").toString
+    val dir = Files.createTempDirectory("graft_ro_art").toString
+    graft.operators.Rollup.writeRollup(
+      Seq(("en", 10L), ("de", 4L)).toDF("lang", "len"), dir,
+      Seq("lang"), "len", nBuckets = 4)
+    def rolled: Map[String, (Long, Long)] =
+      graft.operators.Rollup.readRollup(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    assert(rolled === Map("en" -> (1L, 10L), "de" -> (1L, 4L)))
+
+    Seq(("en", 7L), ("zh", 3L)).toDF("lang", "len")
+      .write.mode("append").parquet(landing)
+    val schema = StructType(Seq(StructField("lang", StringType),
+      StructField("len", LongType)))
+    var seen = Vector.empty[Long]
+    ForecastStream.runCyclePipeline(
+      ForecastStream.trackFileStream(spark, landing, schema), ckpt) {
+      (batch, id) =>
+        seen :+= id
+        graft.operators.Rollup.appendToRollup(batch, dir, Some(s"ro$id"))
+    }
+    assert(seen.length === 1)
+    val after = rolled
+    assert(after === Map("en" -> (2L, 17L), "de" -> (1L, 4L),
+      "zh" -> (1L, 3L)))
+    // redelivery of the same batch under the same batchId: no-op
+    graft.operators.Rollup.appendToRollup(
+      Seq(("en", 7L), ("zh", 3L)).toDF("lang", "len"), dir,
+      Some(s"ro${seen.head}"))
+    assert(rolled === after,
+      "a replayed micro-batch must not double-count n/sum")
+  }
 }
