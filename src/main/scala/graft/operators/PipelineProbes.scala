@@ -406,5 +406,79 @@ object PipelineProbes {
              |SELECT admin_code, step, ROUND(AVG(value), 6) AS zonal_mean
              |FROM raster JOIN map USING (centroid_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Manifest.writeManifest/appendToManifest/diff: the at-rest
+    // dataset-version manifest and the version DIFF served off two
+    // manifests — version B is a deterministic edit of the corpus
+    // (every 97th doc removed, every 31st edited, every 113th
+    // re-added under a new id), both manifests built with the
+    // build + marker-gated-append (+ replay) schedule, and the diff
+    // reads ONLY the persisted (id, ck) pairs. The oracle re-derives
+    // both versions' content keys from raw text and replays the
+    // pair-set status rules — one mis-keyed or double-counted pair
+    // flips a status and diverges the hash ---------------------------
+    Probe("x141_manifest_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .where(col("text").isNotNull).select("doc_id", "text")
+        val tag = IndexCache.corpusTag("x141", d, docs, Seq("doc_id"))
+        val base = System.getProperty("java.io.tmpdir")
+        val aDir = s"$base/graft_x141_ma_$tag"
+        val bDir = s"$base/graft_x141_mb_$tag"
+        IndexCache.ensureBuilt(aDir) {
+          Manifest.writeManifest(docs.where(col("doc_id") % 2 === 0), aDir)
+          Manifest.appendToManifest(docs.where(col("doc_id") % 2 === 1),
+            aDir, Some("b1"))
+          Manifest.appendToManifest(docs.where(col("doc_id") % 2 === 1),
+            aDir, Some("b1")) // replay — gated no-op
+        }
+        IndexCache.ensureBuilt(bDir) {
+          val kept = docs.where(col("doc_id") % 97 =!= 0)
+            .withColumn("text", when(col("doc_id") % 31 === 0,
+              concat(col("text"), lit("_v2"))).otherwise(col("text")))
+          val added = docs.where(col("doc_id") % 113 === 0)
+            .withColumn("doc_id", col("doc_id") + 10000000L)
+          val vB = kept.unionAll(added)
+          Manifest.writeManifest(vB.where(col("doc_id") % 2 === 0), bDir)
+          Manifest.appendToManifest(vB.where(col("doc_id") % 2 === 1),
+            bDir, Some("b1"))
+        }
+        Manifest.diff(s, aDir, bDir).orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5('manifest_' || text), 1, 15))
+             |      AS BIGINT) AS ck
+             |  FROM documents WHERE text IS NOT NULL),
+             |bsrc AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 31 = 0 THEN text || '_v2' ELSE text END
+             |      AS text
+             |  FROM documents WHERE text IS NOT NULL AND doc_id % 97 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, text FROM documents
+             |  WHERE text IS NOT NULL AND doc_id % 113 = 0),
+             |b AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5('manifest_' || text), 1, 15))
+             |      AS BIGINT) AS ck
+             |  FROM bsrc),
+             |p AS (
+             |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             |    a.ck IS NOT NULL AS in_a, b.ck IS NOT NULL AS in_b
+             |  FROM a FULL OUTER JOIN b
+             |    ON a.doc_id = b.doc_id AND a.ck = b.ck),
+             |s AS (
+             |  SELECT doc_id, BOOL_OR(in_a) AS has_a, BOOL_OR(in_b) AS has_b,
+             |    BOOL_OR(in_a <> in_b) AS unshared
+             |  FROM p GROUP BY 1)
+             |SELECT doc_id,
+             |  CASE WHEN NOT has_a THEN 'added'
+             |       WHEN NOT has_b THEN 'removed'
+             |       WHEN unshared THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM s
+             |WHERE NOT (has_a AND has_b AND NOT unshared)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }
