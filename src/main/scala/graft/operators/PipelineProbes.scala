@@ -480,5 +480,103 @@ object PipelineProbes {
              |FROM s
              |WHERE NOT (has_a AND has_b AND NOT unshared)
              |ORDER BY doc_id""".stripMargin)),
+
+    // The SEMANTIC registry flagship — incremental embedding-space
+    // dedup with durable identity (the x134 lexical flagship's exact
+    // shape with MinHash/LSH swapped for the at-rest int8 IVF index):
+    // two-thirds of the vectors build the index and the registry from
+    // their within-cell integer-cosine pairs; the last third ingests
+    // ONCE with pairs from Similarity.cosinePairsInt8FromIndex —
+    // batch×PERSISTED codes (partition-pruned to touched cells) plus
+    // batch-internal — and a replayed ingest must no-op. Candidate
+    // split-independence holds because a vector's cell is a function
+    // of itself and the persisted centroids alone, so build ∪ ingest
+    // pairs = ALL within-cell pairs of the full corpus. The measured
+    // pair graph carries genuine CHAINS (12 min-label rounds to
+    // fixpoint at sf0.001 — tools-measured r15), so the oracle runs a
+    // RECURSIVE transitive closure instead of a fixed unroll; the
+    // registry side needs no such care (hop+jump is log-round to any
+    // diameter, the x133 contract). Integer cosines compare at a RAW
+    // threshold — exact long dots, one IEEE divide, no rounding ------
+    Probe("x142_semantic_registry_flagship",
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val w0 = embs.where(col("vec_id") % 3 =!= 2)
+        val w1 = embs.where(col("vec_id") % 3 === 2)
+        val tag = IndexCache.corpusTag("x142", d, embs,
+          Seq("vec_id", "embedding"))
+        val base = System.getProperty("java.io.tmpdir")
+        val ixDir = s"$base/graft_x142_ix_$tag"
+        val regDir = s"$base/graft_x142_reg_$tag"
+        IndexCache.ensureBuilt(regDir) {
+          Similarity.writeInt8Index(w0, ixDir, nlist = 8)
+          // build batch = build corpus → cross ≡ internal, dedup'd
+          val internal0 = Similarity.cosinePairsInt8FromIndex(
+            w0, ixDir, minCos = 0.25)
+          ClusterRegistry.write(
+            Dedup.nearDupGroupsDF(internal0, w0.select(col("vec_id")),
+                idCol = "vec_id")
+              .select(col("vec_id"), col("group_id")),
+            regDir, idCol = "vec_id", nBuckets = 16)
+          val edges = Similarity.cosinePairsInt8FromIndex(
+            w1, ixDir, minCos = 0.25)
+          ClusterRegistry.ingestBatch(w1.select(col("vec_id")), edges,
+            regDir, doneMarker = Some("b1"))
+          ClusterRegistry.ingestBatch(w1.select(col("vec_id")), edges,
+            regDir, doneMarker = Some("b1")) // replay — gated no-op
+        }
+        ClusterRegistry.readLabels(s, regDir).orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE init AS (
+             |  SELECT vec_id, embedding,
+             |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+             |      % 8 AS cell0
+             |  FROM embeddings WHERE vec_id % 3 <> 2),
+             |idims AS (
+             |  SELECT cell0, j, x FROM init,
+             |    LATERAL (SELECT unnest(embedding) AS x,
+             |             generate_subscripts(embedding, 1) AS j)),
+             |cent AS (
+             |  SELECT cell0 AS cell, list(cx ORDER BY j) AS c FROM (
+             |    SELECT cell0, j, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS cx
+             |    FROM idims GROUP BY cell0, j)
+             |  GROUP BY cell0),
+             |assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT i.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY i.vec_id ORDER BY
+             |        ROUND(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])
+             |          - 2 * list_dot_product(i.embedding::DOUBLE[], c.c)
+             |          + list_dot_product(c.c, c.c), 6) ASC, c.cell ASC) AS rn
+             |    FROM embeddings i CROSS JOIN cent c) WHERE rn = 1),
+             |qz AS (
+             |  SELECT vec_id,
+             |    GREATEST(list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s,
+             |    embedding
+             |  FROM embeddings),
+             |codes AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> floor(CAST(x AS DOUBLE) / s + 0.5)) AS codes
+             |  FROM qz),
+             |pairs AS (
+             |  SELECT x.vec_id AS a, y.vec_id AS b
+             |  FROM codes x JOIN assigned ax ON ax.vec_id = x.vec_id
+             |  JOIN assigned ay ON ay.cell = ax.cell
+             |  JOIN codes y ON y.vec_id = ay.vec_id AND x.vec_id < y.vec_id
+             |  WHERE list_dot_product(x.codes, y.codes) /
+             |    (sqrt(list_dot_product(x.codes, x.codes)) *
+             |     sqrt(list_dot_product(y.codes, y.codes))) >= 0.25),
+             |e AS (SELECT a AS src, b AS dst FROM pairs
+             |      UNION ALL SELECT b, a FROM pairs),
+             |r(id, lab) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT e.src, r.lab FROM e JOIN r ON r.id = e.dst)
+             |SELECT id AS vec_id, MIN(lab) AS cluster_id
+             |FROM r GROUP BY id
+             |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -255,6 +255,71 @@ object Similarity {
     * routing, quantization, scoring and ranking in SQL.
     *
     * Returns (qIdCol, idCol, sim, rank) with rank 1..k per query. */
+  /** Threshold COSINE PAIRS of a batch against the at-rest int8 index
+    * — the candidate generator for incremental SEMANTIC dedup (the
+    * registry flagship x142; the embedding-space sibling of the
+    * MinHash/LSH candidate join): each batch vector is assigned to
+    * its cell with the index's OWN persisted centroids (the versioned-
+    * quantizer ingest contract), and pairs are formed ONLY within
+    * cells — batch × persisted codes (the codes scan pruned to the
+    * batch's ≤ nlist touched cells, a PARTITION filter) plus batch ×
+    * batch — then kept at integer cosine ≥ `minCos`. Scales cancel in
+    * cosine, so every sim is exact long dots + one IEEE divide:
+    * bit-identical cross-engine, no rounding step (the
+    * [[cosineTopKInt8]] argument), and the threshold compare is
+    * therefore engine-stable with a RAW double.
+    *
+    * Pairs are canonicalized to id_a < id_b and deduplicated, so a
+    * batch whose vectors are already in the index (e.g. the build set
+    * re-presented) yields each pair once. The SemDeDup within-cell
+    * confinement is the recall contract: a true near-dup pair
+    * straddling two cells is missed — the same trade the one-shot
+    * [[Dedup.semanticDedupInCells]] documents.
+    *
+    * Scale shape: O(batch) assignment (one nlist-row broadcast +
+    * partial-aggregable argmin), a partition-pruned codes read, and
+    * within-cell joins whose candidate volume is the cell-size sum —
+    * quadratic confined to cells, never all-pairs; nothing
+    * corpus-sized shuffles, no window. */
+  def cosinePairsInt8FromIndex(batch: DataFrame, path: String,
+                               minCos: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    graft.GraftExtensions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val head = batch.select(col(vecCol)).head(1)
+    if (head.nonEmpty) {
+      val indexDim = cents.select("centroid").head().getSeq[Any](0).length
+      val batchDim = head(0).getSeq[Any](0).length
+      require(batchDim == indexDim,
+        s"batch vectors have dim $batchDim, index centroids have $indexDim")
+    }
+    val assigned = IvfIndex.assign(batch, cents, idCol, vecCol)
+    val bCodes = quantizeInt8(batch, idCol, vecCol)
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+    // the batch's touched cells: bounded by the index's nlist geometry
+    val cells = assigned.select("cell").distinct().collect().map(_.get(0))
+    val aSide = bCodes.select(col("cell"), col(idCol).as("id_a"),
+      col("q_codes").as("_ca"))
+    val corpus = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cells: _*)) // partition filter
+      .select(col("cell"), col(idCol).as("id_b"), col("q_codes").as("_cb"))
+    def thresholded(pairs: DataFrame): DataFrame = pairs
+      .select(col("id_a"), col("id_b"),
+        int8Cosine(col("_ca"), col("_cb")).as("sim"))
+      .where(col("sim") >= minCos)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+    val cross = thresholded(aSide.join(corpus, Seq("cell"))
+      .where(col("id_a") =!= col("id_b")))
+    val internal = thresholded(aSide.join(
+        bCodes.select(col("cell"), col(idCol).as("id_b"),
+          col("q_codes").as("_cb")), Seq("cell"))
+      .where(col("id_a") < col("id_b")))
+    cross.unionAll(internal).distinct()
+  }
+
   def annJoinInt8FromIndex(queries: DataFrame, path: String, k: Int,
                            nprobe: Int, excludeSelf: Boolean = true,
                            excludePairs: Option[DataFrame] = None,

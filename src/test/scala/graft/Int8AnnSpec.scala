@@ -212,4 +212,59 @@ class Int8AnnSpec extends SparkTestBase {
     assert(!mined.map(_._1).contains(top1), "banned pair survived")
     assert(mined.map(_._2).sorted === (1 to 7), "ranks must re-close densely")
   }
+
+  test("cosinePairsInt8FromIndex: build ∪ ingest pairs equal ALL " +
+      "within-cell threshold pairs of the full corpus (the split-" +
+      "independence the semantic registry flagship rests on)") {
+    import graft.operators.IvfIndex
+    val embs = Tables.embeddings(spark, sfDir)
+    val w0 = embs.where($"vec_id" % 3 =!= 2)
+    val w1 = embs.where($"vec_id" % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("cpix").toString
+    Similarity.writeInt8Index(w0, dir, nlist = 8)
+    val render = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val buildP = render(Similarity.cosinePairsInt8FromIndex(w0, dir, 0.25))
+    val ingestP = render(Similarity.cosinePairsInt8FromIndex(w1, dir, 0.25))
+    // expected: assign EVERYONE against the persisted centroids, all
+    // within-cell int8-cosine pairs at the same raw threshold
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val all = Similarity.quantizeInt8(embs)
+      .join(IvfIndex.assign(embs, cents).select("vec_id", "cell"),
+        Seq("vec_id"))
+    val expect = render(all
+      .select($"cell", $"vec_id".as("id_a"), $"q_codes".as("_ca"))
+      .join(all.select($"cell", $"vec_id".as("id_b"), $"q_codes".as("_cb")),
+        Seq("cell"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Similarity.int8CosineHof($"_ca", $"_cb").as("sim"))
+      .where($"sim" >= 0.25))
+    assert((buildP ++ ingestP).sorted === expect,
+      "build-internal ∪ (batch×corpus + batch-internal) must cover " +
+        "exactly the full corpus's within-cell pairs, each once")
+    assert(buildP.intersect(ingestP).isEmpty,
+      "the two calls partition the pair set")
+  }
+
+  test("cosinePairsInt8FromIndex prunes the codes scan to the batch's " +
+      "cells, refuses a dim mismatch, and is empty on an empty batch") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("cpix_pl").toString
+    Similarity.writeInt8Index(embs.where($"vec_id" % 3 =!= 2), dir,
+      nlist = 8)
+    val batch = embs.where($"vec_id" % 3 === 2 && $"vec_id" < 60)
+    val pairs = Similarity.cosinePairsInt8FromIndex(batch, dir, 0.25)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"the codes scan must carry the cell partition filter:\n$plan")
+    intercept[IllegalArgumentException] {
+      Similarity.cosinePairsInt8FromIndex(
+        embs.select($"vec_id",
+          slice($"embedding", 1, 8).as("embedding")), dir, 0.25)
+    }
+    assert(Similarity.cosinePairsInt8FromIndex(
+      embs.where($"vec_id" < 0), dir, 0.25).count() === 0L)
+  }
 }
