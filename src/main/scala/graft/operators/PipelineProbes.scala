@@ -506,11 +506,17 @@ object PipelineProbes {
         val w1 = embs.where(col("vec_id") % 3 === 2)
         val tag = IndexCache.corpusTag("x142", d, embs,
           Seq("vec_id", "embedding"))
+        // nlist derives from corpus size (the r12 lesson: a FIXED
+        // nlist makes the 100x honesty runs quadratic by construction
+        // — cell size grows with N and the within-cell join with
+        // cell²); 8 at both certified gate scales, so oracle hashes
+        // stand, and the SQL derives the SAME value
+        val nlist = IndexCache.probeNlist(d, embs)
         val base = System.getProperty("java.io.tmpdir")
-        val ixDir = s"$base/graft_x142_ix_$tag"
-        val regDir = s"$base/graft_x142_reg_$tag"
+        val ixDir = s"$base/graft_x142_ix_${nlist}_$tag"
+        val regDir = s"$base/graft_x142_reg_${nlist}_$tag"
         IndexCache.ensureBuilt(regDir) {
-          Similarity.writeInt8Index(w0, ixDir, nlist = 8)
+          Similarity.writeInt8Index(w0, ixDir, nlist = nlist)
           // build batch = build corpus → cross ≡ internal, dedup'd
           val internal0 = Similarity.cosinePairsInt8FromIndex(
             w0, ixDir, minCos = 0.25)
@@ -531,7 +537,7 @@ object PipelineProbes {
       Some("""WITH RECURSIVE init AS (
              |  SELECT vec_id, embedding,
              |    CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
-             |      % 8 AS cell0
+             |      % (SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings) AS cell0
              |  FROM embeddings WHERE vec_id % 3 <> 2),
              |idims AS (
              |  SELECT cell0, j, x FROM init,
