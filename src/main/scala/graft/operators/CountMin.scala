@@ -169,6 +169,32 @@ object CountMin {
     }
   }
 
+  /** RETRACT a previously-ingested batch — the "forget this source"
+    * operation (a contaminated/poisoned/withdrawn slice must leave
+    * the daily stats without a rebuild): SUM-merge is a GROUP, so
+    * appending the batch's cells NEGATED is an exact inverse —
+    * after retraction every read is bit-identical to an artifact
+    * that never ingested the batch (CountMinSpec pins it).
+    *
+    * The caller's contract, stated loudly: retract EXACTLY what was
+    * ingested (same rows, same value column). Retracting a batch
+    * never ingested drives cells negative and estimates below truth
+    * — the sketch cannot detect it (cells are anonymous sums).
+    * `doneMarker` is load-bearing exactly as for appends: a replayed
+    * retraction double-subtracts. Use a distinct marker id from the
+    * original append (e.g. "rt-<batch>") — reusing the append's id
+    * would no-op against its landed marker. */
+  def retractFromSketch(batch: DataFrame, path: String,
+                        doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (width, depth, valueCol) = sketchMeta(spark, path)
+      cells(batch, col(valueCol), width, depth)
+        .withColumn("n", -col("n"))
+        .write.mode("overwrite").parquet(s"$staging/cells")
+    }
+  }
+
   /** The merged cells of everything ever written or appended — one
     * SUM over the persisted per-batch rows (≤ batches·width·depth in,
     * ≤ width·depth out; merge trees are exact in int64). */

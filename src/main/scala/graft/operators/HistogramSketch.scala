@@ -82,6 +82,23 @@ object HistogramSketch {
     }
   }
 
+  /** RETRACT a previously-ingested batch: bin counts are SUM-merged
+    * (a group), so the negated bins are an exact inverse — quantile
+    * read-offs after retraction are bit-identical to an artifact that
+    * never saw the batch. Same caller contract and marker semantics
+    * as [[CountMin.retractFromSketch]]: retract exactly what was
+    * ingested, under a FRESH marker id. */
+  def retractFromSketch(batch: DataFrame, path: String,
+                        doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (lo, hi, nBins, valueCol) = sketchMeta(spark, path)
+      bins(batch, col(valueCol), lo, hi, nBins)
+        .withColumn("n", -col("n"))
+        .write.mode("overwrite").parquet(s"$staging/bins")
+    }
+  }
+
   /** Merged bins of everything ingested (≤ nBins rows out). */
   def readBins(spark: org.apache.spark.sql.SparkSession,
                path: String): DataFrame =

@@ -111,11 +111,43 @@ object Rollup {
     }
   }
 
+  /** RETRACT a previously-ingested batch from the SUM-merged columns:
+    * n and sum_v are a group, so the negated batch rollup is an exact
+    * inverse — after retraction, n/sum_v are bit-identical to an
+    * artifact that never ingested the batch. The idempotent columns
+    * CANNOT be retracted (MIN/MAX are not invertible: the artifact
+    * cannot know the runner-up), so the retraction rows carry the
+    * merge IDENTITIES (min_v = +∞, max_v = −∞ in long) and the
+    * persisted min/max degrade to CONSERVATIVE BOUNDS — min_v ≤ the
+    * true minimum of the remaining corpus ≤ max_v — the honest
+    * statement of what a mergeable artifact can still guarantee
+    * (RollupSpec pins both halves). Same caller contract and marker
+    * semantics as [[CountMin.retractFromSketch]]: retract exactly
+    * what was ingested, under a FRESH marker id. */
+  def retractFromRollup(batch: DataFrame, path: String,
+                        doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (keyCols, valueCol, nBuckets) = rollupMeta(spark, path)
+      rollup(batch, keyCols, valueCol)
+        .withColumn("n", -col("n"))
+        .withColumn("sum_v", -col("sum_v"))
+        .withColumn("min_v", lit(Long.MaxValue))
+        .withColumn("max_v", lit(Long.MinValue))
+        .withColumn("kb", keyBucket(keyCols.map(col), nBuckets))
+        .write.partitionBy("kb").mode("overwrite")
+        .parquet(s"$staging/rows")
+    }
+  }
+
   private def mergeBatches(rows: DataFrame,
                            keyCols: Seq[String]): DataFrame =
     rows.groupBy(keyCols.map(col): _*)
       .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
         min("min_v").as("min_v"), max("max_v").as("max_v"))
+      // a fully-retracted key (every ingest retracted) reads n = 0:
+      // it must vanish, exactly as if never ingested
+      .where(col("n") =!= 0)
 
   /** The exact rollup of everything ever written or appended: one
     * grouped merge over the ≤ batches·|keys| persisted rows — never

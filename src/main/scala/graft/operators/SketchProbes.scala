@@ -516,6 +516,282 @@ object SketchProbes {
              |FROM r JOIN q USING (lang) WHERE rk <= quota
              |ORDER BY doc_id""".stripMargin)),
 
+    // RETRACTION across the SUM-merged at-rest family (CountMin.
+    // retractFromSketch / HistogramSketch.retractFromSketch /
+    // Rollup.retractFromRollup): the "forget this source" operation —
+    // a contaminated slice ingested yesterday must leave today's
+    // stats WITHOUT a rebuild. SUM-merge is a group, so the negated
+    // batch is an exact inverse: all three artifacts are built on the
+    // even half, marker-appended with the odd half, then the odd half
+    // is RETRACTED (marked, plus a replayed retraction that must
+    // no-op) — and every readout must hash-match an oracle that
+    // derives from the EVEN half alone, as if the odd half had never
+    // been ingested ---------------------------------------------------
+    Probe("x143_sketch_retraction",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val even = docs.where(col("doc_id") % 2 === 0)
+        val odd = docs.where(col("doc_id") % 2 === 1)
+        val tag = IndexCache.corpusTag("x143", d, docs, Seq("doc_id"))
+        val base = System.getProperty("java.io.tmpdir")
+        val cmDir = s"$base/graft_x143_cm_$tag"
+        val hDir = s"$base/graft_x143_h_$tag"
+        val roDir = s"$base/graft_x143_ro_$tag"
+        IndexCache.ensureBuilt(roDir) {
+          CountMin.writeSketch(even, "text", cmDir,
+            width = 8192, depth = 4)
+          CountMin.appendToSketch(odd, cmDir, doneMarker = Some("b1"))
+          CountMin.retractFromSketch(odd, cmDir, doneMarker = Some("rt1"))
+          CountMin.retractFromSketch(odd, cmDir, doneMarker = Some("rt1"))
+          val lens = docs.select(col("doc_id"),
+            length(col("text")).as("len"))
+          HistogramSketch.writeSketch(lens.where(col("doc_id") % 2 === 0),
+            "len", hDir, lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToSketch(
+            lens.where(col("doc_id") % 2 === 1), hDir, Some("b1"))
+          HistogramSketch.retractFromSketch(
+            lens.where(col("doc_id") % 2 === 1), hDir, Some("rt1"))
+          Rollup.writeRollup(even, roDir, Seq("lang"), "n_chars")
+          Rollup.appendToRollup(odd, roDir, Some("b1"))
+          Rollup.retractFromRollup(odd, roDir, Some("rt1"))
+          Rollup.retractFromRollup(odd, roDir, Some("rt1")) // replay
+        }
+        // heavy tokens OF THE SURVIVING CORPUS (the even half) — the
+        // bounded query set, derived identically by the oracle
+        val toks = even.select(
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val heavy = counts.crossJoin(broadcast(total))
+          .where(col("cnt") * 256 > col("n_total")).select("w")
+        val cm = CountMin.estimateFromSketch(s, cmDir, heavy, "w")
+          .select(lit("cm_heavy").as("metric"), col("w").as("key"),
+            col("estimate").cast("double").as("v1"),
+            lit(0.0).as("v2"))
+        val hq = HistogramSketch.quantilesFromSketch(s, hDir,
+            Seq(0.5, 0.9, 0.99))
+          .select(lit("len_q").as("metric"),
+            concat(lit("q"), (col("q") * 100).cast("int")).as("key"),
+            col("bin_lo").as("v1"), col("cum_n").cast("double").as("v2"))
+        val ro = Rollup.readRollup(s, roDir)
+          .select(lit("lang_stats").as("metric"), col("lang").as("key"),
+            col("n").cast("double").as("v1"),
+            col("sum_v").cast("double").as("v2"))
+        cm.unionAll(hq).unionAll(ro).orderBy("metric", "key")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT * FROM documents WHERE doc_id % 2 = 0),
+              |toks AS (
+              |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              |  FROM ev),
+              |c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+              |t AS (SELECT COUNT(*) AS n_total FROM toks),
+              |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+              |cells AS (
+              |  SELECT d, ${cellSql("d", "w", 8192)} AS cell, COUNT(*) AS n
+              |  FROM toks, ds GROUP BY 1, 2),
+              |heavy AS (SELECT w FROM c, t WHERE cnt * 256 > n_total),
+              |qc AS (
+              |  SELECT w, d, ${cellSql("d", "w", 8192)} AS cell
+              |  FROM heavy, ds),
+              |cm AS (
+              |  SELECT 'cm_heavy' AS metric, w AS key,
+              |    CAST(MIN(COALESCE(n, 0)) AS DOUBLE) AS v1,
+              |    CAST(0.0 AS DOUBLE) AS v2
+              |  FROM qc LEFT JOIN cells USING (d, cell) GROUP BY w),
+              |hbv AS (
+              |  SELECT LEAST(GREATEST(CAST(FLOOR(
+              |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+              |    AS bin
+              |  FROM ev WHERE text IS NOT NULL),
+              |hbb AS (SELECT bin, COUNT(*) AS n FROM hbv GROUP BY 1),
+              |hbc AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum FROM hbb),
+              |hbt AS (SELECT MAX(cum) AS n_total FROM hbc),
+              |hqs(q, label) AS (VALUES (CAST(0.5 AS DOUBLE), 'q50'),
+              |  (CAST(0.9 AS DOUBLE), 'q90'), (CAST(0.99 AS DOUBLE), 'q99')),
+              |hsel AS (
+              |  SELECT q, label, n_total, MIN(bin) AS bin
+              |  FROM hqs, hbt JOIN hbc ON cum >= CEIL(q * n_total)
+              |  GROUP BY 1, 2, 3),
+              |hq AS (
+              |  SELECT 'len_q' AS metric, label AS key,
+              |    CAST(bin AS DOUBLE) * 16.0 AS v1,
+              |    CAST((SELECT cum FROM hbc WHERE hbc.bin = hsel.bin) AS DOUBLE)
+              |      AS v2
+              |  FROM hsel),
+              |ro AS (
+              |  SELECT 'lang_stats' AS metric, lang AS key,
+              |    CAST(COUNT(*) AS DOUBLE) AS v1,
+              |    CAST(SUM(n_chars) AS DOUBLE) AS v2
+              |  FROM ev GROUP BY lang)
+              |SELECT * FROM cm
+              |UNION ALL SELECT * FROM hq
+              |UNION ALL SELECT * FROM ro
+              |ORDER BY metric, key""".stripMargin)),
+
+    // THE DAILY-DECISIONS FLAGSHIP (the x131/x123/x38 composed-
+    // certification precedent applied to the r15 decision family):
+    // ONE day-1 ingest job over the at-rest estate — drift-gate the
+    // batch against the persisted day-0 histogram BEFORE ingest, then
+    // marker-append the batch into rollup + stratified sample +
+    // histogram and the manifest, then serve the day's decisions off
+    // the PERSISTED artifacts alone: the temperature-mixture plan
+    // (rollup counts → quotas → sample members), the quality
+    // threshold (q50 bin edge) applied to the new batch, the post-
+    // ingest corpus stats, and the version audit (manifest diff = the
+    // batch's ids, all 'added'). ONE DuckDB mirror re-derives every
+    // stage from raw text — the drift arithmetic, the quota math, the
+    // per-stratum selected ID SETS (as exact id-sums), the threshold
+    // and kept counts, and the diff count ----------------------------
+    Probe("x144_daily_decisions_flagship",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .where(col("text").isNotNull)
+        val day0 = docs.where(col("doc_id") % 3 =!= 2)
+        val batch = docs.where(col("doc_id") % 3 === 2)
+        val tag = IndexCache.corpusTag("x144", d, docs, Seq("doc_id"))
+        val base = System.getProperty("java.io.tmpdir")
+        val roDir = s"$base/graft_x144_ro_$tag"
+        val stDir = s"$base/graft_x144_st_$tag"
+        val hDir = s"$base/graft_x144_h_$tag"
+        val h0Dir = s"$base/graft_x144_h0_$tag"
+        val maDir = s"$base/graft_x144_ma_$tag"
+        val mbDir = s"$base/graft_x144_mb_$tag"
+        val lens = (df: org.apache.spark.sql.DataFrame) => df.select(
+          col("doc_id"), col("lang"), length(col("text")).as("len"))
+        IndexCache.ensureBuilt(roDir) {
+          Rollup.writeRollup(day0, roDir, Seq("lang"), "n_chars")
+          StratifiedSample.writeSample(day0, stDir, k = 150,
+            strataCol = "lang")
+          HistogramSketch.writeSketch(lens(day0), "len", hDir,
+            lo = 0.0, hi = 4096.0, nBins = 256)
+          // the FROZEN day-0 snapshot the drift gate compares against
+          // (ingest never touches it — so the gate's answer is stable
+          // under re-runs and marker-gated replay of the ingest)
+          HistogramSketch.writeSketch(lens(day0), "len", h0Dir,
+            lo = 0.0, hi = 4096.0, nBins = 256)
+          Manifest.writeManifest(day0, maDir)
+          Manifest.writeManifest(day0, mbDir)
+        }
+        // the drift GATE runs against the day-0 snapshot, before
+        // anything lands (check-then-ingest)
+        val drift = HistogramSketch.driftFromSketch(h0Dir,
+            lens(batch).select(col("len")), threshold = 0.05)
+          .select(lit("drift").as("metric"), lit("batch").as("key"),
+            col("tvd").as("v1"), col("l1_num").cast("double").as("v2"))
+        // marker-gated ingest of the day's batch into the estate
+        Rollup.appendToRollup(batch, roDir, Some("day1"))
+        StratifiedSample.appendToSample(batch, stDir, Some("day1"))
+        HistogramSketch.appendToSketch(lens(batch), hDir, Some("day1"))
+        Manifest.appendToManifest(batch, mbDir, Some("day1"))
+        // decisions off the PERSISTED estate
+        val sel = MixturePlan.planAndSelect(s, roDir, stDir,
+            targetTotal = 120)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sel"),
+            sum("doc_id").as("id_sum"))
+          .select(lit("mixture").as("metric"), col("lang").as("key"),
+            col("n_sel").cast("double").as("v1"),
+            col("id_sum").cast("double").as("v2"))
+        val thr = HistogramSketch.thresholdFromSketch(s, hDir, 0.5)
+        val kept = HistogramSketch.curateByQuantile(lens(batch), hDir,
+            q = 0.5)
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .select(lit("curate").as("metric"), col("lang").as("key"),
+            col("n_kept").cast("double").as("v1"), lit(thr).as("v2"))
+        val stats = Rollup.readRollup(s, roDir)
+          .select(lit("corpus").as("metric"), col("lang").as("key"),
+            col("n").cast("double").as("v1"),
+            col("sum_v").cast("double").as("v2"))
+        val audit = Manifest.diff(s, maDir, mbDir)
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .select(lit("audit").as("metric"), col("status").as("key"),
+            col("n").cast("double").as("v1"), lit(0.0).as("v2"))
+        drift.unionAll(sel).unionAll(kept).unionAll(stats)
+          .unionAll(audit).orderBy("metric", "key")
+      },
+      Some("""WITH d0 AS (
+             |  SELECT * FROM documents
+             |  WHERE text IS NOT NULL AND doc_id % 3 <> 2),
+             |bat AS (
+             |  SELECT * FROM documents
+             |  WHERE text IS NOT NULL AND doc_id % 3 = 2),
+             |allc AS (SELECT * FROM documents WHERE text IS NOT NULL),
+             |rbin AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |    AS bin, COUNT(*) AS rn
+             |  FROM d0 GROUP BY 1),
+             |bbin AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |    AS bin, COUNT(*) AS bn
+             |  FROM bat GROUP BY 1),
+             |dj AS (
+             |  SELECT COALESCE(rn, 0) AS rn, COALESCE(bn, 0) AS bn
+             |  FROM rbin FULL OUTER JOIN bbin ON rbin.bin = bbin.bin),
+             |dtot AS (SELECT CAST(SUM(bn) AS BIGINT) AS nb,
+             |                CAST(SUM(rn) AS BIGINT) AS mr FROM dj),
+             |dnum AS (
+             |  SELECT CAST(SUM(ABS(bn * mr - rn * nb)) AS BIGINT) AS l1
+             |  FROM dj CROSS JOIN dtot),
+             |drift AS (
+             |  SELECT 'drift' AS metric, 'batch' AS key,
+             |    CAST(l1 AS DOUBLE) / (2.0 * nb * mr) AS v1,
+             |    CAST(l1 AS DOUBLE) AS v2
+             |  FROM dtot CROSS JOIN dnum),
+             |cnt AS (SELECT lang, COUNT(*) AS n FROM allc GROUP BY 1),
+             |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM cnt),
+             |tot AS (SELECT SUM(w) AS tw FROM w),
+             |q AS (
+             |  SELECT lang,
+             |    CAST(FLOOR(ROUND(120.0 * w.w / tot.tw, 6)) AS BIGINT) AS quota
+             |  FROM w CROSS JOIN tot),
+             |rk AS (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+             |      CAST(('0x' || substring(md5('stsample_' || CAST(doc_id AS VARCHAR)), 1, 15))
+             |        AS BIGINT) ASC, doc_id ASC) AS rk
+             |  FROM allc),
+             |mix AS (
+             |  SELECT 'mixture' AS metric, rk.lang AS key,
+             |    CAST(COUNT(*) AS DOUBLE) AS v1,
+             |    CAST(SUM(doc_id) AS DOUBLE) AS v2
+             |  FROM rk JOIN q USING (lang) WHERE rk <= quota
+             |  GROUP BY rk.lang),
+             |abin AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+             |    AS bin, COUNT(*) AS n
+             |  FROM allc GROUP BY 1),
+             |acum AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM abin),
+             |atot AS (SELECT MAX(cum) AS n_total FROM acum),
+             |asel AS (
+             |  SELECT MIN(bin) AS bin
+             |  FROM atot JOIN acum ON cum >= CEIL(0.5 * n_total)),
+             |thr AS (SELECT CAST(bin AS DOUBLE) * 16.0 AS thr FROM asel),
+             |cur AS (
+             |  SELECT 'curate' AS metric, lang AS key,
+             |    CAST(COUNT(*) AS DOUBLE) AS v1, ANY_VALUE(thr) AS v2
+             |  FROM bat CROSS JOIN thr
+             |  WHERE CAST(length(text) AS DOUBLE) >= thr
+             |  GROUP BY lang),
+             |stats AS (
+             |  SELECT 'corpus' AS metric, lang AS key,
+             |    CAST(COUNT(*) AS DOUBLE) AS v1,
+             |    CAST(SUM(n_chars) AS DOUBLE) AS v2
+             |  FROM allc GROUP BY lang),
+             |audit AS (
+             |  SELECT 'audit' AS metric, 'added' AS key,
+             |    CAST(COUNT(*) AS DOUBLE) AS v1, CAST(0.0 AS DOUBLE) AS v2
+             |  FROM bat)
+             |SELECT * FROM drift
+             |UNION ALL SELECT * FROM mix
+             |UNION ALL SELECT * FROM cur
+             |UNION ALL SELECT * FROM stats
+             |UNION ALL SELECT * FROM audit
+             |ORDER BY metric, key""".stripMargin)),
+
     // HistogramSketch.driftFromSketch: the distribution-drift DECISION
     // served off the PERSISTED histogram (x130's artifact, shared —
     // one build, three certified readouts with x130/x140): a

@@ -132,4 +132,32 @@ class CountMinSpec extends SparkTestBase {
     CountMin.appendToSketch(df, dir, doneMarker = Some("g"))
     assert(estimates(dir, Seq("x")) === Map("x" -> 2L))
   }
+
+  test("at-rest: retraction is an exact inverse — reads equal an " +
+      "artifact that never ingested the batch; replayed retraction " +
+      "is a no-op; compaction preserves it") {
+    import spark.implicits._
+    val texts = (0 until 100).map(i =>
+      (0 until 8).map(j => s"w${(i * 5 + j * 11) % 70}").mkString(" "))
+    val df = spark.createDataset(texts).toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val keep = df.where(col("id") % 2 === 0)
+    val bad = df.where(col("id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("cms_rtr").toString
+    val ref = java.nio.file.Files.createTempDirectory("cms_ref").toString
+    CountMin.writeSketch(keep, "text", dir, width = 1 << 14, depth = 4)
+    CountMin.appendToSketch(bad, dir, doneMarker = Some("b1"))
+    // the contaminated source is found and withdrawn
+    CountMin.retractFromSketch(bad, dir, doneMarker = Some("rt1"))
+    CountMin.writeSketch(keep, "text", ref, width = 1 << 14, depth = 4)
+    val words = (0 until 70).map(i => s"w$i")
+    assert(estimates(dir, words) === estimates(ref, words),
+      "retract must equal rebuild-without, estimate for estimate")
+    // replayed retraction (at-least-once redelivery): gated no-op
+    CountMin.retractFromSketch(bad, dir, doneMarker = Some("rt1"))
+    assert(estimates(dir, words) === estimates(ref, words))
+    // compaction folds the negative cells away, values unchanged
+    CountMin.compactSketch(spark, dir)
+    assert(estimates(dir, words) === estimates(ref, words))
+  }
 }

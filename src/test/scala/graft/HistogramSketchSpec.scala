@@ -75,6 +75,29 @@ class HistogramSketchSpec extends SparkTestBase {
     assert(bins(9) === 2L) // 99 lands, 250 clamps down
   }
 
+  test("retraction is an exact inverse: quantile read-offs equal an " +
+      "artifact that never ingested the batch") {
+    import spark.implicits._
+    val all = (1 to 1000).map(_.toDouble).toDF("v")
+      .withColumn("id", monotonically_increasing_id())
+    val keep = all.where(col("id") % 2 === 0)
+    val bad = all.where(col("id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("hist_rtr").toString
+    val ref = java.nio.file.Files.createTempDirectory("hist_rref").toString
+    HistogramSketch.writeSketch(keep, "v", dir, lo = 0.0, hi = 1000.0,
+      nBins = 100)
+    HistogramSketch.appendToSketch(bad, dir, doneMarker = Some("b1"))
+    HistogramSketch.retractFromSketch(bad, dir, doneMarker = Some("rt1"))
+    HistogramSketch.writeSketch(keep, "v", ref, lo = 0.0, hi = 1000.0,
+      nBins = 100)
+    val qs = Seq(0.25, 0.5, 0.9)
+    assert(quantiles(dir, qs) === quantiles(ref, qs),
+      "retract must equal rebuild-without, quantile for quantile")
+    // replayed retraction: gated no-op
+    HistogramSketch.retractFromSketch(bad, dir, doneMarker = Some("rt1"))
+    assert(quantiles(dir, qs) === quantiles(ref, qs))
+  }
+
   test("drift check: identical distribution reads tvd 0; a fully moved " +
       "one reads 1; a half-swap reads its exact mass; empty batch is " +
       "null, never a crash") {

@@ -122,6 +122,47 @@ class RollupSpec extends SparkTestBase {
       === 700L)
   }
 
+  test("retraction: n/sum are an exact inverse (≡ rebuild-without); " +
+      "min/max degrade to conservative bounds; a fully-retracted key " +
+      "vanishes; replayed retraction is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ro_rtr").toString
+    val all = docs(0 until 400)
+    val keep = all.where($"doc_id" % 2 === 0)
+    val bad = all.where($"doc_id" % 2 === 1)
+    Rollup.writeRollup(keep, dir, Seq("lang"), "len", nBuckets = 8)
+    Rollup.appendToRollup(bad, dir, Some("b1"))
+    Rollup.retractFromRollup(bad, dir, Some("rt1"))
+    val got = render(Rollup.readRollup(spark, dir))
+    val want = render(keep.groupBy("lang").agg(count(lit(1)).as("n"),
+      sum("len").as("sum_v"), min("len").as("min_v"),
+      max("len").as("max_v")))
+    // n and sum are exactly the rebuild-without values
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      want.map(t => (t._1, t._2, t._3)))
+    // min/max are conservative BOUNDS on the remaining corpus (the
+    // artifact cannot unsee the retracted batch's extremes)
+    got.zip(want).foreach { case ((l, _, _, mn, mx), (l2, _, _, wmn, wmx)) =>
+      assert(l === l2)
+      assert(mn <= wmn && mx >= wmx,
+        s"$l: persisted [$mn,$mx] must bound the true [$wmn,$wmx]")
+    }
+    // replayed retraction: gated no-op
+    Rollup.retractFromRollup(bad, dir, Some("rt1"))
+    assert(render(Rollup.readRollup(spark, dir)) === got)
+    // a key whose every ingest was retracted vanishes entirely
+    val dir2 = java.nio.file.Files.createTempDirectory("ro_rtr2").toString
+    Rollup.writeRollup(keep, dir2, Seq("lang"), "len")
+    val solo = docs(1000 until 1010)
+      .withColumn("lang", lit("lang_gone"))
+    Rollup.appendToRollup(solo, dir2, Some("s1"))
+    Rollup.retractFromRollup(solo, dir2, Some("rts1"))
+    assert(Rollup.readRollup(spark, dir2)
+      .where($"lang" === "lang_gone").count() === 0L,
+      "a fully-retracted key must read as never ingested")
+    assert(Rollup.lookup(spark, dir2, Seq("lang_gone").toDF("lang"))
+      .count() === 0L)
+  }
+
   test("composite keys bucket and merge correctly") {
     val dir = java.nio.file.Files.createTempDirectory("ro_ck").toString
     val all = docs(0 until 300).withColumn("src",
