@@ -111,6 +111,153 @@ object HistogramSketch {
                     path: String): Unit =
     Compaction.compactValueDir(spark, s"$path/bins")(readBins(spark, path))
 
+  // --- The GROUPED histogram (probe x145): one distribution PER KEY
+  // (per source/lang/host), the monitoring table of a multi-source
+  // pipeline — per-group quantile thresholds and a per-group drift
+  // report from one artifact. Same geometry/merge/replay semantics as
+  // the global form, with bins keyed by the group and the rows
+  // PARTITIONED by it, so one group's read prunes to its directory. --
+
+  /** Sparse per-(group, bin) counts — one partial-aggregated pass. */
+  def groupedBins(df: DataFrame, groupCol: String, c: Column, lo: Double,
+                  hi: Double, nBins: Int): DataFrame =
+    df.where(c.isNotNull && !isnan(c.cast("double")))
+      .groupBy(col(groupCol), binOf(c, lo, hi, nBins).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Build the grouped at-rest sketch (layout: bins/<groupCol>=<g>/,
+    * meta/ with the group column recorded). */
+  def writeGroupedSketch(df: DataFrame, valueCol: String,
+                         groupCol: String, path: String, lo: Double,
+                         hi: Double, nBins: Int = 256): Unit = {
+    require(nBins >= 1 && hi > lo, s"bad geometry: [$lo, $hi) / $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedBins(df, groupCol, col(valueCol), lo, hi, nBins)
+      .write.partitionBy(groupCol).mode("overwrite")
+      .parquet(s"$path/bins")
+    Seq((lo, hi, nBins, valueCol, groupCol))
+      .toDF("lo", "hi", "n_bins", "value_col", "group_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def groupedMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Double, Double, Int, String, String) = {
+    val r = spark.read.parquet(s"$path/meta")
+      .select("lo", "hi", "n_bins", "value_col", "group_col").head()
+    (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3),
+      r.getString(4))
+  }
+
+  /** Append a BATCH — O(batch); the marker guards values (SUM). */
+  def appendToGroupedSketch(batch: DataFrame, path: String,
+                            doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (lo, hi, nBins, valueCol, groupCol) = groupedMeta(spark, path)
+      groupedBins(batch, groupCol, col(valueCol), lo, hi, nBins)
+        .write.partitionBy(groupCol).mode("overwrite")
+        .parquet(s"$staging/bins")
+    }
+  }
+
+  /** Retraction — the exact inverse, as [[retractFromSketch]]. */
+  def retractFromGroupedSketch(batch: DataFrame, path: String,
+                               doneMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    Compaction.appendWithMarker(spark, path, doneMarker) { staging =>
+      val (lo, hi, nBins, valueCol, groupCol) = groupedMeta(spark, path)
+      groupedBins(batch, groupCol, col(valueCol), lo, hi, nBins)
+        .withColumn("n", -col("n"))
+        .write.partitionBy(groupCol).mode("overwrite")
+        .parquet(s"$staging/bins")
+    }
+  }
+
+  /** Merged per-(group, bin) counts (≤ |groups|·nBins rows out). */
+  def readGroupedBins(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val (_, _, _, _, groupCol) = groupedMeta(spark, path)
+    spark.read.parquet(s"$path/bins")
+      .groupBy(col(groupCol), col("bin")).agg(sum("n").as("n"))
+      .where(col("n") =!= 0) // fully-retracted bins vanish
+  }
+
+  /** Compact after an append schedule — merged rows under the same
+    * group layout, read-equivalent, pruning survives. */
+  def compactGroupedSketch(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    val (_, _, _, _, groupCol) = groupedMeta(spark, path)
+    Compaction.compactPartitionedValueDir(spark, s"$path/bins",
+      Seq(groupCol))(readGroupedBins(spark, path))
+  }
+
+  /** PER-GROUP quantile read-offs: for each group and q, the bin
+    * containing that group's ceil(q·N_g)-th smallest value — per-group
+    * thresholds from one artifact. The cumulative window partitions by
+    * the group over ≤ |groups|·nBins rows (bounded by construction). */
+  def groupedQuantiles(spark: org.apache.spark.sql.SparkSession,
+                       path: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"qs must be in (0, 1]: $qs")
+    import spark.implicits._
+    val (lo, hi, nBins, _, groupCol) = groupedMeta(spark, path)
+    val width = (hi - lo) / nBins
+    val cum = readGroupedBins(spark, path)
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy(col(groupCol)).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val total = cum.groupBy(col(groupCol)).agg(max("cum").as("n_total"))
+    qs.toDF("q").crossJoin(broadcast(total))
+      .join(broadcast(cum), Seq(groupCol))
+      .where(col("cum") >= ceil(col("q") * col("n_total")))
+      .groupBy(col(groupCol), col("q"), col("n_total"))
+      .agg(min(struct(col("bin"), col("cum"))).as("first"))
+      .select(col(groupCol), col("q"), col("first.bin").as("bin"),
+        col("first.cum").as("cum_n"), col("n_total"),
+        (lit(lo) + col("first.bin") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("first.bin") + 1) * lit(width)).as("bin_hi"))
+  }
+
+  /** PER-GROUP drift report of a batch against the persisted grouped
+    * reference — the multi-source monitoring decision ("which SOURCES
+    * moved?"): one row per group PRESENT IN THE BATCH with the same
+    * exact-integer statistic as [[driftFromSketch]], computed
+    * group-by-group. A batch group the reference has never seen reads
+    * tvd = 1.0 (an unseen source is maximal drift by definition — the
+    * formula's m = 0 case, pinned rather than NaN). Reference-only
+    * groups are absent (a source that sent nothing is a volume
+    * question, not a shape question — read the rollup for that). */
+  def groupedDriftFromSketch(path: String, batch: DataFrame,
+                             threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must lie in [0,1]: $threshold")
+    val spark = batch.sparkSession
+    val (lo, hi, nBins, valueCol, groupCol) = groupedMeta(spark, path)
+    val b = groupedBins(batch, groupCol, col(valueCol), lo, hi, nBins)
+      .withColumnRenamed("n", "bn")
+    val r = readGroupedBins(spark, path).withColumnRenamed("n", "rn")
+    val joined = b.join(r, Seq(groupCol, "bin"), "full_outer")
+      .na.fill(0L, Seq("bn", "rn"))
+    val tot = joined.groupBy(col(groupCol))
+      .agg(sum("bn").as("n_batch"), sum("rn").as("m_ref"))
+      .where(col("n_batch") > 0) // report batch groups only
+    val dec = "decimal(38,0)"
+    joined.join(broadcast(tot), Seq(groupCol)) // ≤ |groups|·nBins rows
+      .select(col(groupCol),
+        (abs(col("bn").cast(dec) * col("m_ref").cast(dec) -
+          col("rn").cast(dec) * col("n_batch").cast(dec))).as("term"),
+        col("n_batch"), col("m_ref"))
+      .groupBy(col(groupCol), col("n_batch"), col("m_ref"))
+      .agg(sum("term").as("l1_num"))
+      .select(col(groupCol), col("n_batch"), col("m_ref"), col("l1_num"),
+        when(col("m_ref") === 0, lit(1.0)).otherwise(
+          col("l1_num").cast("double") /
+            (lit(2.0) * col("n_batch").cast("double") *
+              col("m_ref").cast("double"))).as("tvd"))
+      .withColumn("drifted", col("tvd") > threshold)
+  }
+
   /** Distribution-DRIFT check of a new batch against the persisted
     * reference (probe x139) — the monitoring decision every recurring
     * 100 TB ingest needs ("has this source's length/quality/score

@@ -792,6 +792,108 @@ object SketchProbes {
              |UNION ALL SELECT * FROM audit
              |ORDER BY metric, key""".stripMargin)),
 
+    // HistogramSketch grouped form: one distribution PER SOURCE from
+    // one artifact — per-group quantile thresholds and the per-source
+    // drift REPORT ("which sources moved?"), the monitoring table of
+    // a multi-source pipeline. Build even / marked append odd /
+    // replay; the drift batch shifts every 7th doc's length by +256
+    // (same sources) and adds an UNSEEN source 'zz' (every 101st doc)
+    // that must read tvd = 1.0 — the m = 0 case pinned, not NaN. The
+    // oracle re-derives per-lang bins, the per-lang cumulative
+    // selection, and the exact per-lang drift arithmetic -------------
+    Probe("x145_grouped_histogram_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        val lens = docs.select(col("doc_id"), col("lang"),
+          length(col("text")).as("len"))
+        val tag = IndexCache.corpusTag("x145", d, docs, Seq("doc_id"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x145_gh_$tag"
+        IndexCache.ensureBuilt(dir) {
+          HistogramSketch.writeGroupedSketch(
+            lens.where(col("doc_id") % 2 === 0), "len", "lang", dir,
+            lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToGroupedSketch(
+            lens.where(col("doc_id") % 2 === 1), dir, Some("b1"))
+          HistogramSketch.appendToGroupedSketch(
+            lens.where(col("doc_id") % 2 === 1), dir, Some("b1")) // replay
+        }
+        val q = HistogramSketch.groupedQuantiles(s, dir, Seq(0.5, 0.9))
+          .select(lit("q").as("metric"),
+            concat(col("lang"), lit("_q"),
+              (col("q") * 100).cast("int")).as("key"),
+            col("bin_lo").as("v1"), col("cum_n").cast("double").as("v2"))
+        val batch = lens.where(col("doc_id") % 7 === 0)
+          .select(col("lang"), (col("len") + 256).as("len"))
+          .unionAll(lens.where(col("doc_id") % 101 === 0)
+            .select(lit("zz").as("lang"), col("len")))
+        val dr = HistogramSketch.groupedDriftFromSketch(dir, batch,
+            threshold = 0.1)
+          .select(lit("drift").as("metric"), col("lang").as("key"),
+            col("tvd").as("v1"), col("l1_num").cast("double").as("v2"))
+        q.unionAll(dr).orderBy("metric", "key")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, length(text) AS len
+             |  FROM documents WHERE text IS NOT NULL),
+             |rb AS (
+             |  SELECT lang, LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(len AS DOUBLE) / 16.0) AS BIGINT), 0), 255) AS bin,
+             |    COUNT(*) AS n
+             |  FROM base GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, bin, n,
+             |    SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cum
+             |  FROM rb),
+             |tot AS (SELECT lang, MAX(cum) AS n_total FROM cum GROUP BY 1),
+             |qs(q, lbl) AS (VALUES (CAST(0.5 AS DOUBLE), 'q50'),
+             |  (CAST(0.9 AS DOUBLE), 'q90')),
+             |sel AS (
+             |  SELECT t.lang, q, lbl, t.n_total, MIN(bin) AS bin
+             |  FROM qs, tot t JOIN cum ON cum.lang = t.lang
+             |    AND cum.cum >= CEIL(q * t.n_total)
+             |  GROUP BY 1, 2, 3, 4),
+             |qrows AS (
+             |  SELECT 'q' AS metric, sel.lang || '_' || lbl AS key,
+             |    CAST(bin AS DOUBLE) * 16.0 AS v1,
+             |    CAST((SELECT cum FROM cum c
+             |          WHERE c.lang = sel.lang AND c.bin = sel.bin) AS DOUBLE)
+             |      AS v2
+             |  FROM sel),
+             |batr AS (
+             |  SELECT lang, len + 256 AS bv FROM base WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT 'zz' AS lang, len AS bv FROM base
+             |  WHERE doc_id % 101 = 0),
+             |bb AS (
+             |  SELECT lang, LEAST(GREATEST(CAST(FLOOR(
+             |      CAST(bv AS DOUBLE) / 16.0) AS BIGINT), 0), 255) AS bin,
+             |    COUNT(*) AS bn
+             |  FROM batr GROUP BY 1, 2),
+             |j AS (
+             |  SELECT COALESCE(bb.lang, rb.lang) AS lang,
+             |    COALESCE(bn, 0) AS bn, COALESCE(n, 0) AS rn
+             |  FROM bb FULL OUTER JOIN rb
+             |    ON bb.lang = rb.lang AND bb.bin = rb.bin),
+             |gt AS (
+             |  SELECT lang, CAST(SUM(bn) AS BIGINT) AS nb,
+             |    CAST(SUM(rn) AS BIGINT) AS mr
+             |  FROM j GROUP BY 1),
+             |gk AS (SELECT lang, nb, mr FROM gt WHERE nb > 0),
+             |gl AS (
+             |  SELECT j.lang,
+             |    CAST(SUM(ABS(bn * gk.mr - rn * gk.nb)) AS BIGINT) AS l1
+             |  FROM j JOIN gk ON j.lang = gk.lang GROUP BY 1),
+             |drows AS (
+             |  SELECT 'drift' AS metric, gk.lang AS key,
+             |    CASE WHEN mr = 0 THEN CAST(1.0 AS DOUBLE)
+             |         ELSE CAST(l1 AS DOUBLE) / (2.0 * nb * mr) END AS v1,
+             |    CAST(l1 AS DOUBLE) AS v2
+             |  FROM gk JOIN gl ON gk.lang = gl.lang)
+             |SELECT * FROM qrows
+             |UNION ALL SELECT * FROM drows
+             |ORDER BY metric, key""".stripMargin)),
+
     // HistogramSketch.driftFromSketch: the distribution-drift DECISION
     // served off the PERSISTED histogram (x130's artifact, shared —
     // one build, three certified readouts with x130/x140): a

@@ -132,6 +132,68 @@ class HistogramSketchSpec extends SparkTestBase {
     assert(num.longValueExact() === 400L)
   }
 
+  test("grouped sketch: per-group quantiles match per-group direct " +
+      "computation; append ≡ rebuild; retraction exact; group " +
+      "partition pruning") {
+    import spark.implicits._
+    // group g0: values 1..100; g1: values 201..400 — distinct medians
+    val df = ((1 to 100).map(v => ("g0", v.toDouble)) ++
+      (201 to 400).map(v => ("g1", v.toDouble)))
+      .toDF("src", "v").withColumn("id", monotonically_increasing_id())
+    val dir = java.nio.file.Files.createTempDirectory("gh_rt").toString
+    HistogramSketch.writeGroupedSketch(df.where(col("id") % 2 === 0),
+      "v", "src", dir, lo = 0.0, hi = 500.0, nBins = 100)
+    HistogramSketch.appendToGroupedSketch(df.where(col("id") % 2 === 1),
+      dir, Some("m1"))
+    HistogramSketch.appendToGroupedSketch(df.where(col("id") % 2 === 1),
+      dir, Some("m1")) // replay — gated
+    val got = HistogramSketch.groupedQuantiles(spark, dir, Seq(0.5))
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Int]("bin"), r.getAs[Long]("n_total")))).toMap
+    // g0 median = 50 → bin 10 (width 5); g1 median = 300 → bin 60
+    assert(got === Map("g0" -> ((10, 100L)), "g1" -> ((60, 200L))))
+    // retraction: remove g1's odd-id half; its quantile shifts to the
+    // rebuild-without value while g0 is untouched
+    val g1odd = df.where(col("src") === "g1" && col("id") % 2 === 1)
+    HistogramSketch.retractFromGroupedSketch(g1odd, dir, Some("rt1"))
+    val ref = java.nio.file.Files.createTempDirectory("gh_ref").toString
+    HistogramSketch.writeGroupedSketch(
+      df.where(col("src") === "g0")
+        .union(df.where(col("src") === "g1" && col("id") % 2 === 0)),
+      "v", "src", ref, lo = 0.0, hi = 500.0, nBins = 100)
+    val q = (d: String) => HistogramSketch.groupedQuantiles(spark, d,
+        Seq(0.5)).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(4))).sorted.toSeq
+    assert(q(dir) === q(ref), "grouped retract ≡ rebuild-without")
+    // a single group's bins read through a partition-pruned scan
+    val one = spark.read.parquet(s"$dir/bins").where(col("src") === "g0")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src#"),
+      s"the group must travel as a partition filter:\n$plan")
+  }
+
+  test("grouped drift: only the moved source flags; an unseen source " +
+      "reads tvd 1.0; reference-only sources are absent") {
+    import spark.implicits._
+    val ref = ((1 to 100).map(_ => ("a", 5.0)) ++
+      (1 to 100).map(_ => ("b", 55.0)) ++
+      (1 to 50).map(_ => ("quiet", 25.0))).toDF("src", "v")
+    val dir = java.nio.file.Files.createTempDirectory("gh_dr").toString
+    HistogramSketch.writeGroupedSketch(ref, "v", "src", dir,
+      lo = 0.0, hi = 100.0, nBins = 10)
+    // batch: a unchanged, b fully moved, c never seen; quiet absent
+    val batch = (Seq(("a", 5.0), ("a", 6.0)) ++
+      Seq(("b", 95.0), ("b", 96.0)) ++ Seq(("c", 15.0))).toDF("src", "v")
+    val got = HistogramSketch.groupedDriftFromSketch(dir, batch, 0.25)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("tvd"), r.getAs[Boolean]("drifted")))).toMap
+    assert(got.keySet === Set("a", "b", "c"),
+      "batch groups only — the quiet reference-only source is absent")
+    assert(got("a") === ((0.0, false)), "unmoved source must not flag")
+    assert(got("b") === ((1.0, true)), "fully moved source reads 1.0")
+    assert(got("c") === ((1.0, true)), "an unseen source is maximal drift")
+  }
+
   test("quantile-threshold curation keeps exactly the at-or-above-edge " +
       "rows as one broadcast-scalar filter (no stat pass at decision " +
       "time)") {
