@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Certification probes for training-sequence materialization
+  * (operators/Packing.scala): one-shot concat-and-cut packing (x146),
+  * overlap chunking (x147), and the at-rest packed-stream ledger with
+  * its attribution readout (x148/x149). Every oracle re-derives the
+  * full layout from RAW text in SQL — shard keys, shuffled order,
+  * per-shard running offsets, the cut points, and every span's token
+  * coordinates — so a hash match certifies the exact sequence layout,
+  * not just row counts.
+  */
+object PackingProbes {
+
+  private val N_SHARDS = 8
+  private val SEQ_LEN  = 128
+
+  /** DuckDB mirror of Packing.md560. */
+  private def md560Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Shared x148/x149 ledger: built once per corpus under the
+    * IndexCache protocol with the two-batch schedule (even doc_ids =
+    * batch 0 build, odd = batch 1 marked append) plus a deliberate
+    * REPLAY of the append that must no-op — packing is positional, so
+    * a landed replay would duplicate spans AND double the cursors. */
+  private def ensureLedger(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    val tag = IndexCache.corpusTag("x149", d, docs, Seq("doc_id", "text"))
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_x149_ledger_$tag"
+    IndexCache.ensureBuilt(dir) {
+      Packing.writeLedger(docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", dir, N_SHARDS, SEQ_LEN, Seq("source"))
+      Packing.appendToLedger(docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", dir, doneMarker = Some("b1"))
+      // the at-least-once scheduler's redelivery: must be a no-op
+      Packing.appendToLedger(docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", dir, doneMarker = Some("b1"))
+    }
+    dir
+  }
+
+  /** Oracle CTE prefix deriving per-doc packing keys; `bExpr` is the
+    * batch-ordinal expression (0 for the one-shot layout). */
+  private def keyedSql(bExpr: String): String =
+    s"""d AS (
+       |  SELECT doc_id, source, $bExpr AS b,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+       |    ${md560Sql("'sh_' || doc_id")} % $N_SHARDS AS sh,
+       |    ${md560Sql("'ok_' || doc_id")} AS okey
+       |  FROM documents),
+       |o AS (
+       |  SELECT *, CAST(SUM(ntok) OVER (PARTITION BY sh
+       |    ORDER BY b, okey, doc_id
+       |    ROWS UNBOUNDED PRECEDING) - ntok AS BIGINT) AS off
+       |  FROM d),
+       |sp AS (
+       |  SELECT sh, unnest(generate_series(off // $SEQ_LEN,
+       |      (off + ntok - 1) // $SEQ_LEN)) AS seq,
+       |    source, doc_id, off, ntok
+       |  FROM o)""".stripMargin
+
+  private val spanSelectSql: String =
+    s"""SELECT sh, seq, source, doc_id,
+       |  greatest(0, seq * $SEQ_LEN - off) AS t0,
+       |  least(ntok, (seq + 1) * $SEQ_LEN - off) AS t1,
+       |  greatest(0, off - seq * $SEQ_LEN) AS seq_off
+       |FROM sp ORDER BY sh, seq, doc_id""".stripMargin
+
+  val probes: Seq[Probe] = Seq(
+
+    // Packing.packSpans: GPT-style concat-and-cut. Docs are assigned
+    // to 8 md5-keyed shards, concatenated per shard in md5-shuffled
+    // order, and cut every 128 tokens; the probe emits the full
+    // provenance relation — one row per (doc x overlapped sequence)
+    // with exact doc-local [t0, t1) and sequence-local offset. The
+    // oracle replays shard keys, the shuffle order, the running
+    // offsets and the cut arithmetic from raw text ------------------
+    Probe("x146_pack_sequences",
+      (s, d) => Packing.packSpans(Tables.documents(s, d), "text",
+          "doc_id", N_SHARDS, SEQ_LEN, Seq("source"))
+        .orderBy("sh", "seq", "doc_id"),
+      Some(s"""WITH ${keyedSql("0")}
+              |$spanSelectSql""".stripMargin)),
+
+    // Packing.chunkTokens: overlapping token windows (w=20, s=12) per
+    // doc — the retrieval-side twin. ckey certifies the CONTENT of
+    // every chunk (md5 of the space-joined token slice), so a
+    // boundary error anywhere diverges the hash. Map-only plan ------
+    Probe("x147_chunk_overlap",
+      (s, d) => Packing.chunkTokens(Tables.documents(s, d), "text",
+          "doc_id", w = 20, s = 12)
+        .orderBy("doc_id", "chunk"),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    regexp_split_to_array(trim(text), '\\s+') AS toks
+              |  FROM documents),
+              |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+              |c AS (
+              |  SELECT doc_id, toks, n,
+              |    unnest(generate_series(0, (greatest(n - 20, 0) + 11) // 12))
+              |      AS chunk
+              |  FROM n)
+              |SELECT doc_id, chunk, chunk * 12 AS t0,
+              |  least(20, n - chunk * 12) AS n_tok,
+              |  md5(array_to_string(
+              |    toks[chunk * 12 + 1 : chunk * 12 + 20], ' ')) AS ckey
+              |FROM c ORDER BY doc_id, chunk""".stripMargin)),
+
+    // Token-share attribution served off the PERSISTED ledger alone:
+    // per source, training tokens contributed, span and distinct-
+    // sequence counts, and the token share (one IEEE division of two
+    // exact longs — never rounded). No raw-text read at decision
+    // time; the ledger is ~1 row/doc of ids+coordinates ------------
+    Probe("x148_token_attribution",
+      (s, d) => {
+        val sp = Packing.readLedgerSpans(s, ensureLedger(s, d))
+        val per = sp.groupBy("source").agg(
+          sum(col("t1") - col("t0")).as("n_tokens"),
+          count(lit(1)).as("n_spans"),
+          countDistinct(col("sh").cast("long") * 1000000000L +
+            col("seq")).as("n_seqs"))
+        val tot = per.agg(sum("n_tokens").as("tot"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"), col("n_spans"),
+            col("n_seqs"), (col("n_tokens") / col("tot")).as("token_share"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${keyedSql("doc_id % 2")},
+              |spans AS (
+              |  SELECT sh, seq, source,
+              |    least(ntok, (seq + 1) * $SEQ_LEN - off)
+              |      - greatest(0, seq * $SEQ_LEN - off) AS n
+              |  FROM sp),
+              |per AS (
+              |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+              |    COUNT(*) AS n_spans,
+              |    COUNT(DISTINCT sh * 1000000000 + seq) AS n_seqs
+              |  FROM spans GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+              |SELECT source, n_tokens, n_spans, n_seqs,
+              |  n_tokens / tot AS token_share
+              |FROM per, t ORDER BY source""".stripMargin)),
+
+    // The at-rest packed-stream ledger: build on the even half
+    // (batch 0), marker-gated O(batch) append of the odd half
+    // continuing each shard's stream from the PERSISTED cursors
+    // (batch 1), a replayed append that must no-op, then the full
+    // persisted span relation. The oracle re-derives the two-batch
+    // schedule from raw text — arrival order (b) outranking the
+    // shuffled order — so a hash match certifies append ≡ rebuild
+    // under the same schedule, including sequences that STRADDLE the
+    // batch boundary (completed by batch 1 under the same seq id) ---
+    Probe("x149_packed_ledger",
+      (s, d) => Packing.readLedgerSpans(s, ensureLedger(s, d))
+        .select("sh", "seq", "source", "doc_id", "t0", "t1", "seq_off")
+        .orderBy("sh", "seq", "doc_id"),
+      Some(s"""WITH ${keyedSql("doc_id % 2")}
+              |$spanSelectSql""".stripMargin)),
+
+    // Packing.materializeSequences: the writer step — ledger spans
+    // joined back to the corpus, each sequence's tokens reassembled in
+    // seq_off order. The md5 content key certifies the sequence TEXT
+    // end-to-end (coordinates → slices → ordered concatenation), so a
+    // wrong slice bound, a lost span, or a misordered piece anywhere
+    // in the chain diverges the hash --------------------------------
+    Probe("x150_materialize_sequences",
+      (s, d) => Packing.materializeSequences(
+          Packing.readLedgerSpans(s, ensureLedger(s, d)),
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy("sh", "seq"),
+      Some(s"""WITH ${keyedSql("doc_id % 2")},
+              |sp2 AS (
+              |  SELECT sh, seq, doc_id,
+              |    greatest(0, seq * $SEQ_LEN - off) AS t0,
+              |    least(ntok, (seq + 1) * $SEQ_LEN - off) AS t1,
+              |    greatest(0, off - seq * $SEQ_LEN) AS seq_off
+              |  FROM sp),
+              |j AS (
+              |  SELECT s.sh, s.seq, s.seq_off, s.t1 - s.t0 AS n,
+              |    array_to_string(list_slice(
+              |      regexp_split_to_array(trim(d.text), '\\s+'),
+              |      s.t0 + 1, s.t1), ' ') AS piece
+              |  FROM sp2 s JOIN documents d USING (doc_id))
+              |SELECT sh, seq, CAST(SUM(n) AS BIGINT) AS n_tok,
+              |  md5(string_agg(piece, ' ' ORDER BY seq_off)) AS skey
+              |FROM j GROUP BY sh, seq ORDER BY sh, seq""".stripMargin)),
+  )
+}

@@ -487,7 +487,7 @@ object ProbeQueries {
       CurationProbes.probes ++ SelectionProbes.probes ++
       CleaningProbes.probes ++ EmbeddingProbes.probes ++
       IngestProbes.probes ++ TokenizerProbes.probes ++
-      SketchProbes.probes ++
+      SketchProbes.probes ++ PackingProbes.probes ++
       WindfieldProbe.probes ++ LandfallProbe.probes ++ XgbProbe.probes
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -155,4 +155,53 @@ class AtRestStreamingSpec extends SparkTestBase {
       assert(c - merged(w) <= threshold + 1, s"$w past the bound")
     }
   }
+
+  test("streaming ingest into the packed-stream ledger: every doc lands " +
+      "exactly once, sequences stay exactly full, replay is a no-op") {
+    import graft.operators.Packing
+    val base = docs.where(col("doc_id") % 2 === 0)
+    val incr = docs.where(col("doc_id") % 2 =!= 0)
+    val dir = Files.createTempDirectory("graft_pack_stream").toString + "/l"
+    val seqLen = 64
+    Packing.writeLedger(base, "text", "doc_id", dir, 4, seqLen)
+    var lastId = -1L
+    val n = streamIn(incr) { (batch, id) =>
+      Packing.appendToLedger(batch, "text", "doc_id", dir,
+        doneMarker = Some(id.toString))
+      lastId = id
+    }
+    assert(n >= 2, s"expected multiple micro-batches, got $n")
+    // the ledger is SCHEDULE-DEPENDENT by contract (arrival order is
+    // part of the layout), so the streamed artifact is held to the
+    // layout INVARIANTS + exactly-once, not to one-shot equality:
+    val sp = Packing.readLedgerSpans(spark, dir)
+    val rows = sp.collect().map(r => (r.getAs[Int]("sh"),
+      r.getAs[Long]("seq"), r.getAs[Long]("doc_id"), r.getAs[Long]("t0"),
+      r.getAs[Long]("t1"), r.getAs[Long]("seq_off")))
+    val ntok = docs.select(col("doc_id"),
+        Packing.tokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc exactly once, tiled [0, ntok)
+    assert(rows.map(_._3).toSet === ntok.keySet)
+    rows.groupBy(_._3).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 === 0L && sorted.last._5 === ntok(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4, s"doc $id gap/overlap")
+        case _ =>
+      }
+    }
+    // every non-final sequence holds exactly seqLen tokens
+    val lastSeq = rows.groupBy(_._1).map { case (sh, ss) =>
+      sh -> ss.map(_._2).max }
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((sh, seq), ss) =>
+      val filled = ss.map(r => r._5 - r._4).sum
+      if (seq != lastSeq(sh)) assert(filled === seqLen.toLong)
+    }
+    // at-least-once redelivery of the last micro-batch: a no-op
+    val before = sp.count()
+    Packing.appendToLedger(incr, "text", "doc_id", dir,
+      doneMarker = Some(lastId.toString))
+    assert(Packing.readLedgerSpans(spark, dir).count() === before)
+  }
 }
