@@ -158,6 +158,87 @@ object Packing {
           .as("ckey"))
   }
 
+  /** Whole-document greedy packing — the NO-SPLIT mode (padded SFT
+    * batches, instruction-tuning sets, any consumer that cannot take a
+    * document across a sequence boundary). Documents travel whole:
+    * within a shard, in the same deterministic md5-shuffled arrival
+    * order as [[packSpans]], each doc lands in the current bin if it
+    * fits (`fill + ntok ≤ capacity`) and otherwise OPENS a new bin;
+    * a doc with `ntok > capacity` gets a bin of its own, flagged
+    * `oversize = true` (truncate/split/drop is the downstream caller's
+    * policy decision, not silently taken here).
+    *
+    * Output: one row per doc — `(sh, bin, <carry>, idCol, ntok,
+    * bin_off, oversize)` with `bin_off` the doc's token offset inside
+    * its bin. Greedy first-fit-in-arrival-order is inherently
+    * SEQUENTIAL state, so this is the repo's sanctioned last-resort
+    * shape: ONE shuffle (repartition by shard), an in-partition sort,
+    * and a linear mapPartitions scan with O(1) state — each shard is
+    * scanned exactly once by exactly one task; nShards is the
+    * parallelism knob exactly as in [[packSpans]]. Deterministic under
+    * any partitioning: the (sh, okey, id) sort is a total order, and a
+    * shard never spans two partitions (hash-partitioned on sh). */
+  def packWhole(docs: DataFrame, textCol: String, idCol: String,
+                nShards: Int, capacity: Long,
+                carryCols: Seq[String] = Nil): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(capacity > 0, "capacity must be positive")
+    import org.apache.spark.sql.types._
+    val id = col(idCol)
+    val keyed = docs.select(
+      (md560(concat(lit("sh_"), id)) % nShards).cast("int").as("sh"),
+      md560(concat(lit("ok_"), id)).as("okey"),
+      id.cast("long").as("__ord"),
+      tokenCount(col(textCol)).as("ntok"),
+      struct((carryCols :+ idCol).map(col): _*).as("__carry"))
+    val sorted = keyed.repartition(col("sh"))
+      .sortWithinPartitions(col("sh"), col("okey"), col("__ord"))
+    val carryType = keyed.schema("__carry").dataType
+    val outSchema = StructType(Seq(
+      StructField("sh", IntegerType), StructField("bin", LongType),
+      StructField("ntok", LongType), StructField("bin_off", LongType),
+      StructField("oversize", BooleanType),
+      StructField("__carry", carryType)))
+    val packed = sorted.mapPartitions { it =>
+      var curSh = Int.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { r =>
+        val sh = r.getInt(0)
+        val ntok = r.getLong(3)
+        if (sh != curSh) { curSh = sh; bin = -1L; fill = capacity }
+        val oversize = ntok > capacity
+        val off =
+          if (oversize || fill + ntok > capacity) { bin += 1; 0L }
+          else fill
+        fill = if (oversize) capacity else off + ntok
+        org.apache.spark.sql.Row(sh, bin, ntok, off, oversize, r.get(4))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.select(col("sh"), col("bin"), col("__carry.*"), col("ntok"),
+      col("bin_off"), col("oversize"))
+  }
+
+  /** Bin-efficiency report over a [[packWhole]] result: per shard the
+    * bin/doc/oversize counts, exact token mass, total padding
+    * (capacity − bin fill, over non-oversize bins) and the utilization
+    * share (one IEEE division of exact longs). The governance readout
+    * that decides whether `capacity` or the shard geometry needs
+    * retuning — two bounded partial-aggregated passes, no window. */
+  def binReport(packed: DataFrame, capacity: Long): DataFrame = {
+    val bins = packed.groupBy("sh", "bin").agg(
+      sum("ntok").as("bin_tokens"),
+      max(col("oversize").cast("int")).as("os"))
+    bins.groupBy("sh").agg(
+        count(lit(1)).as("n_bins"),
+        sum("os").as("n_oversize"),
+        sum("bin_tokens").as("n_tokens"),
+        sum(when(col("os") === 0, lit(capacity) - col("bin_tokens"))
+          .otherwise(lit(0L))).as("padding"))
+      .withColumn("utilization",
+        col("n_tokens") / (col("n_bins") * capacity))
+  }
+
   /** Materialize the packed sequences' CONTENT from a span relation
     * (one-shot [[packSpans]] output or the persisted ledger) joined
     * back to the corpus: per (sh, seq) the actual token count and an

@@ -190,5 +190,75 @@ object PackingProbes {
               |SELECT sh, seq, CAST(SUM(n) AS BIGINT) AS n_tok,
               |  md5(string_agg(piece, ' ' ORDER BY seq_off)) AS skey
               |FROM j GROUP BY sh, seq ORDER BY sh, seq""".stripMargin)),
+
+    // Packing.packWhole: the NO-SPLIT greedy mode (padded SFT
+    // batches). Greedy first-fit in arrival order is inherently
+    // sequential state, so the ORACLE is a recursive CTE replaying
+    // the scan row by row per shard — bin ids, offsets, the oversize
+    // flag and the fill state all certified value-for-value ---------
+    Probe("x151_pack_whole_docs",
+      (s, d) => Packing.packWhole(Tables.documents(s, d), "text",
+          "doc_id", N_SHARDS, capacity = 96, Seq("source"))
+        .orderBy("sh", "bin", "bin_off", "doc_id"),
+      Some(s"""WITH RECURSIVE ${greedySql("96")}
+              |SELECT sh, bin, source, doc_id, ntok, bin_off, oversize
+              |FROM g ORDER BY sh, bin, bin_off, doc_id""".stripMargin)),
+
+    // Packing.binReport: the capacity-tuning governance readout over
+    // the greedy layout — per shard exact bin/doc/oversize counts,
+    // token mass, padding, and the utilization share (one IEEE
+    // division of exact longs) --------------------------------------
+    Probe("x152_bin_report",
+      (s, d) => Packing.binReport(
+          Packing.packWhole(Tables.documents(s, d), "text", "doc_id",
+            N_SHARDS, capacity = 96, Seq("source")),
+          capacity = 96)
+        .orderBy("sh"),
+      Some(s"""WITH RECURSIVE ${greedySql("96")},
+              |bins AS (
+              |  SELECT sh, bin, CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+              |    MAX(CASE WHEN oversize THEN 1 ELSE 0 END) AS os
+              |  FROM g GROUP BY 1, 2)
+              |SELECT sh, COUNT(*) AS n_bins,
+              |  CAST(SUM(os) AS BIGINT) AS n_oversize,
+              |  CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CASE WHEN os = 0 THEN 96 - bin_tokens
+              |    ELSE 0 END) AS BIGINT) AS padding,
+              |  CAST(SUM(bin_tokens) AS BIGINT)
+              |    / (COUNT(*) * 96) AS utilization
+              |FROM bins GROUP BY sh ORDER BY sh""".stripMargin)),
   )
+
+  /** Recursive-CTE oracle for the greedy no-split scan: CTEs `d`
+    * (keys), `r` (per-shard arrival rank) and `g` (the row-by-row
+    * greedy replay carrying bin/fill state). `cap` is a SQL literal. */
+  private def greedySql(cap: String): String =
+    s"""d AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+       |    ${md560Sql("'sh_' || doc_id")} % $N_SHARDS AS sh,
+       |    ${md560Sql("'ok_' || doc_id")} AS okey
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY sh
+       |    ORDER BY okey, doc_id) AS rn
+       |  FROM d),
+       |g AS (
+       |  SELECT sh, rn, doc_id, source, ntok,
+       |    0::BIGINT AS bin, 0::BIGINT AS bin_off,
+       |    ntok > $cap AS oversize,
+       |    CAST(CASE WHEN ntok > $cap THEN $cap ELSE ntok END
+       |      AS BIGINT) AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.sh, r.rn, r.doc_id, r.source, r.ntok,
+       |    g.bin + CASE WHEN r.ntok > $cap OR g.fill + r.ntok > $cap
+       |      THEN 1 ELSE 0 END,
+       |    CAST(CASE WHEN r.ntok > $cap OR g.fill + r.ntok > $cap
+       |      THEN 0 ELSE g.fill END AS BIGINT),
+       |    r.ntok > $cap,
+       |    CAST(CASE WHEN r.ntok > $cap THEN $cap
+       |         WHEN g.fill + r.ntok > $cap THEN r.ntok
+       |         ELSE g.fill + r.ntok END AS BIGINT)
+       |  FROM g JOIN r ON r.sh = g.sh AND r.rn = g.rn + 1)""".stripMargin
 }

@@ -164,6 +164,83 @@ class PackingSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------------
+  // packWhole / binReport
+  // ------------------------------------------------------------------
+
+  /** Sequential reference for the greedy no-split scan. */
+  private def referenceWhole(
+      keyed: Seq[(Int, Long, Long, Long, Long)], // (sh, b, okey, id, ntok)
+      cap: Long): Set[(Int, Long, Long, Long, Long, Boolean)] =
+    keyed.groupBy(_._1).toSeq.flatMap { case (sh, rows) =>
+      var bin = -1L
+      var fill = cap
+      rows.sortBy(r => (r._3, r._4)).map { case (_, _, _, id, ntok) =>
+        val oversize = ntok > cap
+        val off = if (oversize || fill + ntok > cap) { bin += 1; 0L }
+                  else fill
+        fill = if (oversize) cap else off + ntok
+        (sh, bin, id, ntok, off, oversize)
+      }
+    }.toSet
+
+  test("packWhole matches an independent sequential greedy reference; " +
+      "bins never exceed capacity, oversize docs sit alone, bin ids " +
+      "are dense, and the layout is partitioning-independent") {
+    val docs = corpus(1L to 80L, i => (i % 37 + 2).toInt)
+    val cap = 40L
+    val out = Packing.packWhole(docs, "text", "doc_id", 4, cap,
+      Seq("source"))
+    val got = out.collect().map(r => (r.getAs[Int]("sh"),
+      r.getAs[Long]("bin"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("ntok"), r.getAs[Long]("bin_off"),
+      r.getAs[Boolean]("oversize"))).toSet
+    assert(got === referenceWhole(keyedOf(docs, 4, _ => 0L), cap))
+    // invariants
+    val byBin = got.groupBy(r => (r._1, r._2))
+    byBin.foreach { case ((sh, bin), rs) =>
+      if (rs.exists(_._6)) assert(rs.size === 1,
+        s"oversize doc shares bin ($sh,$bin)")
+      else assert(rs.map(_._4).sum <= cap, s"bin ($sh,$bin) overflows")
+    }
+    got.groupBy(_._1).foreach { case (sh, rs) =>
+      val bins = rs.map(_._2)
+      assert(bins.min === 0L && bins.max === bins.size - 1L,
+        s"shard $sh bin ids not dense")
+    }
+    // same layout no matter how the input arrives
+    val shuffled = Packing.packWhole(docs.repartition(7), "text",
+      "doc_id", 4, cap, Seq("source"))
+    assert(spanlessSet(shuffled) === spanlessSet(out))
+  }
+
+  private def spanlessSet(df: DataFrame) =
+    df.select("sh", "bin", "doc_id", "ntok", "bin_off", "oversize")
+      .collect().map(_.toSeq).toSet
+
+  test("binReport: exact bins/oversize/tokens/padding per shard and " +
+      "the utilization quotient") {
+    val docs = corpus(1L to 50L, i => (i % 23 + 2).toInt)
+    val cap = 30L
+    val packed = Packing.packWhole(docs, "text", "doc_id", 2, cap, Nil)
+    val rep = Packing.binReport(packed, cap).collect()
+      .map(r => r.getAs[Int]("sh") -> ((r.getAs[Long]("n_bins"),
+        r.getAs[Long]("n_oversize"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("padding"), r.getAs[Double]("utilization")))).toMap
+    val ref = referenceWhole(keyedOf(docs, 2, _ => 0L), cap)
+    ref.toSeq.groupBy(_._1).foreach { case (sh, rs) =>
+      val bins = rs.groupBy(_._2)
+      val nBins = bins.size.toLong
+      val nOver = bins.count(_._2.exists(_._6)).toLong
+      val toks = rs.map(_._4).sum
+      val pad = bins.values.filterNot(_.exists(_._6))
+        .map(b => cap - b.map(_._4).sum).sum
+      val (gB, gO, gT, gP, gU) = rep(sh)
+      assert((gB, gO, gT, gP) === ((nBins, nOver, toks, pad)))
+      assert(gU === toks.toDouble / (nBins * cap))
+    }
+  }
+
+  // ------------------------------------------------------------------
   // materializeSequences
   // ------------------------------------------------------------------
 
