@@ -227,18 +227,95 @@ object PackingProbes {
               |  CAST(SUM(bin_tokens) AS BIGINT)
               |    / (COUNT(*) * 96) AS utilization
               |FROM bins GROUP BY sh ORDER BY sh""".stripMargin)),
+
+    // SFT ASSEMBLY FLAGSHIP — one job composing THREE certified
+    // families across their artifact boundaries: (1) the keep-top-half
+    // curation decision read off the PERSISTED length histogram
+    // (x130's artifact, x140's machinery — no stat pass at decision
+    // time), (2) whole-doc greedy packing of the kept set (x151),
+    // (3) per-bin CONTENT reconstruction through the materializer
+    // (x150 machinery over whole-doc spans). One DuckDB mirror
+    // re-derives the threshold chain, the kept set, the recursive
+    // greedy replay AND every bin's md5 content key; the probe is a
+    // pure function of corpus + persisted artifact, so a second
+    // Verify run must hash-match (the x144 replay-stability stance) --
+    Probe("x153_sft_assembly_flagship",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tag = IndexCache.corpusTag("x130", d, docs, Seq("doc_id", "text"))
+        val dir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_x130_hist_$tag"
+        IndexCache.ensureBuilt(dir) {
+          val lens = docs.select(col("doc_id"),
+            length(col("text")).as("len"))
+          HistogramSketch.writeSketch(lens.where(col("doc_id") % 2 === 0),
+            "len", dir, lo = 0.0, hi = 4096.0, nBins = 256)
+          HistogramSketch.appendToSketch(lens.where(col("doc_id") % 2 === 1),
+            dir, doneMarker = Some("b1"))
+        }
+        val withLen = docs.select(col("doc_id"), col("text"),
+          col("source"), length(col("text")).cast("long").as("len"))
+        val kept = HistogramSketch.curateByQuantile(withLen, dir, q = 0.5)
+        val packed = Packing.packWhole(kept, "text", "doc_id",
+          N_SHARDS, capacity = 96, Seq("source"))
+        val spans = packed.select(col("sh"), col("bin").as("seq"),
+          col("doc_id"), lit(0L).as("t0"), col("ntok").as("t1"),
+          col("bin_off").as("seq_off"))
+        val content = Packing.materializeSequences(spans, kept,
+          "text", "doc_id").withColumnRenamed("seq", "bin")
+        val stats = packed.groupBy("sh", "bin").agg(
+          count(lit(1)).as("n_docs"),
+          max(col("oversize").cast("int")).as("os"))
+        stats.join(content, Seq("sh", "bin"))
+          .select(col("sh"), col("bin"), col("n_docs"), col("n_tok"),
+            when(col("os") === 0, lit(96L) - col("n_tok"))
+              .otherwise(lit(0L)).as("padding"),
+            col("skey"))
+          .orderBy("sh", "bin")
+      },
+      Some(s"""WITH RECURSIVE v AS (
+              |  SELECT doc_id, length(text) AS len,
+              |    LEAST(GREATEST(CAST(FLOOR(
+              |      CAST(length(text) AS DOUBLE) / 16.0) AS BIGINT), 0), 255)
+              |      AS bin
+              |  FROM documents WHERE text IS NOT NULL),
+              |hb AS (SELECT bin, COUNT(*) AS n FROM v GROUP BY 1),
+              |hc AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM hb),
+              |ht AS (SELECT MAX(cum) AS n_total FROM hc),
+              |hsel AS (
+              |  SELECT MIN(bin) AS bin
+              |  FROM ht JOIN hc ON cum >= CEIL(0.5 * n_total)),
+              |thr AS (SELECT CAST(bin AS DOUBLE) * 16.0 AS thr FROM hsel),
+              |kept AS (
+              |  SELECT dd.doc_id, dd.source, dd.text
+              |  FROM documents dd CROSS JOIN thr
+              |  WHERE CAST(length(dd.text) AS DOUBLE) >= thr),
+              |${greedySql("96", "kept")},
+              |binc AS (
+              |  SELECT g.sh, g.bin, COUNT(*) AS n_docs,
+              |    CAST(SUM(g.ntok) AS BIGINT) AS n_tok,
+              |    MAX(CASE WHEN g.oversize THEN 1 ELSE 0 END) AS os,
+              |    md5(string_agg(array_to_string(
+              |      regexp_split_to_array(trim(k.text), '\\s+'), ' '),
+              |      ' ' ORDER BY g.bin_off)) AS skey
+              |  FROM g JOIN kept k USING (doc_id) GROUP BY 1, 2)
+              |SELECT sh, bin, n_docs, n_tok,
+              |  CAST(CASE WHEN os = 0 THEN 96 - n_tok ELSE 0 END
+              |    AS BIGINT) AS padding, skey
+              |FROM binc ORDER BY sh, bin""".stripMargin)),
   )
 
   /** Recursive-CTE oracle for the greedy no-split scan: CTEs `d`
     * (keys), `r` (per-shard arrival rank) and `g` (the row-by-row
-    * greedy replay carrying bin/fill state). `cap` is a SQL literal. */
-  private def greedySql(cap: String): String =
+    * greedy replay carrying bin/fill state). `cap` is a SQL literal;
+    * `rel` the doc relation (doc_id, source, text) packed over. */
+  private def greedySql(cap: String, rel: String = "documents"): String =
     s"""d AS (
        |  SELECT doc_id, source,
        |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
        |    ${md560Sql("'sh_' || doc_id")} % $N_SHARDS AS sh,
        |    ${md560Sql("'ok_' || doc_id")} AS okey
-       |  FROM documents),
+       |  FROM $rel),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY sh
        |    ORDER BY okey, doc_id) AS rn
