@@ -360,6 +360,31 @@ object Packing {
         expr(s"(n_tokens + ${seqLen - 1}) div $seqLen"))
   }
 
+  /** The epoch-`epoch` LOADING SCHEDULE, served off the persisted
+    * cursors ALONE: sequence ids are dense per shard (0 until n_seqs,
+    * a consequence of concat-and-cut), so the universe of sequences is
+    * derivable from the bounded cursor relation — the plan never reads
+    * spans, let alone the corpus. Per shard, the epoch order is the
+    * deterministic md5 permutation keyed by (epoch, sh, seq): every
+    * epoch is a fresh full shuffle, reproducible on any machine, and a
+    * crashed training run resumes by filtering `epoch_pos >= k` — no
+    * shuffle-buffer state to persist. Output: `(sh, epoch_pos, seq)`.
+    *
+    * Scale: |output| = total sequences (corpus_tokens / seqLen — for
+    * 100 TB at 8k tokens/seq about 10⁹ rows of three longs), built
+    * from a cursors read of batches × shards rows; the per-shard
+    * ranking window is bounded by the shard's sequence count, the
+    * same geometry the packing window already holds. */
+  def epochPlan(spark: SparkSession, dir: String, epoch: Long): DataFrame = {
+    val w = Window.partitionBy("sh").orderBy(col("rk"), col("seq"))
+    readCursors(spark, dir)
+      .select(col("sh"), explode(expr("sequence(0L, n_seqs - 1)")).as("seq"))
+      .withColumn("rk", md560(concat(lit(s"ep${epoch}_"), col("sh"),
+        lit("_"), col("seq"))))
+      .withColumn("epoch_pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("sh"), col("epoch_pos"), col("seq"))
+  }
+
   /** LSM maintenance: fold the per-append span files of every `sh=`
     * directory into one file each and the cursor micro-files into one,
     * value-preserving (spans are keyed facts; cursors keep their

@@ -228,6 +228,38 @@ object PackingProbes {
               |    / (COUNT(*) * 96) AS utilization
               |FROM bins GROUP BY sh ORDER BY sh""".stripMargin)),
 
+    // Packing.epochPlan: the epoch-3 loading schedule served off the
+    // persisted CURSORS alone — sequence ids are dense per shard, so
+    // the sequence universe, the md5 epoch permutation and the
+    // resume-friendly positions all derive from a bounded artifact
+    // read (the plan never touches spans or corpus; gated in
+    // PackingSpec). The oracle re-derives per-shard token totals from
+    // raw text (schedule-independent), the ceil'd sequence counts,
+    // and the same keyed permutation ---------------------------------
+    Probe("x154_epoch_plan",
+      (s, d) => Packing.epochPlan(s, ensureLedger(s, d), epoch = 3L)
+        .orderBy("sh", "epoch_pos"),
+      Some(s"""WITH d AS (
+              |  SELECT ${md560Sql("'sh_' || doc_id")} % $N_SHARDS AS sh,
+              |    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+              |  FROM documents),
+              |c AS (
+              |  SELECT sh, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+              |  FROM d GROUP BY 1),
+              |u AS (
+              |  SELECT sh, unnest(generate_series(0,
+              |    (n_tokens + ${SEQ_LEN - 1}) // $SEQ_LEN - 1)) AS seq
+              |  FROM c),
+              |r AS (
+              |  SELECT sh, seq,
+              |    ${md560Sql("'ep3_' || sh || '_' || seq")} AS rk
+              |  FROM u)
+              |SELECT sh,
+              |  CAST(row_number() OVER (PARTITION BY sh
+              |    ORDER BY rk, seq) - 1 AS BIGINT) AS epoch_pos,
+              |  seq
+              |FROM r ORDER BY sh, epoch_pos""".stripMargin)),
+
     // SFT ASSEMBLY FLAGSHIP — one job composing THREE certified
     // families across their artifact boundaries: (1) the keep-top-half
     // curation decision read off the PERSISTED length histogram

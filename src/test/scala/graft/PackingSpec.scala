@@ -345,6 +345,38 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("epochPlan: a full per-shard permutation of the dense sequence " +
+      "universe, different per epoch, served without reading spans") {
+    val docs = corpus(1L to 60L, i => (i % 13 + 1).toInt)
+    val dir = tmpDir("pack_ep")
+    Packing.writeLedger(docs.where(col("doc_id") <= 40), "text", "doc_id",
+      dir, 4, 16, Nil)
+    Packing.appendToLedger(docs.where(col("doc_id") > 40), "text",
+      "doc_id", dir, Some("b1"))
+    val nSeqs = Packing.readCursors(spark, dir).collect()
+      .map(r => r.getAs[Int]("sh") -> r.getAs[Long]("n_seqs")).toMap
+    val p3 = Packing.epochPlan(spark, dir, 3L)
+    val rows = p3.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (sh, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (0L until nSeqs(sh)).toSeq,
+        s"shard $sh positions not dense")
+      assert(rs.map(_._3).sorted.toSeq === (0L until nSeqs(sh)).toSeq,
+        s"shard $sh sequence universe wrong")
+    }
+    // reproducible, and a different epoch is a different permutation
+    val again = Packing.epochPlan(spark, dir, 3L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.toSet)
+    val p4 = Packing.epochPlan(spark, dir, 4L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p4 !== rows.toSet, "epoch 4 must reshuffle")
+    // bounded-artifact read: the plan never scans the spans directory
+    val files = p3.queryExecution.executedPlan.toString
+    assert(!files.contains("/spans"), files)
+    assert(files.contains("/cursors"), files)
+  }
+
   test("ledger: compaction folds per-append files to one per shard " +
       "directory, is value-preserving, and the ledger stays appendable") {
     val docs = corpus(1L to 45L, _ => 5)
