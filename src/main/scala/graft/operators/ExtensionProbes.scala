@@ -1541,11 +1541,18 @@ object ExtensionProbes {
         val scored = all.select(col("doc_id"), col("text"),
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.wsTokenCount(col("text")).as("ws_tokens"))
+        // localCheckpoint = lineage truncation, NOT caching across
+        // runs: `filtered` feeds the dedup keeper set AND the join
+        // back, and `exactKept` is re-referenced by the signature,
+        // shingle and survivor branches — lazily composed, the quality
+        // kernel re-scans the tripled corpus ~6× and the 166 KB plan
+        // makes AQE replanning the wall-time driver (the x123 lesson).
         val filtered = scored
           .where(col("quality") >= 0.87 && col("ws_tokens") >= 30)
+          .localCheckpoint()
         val keepIds = Dedup.exactDedup(filtered.select("doc_id", "text"))
           .select(col("keep_id").as("doc_id"))
-        val exactKept = filtered.join(keepIds, "doc_id")
+        val exactKept = filtered.join(keepIds, "doc_id").localCheckpoint()
         val sig = Dedup.minhashSignaturesOnePass(exactKept, n = 3, numPerm = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBuckets(sig, bands = 4, rowsPer = 2))

@@ -330,12 +330,17 @@ object HistogramSketch {
     * ~q of the corpus by quality" as ONE broadcast-scalar map pass
     * (no stat pass, no sort, no window; the threshold is a literal by
     * the time the filter runs). Rows with null/NaN values are
-    * DROPPED, mirroring their exclusion from the sketch itself. */
-  def curateByQuantile(df: DataFrame, path: String,
-                       q: Double): DataFrame = {
+    * DROPPED, mirroring their exclusion from the sketch itself.
+    * A caller that already holds the threshold (e.g. it also reports
+    * it, as the daily-decisions flagship does) passes it via
+    * `precomputedThr` to skip the second read-off job chain — the
+    * value contract is unchanged (the passed threshold must be
+    * [[thresholdFromSketch]] of the same artifact and q). */
+  def curateByQuantile(df: DataFrame, path: String, q: Double,
+                       precomputedThr: Option[Double] = None): DataFrame = {
     val spark = df.sparkSession
     val (_, _, _, valueCol) = sketchMeta(spark, path)
-    val thr = thresholdFromSketch(spark, path, q)
+    val thr = precomputedThr.getOrElse(thresholdFromSketch(spark, path, q))
     val v = col(valueCol).cast("double")
     df.where(v.isNotNull && !isnan(v) && v >= lit(thr))
   }

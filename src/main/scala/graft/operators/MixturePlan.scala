@@ -74,7 +74,11 @@ object MixturePlan {
         quotas.columns.contains("quota"),
       s"quotas must carry ($strataCol, quota) — " +
         s"got: ${quotas.columns.mkString(", ")}")
-    val over = quotas.where(col("quota") > k)
+    // the bounded quota relation is consumed twice (the provisioning
+    // check below AND the selection join) — materialize it once so the
+    // rollup read-and-quota chain is not re-derived at force time
+    val q = quotas.localCheckpoint()
+    val over = q.where(col("quota") > k)
       .select(col(strataCol), col("quota")).limit(5).collect()
     require(over.isEmpty,
       s"quota exceeds the stratified sample's k=$k for " +
@@ -85,7 +89,7 @@ object MixturePlan {
     val rank = row_number().over(
       Window.partitionBy(col(strataCol))
         .orderBy(col("skey").asc, col(idCol).asc))
-    sample.join(broadcast(quotas.select(col(strataCol), col("quota"))),
+    sample.join(broadcast(q.select(col(strataCol), col("quota"))),
         Seq(strataCol))
       .withColumn("rank_in_stratum", rank)
       .where(col("rank_in_stratum") <= col("quota"))

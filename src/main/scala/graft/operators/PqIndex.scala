@@ -592,17 +592,20 @@ object PqIndex {
     cbRows.foreach { case (s, c, w, cx) =>
       cbArr((s * ksub + c) * dsub + w) = cx
     }
-    // per-query nprobe cell routing: window input bounded at nlist
-    // rows per query (same round-6 sqDist + cell tie as topKFromIndex)
+    // per-query nprobe cell routing: the nprobe smallest (qdist, cell)
+    // per query via the partial-aggregable top_k_struct heap — the
+    // same (qdist ASC, cell ASC) selection the old row_number window
+    // made, minus the window's shuffle-and-sort stage (the r8
+    // IvfIndex.assign precedent; input bounded at nlist rows/query)
     val qcells = queries
       .select(col(qIdCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("qdist", IvfIndex.sqDist(col(vecCol), col("centroid")))
-      .withColumn("_cr", row_number().over(
-        Window.partitionBy(col(qIdCol))
-          .orderBy(col("qdist").asc, col("cell").asc)))
-      .where(col("_cr") <= nprobe)
-      .select(col(qIdCol), col("cell"))
+      .groupBy(col(qIdCol))
+      .agg(call_function("top_k_struct",
+        struct(col("qdist"), col("cell")), lit(nprobe), lit(false)).as("_pc"))
+      .select(col(qIdCol), explode(col("_pc")).as("_r"))
+      .select(col(qIdCol), col("_r.cell").as("cell"))
     // per-query ADC table: ONE map-only codegen pass per query row
     // (no dims explode, no codebook join, no groupBy pair)
     val qt = queries.select(col(qIdCol),
@@ -636,14 +639,19 @@ object PqIndex {
     // exact rerank over shortlist·Q rows; vectors keyed (cell, id) so
     // the cell-partitioned layout can prune
     val vecs = spark.read.parquet(s"$path/vectors")
+    // final exact rerank: the k best (sim DESC, id ASC) per query via
+    // the top_k_struct heap, ranks recovered from the sorted array —
+    // row-identical to the row_number window it replaces (unique id
+    // tie-break), partial-aggregated instead of shuffled-and-sorted
     short.join(vecs, Seq("cell", idCol))
       .join(queries.select(col(qIdCol), col(vecCol).as("_qv")), Seq(qIdCol))
       .withColumn("sim", Similarity.cosine(col(vecCol), col("_qv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(qIdCol))
-          .orderBy(col("sim").desc, col(idCol).asc)).cast("int"))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+      .groupBy(col(qIdCol))
+      .agg(call_function("top_k_struct",
+        struct(col("sim"), col(idCol)), lit(k), lit(true)).as("_tk"))
+      .select(col(qIdCol), posexplode(col("_tk")).as(Seq("_p", "_r")))
+      .select(col(qIdCol), col("_r").getField(idCol).as(idCol),
+        col("_r.sim").as("sim"), (col("_p") + 1).cast("int").as("rank"))
   }
 
   /** IVF-PQ: the standard two-level layout for web-scale ANN — the IVF

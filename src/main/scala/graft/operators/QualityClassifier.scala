@@ -87,10 +87,19 @@ object QualityClassifier {
         explode(termArray(col(textCol))).as("term"))
       .select(col("y"),
         hashedFeature(col("term"), numBuckets, fastHash).as("f"))
+    // ONE term-explode pass: the class totals are exactly the column
+    // sums of the per-feature counts (Σ_f c_pos = Σ_rows y — identical
+    // integers), so they derive from the bounded counts table instead
+    // of a second full kernel pass over the training corpus. The
+    // counts table (≤ numBuckets rows) is localCheckpoint-materialized
+    // so its two consumers (the model broadcast and the totals) don't
+    // each re-run the explode+hash scan — lineage truncation within
+    // one call, recomputed from the inputs on every call.
     val counts = rows.groupBy("f")
       .agg(sum(col("y")).as("c_pos"), sum(lit(1L) - col("y")).as("c_neg"))
-    val totals = rows
-      .agg(sum(col("y")).as("t_pos"), sum(lit(1L) - col("y")).as("t_neg"))
+      .localCheckpoint()
+    val totals = counts
+      .agg(sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"))
     (counts, totals)
   }
 

@@ -139,6 +139,12 @@ object Ranking {
     * streaming aggregation (unlike [[rrfFuse]] and
     * [[evalBinaryRetrieval]], whose StreamingSpec twins run the same
     * plan over a stream). Re-rank per micro-batch via foreachBatch.
+    * EAGER: the bounded pool and each round's picks are
+    * localCheckpoint-materialized at call time (lineage truncation —
+    * the lazy unrolled plan re-instantiates the caller's upstream DAG
+    * O(2^k) times and AQE replanning over it dominates wall time), so
+    * the returned frame reads materialized rounds, recomputed from the
+    * inputs on every call.
     *
     * Scale shape: `k` driver-loop rounds (the GBT/WordPiece bounded
     * driver-loop precedent), each a keyed join of the remaining pool
@@ -153,10 +159,23 @@ object Ranking {
     require(k >= 1, s"k must be >= 1: $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     graft.GraftExtensions.register(candidates.sparkSession)
+    // The pool (a BOUNDED Q·n relation by contract) is re-referenced by
+    // every greedy round — 2 references per round plus the round-1
+    // argmax — and `picked` references nest recursively, so the lazy
+    // k-round plan instantiates the caller's entire upstream DAG
+    // O(2^k) times. AQE re-optimizes the full logical plan at every
+    // query-stage boundary, so with a composed chain upstream (x123:
+    // two ANN index joins + RRF fusion) PLANNING dominates execution
+    // (measured: 8.6s of inter-job driver gaps vs 1.9s in jobs; the
+    // formatted plan was 3.0 MB). localCheckpoint materializes the
+    // bounded pool once and truncates the lineage — every round now
+    // reads a leaf relation (still computed from the parquet inputs on
+    // every call; nothing persists across runs).
     val pool = candidates
       .select(col(qIdCol), col(idCol), col(relCol).cast("double").as("_rel"))
       .join(codes.select(col(idCol), col("q_codes").as("_c")), Seq(idCol))
       .select(col(qIdCol), col(idCol), col("_rel"), col("_c"))
+      .localCheckpoint()
     // per-query argmax by (score DESC, id ASC): numeric ids take the
     // codegen'd max(struct(_mmr, −id)) DeclarativeAggregate (the hot
     // path — k of these run per call); any other orderable id type
@@ -181,10 +200,15 @@ object Ranking {
           .select(col(qIdCol), col("_tk").getItem(0).as("_b"))
           .select(col(qIdCol), col("_b").getField(idCol).as(idCol),
             col("_b._mmr").as("mmr"), lit(round).as("round"))
+    // Each round's picked set (≤ Q·r rows) is checkpointed too: round
+    // r references picked_{r-1} twice (anti-join + penalty join), so
+    // without truncation the plan still grows ~3^k even over a
+    // materialized pool. k bounded extra jobs for a constant-size
+    // per-round plan.
     var picked = argmaxPick(
       pool.select(col(qIdCol), col(idCol),
         (lit(lambda) * col("_rel") - lit(1.0 - lambda) * lit(0.0))
-          .as("_mmr")), 1)
+          .as("_mmr")), 1).localCheckpoint()
     for (r <- 2 to k) {
       val remaining = pool.join(picked.select(col(qIdCol), col(idCol)),
         Seq(qIdCol, idCol), "left_anti")
@@ -199,7 +223,7 @@ object Ranking {
         .select(col(qIdCol), col(idCol),
           (lit(lambda) * col("_rel2") - lit(1.0 - lambda) * col("_pen"))
             .as("_mmr"))
-      picked = picked.unionByName(argmaxPick(scored, r))
+      picked = picked.unionByName(argmaxPick(scored, r)).localCheckpoint()
     }
     picked.select(col(qIdCol), col(idCol), col("mmr"),
       col("round").cast("int").as("round"))

@@ -327,21 +327,24 @@ object Similarity {
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobe >= 1)
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.GraftExtensions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
     // per-query nprobe cell routing: Q × nlist broadcast cross join,
-    // window input bounded at nlist rows per query
+    // the nprobe smallest (qdist, cell) per query picked by the
+    // partial-aggregable top_k_struct heap — the same selection the
+    // old row_number window made (struct ordering is (qdist ASC, cell
+    // ASC), ties to the lower cell), minus the window's extra
+    // shuffle-and-sort stage (the r8 IvfIndex.assign precedent)
     val qcells = queries
       .select(col(qIdCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("qdist", IvfIndex.sqDist(col(vecCol), col("centroid")))
-      .withColumn("_cr", row_number().over(
-        Window.partitionBy(col(qIdCol))
-          .orderBy(col("qdist").asc, col("cell").asc)))
-      .where(col("_cr") <= nprobe)
-      .select(col(qIdCol), col("cell"))
+      .groupBy(col(qIdCol))
+      .agg(call_function("top_k_struct",
+        struct(col("qdist"), col("cell")), lit(nprobe), lit(false)).as("_pc"))
+      .select(col(qIdCol), explode(col("_pc")).as("_r"))
+      .select(col(qIdCol), col("_r.cell").as("cell"))
     val probes = qcells.join(
       quantizeInt8(queries, qIdCol, vecCol)
         .select(col(qIdCol), col("q_codes").as("_qc")), Seq(qIdCol))

@@ -695,7 +695,7 @@ object SketchProbes {
             col("id_sum").cast("double").as("v2"))
         val thr = HistogramSketch.thresholdFromSketch(s, hDir, 0.5)
         val kept = HistogramSketch.curateByQuantile(lens(batch), hDir,
-            q = 0.5)
+            q = 0.5, precomputedThr = Some(thr))
           .groupBy("lang").agg(count(lit(1)).as("n_kept"))
           .select(lit("curate").as("metric"), col("lang").as("key"),
             col("n_kept").cast("double").as("v1"), lit(thr).as("v2"))

@@ -62,17 +62,21 @@ object StageProfile {
     }
 
     spark.sparkContext.addSparkListener(listener)
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      events.synchronized { events.clear() }
-      val t0 = System.nanoTime()
-      // full materialization — df.count() lets the optimizer delete
-      // unique-key outer joins (and the probe's work with them)
-      fn(spark, sfDir).queryExecution.toRdd.count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)   // let listener events drain
-      println(f"[stageprofile] run $i $name wall=$wall%.2f s")
-      events.synchronized { events.foreach(println) }
+    // comma-separated names profile several probes in ONE JVM (shared
+    // warmup; per-probe steady state is what the reps converge to)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { nm =>
+      val fn = SparkEntry.queries(nm)
+      (1 to reps).foreach { i =>
+        events.synchronized { events.clear() }
+        val t0 = System.nanoTime()
+        // full materialization — df.count() lets the optimizer delete
+        // unique-key outer joins (and the probe's work with them)
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)   // let listener events drain
+        println(f"[stageprofile] run $i $nm wall=$wall%.2f s")
+        events.synchronized { events.foreach(println) }
+      }
     }
     spark.stop()
   }

@@ -109,7 +109,6 @@ class MixturePlanSpec extends SparkTestBase {
       "scan reads one of the two artifacts") {
     val all = docs(700)
     val (ro, st) = artifacts(all, k = 60)
-    val sel = MixturePlan.planAndSelect(spark, ro, st, targetTotal = 120)
     def scans(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -119,11 +118,22 @@ class MixturePlanSpec extends SparkTestBase {
       case other =>
         (other.children ++ other.subqueries).flatMap(scans)
     }
+    // the quota half is localCheckpoint-materialized inside
+    // planAndSelect (the bounded relation is consumed by both the
+    // provisioning check and the selection join), so the decision is
+    // gated in its two halves: the quota derivation must scan ONLY
+    // the rollup, the selection ONLY the sample (plus the
+    // materialized quota leaf, which is not a file scan at all).
+    val quotas = MixturePlan.quotasFromRollup(spark, ro, targetTotal = 120)
+    val qRoots = scans(quotas.queryExecution.executedPlan)
+    assert(qRoots.nonEmpty, "the quota plan must scan the rollup")
+    assert(qRoots.forall(_.contains(ro)),
+      s"a non-rollup relation leaked into the quota plan:\n$qRoots")
+    val sel = MixturePlan.planAndSelect(spark, ro, st, targetTotal = 120)
     val roots = scans(sel.queryExecution.executedPlan)
-    assert(roots.nonEmpty, "the decision must scan the artifacts")
+    assert(roots.nonEmpty, "the decision must scan the sample artifact")
     assert(roots.forall(p => p.contains(ro) || p.contains(st)),
       s"a non-artifact relation leaked into the decision plan:\n$roots")
-    assert(roots.exists(_.contains(ro)) && roots.exists(_.contains(st)),
-      "both artifacts feed the decision")
+    assert(roots.exists(_.contains(st)), "the sample feeds the decision")
   }
 }

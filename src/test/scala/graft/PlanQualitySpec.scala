@@ -500,12 +500,47 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("x123 retrieval flagship: the composed DAG has no corpus-sized shuffle shape") {
-    // index → both batch joins → fusion → MMR rounds → eval in ONE
-    // plan: every join keyed or a sanctioned bounded cross (the
+    // Since the r15 optimization round, mmrSelect materializes its
+    // bounded pool and per-round picks (localCheckpoint — the lazy
+    // unrolled plan re-instantiated the whole upstream chain O(2^k)
+    // times and AQE replanning over the 3 MB plan dominated wall
+    // time), so the probe's FINAL plan no longer contains the index
+    // chains. The gate therefore runs in two halves.
+    //
+    // Half 1 — the composed pre-MMR chain (index → both batch joins →
+    // fusion → codes join), built lazily exactly as the probe builds
+    // its pool: every join keyed or a sanctioned bounded cross (the
     // Q×nlist centroid routing and its DPP-duplicated copies), every
-    // top-k/argmax the partial-aggregable heap, and NO window ever
-    // ranks a candidate-scored set (the retired 68×-at-10× shape)
-    val p = planString("x123_retrieval_flagship")
+    // top-k the partial-aggregable heap, NO window ever ranks a
+    // candidate-scored set (the retired 68×-at-10× shape).
+    GraftExtensions.register(spark)
+    import graft.operators.{IndexCache, PqIndex, Ranking, Similarity}
+    val embs = Tables.embeddings(spark, sfDir)
+    val tag8 = IndexCache.corpusTag("x111", sfDir, embs,
+      Seq("vec_id", "embedding"))
+    val nlist = IndexCache.probeNlist(sfDir, embs)
+    val dir8 = s"${System.getProperty("java.io.tmpdir")}/graft_x111_annjoin_${tag8}_n$nlist"
+    IndexCache.ensureBuilt(dir8) {
+      Similarity.writeInt8Index(embs, dir8, nlist = nlist)
+    }
+    val tagP = IndexCache.corpusTag("x41", sfDir, embs,
+      Seq("vec_id", "embedding"))
+    val dirP = s"${System.getProperty("java.io.tmpdir")}/graft_x41_pq_index_${tagP}_n$nlist"
+    IndexCache.ensureBuilt(dirP) {
+      PqIndex.writeIndex(embs, dirP, nlist = nlist, m = 32, ksub = 16,
+        dim = 64)
+    }
+    val queries = embs.where(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val a = Similarity.annJoinInt8FromIndex(queries, dir8, k = 5, nprobe = 4)
+    val b = PqIndex.annJoinFromIndex(queries, dirP, k = 5, nprobe = 4,
+      shortlist = 40)
+    val fused = Ranking.rrfFuse(a, b, k = 5)
+    val pool = fused.select(col("q_id"), col("vec_id"), col("rrf").as("rel"))
+      .join(Similarity.quantizeInt8(embs)
+        .select(col("vec_id"), col("q_codes")), Seq("vec_id"))
+    pool.collect()
+    val p = pool.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"product join in the DAG:\n$p")
     val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     val nlCross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
@@ -517,10 +552,21 @@ class PlanQualitySpec extends SparkTestBase {
           && !w.contains("rrf") && !w.contains("mmr"),
         s"window ranks a candidate set in the composed DAG:\n$w")
     }
-    // the heaps (both joins' top-k, the fused top-k, each MMR argmax)
-    // all partial-aggregate map-side
-    assert("(?i)objecthashaggregate".r.findAllIn(p).size >= 4,
+    // the heaps (both joins' top-k/shortlist, the fused top-k) all
+    // partial-aggregate map-side
+    assert("(?i)objecthashaggregate".r.findAllIn(p).size >= 3,
       s"composed heaps not partial-aggregated:\n$p")
+    // Half 2 — the probe's final plan (MMR output ⋈ eval over the
+    // materialized rounds): still no product, no candidate-ranking
+    // window, and the eval aggregation partial-aggregates.
+    val pf = planString("x123_retrieval_flagship")
+    assert(!pf.contains("CartesianProduct"), s"product join in the tail:\n$pf")
+    "Window \\[[^\\n]*".r.findAllIn(pf).foreach { w =>
+      assert(!w.contains("adist") && !w.contains("rrf") && !w.contains("mmr"),
+        s"window ranks a candidate set in the eval tail:\n$w")
+    }
+    assert("partial_".r.findFirstIn(pf).isDefined,
+      s"eval aggregation lost its map-side combine:\n$pf")
   }
 
   test("x74 bm25 plan: model sides broadcast, no product join, distributed top-k") {
