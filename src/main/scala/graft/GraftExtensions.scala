@@ -44,6 +44,12 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int parameter, got $other")
   }
+  private def litString(fn: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _: StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string parameter, got $other")
+  }
   private def plus(es: Expression*): Expression = es.reduceLeft(Add(_, _))
   private def times(es: Expression*): Expression = es.reduceLeft(Multiply(_, _))
 
@@ -146,6 +152,9 @@ object GraftExtensions {
     ("winnowing_fps", 3, { case Seq(t, k, w) =>
       graft.expressions.WinnowingFps(t, litInt("winnowing_fps", k),
         litInt("winnowing_fps", w)) }),
+    ("span_gram_hashes", 3, { case Seq(t, k, s) =>
+      graft.expressions.SpanGramHashes(t, litInt("span_gram_hashes", k),
+        litString("span_gram_hashes", s)) }),
     ("word_counts", 1, { case Seq(t) =>
       graft.expressions.WordCounts(t) }),
     ("rolling_fingerprint", 1, { case Seq(t) =>

@@ -201,6 +201,58 @@ object MinHashOps {
     new GenericArrayData(if (wp == fps.length) fps else java.util.Arrays.copyOf(fps, wp))
   }
 
+  /** Per-position salted 60-bit word-k-gram hashes — the span-dedup
+    * gram kernel (TextOps.exactSpanDedup salt "ss_",
+    * Dedup.decontaminateSpans salt "sd_"): words = the non-empty
+    * tokens of `split(trim(text), "\\s+")`, each lowercased
+    * (UTF8String.toLowerCase — exactly Spark's `lower`, including the
+    * context-sensitive Unicode cases); element i = top 60 bits of
+    * md5(salt + words[i..i+k) joined by single spaces), one element
+    * per gram start (empty array when the document has fewer than k
+    * words — the relational form's `size(ws) >= k` gate). Bit- and
+    * position-identical to the relational
+    * `posexplode(transform(sequence(1, n-k+1),
+    *   i -> conv(substring(md5(concat(salt, array_join(slice(ws, i,
+    *   k), ' '))), 1, 15), 16, 10)))`
+    * chain it replaces (SpanHashKernelSpec pins it): that chain paid a
+    * per-gram array slice + string join + hex digest + hex-string
+    * parse, where this is one pass over pre-encoded word bytes. */
+  def saltedSpanHashes(text: UTF8String, k: Int, salt: UTF8String): ArrayData = {
+    val raw = Ws.split(trimSpaces(text.toString), -1)
+    var nw = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nw += 1; i += 1 }
+    val n = nw - k + 1
+    if (n < 1) return new GenericArrayData(Array.emptyLongArray)
+    val words = new Array[Array[Byte]](nw)
+    i = 0
+    var w = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        words(w) = UTF8String.fromString(raw(i)).toLowerCase.getBytes
+        w += 1
+      }
+      i += 1
+    }
+    val saltBytes = salt.getBytes
+    val md = digests.get()
+    val hs = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      md.reset()
+      md.update(saltBytes)
+      var j = i
+      while (j < i + k) {
+        if (j > i) md.update(' '.toByte)
+        md.update(words(j))
+        j += 1
+      }
+      hs(i) = top60(md.digest())
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
   /** |A ∩ B| for two ascending-sorted long arrays (two-pointer merge). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     var i = 0
@@ -263,6 +315,25 @@ case class WinnowingFps(child: Expression, k: Int, w: Int) extends TextKernelExp
     defineCodeGen(ctx, ev, c =>
       s"graft.expressions.MinHashOps$$.MODULE$$.winnowingFps($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): WinnowingFps =
+    copy(child = newChild)
+}
+
+/** span_gram_hashes(text, k, salt) → array<long>[n-k+1] (60-bit,
+  * positional — element i is gram start i). */
+case class SpanGramHashes(child: Expression, k: Int, salt: String)
+    extends TextKernelExpr {
+  require(k >= 1)
+  private val saltU = UTF8String.fromString(salt)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.saltedSpanHashes(input.asInstanceOf[UTF8String], k, saltU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("spanSalt", saltU,
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHashOps$$.MODULE$$.saltedSpanHashes($c, $k, $saltRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SpanGramHashes =
     copy(child = newChild)
 }
 

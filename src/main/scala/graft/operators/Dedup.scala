@@ -535,18 +535,14 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text",
                          evalTextCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spanHash = (gram: Column) =>
-      conv(substring(md5(concat(lit("sd_"), gram)), 1, 15), 16, 10).cast("long")
-    def gramRows(df: DataFrame, id: Column, tc: String): DataFrame = {
-      val toks = df.select(id.as("_gid"),
-          filter(split(trim(col(tc)), "\\s+"), w => w =!= "").as("wo"))
-        .withColumn("ws", transform(col("wo"), w => lower(w)))
-      toks.select(col("_gid"), posexplode(
-        when(size(col("ws")) >= k,
-          transform(sequence(lit(1), size(col("ws")) - (k - 1)),
-            i => spanHash(array_join(slice(col("ws"), i, lit(k)), " "))))
-          .otherwise(array().cast("array<bigint>"))).as(Seq("s", "h")))
-    }
+    graft.GraftExtensions.register(train.sparkSession)
+    // per-position salted 60-bit gram hashes via the one-pass codegen
+    // kernel — bit- and position-identical to the relational
+    // slice+join+md5-hex chain it replaces (SpanHashKernelSpec)
+    def gramRows(df: DataFrame, id: Column, tc: String): DataFrame =
+      df.select(id.as("_gid"), posexplode(
+        call_function("span_gram_hashes", col(tc), lit(k), lit("sd_")))
+        .as(Seq("s", "h")))
     val evalHashes = gramRows(eval, lit(0L), evalTextCol)
       .select("h").distinct()
     val matches = gramRows(train, col(idCol), textCol)

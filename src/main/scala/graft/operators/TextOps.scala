@@ -596,20 +596,18 @@ object TextOps {
   def exactSpanDedup(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // original tokens for reassembly; per-token lowercase for match
-    // keys (split FIRST so the two arrays stay positionally aligned
-    // even where lowercasing changes a token's length)
+    graft.GraftExtensions.register(docs.sparkSession)
+    // original tokens for reassembly (split in SQL so the rebuild path
+    // stays positionally aligned with the kernel's word indexing)
     val woCol = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
     val toks = docs.select(col(idCol), woCol.as("wo"))
-      .withColumn("ws", transform(col("wo"), w => lower(w)))
-    val spanHash = (gram: Column) =>
-      conv(substring(md5(concat(lit("ss_"), gram)), 1, 15), 16, 10).cast("long")
-    val grams = toks.select(col(idCol),
-      posexplode(
-        when(size(col("ws")) >= k,
-          transform(sequence(lit(1), size(col("ws")) - (k - 1)),
-            i => spanHash(array_join(slice(col("ws"), i, lit(k)), " "))))
-          .otherwise(array().cast("array<bigint>"))).as(Seq("s", "h")))
+    // per-position salted 60-bit gram hashes via the one-pass codegen
+    // kernel — bit- and position-identical to the relational
+    // slice+join+md5-hex chain it replaces (SpanHashKernelSpec), which
+    // paid a per-gram array slice + string join + hex parse
+    val grams = docs.select(col(idCol),
+      posexplode(call_function("span_gram_hashes",
+        col(textCol), lit(k), lit("ss_"))).as(Seq("s", "h")))
     val keeper = grams.groupBy("h")
       .agg(min(struct(col(idCol), col("s"))).as("first"), count(lit(1)).as("c"))
       .where(col("c") > 1)
