@@ -285,7 +285,7 @@ object Bench {
     val telemetry = telemetryJson(loadStart, loadAvg, jvmsStart, calibBase,
       calibWorst, contendedProbes, regressedProbes, calibSpikes) +
       passJson(passTotals)
-    emit(results, total, qs, warmMode, sfDir, thisRun + notesVal,
+    emit(results, total, qs, warmMode, sfDir, thisRun, notesR16 + notesVal,
       volumeNotesVal, telemetry)
   }
 
@@ -953,12 +953,23 @@ object Bench {
   // style: the round driver keeps only the LAST ~2000 characters of
   // output (BENCH_r*.json "tail"), so the headline metric/value/sf
   // go LAST in the object — the tail window then always contains
-  // them — while the long notes/queries live up front. The complete
-  // line is also persisted to BENCH_SELF.json (best effort) so the
-  // full per-query map survives tail truncation.
+  // them — while the long notes/queries live up front.
+  //
+  // r16 parse-fragility fix (the r15 verdict's item 8: the r14
+  // artifact stored a tail truncated MID-NOTES and the driver's
+  // JSON-line extraction got `parsed: null`, costing that round its
+  // official speedup record): the ~20 KB r1–r15 historical narrative
+  // no longer rides the STDOUT line at all. The stdout line carries
+  // this run's generated headline + the current round's notes and a
+  // pointer; the COMPLETE line (full narrative, identical queries/
+  // telemetry/value) is persisted to BENCH_SELF.json and the per-sf
+  // archive, where nothing truncates it. Queries/telemetry/metric/
+  // value are byte-identical between the two emits — only the
+  // free-text history moved off the fragile surface.
   private def emit(results: Map[String, Double], total: Double, qs: String,
-                   warmMode: String, sfDir: String, notes: String,
-                   volumeNotes: String, telemetry: String): Unit = {
+                   warmMode: String, sfDir: String, thisRunNotes: String,
+                   historyNotes: String, volumeNotes: String,
+                   telemetry: String): Unit = {
     // JSON-escape the free-text fields — a stray backslash or quote in
     // builder-authored notes must not invalidate the metric line
     def esc(s: String): String = s.flatMap {
@@ -967,16 +978,28 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val line = s"""{"queries":$qs,"warm":"$warmMode","notes":"${esc(notes)}","volume_notes":"${esc(volumeNotes)}",$telemetry,"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    def mkLine(notes: String, vol: String): String =
+      s"""{"queries":$qs,"warm":"$warmMode","notes":"${esc(notes)}","volume_notes":"${esc(vol)}",$telemetry,"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = mkLine(thisRunNotes + historyNotes, volumeNotes)
+    val stdoutLine = mkLine(
+      thisRunNotes + notesR16 +
+        "Full r1-r15 narrative + volume notes: BENCH_SELF.json (same " +
+        "queries/telemetry/value, complete notes).",
+      "see BENCH_SELF.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_SELF.json"), fullLine + "\n")
     catch { case _: Exception => () }
     // per-sf archive: a smoke run at another sf must not clobber the
     // regression-history baseline of the scored sf
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        s"BENCH_SELF.${new java.io.File(sfDir).getName}.json"), line + "\n")
+        s"BENCH_SELF.${new java.io.File(sfDir).getName}.json"), fullLine + "\n")
     catch { case _: Exception => () }
-    println(line)
+    println(stdoutLine)
+    System.out.flush()
   }
+
+  // r16 round notes — filled with this round's measurements as they
+  // land (rides BOTH the stdout line and the full artifact).
+  private lazy val notesR16 = ""
 }

@@ -346,18 +346,22 @@ object BpeProbes {
     Probe("x72_token_pipeline",
       (s, d) => {
         graft.GraftExtensions.register(s)
-        // localCheckpoint = lineage truncation (the x123/x38 lesson),
-        // not cross-run caching: the normalize kernel feeds both the
-        // keeper agg and the join-back, and the (slim) token-count
-        // relation is re-referenced by the budget fill AND the packing
-        // join — lazily composed, the BPE tokenCount kernel re-scans
-        // the corpus per reference. Materializing the normalized
-        // corpus + its counts is the cleaned-corpus-artifact shape a
-        // real assemble job pays anyway.
-        val docs = Tables.documents(s, d)
+        // Lineage truncation (the x123/x38 lesson), not cross-run
+        // caching: the normalize kernel feeds both the keeper agg and
+        // the join-back, and the (slim) token-count relation is
+        // re-referenced by the budget fill AND the packing join —
+        // lazily composed, the BPE tokenCount kernel re-scans the
+        // corpus per reference. The normalized corpus is CORPUS-SIZED,
+        // so it materializes through the at-rest parquet write
+        // ([[Materialize]] — the cleaned-corpus-artifact shape a real
+        // assemble job pays anyway), not localCheckpoint's
+        // executor-pinned non-recomputable blocks; the slim per-doc
+        // counts relation stays a localCheckpoint (three numeric
+        // columns — the bounded-intermediate tool is right there).
+        val docs = Materialize.toParquet(Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            TextOps.normalizeText(col("text")).as("text"))
-          .localCheckpoint()
+            TextOps.normalizeText(col("text")).as("text")),
+          "x72_normalized")
         val keep = docs.groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
         val deduped = docs.join(keep.select("doc_id"), Seq("doc_id"))

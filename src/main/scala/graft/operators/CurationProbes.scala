@@ -239,7 +239,15 @@ object CurationProbes {
         val scored = TextOps.lmScore(docs, contexts, bigrams, vocab, k = 1.0)
           .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .localCheckpoint()
-        Sampling.scoreBuckets(scored, "lm_score", "lang")
+        // the per-lang threshold TABLE is bounded (|langs| rows) but
+        // its two-phase-percentile derivation is a 74-exchange subplan
+        // re-instantiated into the final label plan (60 re-references
+        // of the score table in the before-plan) — materialize it so
+        // the labeling force is one broadcast join (the deployment
+        // shape: thresholds persist, arrivals tier against them)
+        val thr = Sampling.scoreBucketThresholds(scored, "lm_score", "lang")
+          .localCheckpoint()
+        Sampling.labelByThresholds(scored, thr, "lm_score", "lang")
           .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
           .orderBy("doc_id")
       },

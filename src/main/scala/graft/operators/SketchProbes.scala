@@ -20,6 +20,21 @@ import graft.sources.Tables
   */
 object SketchProbes {
 
+  /** Shared pool for overlapping a probe's INDEPENDENT artifact
+    * branches (guide §2.6: actions are only sequential because the
+    * driver calls them sequentially; concurrent jobs back-fill the
+    * tail of each other's stages). Daemon threads so the pool never
+    * blocks JVM exit; sized for the widest branch fan-out (x144's 5
+    * decision branches). */
+  private[operators] lazy val branchPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(5,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-branch")
+          t.setDaemon(true)
+          t
+        }))
+
   private val augSql =
     "SELECT doc_id, text || repeat(' u' || doc_id, 20) AS aug FROM documents"
 
@@ -679,13 +694,29 @@ object SketchProbes {
             lens(batch).select(col("len")), threshold = 0.05)
           .select(lit("drift").as("metric"), lit("batch").as("key"),
             col("tvd").as("v1"), col("l1_num").cast("double").as("v2"))
-        // marker-gated ingest of the day's batch into the estate
-        Rollup.appendToRollup(batch, roDir, Some("day1"))
-        StratifiedSample.appendToSample(batch, stDir, Some("day1"))
-        HistogramSketch.appendToSketch(lens(batch), hDir, Some("day1"))
-        Manifest.appendToManifest(batch, mbDir, Some("day1"))
-        // decisions off the PERSISTED estate
-        val sel = MixturePlan.planAndSelect(s, roDir, stDir,
+        // marker-gated ingest of the day's batch into the estate —
+        // four INDEPENDENT artifacts, so the appends overlap (guide
+        // §2.6); each is marker-gated, so values are unaffected and a
+        // replay stays a no-op. The barrier below keeps check-then-
+        // ingest ordering: no decision reads an artifact mid-append.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = branchPool
+        Await.result(Future.sequence(Seq(
+          Future(Rollup.appendToRollup(batch, roDir, Some("day1"))),
+          Future(StratifiedSample.appendToSample(batch, stDir, Some("day1"))),
+          Future(HistogramSketch.appendToSketch(lens(batch), hDir,
+            Some("day1"))),
+          Future(Manifest.appendToManifest(batch, mbDir, Some("day1"))))),
+          Duration.Inf)
+        // decisions off the PERSISTED estate: five independent
+        // branches over five frozen artifacts — each was a sequential
+        // run of bounded AQE stages (59 jobs end to end), so they run
+        // CONCURRENTLY and each materializes its bounded result rows
+        // (≤ |langs| + a few) via localCheckpoint; the union of the
+        // materialized branches is row-identical to the sequential
+        // union it replaces.
+        val fSel = Future(MixturePlan.planAndSelect(s, roDir, stDir,
             targetTotal = 120)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_sel"),
@@ -693,22 +724,31 @@ object SketchProbes {
           .select(lit("mixture").as("metric"), col("lang").as("key"),
             col("n_sel").cast("double").as("v1"),
             col("id_sum").cast("double").as("v2"))
-        val thr = HistogramSketch.thresholdFromSketch(s, hDir, 0.5)
-        val kept = HistogramSketch.curateByQuantile(lens(batch), hDir,
-            q = 0.5, precomputedThr = Some(thr))
-          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-          .select(lit("curate").as("metric"), col("lang").as("key"),
-            col("n_kept").cast("double").as("v1"), lit(thr).as("v2"))
-        val stats = Rollup.readRollup(s, roDir)
+          .localCheckpoint())
+        val fKept = Future {
+          val thr = HistogramSketch.thresholdFromSketch(s, hDir, 0.5)
+          HistogramSketch.curateByQuantile(lens(batch), hDir,
+              q = 0.5, precomputedThr = Some(thr))
+            .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+            .select(lit("curate").as("metric"), col("lang").as("key"),
+              col("n_kept").cast("double").as("v1"), lit(thr).as("v2"))
+            .localCheckpoint()
+        }
+        val fStats = Future(Rollup.readRollup(s, roDir)
           .select(lit("corpus").as("metric"), col("lang").as("key"),
             col("n").cast("double").as("v1"),
             col("sum_v").cast("double").as("v2"))
-        val audit = Manifest.diff(s, maDir, mbDir)
+          .localCheckpoint())
+        val fAudit = Future(Manifest.diff(s, maDir, mbDir)
           .groupBy("status").agg(count(lit(1)).as("n"))
           .select(lit("audit").as("metric"), col("status").as("key"),
             col("n").cast("double").as("v1"), lit(0.0).as("v2"))
-        drift.unionAll(sel).unionAll(kept).unionAll(stats)
-          .unionAll(audit).orderBy("metric", "key")
+          .localCheckpoint())
+        val fDrift = Future(drift.localCheckpoint())
+        Await.result(
+          Future.sequence(Seq(fDrift, fSel, fKept, fStats, fAudit)),
+          Duration.Inf)
+          .reduce(_.unionAll(_)).orderBy("metric", "key")
       },
       Some("""WITH d0 AS (
              |  SELECT * FROM documents

@@ -12,7 +12,8 @@ import graft.{Engine, GraftExtensions, SparkEntry}
   * materialization) so per-corpus trained-artifact/index caches are
   * built and the captured plan is the steady-state query path, then
   * the plan is re-built fresh and explained.
-  * Usage: runMain graft.tools.PlanDump <sfDir> <outFile> <name> [name2 ...]
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <name> [name2 ...]
+  * (files are written as <outDir>/<name>.txt)
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

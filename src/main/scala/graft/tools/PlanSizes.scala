@@ -4,10 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 import graft.{Engine, GraftExtensions, SparkEntry}
 
-/** Print every probe's formatted-plan SIZE (chars) — a cheap scan for
+/** Print every probe's formatted-plan SIZE (chars) — a scan for
   * plan-blowup (subtrees re-referenced without materialization make
   * AQE replanning, not execution, the wall-time driver; x123 measured
   * 3.0 MB before its fix). Usage: runMain graft.tools.PlanSizes <sfDir>
+  *
+  * Caveat: probes whose builders materialize eagerly (localCheckpoint
+  * / artifact writes — x72, mmrSelect callers, MixturePlan callers)
+  * run real Spark jobs during DataFrame CONSTRUCTION, so this scan is
+  * not cheap for them and their printed sizes are the
+  * post-materialization leaf plans (small by construction — which is
+  * the point of those fixes, but don't read their rows as "no work
+  * upstream").
   */
 object PlanSizes {
   def main(args: Array[String]): Unit = {
@@ -24,7 +32,9 @@ object PlanSizes {
           org.apache.spark.sql.execution.FormattedMode)
         println(s"[plansize] $name ${txt.length}")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/fatal error must kill the scan, not
+        // degrade to a one-line ERROR row
+        case scala.util.control.NonFatal(e) =>
           println(s"[plansize] $name ERROR ${e.getClass.getSimpleName}")
       }
     }
